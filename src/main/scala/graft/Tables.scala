@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Parquet table loaders for the harness star schema (TESTDATA.md).
+  *
+  * Scale note: all loads go through `spark.read.parquet` so Catalyst's
+  * `PruneFileSourcePartitions` + parquet min/max data skipping apply
+  * unchanged on a partitioned 100 TB layout — callers never hand-route
+  * physical tables (the reference routes per-office tables by name,
+  * webhook_app.py:37; we replace that with a partition column, see
+  * SURVEY.md §2.1 S5).
+  */
+object Tables {
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark cannot map to
+    * its µs TimestampType natively. Read it as a long (legacy conf) and
+    * convert with exact integer division — `ts div 1000` truncates
+    * ns→µs exactly like DuckDB's TIMESTAMP_NS→TIMESTAMP cast, so both
+    * engines see identical instants. (A double-typed division here
+    * would corrupt the value: epoch-nanos ≈ 1.7e18 > 2^53.) */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = table(s, d, "events")
+    if (raw.schema("ts").dataType == LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+}

@@ -1,0 +1,114 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The DAX-measure library re-expressed as one-pass Spark aggregations
+  * (SURVEY.md §2.4 A1–A13, §2.2 P5).
+  *
+  * Design rules (all motivated by the 100 TB target):
+  *  - Funnel tiles are ONE conditional-aggregation pass
+  *    (`sum(when(cond,1))`), never N filtered scans — N stage counts
+  *    cost one shuffle instead of N.
+  *  - Ratios are derived columns computed AFTER aggregation, so the
+  *    rollup Total row gets ratio-of-totals (52/213 = 24.41%, the
+  *    seller-dashboard arithmetic), not an average of ratios.
+  *  - Money is aggregated exactly: `sum(cast(x as decimal(18,2)))` is
+  *    associative-exact, so partial aggregation across any number of
+  *    executors is bit-identical to a single-threaded oracle — float
+  *    sums would drift with partitioning. Cast back to double at the end.
+  *  - Percent-of-total uses an empty-frame window over the aggregated
+  *    (small) result, not a second scan of the facts.
+  */
+object Measures {
+
+  /** Exact, partitioning-independent money sum (see scaladoc above). */
+  def moneySum(c: Column): Column = sum(c.cast("decimal(18,2)")).cast("double")
+
+  /** A1-style conditional count (DAX CALCULATE(COUNTROWS, filter)). */
+  def countIf(cond: Column): Column = sum(when(cond, 1L).otherwise(0L))
+
+  /** A4: guarded percentage ratio, 2 decimals, NULL when denominator=0. */
+  def pctRatio(num: Column, den: Column): Column =
+    round(num * 100.0 / nullif(den.cast("double"), lit(0.0)), 2)
+
+  /** P5: the dashboard slicer "filter context" — month / year / agent
+    * multi-select applied before every measure (manager dashboard
+    * MES/AÑO/ASESOR slicers). Predicates compose with AND so Catalyst
+    * pushes them into the parquet scan as one conjunction. */
+  final case class FilterCtx(
+      year: Option[Int] = None,
+      month: Option[Int] = None,
+      agents: Seq[String] = Nil) {
+    def apply(df: DataFrame, dateCol: Column, agentCol: Column): DataFrame = {
+      val preds = Seq(
+        year.map(y => functions.yearOf(dateCol) === y),
+        month.map(m => functions.monthOf(dateCol) === m),
+        if (agents.nonEmpty) Some(agentCol.isin(agents: _*)) else None
+      ).flatten
+      preds.foldLeft(df)((d, p) => d.filter(p))
+    }
+  }
+  private object functions {
+    def yearOf(c: Column): Column = year(c)
+    def monthOf(c: Column): Column = month(c)
+  }
+
+  /** A1+A4: one-pass funnel — stage counts plus pairwise conversion
+    * ratios, one row out. `stages` maps output column name → predicate. */
+  def funnel(df: DataFrame, stages: Seq[(String, Column)],
+             ratios: Seq[(String, String, String)]): DataFrame = {
+    val counts = df.agg(
+      countIf(stages.head._2).as(stages.head._1),
+      stages.tail.map { case (n, c) => countIf(c).as(n) }: _*
+    )
+    ratios.foldLeft(counts) { case (d, (name, num, den)) =>
+      d.withColumn(name, pctRatio(col(num), col(den)))
+    }
+  }
+
+  /** A5: per-agent pivot with a grand-total row via ROLLUP; ratio
+    * columns recomputed post-rollup (ratio-of-totals). `grouping()`
+    * labels the Total row exactly like the oracle's GROUP BY ROLLUP. */
+  def rollupWithTotal(df: DataFrame, key: Column, keyName: String,
+                      aggs: Seq[Column], post: Seq[(String, Column)]): DataFrame = {
+    // grouping() is only legal inside the aggregate list of the rollup,
+    // and must reference a plain attribute — pre-project the key so no
+    // alias appears inside the rollup expression.
+    val base = df.withColumn(keyName, key)
+      .rollup(col(keyName))
+      .agg(aggs.head, (aggs.tail :+ grouping(col(keyName)).cast("int").as("is_total")): _*)
+      .withColumn(keyName, coalesce(col(keyName), lit("TOTAL")))
+    post.foldLeft(base) { case (d, (n, c)) => d.withColumn(n, c) }
+  }
+
+  /** A6/W2: top-k leaderboard with deterministic tiebreak. */
+  def topK(df: DataFrame, key: Column, keyName: String, measure: Column,
+           k: Int): DataFrame = {
+    val agg = df.groupBy(key.as(keyName)).agg(measure.as("total"))
+    agg.withColumn("rnk",
+        row_number().over(Window.orderBy(col("total").desc, col(keyName))))
+      .filter(col("rnk") <= k)
+  }
+
+  /** A8/W4: percent-of-total distribution over an aggregated slice. */
+  def pctOfTotal(df: DataFrame, key: Column, keyName: String,
+                 measure: Column): DataFrame =
+    df.groupBy(key.as(keyName)).agg(measure.as("v"))
+      .withColumn("pct", round(col("v") * 100.0 / sum("v").over(Window.partitionBy()), 2))
+
+  /** A9: monthly trend bucketing (calendar-grain aggregation). */
+  def monthlyTrend(df: DataFrame, dateCol: Column, aggs: Seq[Column]): DataFrame =
+    df.groupBy(date_trunc("month", dateCol).as("month_start"))
+      .agg(aggs.head, aggs.tail: _*)
+
+  /** A12/W3: running (cumulative-to-date) total within a partition —
+    * the DAX time-intelligence YTD pattern. Runs over the already
+    * aggregated month grain, so the window is trivially small. */
+  def runningTotal(monthly: DataFrame, part: Seq[Column], order: Column,
+                   valueCol: Column): Column =
+    sum(valueCol).over(
+      Window.partitionBy(part: _*).orderBy(order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+}

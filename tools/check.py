@@ -1,0 +1,65 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's t2 correctness gate.
+
+Usage: python3 tools/check.py [verify_out_dir] [sf_dir]
+
+Reads each <name>.parquet produced by `graft.Verify`, runs the matching
+oracle SQL from oracle_sql.json in DuckDB over the sf parquet tables,
+sorts columns by name, and compares values (exact for ints/strings,
+tiny-epsilon report for floats). Prints PASS/FAIL per query.
+"""
+import json, math, sys
+import duckdb
+
+out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/verify_out"
+sf = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+con = duckdb.connect()
+for t in TABLES:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+
+oracle = json.load(open(f"{out}/oracle_sql.json"))
+fails = 0
+for name, sql in sorted(oracle.items()):
+    try:
+        got = con.sql(f"SELECT * FROM '{out}/{name}/*.parquet'").fetchall()
+        gcols = [c for c in con.sql(f"SELECT * FROM '{out}/{name}/*.parquet' LIMIT 0").columns]
+        exp_rel = con.sql(sql)
+        ecols = list(exp_rel.columns)
+        exp = exp_rel.fetchall()
+    except Exception as e:
+        print(f"FAIL {name}: exec error: {str(e)[:200]}")
+        fails += 1
+        continue
+    if sorted(gcols) != sorted(ecols):
+        print(f"FAIL {name}: columns spark={sorted(gcols)} oracle={sorted(ecols)}")
+        fails += 1
+        continue
+    gi = [gcols.index(c) for c in sorted(gcols)]
+    ei = [ecols.index(c) for c in sorted(ecols)]
+    grows = [tuple(r[i] for i in gi) for r in got]
+    erows = [tuple(r[i] for i in ei) for r in exp]
+    if len(grows) != len(erows):
+        print(f"FAIL {name}: rows spark={len(grows)} oracle={len(erows)}")
+        fails += 1
+        continue
+    bad = None
+    for i, (g, e) in enumerate(zip(grows, erows)):
+        for a, b in zip(g, e):
+            ok = (a == b)
+            if not ok and isinstance(a, float) and isinstance(b, float):
+                ok = (math.isnan(a) and math.isnan(b)) or a == b
+            if not ok:
+                bad = (i, g, e)
+                break
+        if bad:
+            break
+    if bad:
+        print(f"FAIL {name}: first diff at row {bad[0]}:\n  spark : {bad[1]}\n  oracle: {bad[2]}")
+        fails += 1
+    else:
+        print(f"PASS {name} ({len(grows)} rows)")
+print(f"\n{len(oracle) - fails}/{len(oracle)} queries match")
+sys.exit(1 if fails else 0)
