@@ -739,17 +739,258 @@ object SparkEntry {
         |ORDER BY event_id""".stripMargin
   )
 
+  // ---- D: dedup suite (training-data pipeline) ---------------------------
+
+  /** Shared oracle CTE: whitespace tokens + distinct 3-gram shingles. */
+  private val shingleCte: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+      |sh AS (SELECT doc_id,
+      |  list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]) g
+      |FROM t)""".stripMargin
+
+  /** hash60 as oracle SQL (mirrors TextAnalysis.hash60). */
+  private def sqlHash60(salt: String, x: String): String =
+    s"('0x' || substr(md5('$salt:' || $x), 1, 15))::BIGINT"
+
+  private val sqlJaccard: String =
+    "round(len(list_intersect(a.g, b.g)) / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))), 4)"
+
+  private val dedupQueries: Map[String, Q] = Map(
+    // D1: exact dedup via content digest.
+    "d1_dedup_exact" -> ((s, d) =>
+      graft.dedup.Dedup.exact(t(s, d, "documents")).orderBy("keep_id")),
+    // D2: exact n-gram Jaccard pairs — quadratic correctness baseline.
+    "d2_ngram_jaccard_pairs" -> ((s, d) =>
+      graft.dedup.Dedup.ngramJaccardPairs(t(s, d, "documents"), 0.7).orderBy("d1", "d2")),
+    // D3: MinHash + banded LSH candidates, Jaccard-verified — scale path.
+    "d3_minhash_lsh_pairs" -> ((s, d) =>
+      graft.dedup.Dedup.minhashLshPairs(t(s, d, "documents"), 0.7).orderBy("d1", "d2")),
+    // D4: SimHash 32-bit signatures.
+    "d4_simhash_signatures" -> ((s, d) =>
+      graft.dedup.Dedup.simhashSignatures(t(s, d, "documents")).orderBy("doc_id")),
+    // D5: SimHash near-dup pairs via half-signature blocking.
+    "d5_simhash_pairs" -> ((s, d) =>
+      graft.dedup.Dedup.simhashPairs(t(s, d, "documents"), 6).orderBy("d1", "d2"))
+  )
+
+  private val dedupOracles: Map[String, String] = {
+    val k = graft.dedup.Dedup.MINHASH_K
+    val bands = graft.dedup.Dedup.LSH_BANDS
+    val rows = k / bands
+    val minExprs = (0 until k).map(j => s"min(${sqlHash60(j.toString, "g")}) AS h$j").mkString(", ")
+    val bandSelects = (0 until bands).map { b =>
+      val sig = (0 until rows).map(r => s"h${b * rows + r}").mkString(", ")
+      s"SELECT doc_id, $b AS band, concat_ws('_', $sig) AS s FROM sig"
+    }.mkString(" UNION ALL ")
+    val nb = graft.dedup.Dedup.SIMHASH_BITS
+    val votes = (0 until nb)
+      .map(i => s"sum(CASE WHEN (hv >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS b$i").mkString(", ")
+    val assemble = (0 until nb)
+      .map(i => s"(CASE WHEN b$i > 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")
+    val simhashCte =
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+         |h AS (SELECT doc_id, ${sqlHash60("sh", "w")} AS hv FROM tok),
+         |bits AS (SELECT doc_id, $votes FROM h GROUP BY doc_id),
+         |sig AS (SELECT doc_id, $assemble AS simhash FROM bits)""".stripMargin
+    Map(
+      "d1_dedup_exact" ->
+        """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+          |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
+      "d2_ngram_jaccard_pairs" ->
+        s"""$shingleCte
+           |SELECT d1, d2, jaccard FROM (
+           |  SELECT a.doc_id AS d1, b.doc_id AS d2, $sqlJaccard AS jaccard
+           |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+           |WHERE jaccard >= 0.7 ORDER BY d1, d2""".stripMargin,
+      "d3_minhash_lsh_pairs" ->
+        s"""$shingleCte,
+           |ex AS (SELECT doc_id, unnest(g) AS g FROM sh),
+           |sig AS (SELECT doc_id, $minExprs FROM ex GROUP BY doc_id),
+           |bands AS ($bandSelects),
+           |cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+           |  FROM bands x JOIN bands y ON x.band = y.band AND x.s = y.s AND x.doc_id < y.doc_id)
+           |SELECT d1, d2, jaccard FROM (
+           |  SELECT d1, d2, $sqlJaccard AS jaccard
+           |  FROM cand JOIN sh a ON a.doc_id = d1 JOIN sh b ON b.doc_id = d2)
+           |WHERE jaccard >= 0.7 ORDER BY d1, d2""".stripMargin,
+      "d4_simhash_signatures" ->
+        s"""$simhashCte
+           |SELECT doc_id, simhash FROM sig ORDER BY doc_id""".stripMargin,
+      "d5_simhash_pairs" ->
+        s"""$simhashCte,
+           |halves AS (
+           |  SELECT doc_id, simhash, 0 AS half, simhash & 65535 AS hv FROM sig
+           |  UNION ALL
+           |  SELECT doc_id, simhash, 1, (simhash >> 16) & 65535 FROM sig)
+           |SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2,
+           |  CAST(bit_count(xor(x.simhash, y.simhash)) AS INT) AS hamming
+           |FROM halves x JOIN halves y
+           |  ON x.half = y.half AND x.hv = y.hv AND x.doc_id < y.doc_id
+           |WHERE bit_count(xor(x.simhash, y.simhash)) <= 6
+           |ORDER BY d1, d2""".stripMargin)
+  }
+
+  // ---- E: embedding similarity search -------------------------------------
+
+  /** Strict-left-fold cosine in oracle SQL (bit-identical to Ann.dot). */
+  private val cosineCte: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+      |n AS (SELECT vec_id, v, sqrt(list_reduce(list_apply(v, x -> x*x), (a,b) -> a+b)) AS nrm FROM e)""".stripMargin
+
+  private val simQueries: Map[String, Q] = Map(
+    // E1: brute-force cosine top-k — exact ANN baseline.
+    "e1_cosine_topk" -> ((s, d) =>
+      graft.similarity.Ann.cosineTopK(t(s, d, "embeddings"), 5).orderBy("query_id", "rank")),
+    // E2: sign-LSH bucketed ANN — approximate scale path (no SQL oracle
+    // by design; recall vs E1 is asserted in AnnSpec).
+    "e2_ann_lsh_topk" -> ((s, d) =>
+      graft.similarity.Ann.lshTopK(t(s, d, "embeddings"), 5).orderBy("query_id", "rank")),
+    // E3: embedding-cosine near-duplicate pairs.
+    "e3_cosine_near_dup" -> ((s, d) =>
+      graft.similarity.Ann.cosineNearDupPairs(t(s, d, "embeddings"), 0.35).orderBy("d1", "d2"))
+  )
+
+  private val simOracles: Map[String, String] = Map(
+    "e1_cosine_topk" ->
+      s"""$cosineCte,
+         |p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    list_reduce(list_apply(range(1, 65), i -> q.v[i] * c.v[i]), (a,b) -> a+b)
+         |      / (q.nrm * c.nrm) AS sim
+         |  FROM n q JOIN n c ON q.vec_id <> c.vec_id),
+         |r AS (SELECT query_id, neighbor_id, sim,
+         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS INT) AS rank
+         |  FROM p)
+         |SELECT query_id, neighbor_id, round(sim, 6) AS sim, rank FROM r
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "e3_cosine_near_dup" ->
+      s"""$cosineCte
+         |SELECT d1, d2, sim FROM (
+         |  SELECT a.vec_id AS d1, b.vec_id AS d2,
+         |    round(list_reduce(list_apply(range(1, 65), i -> a.v[i] * b.v[i]), (x,y) -> x+y)
+         |      / (a.nrm * b.nrm), 6) AS sim
+         |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
+         |WHERE sim >= 0.35 ORDER BY d1, d2""".stripMargin
+  )
+
+  // ---- T: text analysis ----------------------------------------------------
+
+  private val textQueries: Map[String, Q] = Map(
+    // T1: language-ID heuristic (marker-word overlap, argmax).
+    "t1_lang_id" -> ((s, d) =>
+      graft.text.TextAnalysis.withLangScores(t(s, d, "documents"))
+        .select(Seq(col("doc_id"), col("lang").as("actual_lang"), col("predicted_lang")) ++
+          graft.text.TextAnalysis.langMarkers.map { case (l, _) => col(s"score_$l") }: _*)
+        .orderBy("doc_id")),
+    // T2: quality scoring (length / uniqueness / stopword density).
+    "t2_quality_score" -> ((s, d) =>
+      graft.text.TextAnalysis.withQuality(t(s, d, "documents"))
+        .select(col("doc_id"), col("n_words"), col("n_unique"), col("n_stop"),
+          col("avg_word_len"), col("unique_ratio"), col("stop_ratio"), col("quality_score"))
+        .orderBy("doc_id")),
+    // T3: token counting (whitespace + BPE-ish regex segmentation).
+    "t3_token_count" -> ((s, d) =>
+      graft.text.TextAnalysis.withTokenCounts(t(s, d, "documents"))
+        .select(col("doc_id"), col("n_ws_tokens"), col("n_bpe_tokens"))
+        .orderBy("doc_id")),
+    // T4: order-sensitive document fingerprint (xor-folded rolling hash).
+    "t4_fingerprint" -> ((s, d) =>
+      graft.text.TextAnalysis.fingerprints(t(s, d, "documents")).orderBy("doc_id"))
+  )
+
+  private val textOracles: Map[String, String] = {
+    val scoreExprs = graft.text.TextAnalysis.langMarkers.map { case (l, ws) =>
+      val lst = ws.map(w => s"'$w'").mkString(", ")
+      s"CAST(len(list_intersect(dw, [$lst])) AS INT) AS score_$l"
+    }.mkString(",\n  ")
+    val langs = graft.text.TextAnalysis.langMarkers.map(_._1)
+    val caseChain = langs.zipWithIndex.init.map { case (l, i) =>
+      val conds = langs.drop(i + 1).map(r => s"score_$l >= score_$r").mkString(" AND ")
+      s"WHEN $conds THEN '$l'"
+    }.mkString(" ")
+    val stopList = graft.text.TextAnalysis.stopwords.map(w => s"'$w'").mkString(", ")
+    Map(
+      "t1_lang_id" ->
+        s"""SELECT doc_id, actual_lang, CASE $caseChain ELSE '${langs.last}' END AS predicted_lang,
+           |  ${langs.map(l => s"score_$l").mkString(", ")}
+           |FROM (
+           |  SELECT doc_id, lang AS actual_lang, $scoreExprs
+           |  FROM (SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS dw FROM documents))
+           |ORDER BY doc_id""".stripMargin,
+      "t2_quality_score" ->
+        s"""SELECT doc_id, n_words, n_unique, n_stop,
+           |  round(length(replace(text, ' ', '')) / n_words, 4) AS avg_word_len,
+           |  round(n_unique * 1.0 / n_words, 4) AS unique_ratio,
+           |  round(n_stop * 1.0 / n_words, 4) AS stop_ratio,
+           |  round((n_unique * 1.0 / n_words) * 0.5 + least(1.0, n_words / 100.0) * 0.3
+           |        + (1.0 - n_stop * 1.0 / n_words) * 0.2, 4) AS quality_score
+           |FROM (
+           |  SELECT doc_id, text, CAST(len(w) AS INT) AS n_words,
+           |    CAST(len(list_distinct(w)) AS INT) AS n_unique,
+           |    CAST(len(list_filter(w, x -> list_contains([$stopList], x))) AS INT) AS n_stop
+           |  FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents))
+           |ORDER BY doc_id""".stripMargin,
+      "t3_token_count" ->
+        """SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_ws_tokens,
+          |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT) AS n_bpe_tokens
+          |FROM documents ORDER BY doc_id""".stripMargin,
+      "t4_fingerprint" ->
+        s"""WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+           |px AS (SELECT doc_id, unnest(w) AS w, unnest(range(len(w))) AS pos FROM t)
+           |SELECT doc_id, bit_xor(${sqlHash60("fp", "w")} + pos * 2654435761) AS fingerprint
+           |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+  }
+
+  // ---- MM: multimodal column plumbing -------------------------------------
+
+  private val mmQueries: Map[String, Q] = Map(
+    // MM1: binary content + typed metadata extraction (decode plumbing).
+    "mm1_binary_meta" -> ((s, d) =>
+      graft.multimodal.Media.asAssets(t(s, d, "documents"))
+        .select(col("asset_id"), col("media_type"),
+          length(col("content")).as("n_bytes"), md5(col("content")).as("checksum"),
+          col("meta.width").as("width"), col("meta.height").as("height"),
+          col("meta.n_frames").as("n_frames"))
+        .orderBy("asset_id")),
+    // MM2: frame sampling (every 4th frame) as a pure array op.
+    "mm2_frame_sample" -> ((s, d) => {
+      val frames = graft.text.TextAnalysis.words(col("text"))
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          array_join(graft.multimodal.Media.sampleFrames(frames, 4), "|").as("sampled_frames"),
+          size(graft.multimodal.Media.sampleFrames(frames, 4)).as("n_sampled"))
+        .orderBy("doc_id")
+    })
+  )
+
+  private val mmOracles: Map[String, String] = Map(
+    "mm1_binary_meta" ->
+      """SELECT doc_id AS asset_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'video' END AS media_type,
+        |  CAST(octet_length(encode(text)) AS INT) AS n_bytes, md5(text) AS checksum,
+        |  CAST((doc_id * 37) % 624 + 16 AS INT) AS width,
+        |  CAST((doc_id * 53) % 464 + 16 AS INT) AS height,
+        |  CAST(n_chars // 100 + 1 AS INT) AS n_frames
+        |FROM documents ORDER BY asset_id""".stripMargin,
+    "mm2_frame_sample" ->
+      """SELECT doc_id,
+        |  array_to_string(list_filter(string_split(text, ' '), (x, i) -> (i - 1) % 4 = 0), '|') AS sampled_frames,
+        |  CAST(len(list_filter(string_split(text, ' '), (x, i) -> (i - 1) % 4 = 0)) AS INT) AS n_sampled
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+
   // ---- assembled contract -------------------------------------------------
 
   def queries: Map[String, Q] =
     Map("flagship_manager_dashboard" -> (flagship _)) ++
       sourceQueries ++ projQueries ++ joinQueries ++ aggQueries ++
       windowQueries ++ sortQueries ++ setQueries ++ fnQueries ++
-      streamTwinQueries
+      streamTwinQueries ++ dedupQueries ++ simQueries ++ textQueries ++
+      mmQueries
 
   def oracleSql: Map[String, String] =
     Map("flagship_manager_dashboard" -> flagshipSql) ++
       sourceOracles ++ projOracles ++ joinOracles ++ aggOracles ++
       windowOracles ++ sortOracles ++ setOracles ++ fnOracles ++
-      streamTwinOracles
+      streamTwinOracles ++ dedupOracles ++ simOracles ++ textOracles ++
+      mmOracles
 }

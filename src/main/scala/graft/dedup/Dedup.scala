@@ -1,0 +1,125 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.text.TextAnalysis._
+
+/** Deduplication suite for the training-data pipeline: exact content
+  * hashing, exact n-gram Jaccard (quadratic baseline), MinHash+LSH
+  * (banded, the 100 TB path), and SimHash (bit-signature near-dup).
+  *
+  * Scale design:
+  *  - Exact dedup is one hash-shuffle on a 16-byte digest, never on the
+  *    document body (shuffling 100 TB of text vs ~1 TB of digests).
+  *  - MinHash: signatures are computed in ONE aggregation pass over the
+  *    exploded shingles (K mins at once — not K passes). LSH banding
+  *    turns the O(n²) candidate space into equality joins on band
+  *    signatures; only candidates touch the full shingle sets again.
+  *  - The quadratic Jaccard join is kept as the correctness baseline
+  *    (and oracle for what MinHash approximates) — it is intentionally
+  *    NOT in the bench headline set.
+  *  - All hashes are md5-derived (see TextAnalysis.hash60) so the
+  *    DuckDB oracle reproduces every signature bit-for-bit.
+  */
+object Dedup {
+
+  /** Exact dedup: group by content digest, keep the smallest id.
+    * (Reference analog: ON CONFLICT DO NOTHING keyed by event id —
+    * here the key is the content itself.) */
+  def exact(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text").cast("binary")).as("content_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Shingle sets per doc: distinct 3-gram word shingles. */
+  def shingleSets(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), array_distinct(shingles3(words(col("text")))).as("g"))
+
+  private def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b))
+    inter.cast("double") / (size(a) + size(b) - inter)
+  }
+
+  /** Exact pairwise n-gram Jaccard ≥ threshold. O(n²) — correctness
+    * baseline only; use [[minhashLshPairs]] at scale. */
+  def ngramJaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    val s = shingleSets(docs)
+    val a = s.select(col("doc_id").as("d1"), col("g").as("g1"))
+    val b = s.select(col("doc_id").as("d2"), col("g").as("g2"))
+    a.join(b, col("d1") < col("d2"))
+      .select(col("d1"), col("d2"), round(jaccard(col("g1"), col("g2")), 4).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  val MINHASH_K = 12  // hash functions
+  val LSH_BANDS = 4   // bands of K/BANDS rows each
+
+  /** MinHash signatures: K 60-bit minima computed in one pass over the
+    * exploded distinct shingles. */
+  def minhashSignatures(docs: DataFrame): DataFrame = {
+    val exploded = shingleSets(docs).select(col("doc_id"), explode(col("g")).as("g"))
+    val mins = (0 until MINHASH_K).map(j => min(hash60(col("g"), j.toString)).as(s"h$j"))
+    exploded.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+  }
+
+  /** Banded LSH candidate pairs, verified with exact Jaccard ≥ threshold.
+    * Equality join on (band, band-signature) — shuffle on tiny strings,
+    * never on document bodies. */
+  def minhashLshPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    val sig = minhashSignatures(docs)
+    val rows = MINHASH_K / LSH_BANDS
+    val bandCols = (0 until LSH_BANDS).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws("_", (0 until rows).map(r => col(s"h${b * rows + r}")): _*).as("sig"))
+    }
+    val bands = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      .distinct()
+    val s = shingleSets(docs)
+    cand
+      .join(s.select(col("doc_id").as("d1"), col("g").as("g1")), "d1")
+      .join(s.select(col("doc_id").as("d2"), col("g").as("g2")), "d2")
+      .select(col("d1"), col("d2"), round(jaccard(col("g1"), col("g2")), 4).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  val SIMHASH_BITS = 32
+
+  /** SimHash: frequency-weighted bit votes over token hashes → 32-bit
+    * signature, one aggregation pass (32 conditional sums at once). */
+  def simhashSignatures(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"), explode(words(col("text"))).as("w"))
+      .withColumn("hv", hash60(col("w"), "sh"))
+    val votes = (0 until SIMHASH_BITS).map(i =>
+      sum(when(shiftright(col("hv"), i).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as(s"b$i"))
+    val assembled = (0 until SIMHASH_BITS)
+      .map(i => when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    tok.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), assembled.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: block on matching 16-bit halves (a ≤h
+    * Hamming pair must agree on one half for h ≤ 15), then filter by
+    * exact Hamming distance. */
+  def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
+    val sig = simhashSignatures(docs)
+      .withColumn("lo", col("simhash").bitwiseAND(lit(0xFFFFL)))
+      .withColumn("hi", shiftright(col("simhash"), 16).bitwiseAND(lit(0xFFFFL)))
+    val halves = sig.select(col("doc_id"), col("simhash"),
+        explode(array(struct(lit(0).as("half"), col("lo").as("hv")),
+          struct(lit(1).as("half"), col("hi").as("hv")))).as("h"))
+      .select(col("doc_id"), col("simhash"), col("h.half").as("half"), col("h.hv").as("hv"))
+    halves.as("x").join(halves.as("y"),
+        col("x.half") === col("y.half") && col("x.hv") === col("y.hv") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,75 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing: image/audio/video as opaque `binary`
+  * columns with typed metadata, plus per-batch decode / feature-extract
+  * operators.
+  *
+  * The Spark-side plumbing (schema, partition-friendly batch shape,
+  * deterministic metadata derivation) is real and tested; the actual
+  * codec step is STUBBED with a deterministic fake ([[decodeStub]])
+  * because no image/audio libraries ship in this environment — swap the
+  * body of `decodeStub` for a real decoder (e.g. TwelveMonkeys/JavaCV)
+  * without touching any schema or operator.
+  *
+  * Scale notes: decode runs via `mapPartitions` so codec state
+  * initializes once per partition (not per row), and content bytes stay
+  * columnar (parquet binary) end-to-end — no driver round-trips. Wide
+  * binary payloads should be size-bucketed (`spark.sql.files.
+  * maxPartitionBytes`) so a partition of 100 MB blobs still fits in
+  * executor memory.
+  */
+object Media {
+
+  /** A media asset row: opaque bytes + envelope metadata. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("media_type", StringType),
+    StructField("content", BinaryType),
+    StructField("meta", StructType(Seq(
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("n_frames", IntegerType))))))
+
+  /** Wrap the harness `documents` table as fake media assets: utf-8
+    * bytes as content, deterministic metadata. This is the columnar
+    * shape a real ingest (S3 binary files → parquet) would produce. */
+  def asAssets(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("asset_id"),
+      when(col("doc_id") % 2 === 0, lit("image")).otherwise(lit("video")).as("media_type"),
+      col("text").cast("binary").as("content"),
+      struct(
+        (pmod(col("doc_id") * 37, lit(624)) + 16).cast("int").as("width"),
+        (pmod(col("doc_id") * 53, lit(464)) + 16).cast("int").as("height"),
+        (expr("n_chars div 100") + 1).cast("int").as("n_frames")).as("meta"))
+
+  private case class Decoded(asset_id: Long, width: Int, height: Int,
+      n_frames: Int, n_bytes: Int, checksum: String)
+
+  /** Decode / feature-extract over binary content, one codec init per
+    * partition. STUB: derives deterministic fake features from the
+    * bytes; a real build decodes pixels/samples here. */
+  def decodeStub(spark: SparkSession, assets: DataFrame): DataFrame = {
+    import spark.implicits._
+    val decoded = assets.select("asset_id", "content", "meta").as[(Long, Array[Byte], Row)]
+      .mapPartitions { it =>
+        // real impl: val codec = Codec.open() — once per partition
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, bytes, meta) =>
+          md.reset()
+          val digest = md.digest(bytes).map("%02x".format(_)).mkString
+          Decoded(id, meta.getInt(0), meta.getInt(1), meta.getInt(2), bytes.length, digest)
+        }
+      }
+    decoded.toDF()
+  }
+
+  /** Frame sampling: every `step`-th frame of a frame array — the
+    * video-pipeline "1 fps sample" pattern, as a pure array op. */
+  def sampleFrames(frames: org.apache.spark.sql.Column, step: Int): org.apache.spark.sql.Column =
+    filter(frames, (_, i) => i % step === 0)
+}

@@ -1,0 +1,97 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`Array[Float]`).
+  *
+  * Two paths:
+  *  - [[cosineTopK]]: brute-force all-pairs cosine top-k — the exact
+  *    baseline. The small side is broadcast, so the cartesian product
+  *    is map-side only (no shuffle of the big side); cost is O(n·m·d).
+  *  - [[lshTopK]]: random-hyperplane (sign) LSH — vectors land in
+  *    2^planes buckets via deterministic ±1 projections; candidates
+  *    only form within a bucket, turning O(n²) into an equality join.
+  *    This is the 100 TB path: bucket id is a tiny int key, and recall
+  *    is tunable via the plane count (fewer planes = bigger buckets).
+  *
+  * Determinism: vectors are cast float→double (exact) and the dot
+  * product is a strict left fold (`aggregate`), so the DuckDB oracle's
+  * `list_reduce` fold reproduces it bit-for-bit.
+  */
+object Ann {
+
+  /** Strict left-fold dot product of two double arrays. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** L2 norm as a strict left fold. */
+  def norm(v: Column): Column =
+    sqrt(aggregate(transform(v, x => x * x), lit(0.0), (acc, x) => acc + x))
+
+  /** Vectors with precomputed norms (norm once per vector, not per pair). */
+  def prepared(embeddings: DataFrame): DataFrame =
+    embeddings.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", norm(col("v")))
+
+  /** Exact brute-force cosine top-k neighbors per query vector. */
+  def cosineTopK(embeddings: DataFrame, k: Int): DataFrame = {
+    val e = prepared(embeddings)
+    val q = e.select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val c = e.select(col("vec_id").as("neighbor_id"), col("v").as("cv"), col("nrm").as("cn"))
+    val sims = q.join(broadcast(c), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("sim"))
+    sims
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), round(col("sim"), 6).as("sim"), col("rank"))
+  }
+
+  /** Deterministic ±1 hyperplane matrix (LCG-derived; no runtime RNG so
+    * repeated runs and resumed jobs bucket identically). */
+  def planes(nPlanes: Int, dim: Int): Array[Array[Double]] =
+    Array.tabulate(nPlanes, dim) { (j, d) =>
+      val x = (1103515245L * (j * dim + d + 1) + 12345L) & 0x7FFFFFFFL
+      if (((x >> 16) & 1L) == 1L) 1.0 else -1.0
+    }
+
+  /** Bucket id = sign bits of the plane projections. */
+  def bucketOf(v: Column, ps: Array[Array[Double]]): Column =
+    ps.zipWithIndex.map { case (p, j) =>
+      when(dot(v, typedlit(p.toSeq)) > 0, lit(1 << j)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** LSH-bucketed approximate top-k: candidates only within a bucket.
+    * Approximate by construction — no SQL oracle; validated in tests
+    * against [[cosineTopK]] recall. */
+  def lshTopK(embeddings: DataFrame, k: Int, nPlanes: Int = 4): DataFrame = {
+    val dim = 64
+    val e = prepared(embeddings).withColumn("bucket", bucketOf(col("v"), planes(nPlanes, dim)))
+    val q = e.select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"),
+      col("bucket"))
+    val c = e.select(col("vec_id").as("neighbor_id"), col("v").as("cv"), col("nrm").as("cn"),
+      col("bucket"))
+    q.join(c, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("sim"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), round(col("sim"), 6).as("sim"), col("rank"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs above a similarity threshold. */
+  def cosineNearDupPairs(embeddings: DataFrame, threshold: Double): DataFrame = {
+    val e = prepared(embeddings)
+    val a = e.select(col("vec_id").as("d1"), col("v").as("v1"), col("nrm").as("n1"))
+    val b = e.select(col("vec_id").as("d2"), col("v").as("v2"), col("nrm").as("n2"))
+    a.join(broadcast(b), col("d1") < col("d2"))
+      .select(col("d1"), col("d2"),
+        round(dot(col("v1"), col("v2")) / (col("n1") * col("n2")), 6).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+}

@@ -1,0 +1,108 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for the training-data pipeline: tokenization,
+  * shingling, deterministic 60-bit content hashing, language ID, quality
+  * scoring, token counting, and document fingerprinting.
+  *
+  * Everything is built from codegen'd expressions (no UDFs) and — key
+  * design decision — all hashing is md5-derived so the DuckDB oracle can
+  * replicate results bit-for-bit: `hash60(x) = first 15 hex chars of
+  * md5(salt:x) as a 60-bit integer`. A JVM-specific hash (murmur3,
+  * xxhash) would be faster but unverifiable cross-engine; at 100 TB the
+  * md5 cost is still embarrassingly parallel scan work, and a later swap
+  * to xxhash64 is a one-line change per call site.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization (the reference corpus is space-delimited). */
+  def words(text: Column): Column = split(text, " ")
+
+  /** Deterministic 60-bit salted content hash (see object scaladoc). */
+  def hash60(c: Column, salt: String): Column =
+    conv(substring(md5(concat(lit(salt + ":"), c).cast("binary")), 1, 15), 16, 10)
+      .cast("long")
+
+  /** 3-gram word shingles; < 3 words ⇒ empty (guard needed because
+    * Spark's `sequence(1, 0)` counts DOWN instead of returning empty). */
+  def shingles3(w: Column): Column =
+    when(size(w) >= 3,
+      transform(sequence(lit(1), size(w) - 2),
+        i => concat_ws(" ", element_at(w, i), element_at(w, i + 1), element_at(w, i + 2))))
+      .otherwise(typedlit(Seq.empty[String]))
+
+  /** Characteristic-word lists per language for the n-gram/stopword
+    * language-ID heuristic. Keys sorted alphabetically = tie-break order. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("sort", "merge", "join", "group", "agg"),
+    "en" -> Seq("the", "a", "fast", "slow", "big", "small"),
+    "es" -> Seq("data", "row", "column", "table", "key"),
+    "fr" -> Seq("query", "filter", "scan", "window", "batch"),
+    "zh" -> Seq("spark", "stream", "vector", "hash", "dup"))
+
+  /** Language ID: overlap score against each marker list, argmax with
+    * alphabetical tie-break. One pass, no shuffle — pure projection. */
+  def withLangScores(docs: DataFrame): DataFrame = {
+    val distinctWords = array_distinct(words(col("text")))
+    val scored = langMarkers.foldLeft(docs) { case (d, (l, ws)) =>
+      d.withColumn(s"score_$l", size(array_intersect(distinctWords, typedlit(ws))))
+    }
+    val langs = langMarkers.map(_._1)
+    // argmax via ordered when-chain: first lang (alphabetical) whose
+    // score is >= all later langs' scores wins.
+    val predicted = langs.zipWithIndex.init.foldLeft(when(lit(false), lit(""))) {
+      case (acc, (l, i)) =>
+        val rest = langs.drop(i + 1)
+        acc.when(rest.map(r => col(s"score_$l") >= col(s"score_$r")).reduce(_ && _), lit(l))
+    }.otherwise(lit(langs.last))
+    scored.withColumn("predicted_lang", predicted)
+  }
+
+  /** Stopword list for quality scoring (ratio of filler tokens). */
+  val stopwords: Seq[String] = Seq("the", "a", "of", "to", "and")
+
+  /** Quality scoring: length, uniqueness, stopword density → composite
+    * in [0,1]. The composite is computed from the UNROUNDED ratios —
+    * deriving it from 4-decimal-rounded inputs lands exactly on .5
+    * rounding boundaries (e.g. 0.8333*0.5 = 0.41665) where engines'
+    * rounding of non-representable doubles diverges. */
+  def withQuality(docs: DataFrame): DataFrame = {
+    val w = words(col("text"))
+    val uniqueRatio = col("n_unique").cast("double") / col("n_words")
+    val stopRatio = col("n_stop").cast("double") / col("n_words")
+    docs
+      .withColumn("n_words", size(w))
+      .withColumn("n_unique", size(array_distinct(w)))
+      .withColumn("n_stop", size(filter(w, x => array_contains(typedlit(stopwords), x))))
+      .withColumn("avg_word_len",
+        round(length(regexp_replace(col("text"), " ", "")).cast("double") / col("n_words"), 4))
+      .withColumn("quality_score",
+        round(uniqueRatio * 0.5 +
+          least(lit(1.0), col("n_words").cast("double") / 100.0) * 0.3 +
+          (lit(1.0) - stopRatio) * 0.2, 4))
+      .withColumn("unique_ratio", round(uniqueRatio, 4))
+      .withColumn("stop_ratio", round(stopRatio, 4))
+  }
+
+  /** Token counting: whitespace tokens + a BPE-ish regex segmentation
+    * (letter runs / digit runs / single punctuation). */
+  def withTokenCounts(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("n_ws_tokens", size(words(col("text"))))
+      .withColumn("n_bpe_tokens",
+        size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))))
+
+  /** Document fingerprint: position-salted rolling-style hash folded
+    * with BIT_XOR — order-sensitive (token swaps change it) yet
+    * aggregation-order-independent, so it distributes with no sort.
+    * The multiplier is the 32-bit FNV/Knuth constant; h + pos*c stays
+    * well under 2^63 (ANSI-safe, no overflow). */
+  def fingerprints(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), posexplode(words(col("text"))).as(Seq("pos", "w")))
+      .select(col("doc_id"),
+        (hash60(col("w"), "fp") + col("pos") * lit(2654435761L)).as("term"))
+      .groupBy("doc_id")
+      .agg(expr("bit_xor(term)").as("fingerprint"))
+}
