@@ -768,9 +768,9 @@ object SparkEntry {
     // D4: SimHash 32-bit signatures.
     "d4_simhash_signatures" -> ((s, d) =>
       graft.dedup.Dedup.simhashSignatures(t(s, d, "documents")).orderBy("doc_id")),
-    // D5: SimHash near-dup pairs via half-signature blocking.
+    // D5: SimHash near-dup pairs via pigeonhole block-signature join.
     "d5_simhash_pairs" -> ((s, d) =>
-      graft.dedup.Dedup.simhashPairs(t(s, d, "documents"), 6).orderBy("d1", "d2"))
+      graft.dedup.Dedup.simhashPairs(t(s, d, "documents")).orderBy("d1", "d2"))
   )
 
   private val dedupOracles: Map[String, String] = {
@@ -816,18 +816,21 @@ object SparkEntry {
       "d4_simhash_signatures" ->
         s"""$simhashCte
            |SELECT doc_id, simhash FROM sig ORDER BY doc_id""".stripMargin,
-      "d5_simhash_pairs" ->
+      "d5_simhash_pairs" -> {
+        val width = graft.dedup.Dedup.SIMHASH_BITS / graft.dedup.Dedup.SIMHASH_BLOCKS
+        val mask = (1L << width) - 1
+        val blockSelects = (0 until graft.dedup.Dedup.SIMHASH_BLOCKS).map(b =>
+          s"SELECT doc_id, simhash, $b AS blk, (simhash >> ${b * width}) & $mask AS bv FROM sig")
+          .mkString(" UNION ALL ")
         s"""$simhashCte,
-           |halves AS (
-           |  SELECT doc_id, simhash, 0 AS half, simhash & 65535 AS hv FROM sig
-           |  UNION ALL
-           |  SELECT doc_id, simhash, 1, (simhash >> 16) & 65535 FROM sig)
+           |blocks AS ($blockSelects)
            |SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2,
            |  CAST(bit_count(xor(x.simhash, y.simhash)) AS INT) AS hamming
-           |FROM halves x JOIN halves y
-           |  ON x.half = y.half AND x.hv = y.hv AND x.doc_id < y.doc_id
-           |WHERE bit_count(xor(x.simhash, y.simhash)) <= 6
-           |ORDER BY d1, d2""".stripMargin)
+           |FROM blocks x JOIN blocks y
+           |  ON x.blk = y.blk AND x.bv = y.bv AND x.doc_id < y.doc_id
+           |WHERE bit_count(xor(x.simhash, y.simhash)) <= ${graft.dedup.Dedup.SIMHASH_MAX_HAMMING}
+           |ORDER BY d1, d2""".stripMargin
+      })
   }
 
   // ---- E: embedding similarity search -------------------------------------

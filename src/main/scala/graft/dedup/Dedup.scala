@@ -87,10 +87,12 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
-  val SIMHASH_BITS = 32
+  val SIMHASH_BITS = 60   // full width of hash60
+  val SIMHASH_BLOCKS = 4  // 15-bit blocks; pigeonhole-guarantees recall
+  val SIMHASH_MAX_HAMMING = 3 // any pair ≤ 3 flips has one clean block
 
-  /** SimHash: frequency-weighted bit votes over token hashes → 32-bit
-    * signature, one aggregation pass (32 conditional sums at once). */
+  /** SimHash: frequency-weighted bit votes over token hashes → 60-bit
+    * signature, one aggregation pass (60 conditional sums at once). */
   def simhashSignatures(docs: DataFrame): DataFrame = {
     val tok = docs.select(col("doc_id"), explode(words(col("text"))).as("w"))
       .withColumn("hv", hash60(col("w"), "sh"))
@@ -103,22 +105,26 @@ object Dedup {
       .select(col("doc_id"), assembled.as("simhash"))
   }
 
-  /** SimHash near-dup pairs: block on matching 16-bit halves (a ≤h
-    * Hamming pair must agree on one half for h ≤ 15), then filter by
-    * exact Hamming distance. */
-  def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
+  /** SimHash near-dup pairs: pigeonhole blocking — split the signature
+    * into [[SIMHASH_BLOCKS]] 15-bit blocks; a pair within
+    * [[SIMHASH_MAX_HAMMING]] flips MUST agree exactly on at least one
+    * block, so an equality join on (block, value) finds every such pair
+    * without any O(n²) scan. Exact Hamming filter on the candidates. */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = SIMHASH_MAX_HAMMING): DataFrame = {
+    val width = SIMHASH_BITS / SIMHASH_BLOCKS
+    val mask = (1L << width) - 1
     val sig = simhashSignatures(docs)
-      .withColumn("lo", col("simhash").bitwiseAND(lit(0xFFFFL)))
-      .withColumn("hi", shiftright(col("simhash"), 16).bitwiseAND(lit(0xFFFFL)))
-    val halves = sig.select(col("doc_id"), col("simhash"),
-        explode(array(struct(lit(0).as("half"), col("lo").as("hv")),
-          struct(lit(1).as("half"), col("hi").as("hv")))).as("h"))
-      .select(col("doc_id"), col("simhash"), col("h.half").as("half"), col("h.hv").as("hv"))
-    halves.as("x").join(halves.as("y"),
-        col("x.half") === col("y.half") && col("x.hv") === col("y.hv") &&
+    val blockCols = (0 until SIMHASH_BLOCKS).map(b =>
+      struct(lit(b).as("blk"),
+        shiftright(col("simhash"), b * width).bitwiseAND(lit(mask)).as("bv")))
+    val blocks = sig.select(col("doc_id"), col("simhash"),
+        explode(array(blockCols: _*)).as("h"))
+      .select(col("doc_id"), col("simhash"), col("h.blk").as("blk"), col("h.bv").as("bv"))
+    blocks.as("x").join(blocks.as("y"),
+        col("x.blk") === col("y.blk") && col("x.bv") === col("y.bv") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
-        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast("int").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }

@@ -55,17 +55,18 @@ object Media {
     * bytes; a real build decodes pixels/samples here. */
   def decodeStub(spark: SparkSession, assets: DataFrame): DataFrame = {
     import spark.implicits._
-    val decoded = assets.select("asset_id", "content", "meta").as[(Long, Array[Byte], Row)]
-      .mapPartitions { it =>
-        // real impl: val codec = Codec.open() — once per partition
-        val md = java.security.MessageDigest.getInstance("MD5")
-        it.map { case (id, bytes, meta) =>
-          md.reset()
-          val digest = md.digest(bytes).map("%02x".format(_)).mkString
-          Decoded(id, meta.getInt(0), meta.getInt(1), meta.getInt(2), bytes.length, digest)
-        }
+    val flat = assets.select(col("asset_id"), col("content"),
+        col("meta.width"), col("meta.height"), col("meta.n_frames"))
+      .as[(Long, Array[Byte], Int, Int, Int)]
+    flat.mapPartitions { it =>
+      // real impl: val codec = Codec.open() — once per partition
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { case (id, bytes, w, h, f) =>
+        md.reset()
+        val digest = md.digest(bytes).map("%02x".format(_)).mkString
+        Decoded(id, w, h, f, bytes.length, digest)
       }
-    decoded.toDF()
+    }.toDF()
   }
 
   /** Frame sampling: every `step`-th frame of a frame array — the

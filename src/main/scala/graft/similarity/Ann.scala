@@ -51,10 +51,11 @@ object Ann {
   }
 
   /** Deterministic ±1 hyperplane matrix (LCG-derived; no runtime RNG so
-    * repeated runs and resumed jobs bucket identically). */
-  def planes(nPlanes: Int, dim: Int): Array[Array[Double]] =
+    * repeated runs and resumed jobs bucket identically). `table` salts
+    * the matrix so each LSH table cuts the space differently. */
+  def planes(nPlanes: Int, dim: Int, table: Int): Array[Array[Double]] =
     Array.tabulate(nPlanes, dim) { (j, d) =>
-      val x = (1103515245L * (j * dim + d + 1) + 12345L) & 0x7FFFFFFFL
+      val x = (1103515245L * (j * dim + d + 1 + table * 7919L) + 12345L) & 0x7FFFFFFFL
       if (((x >> 16) & 1L) == 1L) 1.0 else -1.0
     }
 
@@ -64,20 +65,31 @@ object Ann {
       when(dot(v, typedlit(p.toSeq)) > 0, lit(1 << j)).otherwise(lit(0))
     }.reduce(_ + _)
 
-  /** LSH-bucketed approximate top-k: candidates only within a bucket.
-    * Approximate by construction — no SQL oracle; validated in tests
-    * against [[cosineTopK]] recall. */
-  def lshTopK(embeddings: DataFrame, k: Int, nPlanes: Int = 4): DataFrame = {
+  /** Multi-table sign-LSH approximate top-k (OR-amplification: a pair
+    * is a candidate if ANY table buckets it together — more tables =
+    * higher recall, fewer planes = bigger buckets). Candidates only
+    * form within a (table, bucket) equality join; identical pairs from
+    * different tables collapse via distinct before ranking.
+    * Approximate by construction — no SQL oracle; recall vs
+    * [[cosineTopK]] is asserted in AnnSpec. */
+  def lshTopK(embeddings: DataFrame, k: Int, nPlanes: Int = 3, nTables: Int = 4): DataFrame = {
     val dim = 64
-    val e = prepared(embeddings).withColumn("bucket", bucketOf(col("v"), planes(nPlanes, dim)))
+    val tables = (0 until nTables).map { tbl =>
+      struct(lit(tbl).as("tbl"), bucketOf(col("v"), planes(nPlanes, dim, tbl)).as("bucket"))
+    }
+    val e = prepared(embeddings)
+      .select(col("vec_id"), col("v"), col("nrm"), explode(array(tables: _*)).as("tb"))
+      .select(col("vec_id"), col("v"), col("nrm"),
+        col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
     val q = e.select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"),
-      col("bucket"))
+      col("tbl"), col("bucket"))
     val c = e.select(col("vec_id").as("neighbor_id"), col("v").as("cv"), col("nrm").as("cn"),
-      col("bucket"))
-    q.join(c, Seq("bucket"))
+      col("tbl"), col("bucket"))
+    q.join(c, Seq("tbl", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("sim"))
+      .distinct()
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))))
       .filter(col("rank") <= k)

@@ -1,0 +1,89 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming ingestion (SURVEY.md §2.10 ST1–ST7).
+  *
+  * The reference's webhook service is an always-on push endpoint with
+  * at-least-once delivery (retry envelope) and idempotent inserts
+  * (webhook_app.py:41-49,152-182). Spark-first re-expression:
+  *
+  *  - ST1: `readStream` micro-batches replace per-request handling; one
+  *    sink transaction per batch instead of one DB connection per POST.
+  *  - ST3: exactly-once via idempotence = watermarked dedup on the
+  *    delivery id BEFORE the sink, bounded state (the watermark is the
+  *    retry horizon). At 100 TB/day this is the only state that grows:
+  *    it is keyed by event id and expires with the watermark.
+  *  - ST4/ST5: event-time (`created_at`) vs arrival (`received_at`) are
+  *    both kept; moderately-late data rides the watermark, arbitrarily
+  *    late data goes through the batch backfill union (U2/J6).
+  *  - ST6: latest-state snapshot via `flatMapGroupsWithState` — the one
+  *    genuinely stateful operator; state is one row per key.
+  *  - ST7: unknown event types are side-channeled, never failed
+  *    (webhook_app.py:175-176 logs + acks them).
+  *
+  * Batch twins of ST3/ST6/ST7 are registered in SparkEntry (DuckDB
+  * cannot evaluate streams); these operators are exercised end-to-end
+  * with MemoryStream in StreamIngestSpec.
+  */
+object StreamIngest {
+
+  /** Event-envelope record (harness `events` shape). */
+  final case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  /** ST6 state: last-known action per key (the `leads` snapshot grain). */
+  final case class KeyState(user_id: Long, last_event_id: Long,
+      last_type: String, last_ts: Timestamp, last_value: Double)
+
+  val knownTypes: Seq[String] = Seq("view", "click", "signup", "purchase", "error")
+
+  /** ST3: idempotent dedup on the delivery id within the retry horizon.
+    * State is dropped once the watermark passes — bounded memory. */
+  def dedupWithinWatermark(events: DataFrame, horizon: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", horizon).dropDuplicatesWithinWatermark("event_id")
+
+  /** ST7: dead-letter side output — route, don't fail. */
+  def deadLetter(events: DataFrame): DataFrame =
+    events.filter(!col("event_type").isin(knownTypes: _*))
+
+  /** Known-type main output (pairs with [[deadLetter]]). */
+  def wellTyped(events: DataFrame): DataFrame =
+    events.filter(col("event_type").isin(knownTypes: _*))
+
+  /** ST6: streaming latest-state view, one state row per key. Emits the
+    * updated snapshot row whenever a key sees newer events. */
+  def latestState(spark: SparkSession, events: Dataset[Ev]): Dataset[KeyState] = {
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[Ev], state: GroupState[KeyState]) =>
+          val candidates = state.getOption.iterator ++ it.map(e =>
+            KeyState(uid, e.event_id, e.event_type, e.ts, e.value))
+          // deterministic: max by (ts, event_id) — same tiebreak as the
+          // batch twin (Events.latestState).
+          val latest = candidates.maxBy(k => (k.last_ts.getTime, k.last_event_id))
+          val changed = !state.getOption.contains(latest)
+          state.update(latest)
+          if (changed) Iterator.single(latest) else Iterator.empty
+      }
+  }
+
+  /** ST1/ST2 sink: idempotent append per micro-batch (the reference's
+    * ON CONFLICT DO NOTHING against already-landed rows). For plain
+    * parquet this anti-joins the sink's key set; a transactional table
+    * format (or JDBC MERGE) replaces this at production scale. */
+  def idempotentAppend(batch: DataFrame, sinkPath: String, key: String): Unit = {
+    val spark = batch.sparkSession
+    val deduped = batch.dropDuplicates(key)
+    val isNew = !scala.util.Try(spark.read.parquet(sinkPath)).isSuccess
+    val toWrite =
+      if (isNew) deduped
+      else deduped.join(spark.read.parquet(sinkPath).select(col(key)), Seq(key), "left_anti")
+    toWrite.write.mode("append").parquet(sinkPath)
+  }
+}

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.similarity.Ann
+
+class AnnSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = Tables.embeddings(spark, sfDir)
+
+  test("E1: nearest neighbor of a vector's copy is that copy with sim 1") {
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)), (2L, Array(1.0f, 0.0f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val top1 = Ann.cosineTopK(df, 1).filter(col("query_id") === 1).head()
+    assert(top1.getAs[Long]("neighbor_id") === 2L)
+    assert(math.abs(top1.getAs[Double]("sim") - 1.0) < 1e-9)
+  }
+
+  test("E2: LSH top-k achieves useful recall@5 vs brute force") {
+    val exact = Ann.cosineTopK(emb, 5).select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    val approx = Ann.lshTopK(emb, 5).select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    // this corpus is near-isotropic noise (max pairwise cosine ≈ 0.51),
+    // the hardest case for sign-LSH — 0.3 is the measured floor there.
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.3, s"multi-table LSH recall@5 unexpectedly low: $recall")
+    // and the buckets actually pruned the pair space:
+    assert(approx.size <= exact.size)
+  }
+
+  test("E2: LSH recall is high when neighbors are angularly close (clusters)") {
+    val rnd = new scala.util.Random(42)
+    val centers = Array.fill(10, 64)(rnd.nextGaussian().toFloat)
+    val vecs = (0 until 200).map { i =>
+      val c = centers(i % 10)
+      (i.toLong, c.map(x => x + 0.15f * rnd.nextGaussian().toFloat))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val exact1 = Ann.cosineTopK(df, 1).select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    val approx1 = Ann.lshTopK(df, 1).select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    val recall = (exact1 & approx1).size.toDouble / exact1.size
+    assert(recall >= 0.9, s"clustered recall@1 too low: $recall")
+  }
+
+  test("E1 ranks are dense 1..k per query") {
+    val ranks = Ann.cosineTopK(emb.limit(20), 3)
+      .groupBy("query_id").agg(collect_list("rank").as("rs"))
+      .select("rs").as[Seq[Int]].collect()
+    assert(ranks.forall(_.sorted == Seq(1, 2, 3)))
+  }
+}

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.analytics.Measures
+
+/** Golden KPI arithmetic from the reference dashboards (FIXTURES.md B4):
+  * the screenshot numbers are the spec. */
+class MeasuresSpec extends SparkSpec {
+  import spark.implicits._
+
+  // Sept 2025, one office: 52 ingresados, 29 autorizados, 10 firmados.
+  private val sept = (
+    Seq.fill(52)("Ingresados") ++ Seq.fill(29)("Autorizados") ++ Seq.fill(10)("Firmados")
+  ).zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("lead_id", "stage")
+
+  test("A4: pairwise conversion ratios match the manager dashboard") {
+    val got = Measures.funnel(sept, Seq(
+      "ingresados" -> (col("stage") === "Ingresados"),
+      "autorizados" -> (col("stage") === "Autorizados"),
+      "firmados" -> (col("stage") === "Firmados")), Seq(
+      ("f_vs_i", "firmados", "ingresados"),
+      ("f_vs_a", "firmados", "autorizados"),
+      ("a_vs_i", "autorizados", "ingresados"))).head()
+    assert(got.getAs[Double]("f_vs_i") === 19.23) // 10/52
+    assert(got.getAs[Double]("f_vs_a") === 34.48) // 10/29
+    assert(got.getAs[Double]("a_vs_i") === 55.77) // 29/52
+  }
+
+  test("A4: zero denominator yields NULL, not error or infinity") {
+    val got = Measures.funnel(sept, Seq(
+      "nada" -> (col("stage") === "Nope"),
+      "firmados" -> (col("stage") === "Firmados")),
+      Seq(("r", "firmados", "nada"))).head()
+    assert(got.isNullAt(got.fieldIndex("r")))
+  }
+
+  test("A5: rollup Total row uses ratio-of-totals, not avg-of-ratios") {
+    // seller dashboard YTD: 213 ingresados / 52 firmados across agents
+    // => Total row ratio must be 52/213 = 24.41%.
+    val perAgent = Seq(("ana", 100L, 40L), ("bob", 80L, 10L), ("cal", 33L, 2L))
+      .flatMap { case (a, ing, fir) =>
+        Seq.fill(ing.toInt)((a, "Ingresados")) ++ Seq.fill(fir.toInt)((a, "Firmados"))
+      }.toDF("agent_name", "stage")
+    val out = Measures.rollupWithTotal(perAgent, col("agent_name"), "agent",
+      Seq(Measures.countIf(col("stage") === "Ingresados").as("ingresados"),
+        Measures.countIf(col("stage") === "Firmados").as("firmados")),
+      Seq("ratio" -> Measures.pctRatio(col("firmados"), col("ingresados"))))
+    val total = out.filter(col("is_total") === 1).head()
+    assert(total.getAs[Long]("ingresados") === 213L)
+    assert(total.getAs[Long]("firmados") === 52L)
+    assert(total.getAs[Double]("ratio") === 24.41)
+  }
+
+  test("P5: FilterCtx composes year/month/agent predicates") {
+    val df = Tables.orders(spark, sfDir)
+    val n = Measures.FilterCtx(year = Some(1997), month = Some(3))
+      .apply(df, col("o_orderdate"), col("o_custkey")).count()
+    val manual = df.filter(year(col("o_orderdate")) === 1997 &&
+      month(col("o_orderdate")) === 3).count()
+    assert(n === manual && n > 0)
+  }
+
+  test("A8: percent-of-total sums to ~100") {
+    val pct = Measures.pctOfTotal(Tables.orders(spark, sfDir),
+        col("o_orderstatus"), "status", sum(col("o_totalprice")))
+      .agg(sum("pct")).head().getDouble(0)
+    assert(math.abs(pct - 100.0) < 0.05)
+  }
+}

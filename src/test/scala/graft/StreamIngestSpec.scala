@@ -1,0 +1,74 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.StreamIngest
+import graft.streaming.StreamIngest.{Ev, KeyState}
+
+/** End-to-end micro-batch runs over MemoryStream: duplicate delivery,
+  * out-of-order arrival, unknown-type routing (SURVEY.md §5.4). */
+class StreamIngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("ST3: duplicate delivery ids are dropped within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = StreamIngest.dedupWithinWatermark(in.toDF())
+      .writeStream.format("memory").queryName("st3_out").outputMode("append").start()
+    // same event delivered twice in one batch + re-delivered next batch
+    in.addData(Ev(1, ts("2024-01-01 10:00:00"), 7, "signup", 1.0),
+      Ev(1, ts("2024-01-01 10:00:00"), 7, "signup", 1.0))
+    q.processAllAvailable()
+    in.addData(Ev(1, ts("2024-01-01 10:00:01"), 7, "signup", 1.0),
+      Ev(2, ts("2024-01-01 10:00:02"), 7, "purchase", 2.0))
+    q.processAllAvailable()
+    val ids = spark.table("st3_out").select("event_id").as[Long].collect().sorted
+    q.stop()
+    assert(ids.toSeq === Seq(1L, 2L), "retries of event 1 must land exactly once")
+  }
+
+  test("ST6: latest-state keeps the newest event per key across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = StreamIngest.latestState(spark, in.toDS())
+      .writeStream.format("memory").queryName("st6_out").outputMode("update").start()
+    in.addData(Ev(1, ts("2024-01-01 10:00:00"), 7, "signup", 1.0))
+    q.processAllAvailable()
+    // out-of-order: an OLDER event arrives later and must NOT win
+    in.addData(Ev(2, ts("2024-01-01 09:00:00"), 7, "view", 0.5),
+      Ev(3, ts("2024-01-01 11:00:00"), 7, "purchase", 9.0))
+    q.processAllAvailable()
+    val last = spark.table("st6_out").as[KeyState].collect()
+      .groupBy(_.user_id).view.mapValues(_.last).toMap
+    q.stop()
+    assert(last(7L).last_event_id === 3L)
+    assert(last(7L).last_type === "purchase")
+  }
+
+  test("ST7: unknown event types route to dead-letter, never fail") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = StreamIngest.deadLetter(in.toDF())
+      .writeStream.format("memory").queryName("st7_out").outputMode("append").start()
+    in.addData(Ev(1, ts("2024-01-01 10:00:00"), 7, "signup", 1.0),
+      Ev(2, ts("2024-01-01 10:00:01"), 7, "mystery.event", 0.0))
+    q.processAllAvailable()
+    val dead = spark.table("st7_out").select("event_id").as[Long].collect()
+    q.stop()
+    assert(dead.toSeq === Seq(2L))
+  }
+
+  test("ST1: idempotent sink append — replayed batch adds nothing") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString + "/t"
+    val batch = Seq(Ev(1, ts("2024-01-01 10:00:00"), 7, "signup", 1.0),
+      Ev(2, ts("2024-01-01 10:00:01"), 8, "view", 2.0)).toDF()
+    StreamIngest.idempotentAppend(batch, dir, "event_id")
+    StreamIngest.idempotentAppend(batch, dir, "event_id") // replay
+    assert(spark.read.parquet(dir).count() === 2)
+  }
+}

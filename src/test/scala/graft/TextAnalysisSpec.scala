@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.text.TextAnalysis
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("T3: whitespace vs BPE-ish token counts on a known string") {
+    val df = Seq((1L, "spark runs 32 tasks fast!")).toDF("doc_id", "text")
+    val r = TextAnalysis.withTokenCounts(df).head()
+    assert(r.getAs[Int]("n_ws_tokens") === 5)
+    // [spark][runs][32][tasks][fast][!]
+    assert(r.getAs[Int]("n_bpe_tokens") === 6)
+  }
+
+  test("T4: fingerprint is order-sensitive but deterministic") {
+    val df = Seq((1L, "a b c"), (2L, "c b a"), (3L, "a b c")).toDF("doc_id", "text")
+    val fp = TextAnalysis.fingerprints(df).as[(Long, Long)].collect().toMap
+    assert(fp(1L) === fp(3L), "same text, same fingerprint")
+    assert(fp(1L) !== fp(2L), "token order must change the fingerprint")
+  }
+
+  test("T1: predicted language is deterministic and covers every doc") {
+    val out = TextAnalysis.withLangScores(Tables.documents(spark, sfDir))
+    assert(out.filter(col("predicted_lang").isNull).count() === 0)
+    val langs = out.select("predicted_lang").distinct().as[String].collect().toSet
+    assert(langs.subsetOf(TextAnalysis.langMarkers.map(_._1).toSet))
+  }
+
+  test("T2: quality score stays in [0,1]") {
+    val q = TextAnalysis.withQuality(Tables.documents(spark, sfDir))
+      .agg(min("quality_score"), max("quality_score")).head()
+    assert(q.getDouble(0) >= 0.0 && q.getDouble(1) <= 1.0)
+  }
+
+  test("shingles3 guards short docs (no descending-sequence bug)") {
+    val df = Seq((1L, "one two")).toDF("doc_id", "text")
+    val n = df.select(size(TextAnalysis.shingles3(TextAnalysis.words(col("text")))).as("n"))
+      .head().getInt(0)
+    assert(n === 0)
+  }
+}
