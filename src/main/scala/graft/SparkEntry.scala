@@ -777,7 +777,9 @@ object SparkEntry {
     val k = graft.dedup.Dedup.MINHASH_K
     val bands = graft.dedup.Dedup.LSH_BANDS
     val rows = k / bands
-    val minExprs = (0 until k).map(j => s"min(${sqlHash60(j.toString, "g")}) AS h$j").mkString(", ")
+    val p = graft.dedup.Dedup.MINHASH_P
+    val minExprs = graft.dedup.Dedup.minhashParams.zipWithIndex
+      .map { case ((a, b), j) => s"min(($a * base + $b) % $p) AS h$j" }.mkString(", ")
     val bandSelects = (0 until bands).map { b =>
       val sig = (0 until rows).map(r => s"h${b * rows + r}").mkString(", ")
       s"SELECT doc_id, $b AS band, concat_ws('_', $sig) AS s FROM sig"
@@ -804,7 +806,7 @@ object SparkEntry {
            |WHERE jaccard >= 0.7 ORDER BY d1, d2""".stripMargin,
       "d3_minhash_lsh_pairs" ->
         s"""$shingleCte,
-           |ex AS (SELECT doc_id, unnest(g) AS g FROM sh),
+           |ex AS (SELECT doc_id, ('0x' || substr(md5(unnest(g)), 1, 7))::BIGINT AS base FROM sh),
            |sig AS (SELECT doc_id, $minExprs FROM ex GROUP BY doc_id),
            |bands AS ($bandSelects),
            |cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2

@@ -1,0 +1,68 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Native Catalyst expression for the inner product of two double
+  * arrays, with whole-stage codegen.
+  *
+  * Why custom (SURVEY.md §2.9 preference order: built-in → Expression →
+  * plan node → mapPartitions): the built-in formulation
+  * `aggregate(zip_with(a, b, _*_), 0.0, _+_)` allocates an intermediate
+  * array per row and evaluates three interpreted lambda frames per
+  * element — measured 26 s for the 4M-pair ANN query at sf0.1. This
+  * expression compiles to a tight `for` loop inside the generated code
+  * (no allocation, no virtual calls) and keeps the pair computation
+  * inside the same WholeStageCodegen span as the join.
+  *
+  * Numerics are IDENTICAL to the built-in formulation — a strict left
+  * fold starting at 0.0 — so the DuckDB oracle's `list_reduce` fold
+  * still matches bit-for-bit.
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  // inputs must already be array<double> — callers cast (VectorExpressions
+  // is internal; ExpectsInputTypes' AbstractDataType is private[sql]).
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object VectorExpressions {
+  /** Column-level inner product backed by [[DotProduct]]. */
+  def dotProduct(a: Column, b: Column): Column =
+    Bridge.column(DotProduct(Bridge.expression(a), Bridge.expression(b)))
+}

@@ -25,6 +25,12 @@ object TextAnalysis {
     conv(substring(md5(concat(lit(salt + ":"), c).cast("binary")), 1, 15), 16, 10)
       .cast("long")
 
+  /** Deterministic 28-bit unsalted content hash — small enough that
+    * universal-hash permutations `(a*h + b) mod P` stay inside 64-bit
+    * arithmetic (a < 2^29, h < 2^28 ⇒ product < 2^57, ANSI-safe). */
+  def hash28(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 7), 16, 10).cast("long")
+
   /** 3-gram word shingles; < 3 words ⇒ empty (guard needed because
     * Spark's `sequence(1, 0)` counts DOWN instead of returning empty). */
   def shingles3(w: Column): Column =

@@ -47,6 +47,17 @@ class AnnSpec extends SparkSpec {
     assert(recall >= 0.9, s"clustered recall@1 too low: $recall")
   }
 
+  test("native DotProduct is bit-identical to the interpreted left fold") {
+    val v = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v")).limit(100)
+    val pairs = v.as("a").join(v.as("b"), col("a.vec_id") < col("b.vec_id"))
+    val diff = pairs.select(
+        Ann.dot(col("a.v"), col("b.v")).as("native"),
+        aggregate(zip_with(col("a.v"), col("b.v"), (x, y) => x * y),
+          lit(0.0), (acc, x) => acc + x).as("folded"))
+      .filter(col("native") =!= col("folded")).count()
+    assert(diff === 0, "codegen dot product must preserve exact fold semantics")
+  }
+
   test("E1 ranks are dense 1..k per query") {
     val ranks = Ann.cosineTopK(emb.limit(20), 3)
       .groupBy("query_id").agg(collect_list("rank").as("rs"))

@@ -35,6 +35,16 @@ class TextAnalysisSpec extends SparkSpec {
     assert(q.getDouble(0) >= 0.0 && q.getDouble(1) <= 1.0)
   }
 
+  test("native WordShingles matches the built-in lambda formulation exactly") {
+    val docs = Tables.documents(spark, sfDir)
+    val w = TextAnalysis.words(col("text"))
+    val native = docs.select(col("doc_id"),
+      graft.functions.TextExpressions.wordShingles(w, 3).as("g"))
+    val builtin = docs.select(col("doc_id"),
+      array_distinct(TextAnalysis.shingles3(w)).as("g"))
+    assert(native.exceptAll(builtin).isEmpty && builtin.exceptAll(native).isEmpty)
+  }
+
   test("shingles3 guards short docs (no descending-sequence bug)") {
     val df = Seq((1L, "one two")).toDF("doc_id", "text")
     val n = df.select(size(TextAnalysis.shingles3(TextAnalysis.words(col("text")))).as("n"))
