@@ -91,11 +91,10 @@ object SparkEntry {
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
           floor(col("o_orderkey") / lit(100)).cast("long").as("page"))
         .orderBy("o_orderkey")),
-    // S2: date-range incremental scan; predicate pushed to parquet.
+    // S2: date-range incremental scan; range pushed to the parquet
+    // reader in the raw nanos domain (see Tables.eventsBetween).
     "s2_incremental_scan" -> ((s, d) =>
-      t(s, d, "events")
-        .filter(col("ts") >= to_timestamp(lit("2024-01-10 00:00:00")) &&
-                col("ts") <  to_timestamp(lit("2024-01-20 00:00:00")))
+      Tables.eventsBetween(s, d, "2024-01-10 00:00:00", "2024-01-20 00:00:00")
         .select(col("event_id"), col("event_type"), col("value"))
         .orderBy("event_id")),
     // S4: permissive JSON schema gate; malformed → NULL, filtered out.

@@ -37,6 +37,25 @@ object Tables {
       raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else raw
   }
+  /** S2 incremental scan with working predicate pushdown: the range is
+    * applied to the RAW int64 nanos column (before the µs conversion),
+    * so it reaches the parquet reader as a long comparison and prunes
+    * row groups via min/max stats. Filtering the derived timestamp
+    * instead would reduce the scan to IsNotNull — a full read at 100 TB. */
+  def eventsBetween(s: SparkSession, d: String, startUtc: String, endUtc: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = table(s, d, "events")
+    def nanos(t: String): Long =
+      java.time.LocalDateTime.parse(t.replace(' ', 'T'))
+        .toInstant(java.time.ZoneOffset.UTC).getEpochSecond * 1000000000L
+    if (raw.schema("ts").dataType == LongType)
+      raw.filter(col("ts") >= nanos(startUtc) && col("ts") < nanos(endUtc))
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else
+      raw.filter(col("ts") >= to_timestamp(lit(startUtc)) &&
+        col("ts") < to_timestamp(lit(endUtc)))
+  }
+
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }

@@ -1,0 +1,75 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.ingest.Backfill
+import graft.ingest.Backfill.RawLead
+import graft.sources.{BulkLoad, Layout}
+
+class SourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("S1/E1: paginated backfill stops on empty page and accumulates all rows") {
+    val total = 273
+    def fetchPage(offset: Int): Seq[RawLead] =
+      (offset until math.min(offset + 100, total)).map(i =>
+        RawLead(i.toLong, s"lead-$i", "open", "Ingresados", Some(i * 10.0),
+          "2025-09-11T14:03:22", "2025-09-30", Seq("a", "b"), Some(i % 2 == 0), "a@x.com"))
+    val ds = Backfill.paginatedFetch(spark, fetchPage)
+    assert(ds.count() === total)
+  }
+
+  test("E1: normalize applies F1/F2/F4/F5 column-wise") {
+    val raw = Seq(
+      RawLead(1, "t", "open", "s", Some(5.0), "2024-06-15 12:00:00", "2024-06-16",
+        Seq("x", "y"), Some(true), "e@x.com"),
+      RawLead(2, "t2", "open", "s", None, "garbage", "2024-06-17",
+        Seq.empty, None, "e2@x.com")).toDF()
+    val n = Backfill.normalize(raw).orderBy("id").collect()
+    assert(n(0).getAs[String]("created_at_local") === "2024-06-15 06:00:00")
+    assert(n(0).getAs[String]("tags_csv") === "x,y")
+    assert(n(0).getAs[Int]("starred_int") === 1)
+    assert(n(1).isNullAt(n(1).fieldIndex("created_at_utc")), "junk date => NULL")
+    assert(n(1).isNullAt(n(1).fieldIndex("tags_csv")), "empty tags => NULL")
+  }
+
+  test("E1: snapshot keeps the newest row per lead id (INSERT OR REPLACE)") {
+    val raw = Seq(
+      RawLead(1, "old", "open", "s", None, "2024-01-01", "2024-01-01", Nil, None, "e"),
+      RawLead(1, "new", "won", "s", None, "2024-01-01", "2024-02-01", Nil, None, "e")).toDF()
+    val snap = Backfill.snapshot(Backfill.normalize(raw))
+    assert(snap.count() === 1)
+    assert(snap.head().getAs[String]("title") === "new")
+  }
+
+  test("S8: bulk CSV load with declared schema, permissive mode") {
+    val dir = Files.createTempDirectory("graft_csv")
+    val csv = dir.resolve("action_history.csv")
+    Files.writeString(csv, "action_id,lead_id,action\n1,10,created\n2,11,step_changed\n")
+    val schema = StructType(Seq(
+      StructField("action_id", LongType), StructField("lead_id", LongType),
+      StructField("action", StringType)))
+    val out = BulkLoad.csvToParquet(spark, csv.toString, schema,
+      dir.resolve("out").toString)
+    assert(out.count() === 2)
+    assert(out.schema("action_id").dataType === LongType)
+  }
+
+  test("S5/§4: partitioned layout prunes partitions under slicer predicates") {
+    val dir = Files.createTempDirectory("graft_layout").resolve("facts").toString
+    val events = Tables.events(spark, sfDir)
+      .withColumn("office", concat(lit("office_"), pmod(col("user_id"), lit(3))))
+    Layout.writeEventFacts(events, dir)
+    val pruned = Layout.slicerScan(spark, dir, Some("office_1"), Some(2024), Some(1))
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), "scan must carry partition filters")
+    assert(pruned.count() > 0)
+    // pruning actually reduces files read: full scan touches 3 offices
+    val full = spark.read.parquet(dir).count()
+    assert(pruned.count() < full)
+    assert(pruned.select("office").distinct().as[String].collect().toSeq === Seq("office_1"))
+  }
+}
