@@ -1,0 +1,97 @@
+package graft.ingest
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Normalize
+import graft.schema.Schemas
+
+/** E2 streaming-ingest transform chain: webhook POST body → typed event
+  * rows (SURVEY.md §3 E2; reference: webhook_app.py).
+  *
+  * Works identically on a batch DataFrame and inside a streaming
+  * micro-batch — the input is just a frame with (`account`, `body`,
+  * `received_at`) columns, the shape an HTTP collector (or file/Kafka
+  * source) delivers.
+  *
+  * Operators covered: S4 schema gate (malformed → dead-letter, never
+  * fail), S5 account whitelist, P1 per-type payload projection, P3
+  * null-safe nested access, P4 client_folder/client fallback, F1
+  * lenient event-time parse, F3 arrival timestamp, S10/F6 raw-payload
+  * archive, P2 event-type dispatch.
+  */
+object Webhook {
+
+  val knownEvents: Seq[String] = Seq(
+    "lead.creation", "lead.step.changed", "lead.deleted", "client_folder.created")
+
+  /** S4 + S5: parse the envelope permissively and gate on account
+    * whitelist. Malformed JSON yields a NULL envelope (routed by
+    * [[rejected]]), exactly the reference's 400-without-crash posture. */
+  def parsed(posts: DataFrame, allowedAccounts: Seq[String]): DataFrame =
+    posts
+      .filter(col("account").isin(allowedAccounts: _*))
+      .withColumn("env", from_json(col("body"), Schemas.bodySchema).getField("webhook_event"))
+
+  /** S4/ST7 side output: unparseable bodies or unknown event types. */
+  def rejected(parsedDf: DataFrame): DataFrame =
+    parsedDf.filter(col("env").isNull || !col("env.event").isin(knownEvents: _*))
+
+  /** Common envelope columns every event table carries (README.md:73-80)
+    * plus the S10 raw archive of the full body. */
+  private def envelopeCols: Seq[Column] = Seq(
+    col("env.id").as("id"),
+    col("env.event").as("event"),
+    col("env.signature").as("signature"),
+    col("env.has_succeeded").as("has_succeeded"),
+    col("env.try_count").as("try_count"),
+    col("env.last_returned_code").as("last_returned_code"),
+    col("received_at"),
+    col("account").as("office"),
+    col("body").as("raw_data"))
+
+  /** P4: `client_folder` wins over `client`; absent both ⇒ NULL
+    * (webhook_app.py:23-32). */
+  private def clientField(sub: String): Column =
+    coalesce(col(s"env.data.client_folder.$sub"), col(s"env.data.client.$sub"))
+
+  /** P1/P2: one filtered projection per event type. The four tables of
+    * the reference collapse into functions over one parsed frame; a
+    * caller materializes whichever it sinks. */
+  def leadCreated(parsedDf: DataFrame): DataFrame =
+    parsedDf.filter(col("env.event") === "lead.creation")
+      .select(envelopeCols ++ Seq(
+        col("env.data.id").as("lead_id"),
+        col("env.data.title").as("title"),
+        col("env.data.status").as("status"),
+        col("env.data.step").as("step"),
+        col("env.data.pipeline").as("pipeline"),
+        col("env.data.amount").as("amount"),
+        Normalize.parseTsLenient(col("env.data.created_at")).as("created_at_utc"),
+        col("env.data.user.email").as("user_email"),
+        clientField("id").as("client_folder_id"),
+        clientField("name").as("client_folder_name")): _*)
+
+  def stepChanged(parsedDf: DataFrame): DataFrame =
+    parsedDf.filter(col("env.event") === "lead.step.changed")
+      .select(envelopeCols ++ Seq(
+        col("env.data.id").as("lead_id"),
+        col("env.data.step").as("step"),
+        col("env.data.step_id").as("step_id"),
+        col("env.data.status").as("status"),
+        col("env.data.amount").as("amount"),
+        Normalize.parseTsLenient(col("env.data.updated_at")).as("updated_at_utc"),
+        col("env.data.user.email").as("user_email")): _*)
+
+  def leadDeleted(parsedDf: DataFrame): DataFrame =
+    parsedDf.filter(col("env.event") === "lead.deleted")
+      .select(envelopeCols ++ Seq(
+        col("env.data.id").as("lead_id"),
+        col("env.data.title").as("title")): _*)
+
+  def folderCreated(parsedDf: DataFrame): DataFrame =
+    parsedDf.filter(col("env.event") === "client_folder.created")
+      .select(envelopeCols ++ Seq(
+        clientField("id").as("folder_id"),
+        clientField("name").as("folder_name")): _*)
+}
