@@ -842,9 +842,11 @@ object SparkEntry {
       |n AS (SELECT vec_id, v, sqrt(list_reduce(list_apply(v, x -> x*x), (a,b) -> a+b)) AS nrm FROM e)""".stripMargin
 
   private val simQueries: Map[String, Q] = Map(
-    // E1: brute-force cosine top-k — exact ANN baseline.
+    // E1: brute-force cosine top-k — exact ANN baseline (blocked
+    // kernel; bit-identical to the join formulation, see Ann scaladoc).
     "e1_cosine_topk" -> ((s, d) =>
-      graft.similarity.Ann.cosineTopK(t(s, d, "embeddings"), 5).orderBy("query_id", "rank")),
+      graft.similarity.Ann.cosineTopKBlocked(t(s, d, "embeddings"), 5)
+        .orderBy("query_id", "rank")),
     // E2: sign-LSH bucketed ANN — approximate scale path (no SQL oracle
     // by design; recall vs E1 is asserted in AnnSpec).
     "e2_ann_lsh_topk" -> ((s, d) =>

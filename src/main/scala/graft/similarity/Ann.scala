@@ -51,6 +51,67 @@ object Ann {
       .select(col("query_id"), col("neighbor_id"), round(col("sim"), 6).as("sim"), col("rank"))
   }
 
+  /** Blocked all-pairs top-k kernel: broadcast the candidate matrix
+    * once, scan query vectors with `mapPartitions`, keep a per-query
+    * bounded top-k selection — no n² row materialization (the join
+    * formulation pays ~1µs of row machinery per pair; this kernel does
+    * the 64-dim dot in-register).
+    *
+    * This is the documented `mapPartitions` last resort (SURVEY.md
+    * §2.9 preference order) taken deliberately: top-k-per-query is
+    * genuinely imperative (bounded selection state per row). At scale
+    * the candidate side is an IVF/LSH shard that fits executor memory;
+    * the query side streams. Output is bit-identical to [[cosineTopK]]
+    * (same left-fold dot, same (sim desc, id asc) order, same HALF_UP
+    * rounding), so it shares the same DuckDB oracle.
+    */
+  def cosineTopKBlocked(embeddings: DataFrame, k: Int): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val vecs = prepared(embeddings)
+      .select(col("vec_id"), col("v"), col("nrm")).as[(Long, Array[Double], Double)]
+    val bc = spark.sparkContext.broadcast(vecs.collect())
+    val out = vecs.mapPartitions { it =>
+      val cands = bc.value
+      it.flatMap { case (qid, qv, qn) =>
+        val ids = new Array[Long](k)
+        val sims = new Array[Double](k)
+        var filled = 0
+        var ci = 0
+        while (ci < cands.length) {
+          val (cid, cv, cn) = cands(ci)
+          if (cid != qid) {
+            var acc = 0.0
+            var i = 0
+            val n = math.min(qv.length, cv.length)
+            while (i < n) { acc += qv(i) * cv(i); i += 1 }
+            val sim = acc / (qn * cn)
+            // insertion position under (sim desc, id asc) — identical to
+            // row_number() OVER (ORDER BY sim DESC, neighbor_id)
+            var pos = filled
+            while (pos > 0 && (sims(pos - 1) < sim ||
+                (sims(pos - 1) == sim && ids(pos - 1) > cid))) pos -= 1
+            if (pos < k) {
+              val last = math.min(filled, k - 1)
+              var j = last
+              while (j > pos) { sims(j) = sims(j - 1); ids(j) = ids(j - 1); j -= 1 }
+              sims(pos) = sim
+              ids(pos) = cid
+              if (filled < k) filled += 1
+            }
+          }
+          ci += 1
+        }
+        (0 until filled).map { r =>
+          val rounded = new java.math.BigDecimal(java.lang.Double.toString(sims(r)))
+            .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+          (qid, ids(r), rounded, r + 1)
+        }
+      }
+    }.toDF("query_id", "neighbor_id", "sim", "rank")
+    out
+  }
+
   /** Deterministic ±1 hyperplane matrix (LCG-derived; no runtime RNG so
     * repeated runs and resumed jobs bucket identically). `table` salts
     * the matrix so each LSH table cuts the space differently. */
@@ -97,14 +158,35 @@ object Ann {
       .select(col("query_id"), col("neighbor_id"), round(col("sim"), 6).as("sim"), col("rank"))
   }
 
-  /** Embedding-cosine near-duplicate pairs above a similarity threshold. */
+  /** Embedding-cosine near-duplicate pairs above a similarity threshold
+    * (blocked kernel, same rationale and numerics as
+    * [[cosineTopKBlocked]]; d1 < d2 ordering). */
   def cosineNearDupPairs(embeddings: DataFrame, threshold: Double): DataFrame = {
-    val e = prepared(embeddings)
-    val a = e.select(col("vec_id").as("d1"), col("v").as("v1"), col("nrm").as("n1"))
-    val b = e.select(col("vec_id").as("d2"), col("v").as("v2"), col("nrm").as("n2"))
-    a.join(broadcast(b), col("d1") < col("d2"))
-      .select(col("d1"), col("d2"),
-        round(dot(col("v1"), col("v2")) / (col("n1") * col("n2")), 6).as("sim"))
-      .filter(col("sim") >= threshold)
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val vecs = prepared(embeddings)
+      .select(col("vec_id"), col("v"), col("nrm")).as[(Long, Array[Double], Double)]
+    val bc = spark.sparkContext.broadcast(vecs.collect())
+    vecs.mapPartitions { it =>
+      val cands = bc.value
+      it.flatMap { case (qid, qv, qn) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+        var ci = 0
+        while (ci < cands.length) {
+          val (cid, cv, cn) = cands(ci)
+          if (cid > qid) {
+            var acc = 0.0
+            var i = 0
+            val n = math.min(qv.length, cv.length)
+            while (i < n) { acc += qv(i) * cv(i); i += 1 }
+            val sim = new java.math.BigDecimal(java.lang.Double.toString(acc / (qn * cn)))
+              .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+            if (sim >= threshold) out += ((qid, cid, sim))
+          }
+          ci += 1
+        }
+        out
+      }
+    }.toDF("d1", "d2", "sim")
   }
 }

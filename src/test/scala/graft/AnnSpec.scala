@@ -47,6 +47,12 @@ class AnnSpec extends SparkSpec {
     assert(recall >= 0.9, s"clustered recall@1 too low: $recall")
   }
 
+  test("blocked top-k kernel is bit-identical to the join formulation") {
+    val joinForm = Ann.cosineTopK(emb, 5).orderBy("query_id", "rank")
+    val kernel = Ann.cosineTopKBlocked(emb, 5).orderBy("query_id", "rank")
+    assert(kernel.exceptAll(joinForm).isEmpty && joinForm.exceptAll(kernel).isEmpty)
+  }
+
   test("native DotProduct is bit-identical to the interpreted left fold") {
     val v = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v")).limit(100)
     val pairs = v.as("a").join(v.as("b"), col("a.vec_id") < col("b.vec_id"))
