@@ -984,6 +984,95 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin
   )
 
+  // ---- X: scan-heavy warehouse workload (lineitem/part/supplier) ----------
+  // The reference's analytics run over <=1e5-row tables; these queries
+  // exercise the same measure patterns over the LARGEST harness fact
+  // table so the bench reflects scan/join/agg behavior at depth:
+  // pricing-summary (one-pass multi-aggregate over a pushed-down range
+  // scan), fact-to-fact join (lineitem⋈orders, shuffle join + AQE, with
+  // a broadcast dim on top), and a star join over two broadcast dims.
+  // All money math stays in DECIMAL so 32-way parallel sums are
+  // bit-identical to the oracle.
+
+  private val whQueries: Map[String, Q] = Map(
+    "x1_pricing_summary" -> ((s, d) => {
+      val disc = lit(1) - col("l_discount").cast("decimal(4,2)")
+      val charge = lit(1) + col("l_tax").cast("decimal(4,2)")
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02 00:00:00")))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_base_price"),
+          sum(col("l_extendedprice").cast("decimal(18,2)") * disc).cast("double").as("sum_disc_price"),
+          sum(col("l_extendedprice").cast("decimal(18,2)") * disc * charge).cast("double").as("sum_charge"),
+          (sum(col("l_quantity").cast("decimal(18,2)")).cast("double") / count(lit(1))).as("avg_qty"),
+          (sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double") / count(lit(1))).as("avg_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+    "x2_fact_fact_join" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, d, "customer")), col("o_custkey") === col("c_custkey"))
+        .groupBy(date_trunc("month", col("o_orderdate")).as("month_start"),
+          col("c_mktsegment").as("segment"))
+        .agg(
+          sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1) - col("l_discount").cast("decimal(4,2)"))).cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("month_start", "segment")),
+    "x3_star_join_topk" -> ((s, d) => {
+      val joined = t(s, d, "lineitem")
+        .join(broadcast(t(s, d, "part")), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(t(s, d, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, d, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"), col("p_brand"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1) - col("l_discount").cast("decimal(4,2)"))).cast("double").as("revenue"))
+      joined
+        .withColumn("rnk", row_number().over(
+          Window.orderBy(col("revenue").desc, col("n_name"), col("p_brand"))))
+        .filter(col("rnk") <= 20)
+        .orderBy("rnk")
+    })
+  )
+
+  private val whOracles: Map[String, String] = Map(
+    "x1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "x2_fact_fact_join" ->
+      """SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+        |  c_mktsegment AS segment,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1, 2 ORDER BY month_start, segment""".stripMargin,
+    "x3_star_join_topk" ->
+      """SELECT n_name, p_brand, revenue, rnk FROM (
+        |  SELECT n_name, p_brand, revenue,
+        |    row_number() OVER (ORDER BY revenue DESC, n_name, p_brand) AS rnk
+        |  FROM (
+        |    SELECT n_name, p_brand,
+        |      CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+        |    FROM lineitem JOIN part ON l_partkey = p_partkey
+        |    JOIN supplier ON l_suppkey = s_suppkey
+        |    JOIN nation ON s_nationkey = n_nationkey
+        |    GROUP BY n_name, p_brand))
+        |WHERE rnk <= 20 ORDER BY rnk""".stripMargin
+  )
+
   // ---- assembled contract -------------------------------------------------
 
   def queries: Map[String, Q] =
@@ -991,12 +1080,12 @@ object SparkEntry {
       sourceQueries ++ projQueries ++ joinQueries ++ aggQueries ++
       windowQueries ++ sortQueries ++ setQueries ++ fnQueries ++
       streamTwinQueries ++ dedupQueries ++ simQueries ++ textQueries ++
-      mmQueries
+      mmQueries ++ whQueries
 
   def oracleSql: Map[String, String] =
     Map("flagship_manager_dashboard" -> flagshipSql) ++
       sourceOracles ++ projOracles ++ joinOracles ++ aggOracles ++
       windowOracles ++ sortOracles ++ setOracles ++ fnOracles ++
       streamTwinOracles ++ dedupOracles ++ simOracles ++ textOracles ++
-      mmOracles
+      mmOracles ++ whOracles
 }
