@@ -1,0 +1,93 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.forAll
+
+import graft.analytics.Measures
+import graft.functions.Normalize
+import graft.ingest.Events
+
+/** Generated event row — top-level and public so Catalyst codegen can
+  * reach the accessors (a private inner class forces interpreter-mode
+  * fallback with noisy compile errors). */
+case class GenEv(event_id: Long, ts: Timestamp, user_id: Long,
+    event_type: String, value: Double)
+
+/** Property-based invariants (SURVEY.md §5.3): dedup idempotence,
+  * latest-state ≡ fold, funnel partition completeness, parser totality. */
+object GraftProperties extends Properties("graft") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(8) // each trial runs Spark jobs
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  import spark.implicits._
+
+  private val types = Seq("view", "click", "signup", "purchase", "error")
+
+  private val genEvent: Gen[GenEv] = for {
+    id <- Gen.chooseNum(0L, 50L)
+    off <- Gen.chooseNum(0L, 86400L)
+    uid <- Gen.chooseNum(0L, 5L)
+    tp <- Gen.oneOf(types)
+    v <- Gen.chooseNum(0, 100000).map(_ / 100.0)
+  } yield GenEv(id, new Timestamp(1704067200000L + off * 1000), uid, tp, v)
+
+  private val genEvents: Gen[List[GenEv]] = Gen.listOfN(30, genEvent)
+
+  property("dedup is idempotent: ingest(xs ++ xs) == ingest(xs)") =
+    forAll(genEvents) { evs =>
+      def run(rows: Seq[GenEv]) =
+        Events.dedupFirstWins(rows.toDF(), Seq("event_id"),
+            Seq(col("ts").asc, col("user_id").asc, col("event_type").asc, col("value").asc))
+          .as[GenEv].collect().toSet
+      run(evs) == run(evs ++ evs)
+    }
+
+  property("latestState equals a fold over time-sorted events") =
+    forAll(genEvents) { evs =>
+      evs.isEmpty || {
+        val got = Events.latestState(evs.toDF(), Seq("user_id"), col("ts"), col("event_id"))
+          .select("user_id", "event_id").as[(Long, Long)].collect().toMap
+        val expected = evs.groupBy(_.user_id).view
+          .mapValues(_.maxBy(e => (e.ts.getTime, e.event_id)).event_id).toMap
+        got == expected
+      }
+    }
+
+  property("funnel stage counts partition the event log") =
+    forAll(genEvents) { evs =>
+      evs.isEmpty || {
+        val row = Measures.funnel(evs.toDF(),
+          types.map(t => t -> (col("event_type") === t)), Nil).head()
+        types.map(t => row.getAs[Long](t)).sum == evs.size
+      }
+    }
+
+  property("lenient timestamp parse is total: never throws, null or valid") =
+    forAll(Gen.oneOf(
+        Gen.alphaNumStr,
+        Gen.const("2024-02-30"),          // invalid date
+        Gen.const("2024-06-15T25:61:61"), // invalid time
+        genEvent.map(_.ts.toString.take(19)))) { s =>
+      val out = Seq(s).toDF("raw")
+        .select(Normalize.parseTsLenient(col("raw")).as("ts")).collect()
+      out.length == 1 // no exception; NULL or parsed both acceptable
+    }
+
+  property("pctRatio never divides by zero") =
+    forAll(Gen.chooseNum(0L, 5L), Gen.chooseNum(0L, 5L)) { (a, b) =>
+      val r = Seq((a, b)).toDF("num", "den")
+        .select(Measures.pctRatio(col("num"), col("den")).as("r")).head()
+      if (b == 0) r.isNullAt(0) else math.abs(r.getDouble(0) - a * 100.0 / b) < 0.01
+    }
+}
