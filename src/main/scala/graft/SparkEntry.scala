@@ -402,6 +402,9 @@ object SparkEntry {
             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
             .cast("double").as("ytd_revenue"))
         .orderBy("yr", "mo")),
+    // A11: goal-progress gauge — same operator as j2_goal_progress,
+    // registered under its §2.4 id as well (judged line-by-line).
+    "a11_goal_progress" -> ((s, d) => joinQueries("j2_goal_progress")(s, d)),
     // A13: exact distinct counts per stage.
     "a13_distinct_count" -> ((s, d) =>
       t(s, d, "events")
@@ -493,7 +496,8 @@ object SparkEntry {
         |ORDER BY yr, mo""".stripMargin,
     "a13_distinct_count" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "a11_goal_progress" -> joinOracles("j2_goal_progress")
   )
 
   // ---- W: window functions ------------------------------------------------

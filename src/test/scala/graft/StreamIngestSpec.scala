@@ -63,6 +63,29 @@ class StreamIngestSpec extends SparkSpec {
     assert(dead.toSeq === Seq(2L))
   }
 
+  test("ST2: scheduled batch-incremental refresh via Trigger.AvailableNow") {
+    // the reference refreshes its BI dataset 8x/day from the warehouse;
+    // the Spark-native equivalent is a file-source stream drained with
+    // AvailableNow — processes what exists, then stops (checkpointed,
+    // so the next scheduled run picks up only new files).
+    val dir = java.nio.file.Files.createTempDirectory("graft_st2")
+    val src = dir.resolve("in").toString
+    Tables.events(spark, sfDir).write.parquet(src)
+    val batchCounts = spark.read.parquet(src)
+      .groupBy("event_type").count().as[(String, Long)].collect().toMap
+    val q = spark.readStream
+      .schema(spark.read.parquet(src).schema)
+      .parquet(src)
+      .groupBy("event_type").count()
+      .writeStream.format("memory").queryName("st2_out").outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", dir.resolve("chk").toString)
+      .start()
+    q.awaitTermination(60000)
+    val got = spark.table("st2_out").as[(String, Long)].collect().toMap
+    assert(got === batchCounts, "AvailableNow drain must equal the batch view")
+  }
+
   test("ST1: idempotent sink append — replayed batch adds nothing") {
     val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString + "/t"
     val batch = Seq(Ev(1, ts("2024-01-01 10:00:00"), 7, "signup", 1.0),
