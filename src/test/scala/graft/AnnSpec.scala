@@ -53,6 +53,12 @@ class AnnSpec extends SparkSpec {
     assert(kernel.exceptAll(joinForm).isEmpty && joinForm.exceptAll(kernel).isEmpty)
   }
 
+  test("LSH probe kernel is identical to the join formulation") {
+    val join = Ann.lshTopKJoin(emb, 5).orderBy("query_id", "rank")
+    val kernel = Ann.lshTopK(emb, 5).orderBy("query_id", "rank")
+    assert(kernel.exceptAll(join).isEmpty && join.exceptAll(kernel).isEmpty)
+  }
+
   test("native DotProduct is bit-identical to the interpreted left fold") {
     val v = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v")).limit(100)
     val pairs = v.as("a").join(v.as("b"), col("a.vec_id") < col("b.vec_id"))
