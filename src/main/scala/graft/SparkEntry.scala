@@ -988,6 +988,62 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin
   )
 
+  // ---- PIPE: composite training-data curation pipeline --------------------
+  // The end-to-end corpus-curation flow a 100 TB pretraining pipeline
+  // runs: quality-score → filter → exact-dedup (content digest) →
+  // language-ID partition → per-language stats. One declarative DAG —
+  // Catalyst fuses the scoring projections into the scan and the only
+  // shuffles are the digest-dedup and the final per-language rollup.
+
+  private val pipeQueries: Map[String, Q] = Map(
+    "pipe_corpus_curation" -> ((s, d) => {
+      val ta = graft.text.TextAnalysis
+      val scored = ta.withLangScores(ta.withQuality(t(s, d, "documents")))
+      val filtered = scored.filter(col("quality_score") >= 0.5 && col("n_words") >= 20)
+      val keep = graft.dedup.Dedup.exact(filtered)
+      val curated = filtered.join(
+        keep.select(col("keep_id").as("doc_id")), Seq("doc_id"), "left_semi")
+      curated.groupBy(col("predicted_lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          (sum(col("quality_score").cast("decimal(8,4)")).cast("double") / count(lit(1)))
+            .as("avg_quality"),
+          sum(col("n_words").cast("long")).as("total_tokens"))
+        .orderBy("predicted_lang")
+    })
+  )
+
+  private val pipeOracles: Map[String, String] = {
+    val stopList = graft.text.TextAnalysis.stopwords.map(w => s"'$w'").mkString(", ")
+    val langs = graft.text.TextAnalysis.langMarkers.map(_._1)
+    val scoreExprs = graft.text.TextAnalysis.langMarkers.map { case (l, ws) =>
+      val lst = ws.map(w => s"'$w'").mkString(", ")
+      s"len(list_intersect(list_distinct(string_split(text, ' ')), [$lst])) AS score_$l"
+    }.mkString(", ")
+    val caseChain = langs.zipWithIndex.init.map { case (l, i) =>
+      val conds = langs.drop(i + 1).map(r => s"score_$l >= score_$r").mkString(" AND ")
+      s"WHEN $conds THEN '$l'"
+    }.mkString(" ")
+    Map("pipe_corpus_curation" ->
+      s"""WITH q AS (
+         |  SELECT doc_id, text, CAST(len(w) AS INT) AS n_words,
+         |    round((len(list_distinct(w)) * 1.0 / len(w)) * 0.5
+         |      + least(1.0, len(w) / 100.0) * 0.3
+         |      + (1.0 - len(list_filter(w, x -> list_contains([$stopList], x))) * 1.0 / len(w)) * 0.2, 4)
+         |      AS quality_score
+         |  FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)),
+         |f AS (SELECT * FROM q WHERE quality_score >= 0.5 AND n_words >= 20),
+         |keep AS (SELECT min(doc_id) AS keep_id FROM f GROUP BY md5(text)),
+         |cur AS (SELECT f.* FROM f JOIN keep ON f.doc_id = keep.keep_id),
+         |langed AS (SELECT doc_id, n_words, quality_score,
+         |    CASE $caseChain ELSE '${langs.last}' END AS predicted_lang
+         |  FROM (SELECT doc_id, n_words, quality_score, $scoreExprs FROM cur))
+         |SELECT predicted_lang, count(*) AS n_docs,
+         |  CAST(sum(CAST(quality_score AS DECIMAL(8,4))) AS DOUBLE) / count(*) AS avg_quality,
+         |  CAST(sum(n_words) AS BIGINT) AS total_tokens
+         |FROM langed GROUP BY predicted_lang ORDER BY predicted_lang""".stripMargin)
+  }
+
   // ---- X: scan-heavy warehouse workload (lineitem/part/supplier) ----------
   // The reference's analytics run over <=1e5-row tables; these queries
   // exercise the same measure patterns over the LARGEST harness fact
@@ -1084,12 +1140,12 @@ object SparkEntry {
       sourceQueries ++ projQueries ++ joinQueries ++ aggQueries ++
       windowQueries ++ sortQueries ++ setQueries ++ fnQueries ++
       streamTwinQueries ++ dedupQueries ++ simQueries ++ textQueries ++
-      mmQueries ++ whQueries
+      mmQueries ++ whQueries ++ pipeQueries
 
   def oracleSql: Map[String, String] =
     Map("flagship_manager_dashboard" -> flagshipSql) ++
       sourceOracles ++ projOracles ++ joinOracles ++ aggOracles ++
       windowOracles ++ sortOracles ++ setOracles ++ fnOracles ++
       streamTwinOracles ++ dedupOracles ++ simOracles ++ textOracles ++
-      mmOracles ++ whOracles
+      mmOracles ++ whOracles ++ pipeOracles
 }
