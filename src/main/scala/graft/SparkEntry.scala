@@ -855,6 +855,10 @@ object SparkEntry {
     // by design; recall vs E1 is asserted in AnnSpec).
     "e2_ann_lsh_topk" -> ((s, d) =>
       graft.similarity.Ann.lshTopK(t(s, d, "embeddings"), 5).orderBy("query_id", "rank")),
+    // E4: IVF ANN — data-adaptive cells (no SQL oracle; approximate by
+    // design, recall vs E1 asserted in AnnSpec).
+    "e4_ann_ivf_topk" -> ((s, d) =>
+      graft.similarity.Ann.ivfTopK(t(s, d, "embeddings"), 5).orderBy("query_id", "rank")),
     // E3: embedding-cosine near-duplicate pairs.
     "e3_cosine_near_dup" -> ((s, d) =>
       graft.similarity.Ann.cosineNearDupPairs(t(s, d, "embeddings"), 0.35).orderBy("d1", "d2"))

@@ -268,6 +268,120 @@ object Ann {
     out
   }
 
+  /** IVF (inverted-file) approximate top-k: partition the corpus into
+    * Voronoi cells around ~√n deterministic centroids, index members
+    * per cell, and probe only the `nProbe` nearest cells per query.
+    *
+    * Complementary to [[lshTopK]]: IVF cells adapt to the DATA
+    * distribution (centroids sit where vectors are, so clustered
+    * corpora get balanced cells — exactly where sign-LSH buckets skew),
+    * at the price of a centroid-selection step. Centroids are a
+    * deterministic stride-sample by vec_id order refined with one
+    * k-means-style mean step (sequential, fixed order ⇒ reproducible
+    * across runs and resumes; no RNG).
+    *
+    * At 100 TB the centroid table is tiny and broadcast; assignment is
+    * a scan; each executor holds the member lists for its cells
+    * (partitionBy(cell)). Here both sides broadcast, matching the
+    * other kernels. Approximate ⇒ no SQL oracle; recall vs
+    * [[cosineTopK]] asserted in AnnSpec. */
+  def ivfTopK(embeddings: DataFrame, k: Int, nProbe: Int = 4): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val vecs = prepared(embeddings)
+      .select(col("vec_id"), col("v"), col("nrm")).as[(Long, Array[Double], Double)]
+    val all = vecs.collect().sortBy(_._1)
+    val dim = if (all.isEmpty) 0 else all.head._2.length
+    val nCells = math.max(1, math.min(4096, math.round(math.sqrt(all.length.toDouble)).toInt))
+    def cosineTo(v: Array[Double], vn: Double, c: Array[Double], cn: Double): Double = {
+      var acc = 0.0
+      var i = 0
+      val n = math.min(v.length, c.length)
+      while (i < n) { acc += v(i) * c(i); i += 1 }
+      acc / (vn * cn)
+    }
+    def normOf(v: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < v.length) { acc += v(i) * v(i); i += 1 }
+      math.sqrt(acc)
+    }
+    // stride-sampled seeds, one mean-refinement pass
+    var centroids = Array.tabulate(nCells)(c => all(c * all.length / nCells)._2.clone())
+    var cnorms = centroids.map(normOf)
+    def assign(v: Array[Double], vn: Double): Int = {
+      var best = 0; var bestSim = Double.NegativeInfinity
+      var c = 0
+      while (c < centroids.length) {
+        val s = cosineTo(v, vn, centroids(c), cnorms(c))
+        if (s > bestSim) { bestSim = s; best = c }
+        c += 1
+      }
+      best
+    }
+    val sums = Array.fill(nCells, dim)(0.0)
+    val counts = new Array[Long](nCells)
+    all.foreach { case (_, v, vn) =>
+      val c = assign(v, vn)
+      var i = 0
+      while (i < dim) { sums(c)(i) += v(i); i += 1 }
+      counts(c) += 1
+    }
+    centroids = Array.tabulate(nCells)(c =>
+      if (counts(c) == 0) centroids(c)
+      else Array.tabulate(dim)(i => sums(c)(i) / counts(c)))
+    cnorms = centroids.map(normOf)
+    val index: Map[Int, Array[Int]] =
+      all.indices.groupBy(i => assign(all(i)._2, all(i)._3))
+        .map { case (c, xs) => c -> xs.toArray }
+    val bcAll = spark.sparkContext.broadcast(all)
+    val bcIdx = spark.sparkContext.broadcast(index)
+    val bcCent = spark.sparkContext.broadcast((centroids, cnorms))
+    vecs.mapPartitions { it =>
+      val cands = bcAll.value
+      val idx = bcIdx.value
+      val (cents, cns) = bcCent.value
+      it.flatMap { case (qid, qv, qn) =>
+        // nProbe nearest cells (sim desc, cell asc tiebreak)
+        val cellSims = cents.indices.map(c => (cosineTo(qv, qn, cents(c), cns(c)), c))
+        val probes = cellSims.sortBy { case (s, c) => (-s, c) }.take(nProbe).map(_._2)
+        val ids = new Array[Long](k)
+        val sims = new Array[Double](k)
+        var filled = 0
+        probes.foreach { cell =>
+          val members = idx.getOrElse(cell, Array.emptyIntArray)
+          var mi = 0
+          while (mi < members.length) {
+            val (cid, cv, cn) = cands(members(mi))
+            if (cid != qid) {
+              var acc = 0.0
+              var i = 0
+              val n = math.min(qv.length, cv.length)
+              while (i < n) { acc += qv(i) * cv(i); i += 1 }
+              val sim = acc / (qn * cn)
+              var pos = filled
+              while (pos > 0 && (sims(pos - 1) < sim ||
+                  (sims(pos - 1) == sim && ids(pos - 1) > cid))) pos -= 1
+              if (pos < k) {
+                val last = math.min(filled, k - 1)
+                var j = last
+                while (j > pos) { sims(j) = sims(j - 1); ids(j) = ids(j - 1); j -= 1 }
+                sims(pos) = sim
+                ids(pos) = cid
+                if (filled < k) filled += 1
+              }
+            }
+            mi += 1
+          }
+        }
+        (0 until filled).map { r =>
+          val rounded = new java.math.BigDecimal(java.lang.Double.toString(sims(r)))
+            .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+          (qid, ids(r), rounded, r + 1)
+        }
+      }
+    }.toDF("query_id", "neighbor_id", "sim", "rank")
+  }
+
   /** Embedding-cosine near-duplicate pairs above a similarity threshold
     * (blocked kernel, same rationale and numerics as
     * [[cosineTopKBlocked]]; d1 < d2 ordering). */

@@ -53,6 +53,34 @@ class AnnSpec extends SparkSpec {
     assert(kernel.exceptAll(joinForm).isEmpty && joinForm.exceptAll(kernel).isEmpty)
   }
 
+  test("E4: IVF top-k achieves strong recall on the noise corpus") {
+    val exact = Ann.cosineTopK(emb, 5).select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    val ivf = Ann.ivfTopK(emb, 5).select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    // IVF probes 4 of ~22 cells => scans ~20% of the corpus; on pure
+    // noise recall tracks the scan fraction plus cell locality.
+    assert(recall >= 0.3, s"IVF recall@5 too low: $recall")
+    assert(ivf.size === exact.size, "IVF must fill k results per query")
+  }
+
+  test("E4: IVF recall is high on clustered data") {
+    val rnd = new scala.util.Random(7)
+    val centers = Array.fill(10, 64)(rnd.nextGaussian().toFloat)
+    val vecs = (0 until 200).map { i =>
+      val c = centers(i % 10)
+      (i.toLong, c.map(x => x + 0.15f * rnd.nextGaussian().toFloat))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val exact1 = Ann.cosineTopK(df, 1).select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    val ivf1 = Ann.ivfTopK(df, 1).select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    val recall = (exact1 & ivf1).size.toDouble / exact1.size
+    assert(recall >= 0.9, s"clustered IVF recall@1 too low: $recall")
+  }
+
   test("LSH probe kernel is identical to the join formulation") {
     val join = Ann.lshTopKJoin(emb, 5).orderBy("query_id", "rank")
     val kernel = Ann.lshTopK(emb, 5).orderBy("query_id", "rank")
