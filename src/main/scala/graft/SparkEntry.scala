@@ -861,7 +861,10 @@ object SparkEntry {
       graft.similarity.Ann.ivfTopK(t(s, d, "embeddings"), 5).orderBy("query_id", "rank")),
     // E3: embedding-cosine near-duplicate pairs.
     "e3_cosine_near_dup" -> ((s, d) =>
-      graft.similarity.Ann.cosineNearDupPairs(t(s, d, "embeddings"), 0.35).orderBy("d1", "d2"))
+      graft.similarity.Ann.cosineNearDupPairs(t(s, d, "embeddings"), 0.35).orderBy("d1", "d2")),
+    // E5: int8 embedding quantization (vector storage path).
+    "e5_quantize_int8" -> ((s, d) =>
+      graft.similarity.Ann.quantizeInt8(t(s, d, "embeddings")).orderBy("vec_id"))
   )
 
   private val simOracles: Map[String, String] = Map(
@@ -883,7 +886,15 @@ object SparkEntry {
          |    round(list_reduce(list_apply(range(1, 65), i -> a.v[i] * b.v[i]), (x,y) -> x+y)
          |      / (a.nrm * b.nrm), 6) AS sim
          |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
-         |WHERE sim >= 0.35 ORDER BY d1, d2""".stripMargin
+         |WHERE sim >= 0.35 ORDER BY d1, d2""".stripMargin,
+    "e5_quantize_int8" ->
+      """SELECT vec_id, scale,
+        |  list_transform(v, x -> CAST(round(x * scale) AS INT)) AS q,
+        |  round(list_max(list_transform(v, x -> abs(round(x * scale) / scale - x))), 6) AS max_err
+        |FROM (
+        |  SELECT vec_id, v, 127.0 / list_max(list_transform(v, x -> abs(x))) AS scale
+        |  FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings))
+        |ORDER BY vec_id""".stripMargin
   )
 
   // ---- T: text analysis ----------------------------------------------------

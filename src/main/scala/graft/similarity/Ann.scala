@@ -382,6 +382,23 @@ object Ann {
     }.toDF("query_id", "neighbor_id", "sim", "rank")
   }
 
+  /** Symmetric int8 quantization of an embedding column — the storage
+    * path for 100 TB of vectors (4×/8× smaller than float32/float64,
+    * and int8 dot products SIMD-accelerate downstream). Per-vector
+    * scale = 127 / max|x|; round-half-away matches both engines.
+    * Emits the quantized codes, the scale needed for dequantization,
+    * and the max absolute reconstruction error for quality monitoring. */
+  def quantizeInt8(embeddings: DataFrame): DataFrame = {
+    val v = col("embedding").cast("array<double>")
+    val scale = (lit(127.0) / array_max(transform(v, x => abs(x)))).as("scale")
+    embeddings
+      .select(col("vec_id"), v.as("v"), scale)
+      .select(col("vec_id"), col("scale"),
+        transform(col("v"), x => round(x * col("scale")).cast("int")).as("q"),
+        round(array_max(transform(col("v"),
+          x => abs(round(x * col("scale")) / col("scale") - x))), 6).as("max_err"))
+  }
+
   /** Embedding-cosine near-duplicate pairs above a similarity threshold
     * (blocked kernel, same rationale and numerics as
     * [[cosineTopKBlocked]]; d1 < d2 ordering). */
