@@ -1,0 +1,40 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.graft.Bridge
+
+/** SQL-facing registration of the engine's native expressions, so
+  * `spark.sql("SELECT graft_dot(a, b) ...")` works alongside the
+  * Column API (SURVEY.md §2.9 extensibility surface).
+  *
+  * Two registration paths: [[register]] for an existing session, and
+  * the `spark.sql.extensions=graft.functions.GraftSessionExtensions`
+  * config for sessions the engine does not construct.
+  */
+object GraftFunctions {
+  def register(spark: SparkSession): Unit = {
+    Bridge.registerFunction(spark, "graft_dot",
+      exprs => DotProduct(exprs(0), exprs(1)))
+    Bridge.registerFunction(spark, "graft_shingles",
+      exprs => WordShingles(exprs.head, 3))
+  }
+}
+
+/** `spark.sql.extensions`-compatible injector. */
+class GraftSessionExtensions
+    extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+    ext.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        DotProduct(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_shingles"),
+      new ExpressionInfo(classOf[WordShingles].getName, "graft_shingles"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        WordShingles(exprs.head, 3)))
+  }
+}

@@ -1,13 +1,23 @@
 package org.apache.spark.sql.graft
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.classic.ExpressionUtils
 
-/** Column ⇄ Expression bridge. `ExpressionUtils` is `private[sql]`, so
-  * this one-file shim lives inside the org.apache.spark.sql package
-  * tree — the standard pattern for third-party Catalyst extensions. */
+/** Column ⇄ Expression bridge. `ExpressionUtils` and `sessionState`
+  * are `private[sql]`, so this one-file shim lives inside the
+  * org.apache.spark.sql package tree — the standard pattern for
+  * third-party Catalyst extensions. */
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Register a SQL-callable function backed by a raw Expression
+    * builder on an EXISTING session (complements GraftExtensions,
+    * which covers sessions built with `.withExtensions`). */
+  def registerFunction(spark: SparkSession, name: String,
+      builder: Seq[Expression] => Expression): Unit =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+      .createOrReplaceTempFunction(name, builder, "scala_udf")
 }
