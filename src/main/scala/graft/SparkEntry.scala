@@ -538,7 +538,37 @@ object SparkEntry {
           round(col("value") * 100.0 /
             sum(col("value").cast("decimal(18,2)"))
               .over(Window.partitionBy(col("user_id"))).cast("double"), 2).as("pct_of_user"))
-        .orderBy("user_id", "event_id"))
+        .orderBy("user_id", "event_id")),
+    // W5: event sessionization — gap > 30 min starts a new session
+    // (lag + cumulative flag sum; the standard event-log session op).
+    // Microsecond-domain arithmetic so both engines compare integers.
+    "w5_sessionize" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "events")
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("prev", lag(col("us"), 1).over(w))
+        .withColumn("new_s",
+          when(col("prev").isNull || col("us") - col("prev") > 1800000000L, 1L).otherwise(0L))
+        .withColumn("session_id", sum(col("new_s")).over(wRun))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts")).as("session_start"), max(col("ts")).as("session_end"))
+        .orderBy("user_id", "session_id")
+    }),
+    // A14: ordered funnel — conversion requires the stages to occur in
+    // temporal order per user (first signup strictly before first
+    // purchase), not just both-present.
+    "a14_ordered_funnel" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy(col("user_id"))
+        .agg(
+          min(when(col("event_type") === "signup", col("ts"))).as("first_signup"),
+          min(when(col("event_type") === "purchase", col("ts"))).as("first_purchase"))
+        .withColumn("converted_in_order",
+          (col("first_signup").isNotNull && col("first_purchase").isNotNull &&
+            col("first_signup") < col("first_purchase")).cast("int"))
+        .orderBy("user_id"))
   )
 
   private val windowOracles: Map[String, String] = Map(
@@ -563,7 +593,29 @@ object SparkEntry {
     "w4_pct_window" ->
       """SELECT event_id, user_id, value,
         |  round(value * 100.0 / CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id) AS DOUBLE), 2) AS pct_of_user
-        |FROM events ORDER BY user_id, event_id""".stripMargin
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
+    "w5_sessionize" ->
+      """WITH o AS (
+        |  SELECT user_id, event_id, ts, epoch_us(ts) AS us,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |s AS (SELECT *, CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1 ELSE 0 END AS new_s FROM o),
+        |t AS (SELECT user_id, event_id, ts,
+        |    CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM s)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  min(ts) AS session_start, max(ts) AS session_end
+        |FROM t GROUP BY 1, 2 ORDER BY user_id, session_id""".stripMargin,
+    "a14_ordered_funnel" ->
+      """SELECT user_id,
+        |  min(CASE WHEN event_type = 'signup' THEN ts END) AS first_signup,
+        |  min(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase,
+        |  CAST((min(CASE WHEN event_type = 'signup' THEN ts END) IS NOT NULL
+        |    AND min(CASE WHEN event_type = 'purchase' THEN ts END) IS NOT NULL
+        |    AND min(CASE WHEN event_type = 'signup' THEN ts END)
+        |        < min(CASE WHEN event_type = 'purchase' THEN ts END)) AS INT) AS converted_in_order
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
   )
 
   // ---- O: sort / limit / offset ------------------------------------------
@@ -919,7 +971,16 @@ object SparkEntry {
         .orderBy("doc_id")),
     // T4: order-sensitive document fingerprint (xor-folded rolling hash).
     "t4_fingerprint" -> ((s, d) =>
-      graft.text.TextAnalysis.fingerprints(t(s, d, "documents")).orderBy("doc_id"))
+      graft.text.TextAnalysis.fingerprints(t(s, d, "documents")).orderBy("doc_id")),
+    // T5: corpus vocabulary induction — top-k token frequencies (the
+    // seed table a BPE/vocab trainer starts from).
+    "t5_vocab_topk" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(explode(graft.text.TextAnalysis.words(col("text"))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+        .withColumn("rnk", row_number().over(Window.orderBy(col("freq").desc, col("w"))))
+        .filter(col("rnk") <= 100)
+        .orderBy("rnk"))
   )
 
   private val textOracles: Map[String, String] = {
@@ -962,7 +1023,15 @@ object SparkEntry {
         s"""WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
            |px AS (SELECT doc_id, unnest(w) AS w, unnest(range(len(w))) AS pos FROM t)
            |SELECT doc_id, bit_xor(${sqlHash60("fp", "w")} + pos * 2654435761) AS fingerprint
-           |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+           |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      "t5_vocab_topk" ->
+        """SELECT w, freq, rnk FROM (
+          |  SELECT w, freq, CAST(row_number() OVER (ORDER BY freq DESC, w) AS INT) AS rnk
+          |  FROM (
+          |    SELECT w, count(*) AS freq FROM (
+          |      SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+          |    GROUP BY w))
+          |WHERE rnk <= 100 ORDER BY rnk""".stripMargin)
   }
 
   // ---- MM: multimodal column plumbing -------------------------------------
