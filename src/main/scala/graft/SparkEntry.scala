@@ -825,7 +825,11 @@ object SparkEntry {
       graft.dedup.Dedup.simhashSignatures(t(s, d, "documents")).orderBy("doc_id")),
     // D5: SimHash near-dup pairs via pigeonhole block-signature join.
     "d5_simhash_pairs" -> ((s, d) =>
-      graft.dedup.Dedup.simhashPairs(t(s, d, "documents")).orderBy("d1", "d2"))
+      graft.dedup.Dedup.simhashPairs(t(s, d, "documents")).orderBy("d1", "d2")),
+    // D6: fuzzy dedup — LSH candidates verified by edit distance.
+    "d6_edit_distance_pairs" -> ((s, d) =>
+      graft.dedup.Dedup.editDistancePairs(t(s, d, "documents"), 80, 20)
+        .orderBy("d1", "d2"))
   )
 
   private val dedupOracles: Map[String, String] = {
@@ -870,6 +874,21 @@ object SparkEntry {
            |  SELECT d1, d2, $sqlJaccard AS jaccard
            |  FROM cand JOIN sh a ON a.doc_id = d1 JOIN sh b ON b.doc_id = d2)
            |WHERE jaccard >= 0.7 ORDER BY d1, d2""".stripMargin,
+      "d6_edit_distance_pairs" ->
+        s"""$shingleCte,
+           |ex AS (SELECT doc_id, ('0x' || substr(md5(unnest(g)), 1, 7))::BIGINT AS base FROM sh),
+           |sig AS (SELECT doc_id, $minExprs FROM ex GROUP BY doc_id),
+           |bands AS ($bandSelects),
+           |cand0 AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+           |  FROM bands x JOIN bands y ON x.band = y.band AND x.s = y.s AND x.doc_id < y.doc_id),
+           |cand AS (SELECT d1, d2 FROM (
+           |  SELECT d1, d2, $sqlJaccard AS jaccard
+           |  FROM cand0 JOIN sh a ON a.doc_id = d1 JOIN sh b ON b.doc_id = d2)
+           |  WHERE jaccard >= 0.5)
+           |SELECT d1, d2, CAST(levenshtein(substr(ta.text, 1, 80), substr(tb.text, 1, 80)) AS INT) AS edit_dist
+           |FROM cand JOIN documents ta ON ta.doc_id = d1 JOIN documents tb ON tb.doc_id = d2
+           |WHERE levenshtein(substr(ta.text, 1, 80), substr(tb.text, 1, 80)) <= 20
+           |ORDER BY d1, d2""".stripMargin,
       "d4_simhash_signatures" ->
         s"""$simhashCte
            |SELECT doc_id, simhash FROM sig ORDER BY doc_id""".stripMargin,

@@ -109,6 +109,21 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Fuzzy near-dup pairs: MinHash-LSH candidate generation composed
+    * with an edit-distance verifier over a text prefix — the
+    * cheap-candidates / expensive-verify pattern. Levenshtein is
+    * O(len²) per pair, so it only ever runs on the LSH candidate set,
+    * never the corpus cross product. */
+  def editDistancePairs(docs: DataFrame, prefixLen: Int, maxDist: Int): DataFrame = {
+    val cand = minhashLshPairs(docs, 0.5).select(col("d1"), col("d2"))
+    val txt = docs.select(col("doc_id"), substring(col("text"), 1, prefixLen).as("prefix"))
+    cand
+      .join(txt.select(col("doc_id").as("d1"), col("prefix").as("p1")), "d1")
+      .join(txt.select(col("doc_id").as("d2"), col("prefix").as("p2")), "d2")
+      .select(col("d1"), col("d2"), levenshtein(col("p1"), col("p2")).as("edit_dist"))
+      .filter(col("edit_dist") <= maxDist)
+  }
+
   val SIMHASH_BITS = 60   // full width of hash60
   val SIMHASH_BLOCKS = 4  // 15-bit blocks; pigeonhole-guarantees recall
   val SIMHASH_MAX_HAMMING = 3 // any pair ≤ 3 flips has one clean block
