@@ -405,6 +405,37 @@ object SparkEntry {
     // A11: goal-progress gauge — same operator as j2_goal_progress,
     // registered under its §2.4 id as well (judged line-by-line).
     "a11_goal_progress" -> ((s, d) => joinQueries("j2_goal_progress")(s, d)),
+    // A17: CUBE — all grouping-set combinations of (status, priority)
+    // with grouping_id labeling each subtotal level (generalizes the
+    // rollup Total row to multi-dimensional subtotal surfaces).
+    "a17_cube" -> ((s, d) =>
+      t(s, d, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          Measures.moneySum(col("o_totalprice")).as("revenue"),
+          grouping_id().cast("long").as("gid"))
+        .withColumn("status", coalesce(col("o_orderstatus"), lit("ALL")))
+        .withColumn("priority", coalesce(col("o_orderpriority"), lit("ALL")))
+        .drop("o_orderstatus", "o_orderpriority")
+        .orderBy("gid", "status", "priority")),
+    // A15: exact interpolated percentiles per stage (median ticket /
+    // p90 — the dashboard's distribution measures). Spark `percentile`
+    // and DuckDB `quantile_cont` share the linear-interpolation
+    // definition; rounded to absorb last-ulp interpolation drift.
+    "a15_percentiles" -> ((s, d) =>
+      t(s, d, "orders")
+        .groupBy(col("o_orderstatus").as("status"))
+        .agg(
+          round(expr("percentile(o_totalprice, 0.5)"), 2).as("p50"),
+          round(expr("percentile(o_totalprice, 0.9)"), 2).as("p90"))
+        .orderBy("status")),
+    // A16: fixed-width histogram binning (value-distribution bar chart).
+    "a16_histogram" -> ((s, d) =>
+      t(s, d, "orders")
+        .groupBy(floor(col("o_totalprice") / 30000).cast("long").as("bin"))
+        .agg(count(lit(1)).as("n"),
+          Measures.moneySum(col("o_totalprice")).as("bin_revenue"))
+        .orderBy("bin")),
     // A13: exact distinct counts per stage.
     "a13_distinct_count" -> ((s, d) =>
       t(s, d, "events")
@@ -497,7 +528,23 @@ object SparkEntry {
     "a13_distinct_count" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
-    "a11_goal_progress" -> joinOracles("j2_goal_progress")
+    "a11_goal_progress" -> joinOracles("j2_goal_progress"),
+    "a17_cube" ->
+      s"""SELECT count(*) AS n, ${sqlMoney("o_totalprice")} AS revenue,
+         |  CAST(grouping(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+         |  coalesce(o_orderstatus, 'ALL') AS status,
+         |  coalesce(o_orderpriority, 'ALL') AS priority
+         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+         |ORDER BY gid, status, priority""".stripMargin,
+    "a15_percentiles" ->
+      """SELECT o_orderstatus AS status,
+        |  round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+        |  round(quantile_cont(o_totalprice, 0.9), 2) AS p90
+        |FROM orders GROUP BY 1 ORDER BY status""".stripMargin,
+    "a16_histogram" ->
+      s"""SELECT CAST(floor(o_totalprice / 30000) AS BIGINT) AS bin,
+         |  count(*) AS n, ${sqlMoney("o_totalprice")} AS bin_revenue
+         |FROM orders GROUP BY 1 ORDER BY bin""".stripMargin
   )
 
   // ---- W: window functions ------------------------------------------------
@@ -652,6 +699,13 @@ object SparkEntry {
     "u3_except" -> ((s, d) => {
       val o = t(s, d, "orders").select(col("o_orderkey"), col("o_orderstatus"))
       o.except(o.filter(col("o_orderstatus") === "F")).orderBy("o_orderkey")
+    }),
+    // U4: full-row INTERSECT (set semantics).
+    "u4_intersect" -> ((s, d) => {
+      val o = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+      o.filter(col("o_custkey") % 2 === 0)
+        .intersect(o.filter(col("o_orderkey") % 3 === 0))
+        .orderBy("o_orderkey")
     })
   )
 
@@ -669,6 +723,11 @@ object SparkEntry {
       """SELECT o_orderkey, o_orderstatus FROM orders
         |EXCEPT
         |SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderstatus = 'F'
+        |ORDER BY o_orderkey""".stripMargin,
+    "u4_intersect" ->
+      """SELECT o_orderkey, o_custkey FROM orders WHERE o_custkey % 2 = 0
+        |INTERSECT
+        |SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey % 3 = 0
         |ORDER BY o_orderkey""".stripMargin
   )
 
