@@ -45,10 +45,13 @@ object Bench {
         System.err.println(f"[bench] $name%-28s $secs%8.2fs rows=$n")
         name -> secs
       }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // Compact formatting keeps the whole line well under the driver's
+    // output-tail capture window (round 1's 9-decimal line got truncated
+    // and failed to parse).
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

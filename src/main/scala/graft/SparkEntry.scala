@@ -274,6 +274,22 @@ object SparkEntry {
       val live = ev.filter(col("ts") >= to_timestamp(lit("2024-01-15 00:00:00")))
       Events.mergeHistLive(hist.drop("ts"), live.drop("ts"))
         .orderBy("event_id")
+    }),
+    // J7 (beyond reference): backward as-of join — for each purchase,
+    // the latest signup of the same user at or before the purchase
+    // instant. Union-merge formulation: one shuffle, no range join.
+    "j7_asof_join" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts").as("signup_ts"),
+          col("event_id").as("signup_event_id"))
+      graft.operators.AsOf
+        .asOfBackward(purchases, signups, Seq("user_id"), "ts", "signup_ts")
+        .withColumn("us_since_signup",
+          unix_micros(col("ts")) - unix_micros(col("signup_ts")))
+        .orderBy("event_id")
     })
   )
 
@@ -313,7 +329,18 @@ object SparkEntry {
         |  SELECT event_id, user_id, event_type FROM events WHERE ts < TIMESTAMP '2024-01-20 00:00:00'
         |  UNION ALL
         |  SELECT event_id, user_id, event_type FROM events WHERE ts >= TIMESTAMP '2024-01-15 00:00:00')
-        |ORDER BY event_id""".stripMargin
+        |ORDER BY event_id""".stripMargin,
+    // As-of expressed as LEFT JOIN + QUALIFY row_number()=1 (DESC order
+    // pins the tie-break that AsOf.asOfBackward's struct ordering picks).
+    "j7_asof_join" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |s AS (SELECT user_id, ts AS signup_ts, event_id AS signup_event_id FROM events WHERE event_type = 'signup')
+        |SELECT p.event_id, p.user_id, p.ts, s.signup_ts, s.signup_event_id,
+        |  epoch_us(p.ts) - epoch_us(s.signup_ts) AS us_since_signup
+        |FROM p LEFT JOIN s ON s.user_id = p.user_id AND s.signup_ts <= p.ts
+        |QUALIFY row_number() OVER (PARTITION BY p.event_id
+        |  ORDER BY s.signup_ts DESC NULLS LAST, s.signup_event_id DESC NULLS LAST) = 1
+        |ORDER BY p.event_id""".stripMargin
   )
 
   // ---- A: aggregations ----------------------------------------------------
@@ -615,7 +642,40 @@ object SparkEntry {
         .withColumn("converted_in_order",
           (col("first_signup").isNotNull && col("first_purchase").isNotNull &&
             col("first_signup") < col("first_purchase")).cast("int"))
-        .orderBy("user_id"))
+        .orderBy("user_id")),
+    // W6 (beyond reference): lead/lag — neighboring values and
+    // inter-event gap (µs) per user.
+    "w6_lead_lag" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, d, "events")
+        .select(col("event_id"), col("user_id"), col("value"),
+          lag(col("value"), 1).over(w).as("prev_value"),
+          lead(col("value"), 1).over(w).as("next_value"),
+          (unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+            .as("us_since_prev"))
+        .orderBy("user_id", "event_id")
+    }),
+    // W7 (beyond reference): ntile quartiles over a global ordering.
+    // A global sort is inherent to exact ntile; at 100 TB use
+    // approx_percentile cutoffs + a bucketing join instead (a15 shows
+    // the percentile machinery).
+    "w7_ntile" -> ((s, d) =>
+      t(s, d, "customer")
+        .select(col("c_custkey"), col("c_acctbal"),
+          ntile(4).over(Window.orderBy(col("c_acctbal"), col("c_custkey")))
+            .as("quartile"))
+        .orderBy("c_custkey")),
+    // W8 (beyond reference): RANGE frame — trailing-7-day sum per user
+    // in the µs domain (value-range frames, not row counts).
+    "w8_range_frame" -> ((s, d) =>
+      t(s, d, "events")
+        .withColumn("us", unix_micros(col("ts")))
+        .select(col("event_id"), col("user_id"), col("value"),
+          sum(col("value").cast("decimal(18,2)"))
+            .over(Window.partitionBy(col("user_id")).orderBy(col("us"))
+              .rangeBetween(-604800000000L, 0L))
+            .cast("double").as("trailing_7d"))
+        .orderBy("user_id", "event_id"))
   )
 
   private val windowOracles: Map[String, String] = Map(
@@ -662,7 +722,23 @@ object SparkEntry {
         |    AND min(CASE WHEN event_type = 'purchase' THEN ts END) IS NOT NULL
         |    AND min(CASE WHEN event_type = 'signup' THEN ts END)
         |        < min(CASE WHEN event_type = 'purchase' THEN ts END)) AS INT) AS converted_in_order
-        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "w6_lead_lag" ->
+      """SELECT event_id, user_id, value,
+        |  lag(value) OVER w AS prev_value,
+        |  lead(value) OVER w AS next_value,
+        |  epoch_us(ts) - lag(epoch_us(ts)) OVER w AS us_since_prev
+        |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, event_id""".stripMargin,
+    "w7_ntile" ->
+      """SELECT c_custkey, c_acctbal,
+        |  CAST(ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS INT) AS quartile
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "w8_range_frame" ->
+      """SELECT event_id, user_id, value,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |       RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_7d
+        |FROM events ORDER BY user_id, event_id""".stripMargin
   )
 
   // ---- O: sort / limit / offset ------------------------------------------
@@ -834,7 +910,16 @@ object SparkEntry {
       t(s, d, "events")
         .filter(!col("event_type").isin("view", "click", "signup", "purchase"))
         .select(col("event_id"), col("event_type"))
-        .orderBy("event_id"))
+        .orderBy("event_id")),
+    // ST8: tumbling event-time window counts — the batch twin of the
+    // watermarked streaming aggregation (StreamIngestSpec runs the
+    // readStream + withWatermark + window() form over the same data).
+    "st8_windowed_counts_twin" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("w.start").as("day_start"), col("event_type"), col("n"))
+        .orderBy("day_start", "event_type"))
   )
 
   private val streamTwinOracles: Map[String, String] = Map(
@@ -850,7 +935,12 @@ object SparkEntry {
     "st7_dead_letter_twin" ->
       """SELECT event_id, event_type FROM events
         |WHERE event_type NOT IN ('view', 'click', 'signup', 'purchase')
-        |ORDER BY event_id""".stripMargin
+        |ORDER BY event_id""".stripMargin,
+    // Spark's window("1 day") buckets are epoch-aligned UTC days =
+    // date_trunc('day').
+    "st8_windowed_counts_twin" ->
+      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_start, event_type, count(*) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY day_start, event_type""".stripMargin
   )
 
   // ---- D: dedup suite (training-data pipeline) ---------------------------
@@ -888,7 +978,13 @@ object SparkEntry {
     // D6: fuzzy dedup — LSH candidates verified by edit distance.
     "d6_edit_distance_pairs" -> ((s, d) =>
       graft.dedup.Dedup.editDistancePairs(t(s, d, "documents"), 80, 20)
-        .orderBy("d1", "d2"))
+        .orderBy("d1", "d2")),
+    // D7: duplicate families — connected components over the verified
+    // near-dup pair graph (bounded min-label propagation, fixed 8
+    // rounds so the unrolled SQL oracle is structurally identical).
+    "d7_dup_clusters" -> ((s, d) =>
+      graft.dedup.Clusters.duplicateClusters(t(s, d, "documents"), 0.7)
+        .orderBy("doc_id"))
   )
 
   private val dedupOracles: Map[String, String] = {
@@ -948,6 +1044,33 @@ object SparkEntry {
            |FROM cand JOIN documents ta ON ta.doc_id = d1 JOIN documents tb ON tb.doc_id = d2
            |WHERE levenshtein(substr(ta.text, 1, 80), substr(tb.text, 1, 80)) <= 20
            |ORDER BY d1, d2""".stripMargin,
+      "d7_dup_clusters" -> {
+        // Same verified-pair pipeline as d3, then 8 unrolled label-
+        // propagation rounds. MATERIALIZED is load-bearing: each round
+        // references its predecessor twice, and DuckDB inlines plain
+        // CTEs (2^8 copies of the MinHash pipeline without it).
+        val steps = (1 to 8).map { k =>
+          s"""l$k AS MATERIALIZED (SELECT l.node, least(l.lbl, min(n.lbl)) AS lbl
+             |  FROM l${k - 1} l JOIN edges e ON e.src = l.node JOIN l${k - 1} n ON n.node = e.dst
+             |  GROUP BY l.node, l.lbl)""".stripMargin
+        }.mkString(",\n")
+        s"""$shingleCte,
+           |ex AS (SELECT doc_id, ('0x' || substr(md5(unnest(g)), 1, 7))::BIGINT AS base FROM sh),
+           |sig AS (SELECT doc_id, $minExprs FROM ex GROUP BY doc_id),
+           |bands AS ($bandSelects),
+           |cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+           |  FROM bands x JOIN bands y ON x.band = y.band AND x.s = y.s AND x.doc_id < y.doc_id),
+           |pairs AS MATERIALIZED (SELECT d1, d2 FROM (
+           |  SELECT d1, d2, $sqlJaccard AS jaccard
+           |  FROM cand JOIN sh a ON a.doc_id = d1 JOIN sh b ON b.doc_id = d2)
+           |  WHERE jaccard >= 0.7),
+           |edges AS MATERIALIZED (SELECT d1 AS src, d2 AS dst FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
+           |l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS lbl FROM edges),
+           |$steps
+           |SELECT node AS doc_id, lbl AS cluster_id,
+           |  count(*) OVER (PARTITION BY lbl) AS n_members
+           |FROM l8 ORDER BY doc_id""".stripMargin
+      },
       "d4_simhash_signatures" ->
         s"""$simhashCte
            |SELECT doc_id, simhash FROM sig ORDER BY doc_id""".stripMargin,
@@ -1019,7 +1142,7 @@ object SparkEntry {
          |WHERE sim >= 0.35 ORDER BY d1, d2""".stripMargin,
     "e5_quantize_int8" ->
       """SELECT vec_id, scale,
-        |  list_transform(v, x -> CAST(round(x * scale) AS INT)) AS q,
+        |  array_to_string(list_transform(v, x -> CAST(round(x * scale) AS INT)), ',') AS q_csv,
         |  round(list_max(list_transform(v, x -> abs(round(x * scale) / scale - x))), 6) AS max_err
         |FROM (
         |  SELECT vec_id, v, 127.0 / list_max(list_transform(v, x -> abs(x))) AS scale
@@ -1206,6 +1329,84 @@ object SparkEntry {
          |FROM langed GROUP BY predicted_lang ORDER BY predicted_lang""".stripMargin)
   }
 
+  // ---- C/SA/T6: corpus shaping (training-data pipeline, beyond ref) -------
+  // Deterministic split/sample assignment, LM chunking/packing, and
+  // TF-IDF term extraction. All hash-keyed or pure-arithmetic so the
+  // oracle reproduces them exactly (no rand(), no seeds).
+
+  private val shapeQueries: Map[String, Q] = Map(
+    // SA1: reproducible train/val/test split (salted md5 bucket —
+    // survives re-sharding; a pure projection at any scale).
+    "sa1_hash_split" -> ((s, d) =>
+      graft.sampling.Sampling.hashSplit(t(s, d, "documents"), col("doc_id"))
+        .select(col("doc_id"), col("bucket"), col("split"))
+        .orderBy("doc_id")),
+    // SA2: stratified deterministic sample — per-language rates
+    // (downsample dominant 'en' to 10%, keep 50% elsewhere).
+    "sa2_stratified_sample" -> ((s, d) =>
+      graft.sampling.Sampling.stratifiedSample(t(s, d, "documents"),
+          col("doc_id"), col("lang"), Map("en" -> 10), 50)
+        .select(col("doc_id"), col("lang"), col("bucket"))
+        .orderBy("doc_id")),
+    // C1: overlapping token-window chunking (size 50 / stride 40).
+    "c1_chunk_windows" -> ((s, d) =>
+      graft.text.Chunking.chunkWindows(t(s, d, "documents"))
+        .select(col("doc_id"), col("chunk_id"), col("start_tok"),
+          col("n_tok"), col("chunk_text"))
+        .orderBy("doc_id", "chunk_id")),
+    // C2: contiguous sequence packing into 512-token bins.
+    "c2_pack_sequences" -> ((s, d) =>
+      graft.text.Chunking.packSequences(t(s, d, "documents"))
+        .select(col("doc_id"), col("n_tok"), col("cum_tok"), col("pack_id"))
+        .orderBy("doc_id")),
+    // T6: top-3 TF-IDF terms per document.
+    "t6_tfidf" -> ((s, d) =>
+      graft.text.Chunking.tfidfTopTerms(t(s, d, "documents"))
+        .orderBy(col("doc_id"), col("tfidf").desc, col("term")))
+  )
+
+  private val shapeOracles: Map[String, String] = Map(
+    "sa1_hash_split" ->
+      """SELECT doc_id, bucket,
+        |  CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+        |FROM (SELECT doc_id,
+        |  ('0x' || substr(md5('split:' || doc_id), 1, 7))::BIGINT % 100 AS bucket FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "sa2_stratified_sample" ->
+      """SELECT doc_id, lang, bucket FROM (
+        |  SELECT doc_id, lang,
+        |    ('0x' || substr(md5('strat:' || doc_id), 1, 7))::BIGINT % 100 AS bucket,
+        |    CASE WHEN lang = 'en' THEN 10 ELSE 50 END AS rate
+        |  FROM documents)
+        |WHERE bucket < rate ORDER BY doc_id""".stripMargin,
+    // '//' (integer division) is load-bearing: DuckDB '/' is float
+    // division and CAST rounds-to-nearest, unlike Spark's integer '/'.
+    "c1_chunk_windows" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents),
+        |st AS (SELECT doc_id, w, n, unnest(generate_series(1, n, 40)) AS start_tok FROM w)
+        |SELECT doc_id, (start_tok - 1) // 40 AS chunk_id, start_tok,
+        |  least(50, n - start_tok + 1) AS n_tok,
+        |  array_to_string(list_slice(w, start_tok, least(start_tok + 49, n)), ' ') AS chunk_text
+        |FROM st ORDER BY doc_id, chunk_id""".stripMargin,
+    "c2_pack_sequences" ->
+      """SELECT doc_id, n_tok, cum_tok, (cum_tok - n_tok) // 512 AS pack_id FROM (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |    CAST(sum(len(string_split(text, ' '))) OVER (ORDER BY doc_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tok
+        |  FROM documents) ORDER BY doc_id""".stripMargin,
+    "t6_tfidf" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |sc AS (SELECT doc_id, term, tf, df, round(tf * ln(n.n * 1.0 / df), 6) AS tfidf
+        |  FROM tf JOIN df USING (term) CROSS JOIN n)
+        |SELECT doc_id, term, tf, df, tfidf FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn FROM sc)
+        |WHERE rn <= 3 ORDER BY doc_id, tfidf DESC, term""".stripMargin
+  )
+
   // ---- X: scan-heavy warehouse workload (lineitem/part/supplier) ----------
   // The reference's analytics run over <=1e5-row tables; these queries
   // exercise the same measure patterns over the LARGEST harness fact
@@ -1257,6 +1458,25 @@ object SparkEntry {
           Window.orderBy(col("revenue").desc, col("n_name"), col("p_brand"))))
         .filter(col("rnk") <= 20)
         .orderBy("rnk")
+    }),
+    // X4: shipping-priority top-k (TPC-H Q3 shape) — selective filters
+    // on BOTH fact sides before the join, broadcast customer dim,
+    // aggregate on the join key, global top-10.
+    "x4_shipping_priority" -> ((s, d) => {
+      val cutoff = to_timestamp(lit("1995-03-15 00:00:00"))
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") > cutoff)
+        .join(t(s, d, "orders").filter(col("o_orderdate") < cutoff),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, d, "customer")
+            .filter(col("c_mktsegment") === "BUILDING")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate").as("orderdate"),
+          col("o_orderpriority"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1) - col("l_discount").cast("decimal(4,2)"))).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
     })
   )
 
@@ -1292,7 +1512,16 @@ object SparkEntry {
         |    JOIN supplier ON l_suppkey = s_suppkey
         |    JOIN nation ON s_nationkey = n_nationkey
         |    GROUP BY n_name, p_brand))
-        |WHERE rnk <= 20 ORDER BY rnk""".stripMargin
+        |WHERE rnk <= 20 ORDER BY rnk""".stripMargin,
+    "x4_shipping_priority" ->
+      """SELECT l_orderkey, o_orderdate AS orderdate, o_orderpriority,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+        |GROUP BY 1, 2, 3 ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
   )
 
   // ---- assembled contract -------------------------------------------------
@@ -1302,12 +1531,12 @@ object SparkEntry {
       sourceQueries ++ projQueries ++ joinQueries ++ aggQueries ++
       windowQueries ++ sortQueries ++ setQueries ++ fnQueries ++
       streamTwinQueries ++ dedupQueries ++ simQueries ++ textQueries ++
-      mmQueries ++ whQueries ++ pipeQueries
+      mmQueries ++ whQueries ++ pipeQueries ++ shapeQueries
 
   def oracleSql: Map[String, String] =
     Map("flagship_manager_dashboard" -> flagshipSql) ++
       sourceOracles ++ projOracles ++ joinOracles ++ aggOracles ++
       windowOracles ++ sortOracles ++ setOracles ++ fnOracles ++
       streamTwinOracles ++ dedupOracles ++ simOracles ++ textOracles ++
-      mmOracles ++ whOracles ++ pipeOracles
+      mmOracles ++ whOracles ++ pipeOracles ++ shapeOracles
 }

