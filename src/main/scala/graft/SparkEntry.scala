@@ -1045,11 +1045,12 @@ object SparkEntry {
            |WHERE levenshtein(substr(ta.text, 1, 80), substr(tb.text, 1, 80)) <= 20
            |ORDER BY d1, d2""".stripMargin,
       "d7_dup_clusters" -> {
-        // Same verified-pair pipeline as d3, then 8 unrolled label-
-        // propagation rounds. MATERIALIZED is load-bearing: each round
-        // references its predecessor twice, and DuckDB inlines plain
-        // CTEs (2^8 copies of the MinHash pipeline without it).
-        val steps = (1 to 8).map { k =>
+        // Same verified-pair pipeline as d3, then 4 unrolled label-
+        // propagation rounds (matches Clusters.duplicateClusters; both
+        // SFs converge by round 3). MATERIALIZED is load-bearing: each
+        // round references its predecessor twice, and DuckDB inlines
+        // plain CTEs (2^k copies of the MinHash pipeline without it).
+        val steps = (1 to 4).map { k =>
           s"""l$k AS MATERIALIZED (SELECT l.node, least(l.lbl, min(n.lbl)) AS lbl
              |  FROM l${k - 1} l JOIN edges e ON e.src = l.node JOIN l${k - 1} n ON n.node = e.dst
              |  GROUP BY l.node, l.lbl)""".stripMargin
@@ -1069,7 +1070,7 @@ object SparkEntry {
            |$steps
            |SELECT node AS doc_id, lbl AS cluster_id,
            |  count(*) OVER (PARTITION BY lbl) AS n_members
-           |FROM l8 ORDER BY doc_id""".stripMargin
+           |FROM l4 ORDER BY doc_id""".stripMargin
       },
       "d4_simhash_signatures" ->
         s"""$simhashCte

@@ -67,16 +67,19 @@ object Dedup {
 
   /** MinHash signatures: ONE md5 per shingle (the 28-bit base hash),
     * then K linear permutations `(a_j*base + b_j) mod P`, all K minima
-    * in a single aggregation pass. (The previous K-md5s-per-shingle
-    * formulation spent 12× the hash work for the same signature
-    * quality — 18.5s → ~2s on sf0.1.) */
+    * computed in one native pass over the shingle array
+    * ([[graft.functions.MinHashSig]]) — a pure projection, no explode,
+    * no shuffle. (History: K-md5s-per-shingle 18.5s → single-md5
+    * explode+groupBy ~2s → native projection; signatures are
+    * bit-identical across all three, pinned by the DuckDB oracle.) */
   def minhashSignatures(docs: DataFrame): DataFrame = {
-    val exploded = shingleSets(docs).select(col("doc_id"), explode(col("g")).as("g"))
-      .withColumn("base", hash28(col("g")))
-    val mins = minhashParams.zipWithIndex.map { case ((a, b), j) =>
-      min((lit(a) * col("base") + lit(b)) % MINHASH_P).as(s"h$j")
-    }
-    exploded.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+    val sig = shingleSets(docs)
+      .select(col("doc_id"),
+        graft.functions.TextExpressions
+          .minhashSig(col("g"), minhashParams, MINHASH_P).as("sig"))
+      .filter(col("sig").isNotNull) // shingle-less docs can never pair
+    sig.select(col("doc_id") +:
+      minhashParams.indices.map(j => element_at(col("sig"), j + 1).as(s"h$j")): _*)
   }
 
   /** Banded LSH candidate pairs, verified with exact Jaccard ≥ threshold.
@@ -129,18 +132,15 @@ object Dedup {
   val SIMHASH_MAX_HAMMING = 3 // any pair ≤ 3 flips has one clean block
 
   /** SimHash: frequency-weighted bit votes over token hashes → 60-bit
-    * signature, one aggregation pass (60 conditional sums at once). */
-  def simhashSignatures(docs: DataFrame): DataFrame = {
-    val tok = docs.select(col("doc_id"), explode(words(col("text"))).as("w"))
-      .withColumn("hv", hash60(col("w"), "sh"))
-    val votes = (0 until SIMHASH_BITS).map(i =>
-      sum(when(shiftright(col("hv"), i).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as(s"b$i"))
-    val assembled = (0 until SIMHASH_BITS)
-      .map(i => when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
-      .reduce(_ + _)
-    tok.groupBy("doc_id").agg(votes.head, votes.tail: _*)
-      .select(col("doc_id"), assembled.as("simhash"))
-  }
+    * signature, one native pass over the words array
+    * ([[graft.functions.SimHashSig]]) — a pure projection (the
+    * previous explode + 60-conditional-sums aggregation cost a shuffle
+    * of every token; integer vote sums are order-independent, so the
+    * signatures are identical). */
+  def simhashSignatures(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      graft.functions.TextExpressions
+        .simhashSig(words(col("text")), "sh").as("simhash"))
 
   /** SimHash near-dup pairs: pigeonhole blocking — split the signature
     * into [[SIMHASH_BLOCKS]] 15-bit blocks; a pair within

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.Bridge
-import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native n-gram word shingling: `array<string>` of words → distinct
@@ -53,8 +53,133 @@ case class WordShingles(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** md5-derived hashing shared by the native signature expressions —
+  * bit-identical to the builtin chains they replace
+  * (`conv(substring(md5(x), 1, k), 16, 10)`, TextAnalysis.hash28/60). */
+private object GraftHash {
+  private val md = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  private def digest(bytes: Array[Byte]): Array[Byte] = {
+    val m = md.get(); m.reset(); m.digest(bytes)
+  }
+
+  /** First 7 hex chars of md5 (28 bits) as a long. */
+  def hash28(s: UTF8String): Long = {
+    val d = digest(s.getBytes)
+    ((d(0) & 0xffL) << 20) | ((d(1) & 0xffL) << 12) |
+      ((d(2) & 0xffL) << 4) | ((d(3) & 0xf0L) >>> 4)
+  }
+
+  /** First 15 hex chars of md5("salt:" + s) (60 bits) as a long. */
+  def hash60(prefix: Array[Byte], s: UTF8String): Long = {
+    val sb = s.getBytes
+    val in = new Array[Byte](prefix.length + sb.length)
+    System.arraycopy(prefix, 0, in, 0, prefix.length)
+    System.arraycopy(sb, 0, in, prefix.length, sb.length)
+    val d = digest(in)
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    (v << 4) | ((d(7) & 0xf0L) >>> 4)
+  }
+}
+
+/** Native MinHash signature: `array<string>` shingles → `array<long>`
+  * of K permutation minima, `h_j = min((a_j * hash28(s) + b_j) % p)`.
+  *
+  * Why custom: the previous formulation exploded every shingle
+  * (~300k rows at sf0.1) and ran a K-way min aggregation — an extra
+  * shuffle per signature build. This computes all K minima in one pass
+  * over the array, turning signature generation into a pure projection
+  * (embarrassingly parallel scan work at 100 TB; the only remaining
+  * shuffle in the LSH pipeline is the band-bucket join itself).
+  * Empty shingle set ⇒ NULL, mirroring the explode+groupBy dropping
+  * shingle-less docs. */
+case class MinHashSig(child: Expression, params: Seq[(Long, Long)], p: Long)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_minhash"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val len = arr.numElements()
+    if (len == 0) null
+    else {
+      val k = params.length
+      val mins = Array.fill(k)(Long.MaxValue)
+      var i = 0
+      while (i < len) {
+        val base = GraftHash.hash28(arr.getUTF8String(i))
+        var j = 0
+        while (j < k) {
+          val (a, b) = params(j)
+          val h = (a * base + b) % p
+          if (h < mins(j)) mins(j) = h
+          j += 1
+        }
+        i += 1
+      }
+      new GenericArrayData(mins)
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Native SimHash signature: `array<string>` words → 60-bit long.
+  * Frequency-weighted bit votes (±1 per token occurrence per bit),
+  * bit i set iff its vote sum is positive — integer sums, so the
+  * result is order-independent and matches the previous
+  * explode + 60-conditional-sums aggregation exactly, without the
+  * shuffle. */
+case class SimHashSig(child: Expression, salt: String)
+    extends UnaryExpression with CodegenFallback {
+
+  private val prefix = (salt + ":").getBytes("UTF-8")
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val len = arr.numElements()
+    val votes = new Array[Int](60)
+    var i = 0
+    while (i < len) {
+      val hv = GraftHash.hash60(prefix, arr.getUTF8String(i))
+      var b = 0
+      while (b < 60) {
+        if (((hv >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 60) { if (votes(b) > 0) sig |= (1L << b); b += 1 }
+    sig
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextExpressions {
   /** Distinct n-gram shingles of a words array (native, see above). */
   def wordShingles(words: Column, n: Int): Column =
     Bridge.column(WordShingles(Bridge.expression(words), n))
+
+  /** K-permutation MinHash signature of a shingle array (native). */
+  def minhashSig(shingles: Column, params: Seq[(Long, Long)], p: Long): Column =
+    Bridge.column(MinHashSig(Bridge.expression(shingles), params, p))
+
+  /** 60-bit SimHash of a words array (native). */
+  def simhashSig(words: Column, salt: String): Column =
+    Bridge.column(SimHashSig(Bridge.expression(words), salt))
 }

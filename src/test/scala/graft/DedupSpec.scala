@@ -26,6 +26,44 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.9, s"banded LSH recall too low: $recall")
   }
 
+  test("native MinHash signatures equal the explode+groupBy formulation") {
+    import graft.dedup.Dedup.{minhashParams, MINHASH_P}
+    val builtin = {
+      val exploded = Dedup.shingleSets(docs)
+        .select(col("doc_id"), explode(col("g")).as("g"))
+        .withColumn("base", graft.text.TextAnalysis.hash28(col("g")))
+      val mins = minhashParams.zipWithIndex.map { case ((a, b), j) =>
+        min((lit(a) * col("base") + lit(b)) % MINHASH_P).as(s"h$j")
+      }
+      exploded.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+    }
+    val cols = "doc_id" +: minhashParams.indices.map(j => s"h$j")
+    val a = Dedup.minhashSignatures(docs).select(cols.map(col): _*)
+      .collect().map(_.toSeq).toSet
+    val b = builtin.select(cols.map(col): _*).collect().map(_.toSeq).toSet
+    assert(a === b)
+  }
+
+  test("native SimHash equals the vote-aggregation formulation") {
+    import graft.dedup.Dedup.SIMHASH_BITS
+    import graft.text.TextAnalysis.{hash60, words}
+    val builtin = {
+      val tok = docs.select(col("doc_id"), explode(words(col("text"))).as("w"))
+        .withColumn("hv", hash60(col("w"), "sh"))
+      val votes = (0 until SIMHASH_BITS).map(i =>
+        sum(when(shiftright(col("hv"), i).bitwiseAND(lit(1L)) === 1L, 1L)
+          .otherwise(-1L)).as(s"b$i"))
+      val assembled = (0 until SIMHASH_BITS)
+        .map(i => when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+        .reduce(_ + _)
+      tok.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+        .select(col("doc_id"), assembled.as("simhash"))
+    }
+    val a = Dedup.simhashSignatures(docs).as[(Long, Long)].collect().toSet
+    val b = builtin.as[(Long, Long)].collect().toSet
+    assert(a === b)
+  }
+
   test("D4: identical texts have identical SimHash; disjoint texts differ") {
     val df = Seq((1L, "spark query plan join"), (2L, "spark query plan join"),
       (3L, "completely different words here")).toDF("doc_id", "text")
