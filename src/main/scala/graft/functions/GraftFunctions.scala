@@ -36,5 +36,8 @@ class GraftSessionExtensions
       new ExpressionInfo(classOf[WordShingles].getName, "graft_shingles"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         WordShingles(exprs.head, 3)))
+    // Auto-broadcast schema-fixed tiny dims (see BroadcastDims scaladoc).
+    ext.injectOptimizerRule(_ =>
+      graft.plans.BroadcastDims(graft.plans.BroadcastDims.defaultDims))
   }
 }

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
+import org.apache.spark.sql.functions._
+
+import graft.plans.BroadcastDims
+
+/** The BroadcastDims optimizer rule changes physical join strategy for
+  * known dimension scans without touching query code. */
+class PlansSpec extends SparkSpec {
+
+  private def plannedJoin(df: org.apache.spark.sql.DataFrame) =
+    df.queryExecution.sparkPlan
+
+  test("dim joins degrade to sort-merge with size-based broadcast off; the rule restores BHJ") {
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force the worst case: no size-estimate broadcasts at all
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      def query = Tables.table(spark, sfDir, "customer")
+        .join(Tables.table(spark, sfDir, "nation"),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name")).count()
+
+      val before = plannedJoin(query)
+      assert(before.collect { case j: SortMergeJoinExec => j }.nonEmpty,
+        "precondition: without the rule this plans as a sort-merge join")
+
+      spark.experimental.extraOptimizations = Seq(BroadcastDims(BroadcastDims.defaultDims))
+      val after = plannedJoin(query)
+      assert(after.collect { case j: BroadcastHashJoinExec => j }.nonEmpty,
+        "rule must turn the nation scan into a broadcast build side")
+      assert(after.collect { case j: SortMergeJoinExec => j }.isEmpty)
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+    }
+  }
+
+  test("the rule never hints non-dim sides or overrides explicit hints") {
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.experimental.extraOptimizations = Seq(BroadcastDims(BroadcastDims.defaultDims))
+      // fact ⋈ fact: neither side is a registered dim ⇒ stays sort-merge
+      val factFact = Tables.table(spark, sfDir, "orders")
+        .join(Tables.table(spark, sfDir, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderkey")).count()
+      assert(plannedJoin(factFact).collect { case j: SortMergeJoinExec => j }.nonEmpty)
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+    }
+  }
+}
