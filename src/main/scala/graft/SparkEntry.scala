@@ -445,6 +445,26 @@ object SparkEntry {
         .withColumn("priority", coalesce(col("o_orderpriority"), lit("ALL")))
         .drop("o_orderstatus", "o_orderpriority")
         .orderBy("gid", "status", "priority")),
+    // A18 (beyond reference): arbitrary GROUPING SETS — mixes two
+    // independent drill paths ((segment,year) detail + each marginal)
+    // in ONE aggregation pass, which neither rollup nor cube expresses
+    // (cube would add the unwanted grand total). Sentinel-coalesce the
+    // set-null keys so no ORDER BY depends on engine null placement.
+    "a18_grouping_sets" -> ((s, d) => {
+      val base = t(s, d, "orders")
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment").as("segment"),
+          year(col("o_orderdate")).cast("int").as("yr"), col("o_totalprice"))
+      base.groupingSets(
+          Seq(Seq(col("segment"), col("yr")), Seq(col("segment")), Seq(col("yr"))),
+          col("segment"), col("yr"))
+        .agg(count(lit(1)).as("n"),
+          Measures.moneySum(col("o_totalprice")).as("revenue"),
+          grouping_id().cast("long").as("gid"))
+        .withColumn("segment", coalesce(col("segment"), lit("ALL")))
+        .withColumn("yr", coalesce(col("yr"), lit(-1)))
+        .orderBy("gid", "segment", "yr")
+    }),
     // A15: exact interpolated percentiles per stage (median ticket /
     // p90 — the dashboard's distribution measures). Spark `percentile`
     // and DuckDB `quantile_cont` share the linear-interpolation
@@ -563,6 +583,14 @@ object SparkEntry {
          |  coalesce(o_orderpriority, 'ALL') AS priority
          |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
          |ORDER BY gid, status, priority""".stripMargin,
+    "a18_grouping_sets" ->
+      s"""SELECT coalesce(segment, 'ALL') AS segment, coalesce(yr, -1) AS yr,
+         |  count(*) AS n, ${sqlMoney("o_totalprice")} AS revenue,
+         |  CAST(grouping(segment, yr) AS BIGINT) AS gid
+         |FROM (SELECT c_mktsegment AS segment, CAST(year(o_orderdate) AS INT) AS yr, o_totalprice
+         |      FROM orders JOIN customer ON o_custkey = c_custkey)
+         |GROUP BY GROUPING SETS ((segment, yr), (segment), (yr))
+         |ORDER BY gid, segment, yr""".stripMargin,
     "a15_percentiles" ->
       """SELECT o_orderstatus AS status,
         |  round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
@@ -1118,7 +1146,11 @@ object SparkEntry {
       graft.similarity.Ann.cosineNearDupPairs(t(s, d, "embeddings"), 0.35).orderBy("d1", "d2")),
     // E5: int8 embedding quantization (vector storage path).
     "e5_quantize_int8" -> ((s, d) =>
-      graft.similarity.Ann.quantizeInt8(t(s, d, "embeddings")).orderBy("vec_id"))
+      graft.similarity.Ann.quantizeInt8(t(s, d, "embeddings")).orderBy("vec_id")),
+    // E6: IVF build step — nearest-centroid assignment (deterministic
+    // seeds ⇒ exact oracle, unlike the end-to-end approximate e4).
+    "e6_centroid_assign" -> ((s, d) =>
+      graft.similarity.Ann.centroidAssign(t(s, d, "embeddings"), 8).orderBy("vec_id"))
   )
 
   private val simOracles: Map[String, String] = Map(
@@ -1141,6 +1173,15 @@ object SparkEntry {
          |      / (a.nrm * b.nrm), 6) AS sim
          |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
          |WHERE sim >= 0.35 ORDER BY d1, d2""".stripMargin,
+    "e6_centroid_assign" ->
+      s"""$cosineCte,
+         |c AS (SELECT vec_id AS centroid_id, v AS cv, nrm AS cn FROM n WHERE vec_id < 8),
+         |p AS (SELECT n.vec_id, c.centroid_id,
+         |  list_reduce(list_apply(range(1, 65), i -> n.v[i] * c.cv[i]), (a,b) -> a+b) / (n.nrm * c.cn) AS sim
+         |  FROM n CROSS JOIN c)
+         |SELECT vec_id, centroid_id, round(sim, 6) AS sim FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) AS rn FROM p)
+         |WHERE rn = 1 ORDER BY vec_id""".stripMargin,
     "e5_quantize_int8" ->
       """SELECT vec_id, scale,
         |  array_to_string(list_transform(v, x -> CAST(round(x * scale) AS INT)), ',') AS q_csv,
@@ -1478,7 +1519,28 @@ object SparkEntry {
           (lit(1) - col("l_discount").cast("decimal(4,2)"))).cast("double").as("revenue"))
         .orderBy(col("revenue").desc, col("l_orderkey"))
         .limit(10)
-    })
+    }),
+    // X5: local-supplier volume (TPC-H Q5 shape) — six-table join with
+    // the customer-nation = supplier-nation co-location predicate;
+    // geography dims broadcast (BroadcastDims pins them regardless of
+    // estimates), fact-fact joins left to AQE.
+    "x5_local_supplier_volume" -> ((s, d) =>
+      t(s, d, "customer")
+        .join(t(s, d, "orders")
+            .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+              col("o_orderdate") < to_timestamp(lit("1997-01-01 00:00:00"))),
+          col("c_custkey") === col("o_custkey"))
+        .join(t(s, d, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, d, "supplier"),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(t(s, d, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA")
+        .groupBy(col("n_name"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1) - col("l_discount").cast("decimal(4,2)"))).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name")))
   )
 
   private val whOracles: Map[String, String] = Map(
@@ -1522,7 +1584,19 @@ object SparkEntry {
         |WHERE c_mktsegment = 'BUILDING'
         |  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
         |  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
-        |GROUP BY 1, 2, 3 ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+        |GROUP BY 1, 2, 3 ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "x5_local_supplier_volume" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin
   )
 
   // ---- assembled contract -------------------------------------------------

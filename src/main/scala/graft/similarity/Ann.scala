@@ -433,4 +433,24 @@ object Ann {
       }
     }.toDF("d1", "d2", "sim")
   }
+
+  /** IVF build step, exposed as a standalone (oracle-checked) operator:
+    * assign every vector to its nearest of the first `k` vectors taken
+    * as fixed centroids (deterministic seeding — the k-means++ style
+    * refinement loop would iterate this exact assignment). Broadcast
+    * the k-row centroid table; cost is O(n·k·d) map-side work, no
+    * shuffle of the vector corpus — the partitioning primitive that
+    * makes [[ivfTopK]] scale. */
+  def centroidAssign(embeddings: DataFrame, k: Int): DataFrame = {
+    val e = prepared(embeddings)
+    val cents = e.filter(col("vec_id") < k)
+      .select(col("vec_id").as("centroid_id"), col("v").as("cv"), col("nrm").as("cn"))
+    e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("centroid_id"),
+        (dot(col("v"), col("cv")) / (col("nrm") * col("cn"))).as("sim"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("centroid_id"))))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("centroid_id"), round(col("sim"), 6).as("sim"))
+  }
 }

@@ -98,6 +98,16 @@ class AnnSpec extends SparkSpec {
     assert(diff === 0, "codegen dot product must preserve exact fold semantics")
   }
 
+  test("E6: centroid assignment is total, and centroids claim themselves") {
+    val assigned = Ann.centroidAssign(emb, 8)
+      .select("vec_id", "centroid_id", "sim").as[(Long, Long, Double)].collect()
+    assert(assigned.length === emb.count(), "every vector gets exactly one cell")
+    assigned.filter(_._1 < 8).foreach { case (v, c, s) =>
+      assert(c === v, s"centroid $v must be its own nearest centroid")
+      assert(s === 1.0)
+    }
+  }
+
   test("E1 ranks are dense 1..k per query") {
     val ranks = Ann.cosineTopK(emb.limit(20), 3)
       .groupBy("query_id").agg(collect_list("rank").as("rs"))
