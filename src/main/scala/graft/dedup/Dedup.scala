@@ -90,15 +90,23 @@ object Dedup {
     val rows = MINHASH_K / LSH_BANDS
     val bandCols = (0 until LSH_BANDS).map { b =>
       struct(lit(b).as("band"),
-        concat_ws("_", (0 until rows).map(r => col(s"h${b * rows + r}")): _*).as("sig"))
+        concat_ws("_", (0 until rows).map(r => col(s"h${b * rows + r}")).toSeq: _*).as("sig"))
     }
+    // Materialize the band table once: the self-join references it on
+    // BOTH sides, and without a checkpoint Spark re-derives the whole
+    // scan→shingle→signature subtree per reference (the physical plan
+    // had 11 parquet scans). Bands are LSH_BANDS rows/doc of (int,
+    // short string) — at 100 TB this is the small intermediate you
+    // would persist anyway to serve repeated candidate lookups.
     val bands = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+      .localCheckpoint(true)
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
       .distinct()
+      .localCheckpoint(true) // reused by the id-set filter AND the verify join
     // Re-shingle ONLY the candidate docs for verification: broadcast the
     // (tiny) candidate id set as a semi-join filter so the expensive
     // shingling projection runs over ~|candidates| rows, not the corpus.
@@ -157,6 +165,7 @@ object Dedup {
     val blocks = sig.select(col("doc_id"), col("simhash"),
         explode(array(blockCols: _*)).as("h"))
       .select(col("doc_id"), col("simhash"), col("h.blk").as("blk"), col("h.bv").as("bv"))
+      .localCheckpoint(true) // self-joined: materialize instead of 2× recompute
     blocks.as("x").join(blocks.as("y"),
         col("x.blk") === col("y.blk") && col("x.bv") === col("y.bv") &&
           col("x.doc_id") < col("y.doc_id"))
