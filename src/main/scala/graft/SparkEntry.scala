@@ -445,6 +445,14 @@ object SparkEntry {
         .withColumn("priority", coalesce(col("o_orderpriority"), lit("ALL")))
         .drop("o_orderstatus", "o_orderpriority")
         .orderBy("gid", "status", "priority")),
+    // A19 (beyond reference): skew-safe salted aggregation — the
+    // two-phase (key, salt) → key merge is EXACTLY the plain GROUP BY
+    // (decimal partials merge associatively), which is the point: the
+    // oracle is the unsalted query.
+    "a19_salted_agg" -> ((s, d) =>
+      graft.operators.Salt.saltedSumCount(
+          t(s, d, "events"), Seq("user_id"), col("value"))
+        .orderBy("user_id")),
     // A18 (beyond reference): arbitrary GROUPING SETS — mixes two
     // independent drill paths ((segment,year) detail + each marginal)
     // in ONE aggregation pass, which neither rollup nor cube expresses
@@ -583,6 +591,10 @@ object SparkEntry {
          |  coalesce(o_orderpriority, 'ALL') AS priority
          |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
          |ORDER BY gid, status, priority""".stripMargin,
+    "a19_salted_agg" ->
+      """SELECT user_id, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |  count(*) AS n
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "a18_grouping_sets" ->
       s"""SELECT coalesce(segment, 'ALL') AS segment, coalesce(yr, -1) AS yr,
          |  count(*) AS n, ${sqlMoney("o_totalprice")} AS revenue,
@@ -1296,7 +1308,14 @@ object SparkEntry {
           array_join(graft.multimodal.Media.sampleFrames(frames, 4), "|").as("sampled_frames"),
           size(graft.multimodal.Media.sampleFrames(frames, 4)).as("n_sampled"))
         .orderBy("doc_id")
-    })
+    }),
+    // MM3: byte-range blob chunking with per-chunk checksums (Spark
+    // slices the BinaryType content; the oracle mirrors on the VARCHAR
+    // — identical bytes for this corpus, proven by the hash compare).
+    "mm3_blob_chunks" -> ((s, d) =>
+      graft.multimodal.Media.chunkBytes(
+          graft.multimodal.Media.asAssets(t(s, d, "documents")))
+        .orderBy("asset_id", "chunk_id"))
   )
 
   private val mmOracles: Map[String, String] = Map(
@@ -1312,7 +1331,16 @@ object SparkEntry {
       """SELECT doc_id,
         |  array_to_string(list_filter(string_split(text, ' '), (x, i) -> (i - 1) % 4 = 0), '|') AS sampled_frames,
         |  CAST(len(list_filter(string_split(text, ' '), (x, i) -> (i - 1) % 4 = 0)) AS INT) AS n_sampled
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm3_blob_chunks" ->
+      """WITH s AS (
+        |  SELECT doc_id AS asset_id, text, octet_length(encode(text)) AS n,
+        |    unnest(generate_series(0, octet_length(encode(text)) - 1, 100)) AS "offset"
+        |  FROM documents WHERE octet_length(encode(text)) > 0)
+        |SELECT asset_id, "offset" // 100 AS chunk_id, "offset",
+        |  least(100, n - "offset") AS n_bytes,
+        |  md5(substring(text, "offset" + 1, 100)) AS chunk_md5
+        |FROM s ORDER BY asset_id, chunk_id""".stripMargin
   )
 
   // ---- PIPE: composite training-data curation pipeline --------------------

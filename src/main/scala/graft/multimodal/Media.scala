@@ -73,4 +73,22 @@ object Media {
     * video-pipeline "1 fps sample" pattern, as a pure array op. */
   def sampleFrames(frames: org.apache.spark.sql.Column, step: Int): org.apache.spark.sql.Column =
     filter(frames, (_, i) => i % step === 0)
+
+  /** Fixed-size byte-range chunking of binary content with per-chunk
+    * checksums — the blob-storage path for media too large for one
+    * parquet cell (content-addressed chunk store / resumable transfer).
+    * Pure projection + explode over the byte offsets; bytes are sliced
+    * with `substring` on the BinaryType column (never decoded). */
+  def chunkBytes(assets: DataFrame, size: Int = 100): DataFrame =
+    assets
+      .select(col("asset_id"), col("content"),
+        length(col("content")).cast("long").as("n"))
+      .filter(col("n") > 0)
+      .select(col("asset_id"), col("content"), col("n"),
+        explode(sequence(lit(0L), col("n") - 1, lit(size.toLong))).as("offset"))
+      .select(col("asset_id"),
+        (col("offset") / size).cast("long").as("chunk_id"),
+        col("offset"),
+        least(lit(size.toLong), col("n") - col("offset")).as("n_bytes"),
+        md5(expr(s"substring(content, offset + 1, $size)")).as("chunk_md5"))
 }
