@@ -90,4 +90,65 @@ object GraftProperties extends Properties("graft") {
         .select(Measures.pctRatio(col("num"), col("den")).as("r")).head()
       if (b == 0) r.isNullAt(0) else math.abs(r.getDouble(0) - a * 100.0 / b) < 0.01
     }
+
+  private val genDoc: Gen[(Long, String)] = for {
+    id <- Gen.chooseNum(0L, 1000000L)
+    n <- Gen.chooseNum(1, 130)
+    ws <- Gen.listOfN(n, Gen.oneOf("alpha", "beta", "gamma", "delta"))
+  } yield (id, ws.mkString(" "))
+
+  property("chunk windows tile every token exactly once per stride step") =
+    forAll(Gen.listOfN(5, genDoc)) { docs0 =>
+      val docs = docs0.distinctBy(_._1)
+      val df = docs.toDF("doc_id", "text")
+      val chunks = graft.text.Chunking.chunkWindows(df, size = 50, stride = 40)
+        .select("doc_id", "start_tok", "n_tok").as[(Long, Long, Long)]
+        .collect().groupBy(_._1)
+      docs.forall { case (id, text) =>
+        val n = text.split(" ").length.toLong
+        val cs = chunks(id).sortBy(_._2)
+        cs.map(_._2).sameElements(1L to n by 40L) && // stride-spaced starts
+          cs.last._2 + cs.last._3 - 1 == n &&        // coverage reaches the end
+          cs.forall { case (_, s, len) => len == math.min(50L, n - s + 1) }
+      }
+    }
+
+  property("hash split is a partition: one split per doc, bucket-consistent") =
+    forAll(Gen.listOfN(20, genDoc)) { docs0 =>
+      val df = docs0.distinctBy(_._1).toDF("doc_id", "text")
+      val s = graft.sampling.Sampling.hashSplit(df, col("doc_id"))
+        .select("doc_id", "bucket", "split").as[(Long, Long, String)].collect()
+      s.length == docs0.distinctBy(_._1).length && s.forall { case (_, b, sp) =>
+        b >= 0 && b < 100 &&
+          sp == (if (b < 80) "train" else if (b < 90) "val" else "test")
+      }
+    }
+
+  property("as-of join: every match precedes the probe, per key") =
+    forAll(genEvents) { evs =>
+      val left = evs.filter(_.event_type == "purchase")
+        .map(e => (e.event_id, e.user_id, e.ts)).toDF("event_id", "user_id", "ts")
+      val right = evs.filter(_.event_type == "signup")
+        .map(e => (e.user_id, e.ts, e.event_id))
+        .toDF("user_id", "signup_ts", "signup_event_id")
+      val out = graft.operators.AsOf
+        .asOfBackward(left, right, Seq("user_id"), "ts", "signup_ts")
+        .select("user_id", "ts", "signup_ts")
+        .collect()
+      val signupsByUser = evs.filter(_.event_type == "signup")
+        .groupBy(_.user_id).view.mapValues(_.map(_.ts.getTime)).toMap
+      out.forall { r =>
+        if (r.isNullAt(2)) {
+          // no match ⇒ genuinely no signup at or before the purchase
+          signupsByUser.getOrElse(r.getLong(0), Nil)
+            .forall(_ > r.getTimestamp(1).getTime)
+        } else {
+          // match is the LATEST signup at or before the purchase
+          val m = r.getTimestamp(2).getTime
+          m <= r.getTimestamp(1).getTime &&
+            signupsByUser(r.getLong(0))
+              .filter(_ <= r.getTimestamp(1).getTime).max == m
+        }
+      }
+    }
 }
