@@ -17,6 +17,20 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  val allTables: Seq[String] = Seq("region", "nation", "customer",
+    "supplier", "part", "orders", "lineitem", "events", "documents",
+    "embeddings")
+
+  /** Register every harness table as a temp view (events through the
+    * nanos-aware loader), so the whole surface is queryable via
+    * `spark.sql` — with [[graft.functions.GraftFunctions.register]]
+    * this gives a reference user a drop-in SQL endpoint. */
+  def registerViews(spark: SparkSession, dir: String): Unit =
+    allTables.foreach { n =>
+      val df = if (n == "events") events(spark, dir) else table(spark, dir, n)
+      df.createOrReplaceTempView(n)
+    }
+
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame  = table(s, d, "customer")

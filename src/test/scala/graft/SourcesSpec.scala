@@ -58,6 +58,21 @@ class SourcesSpec extends SparkSpec {
     assert(out.schema("action_id").dataType === LongType)
   }
 
+  test("S9: registerViews gives a drop-in spark.sql endpoint over the warehouse") {
+    Tables.registerViews(spark, sfDir)
+    graft.functions.GraftFunctions.register(spark)
+    // a measure query in pure SQL, including a registered native expr
+    val rows = spark.sql(
+      """SELECT c_name, count(*) AS n FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_name ORDER BY n DESC, c_name LIMIT 3""".stripMargin).collect()
+    assert(rows.length === 3 && rows.head.getLong(1) > 0)
+    // events view goes through the nanos-aware loader: ts is a usable timestamp
+    val days = spark.sql(
+      "SELECT count(DISTINCT date_trunc('DAY', ts)) FROM events").head().getLong(0)
+    assert(days > 0)
+  }
+
   test("S5/§4: partitioned layout prunes partitions under slicer predicates") {
     val dir = Files.createTempDirectory("graft_layout").resolve("facts").toString
     val events = Tables.events(spark, sfDir)

@@ -107,6 +107,36 @@ class StreamIngestSpec extends SparkSpec {
     assert(got((ts("2024-01-02 00:00:00"), "view")) === 1L)
   }
 
+  test("ST1/ST2: restart from checkpoint processes only new files, exactly once") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_restart")
+    val src = dir.resolve("in").toString
+    val sink = dir.resolve("out").toString
+    val chk = dir.resolve("chk").toString
+    val batch1 = Seq(Ev(1, ts("2024-01-01 10:00:00"), 7, "signup", 1.0),
+      Ev(2, ts("2024-01-01 10:00:01"), 8, "view", 2.0)).toDF()
+    batch1.write.parquet(src)
+    def drain(): Unit = {
+      val q = spark.readStream.schema(batch1.schema).parquet(src)
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", chk)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000)
+      q.stop()
+    }
+    drain()
+    assert(spark.read.parquet(sink).count() === 2)
+    // new file lands while the query is DOWN; restart resumes from the
+    // checkpointed offsets — old files are not reprocessed
+    Seq(Ev(3, ts("2024-01-01 10:00:02"), 7, "purchase", 9.0)).toDF()
+      .write.mode("append").parquet(src)
+    drain()
+    val ids = spark.read.parquet(sink).select("event_id").as[Long]
+      .collect().sorted
+    assert(ids.toSeq === Seq(1L, 2L, 3L),
+      "restart must deliver each source file exactly once")
+  }
+
   test("ST1: idempotent sink append — replayed batch adds nothing") {
     val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString + "/t"
     val batch = Seq(Ev(1, ts("2024-01-01 10:00:00"), 7, "signup", 1.0),
