@@ -131,7 +131,26 @@ object SparkEntry {
       t(s, d, "events")
         .select(col("event_id"),
           to_json(struct(col("event_id"), col("event_type"))).as("raw_data"))
-        .orderBy("event_id"))
+        .orderBy("event_id")),
+    // DQ1 (beyond reference): column profiling — null and distinct
+    // counts per column in ONE aggregation pass (multiple
+    // count-distincts plan via Expand), then the 1-row result is
+    // checkpointed and unpivoted. The standard post-ingest data-quality
+    // gate for a 100 TB load: one scan, no matter how many columns.
+    "dq1_profile" -> ((s, d) => {
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderpriority")
+      val aggs = cols.flatMap(c => Seq(
+        countDistinct(col(c)).as(s"d_$c"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn_$c")
+      )) :+ count(lit(1)).as("n_rows")
+      val one = t(s, d, "orders").agg(aggs.head, aggs.tail: _*).localCheckpoint(true)
+      cols.map(c => one.select(
+          lit(c).as("col_name"), col("n_rows"),
+          col(s"nn_$c").as("n_nulls"), col(s"d_$c").as("n_distinct")))
+        .reduce(_ unionByName _)
+        .orderBy("col_name")
+    })
   )
 
   private val sourceOracles: Map[String, String] = Map(
@@ -146,6 +165,19 @@ object SparkEntry {
     "s4_schema_gate" ->
       """SELECT event_id, (json_extract_string(props, '$.k'))::BIGINT AS k
         |FROM events WHERE json_valid(props) ORDER BY event_id""".stripMargin,
+    "dq1_profile" -> {
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderpriority")
+      // CAST: DuckDB sums of ints widen to HUGEINT; Spark emits BIGINT
+      val aggExprs = cols.flatMap(c => Seq(
+        s"count(DISTINCT $c) AS d_$c",
+        s"CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_$c")).mkString(", ")
+      val arms = cols.map(c =>
+        s"SELECT '$c' AS col_name, n_rows, nn_$c AS n_nulls, d_$c AS n_distinct FROM one")
+        .mkString(" UNION ALL ")
+      s"""WITH one AS (SELECT count(*) AS n_rows, $aggExprs FROM orders)
+         |$arms ORDER BY col_name""".stripMargin
+    },
     "s5_route_whitelist" ->
       """SELECT event_id, user_id, 'office_' || (user_id % 3) AS office
         |FROM events WHERE (user_id % 3) IN (0, 1) ORDER BY event_id""".stripMargin,
@@ -715,7 +747,21 @@ object SparkEntry {
             .over(Window.partitionBy(col("user_id")).orderBy(col("us"))
               .rangeBetween(-604800000000L, 0L))
             .cast("double").as("trailing_7d"))
-        .orderBy("user_id", "event_id"))
+        .orderBy("user_id", "event_id")),
+    // W9 (beyond reference): SCD type-2 intervals — turn the
+    // append-only state log into validity ranges (effective_from /
+    // effective_to, NULL = current), the warehouse-dimension form of
+    // the reference's latest-state snapshot (W1 keeps only the last
+    // interval; this keeps the full history queryable by time).
+    "w9_scd2_intervals" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, d, "events")
+        .select(col("user_id"), col("event_id"), col("event_type").as("state"),
+          col("ts").as("effective_from"),
+          lead(col("ts"), 1).over(w).as("effective_to"),
+          lead(col("ts"), 1).over(w).isNull.cast("int").as("is_current"))
+        .orderBy("user_id", "event_id")
+    })
   )
 
   private val windowOracles: Map[String, String] = Map(
@@ -778,7 +824,14 @@ object SparkEntry {
       """SELECT event_id, user_id, value,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
         |       RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_7d
-        |FROM events ORDER BY user_id, event_id""".stripMargin
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
+    "w9_scd2_intervals" ->
+      """SELECT user_id, event_id, event_type AS state,
+        |  ts AS effective_from,
+        |  lead(ts) OVER w AS effective_to,
+        |  CAST(lead(ts) OVER w IS NULL AS INT) AS is_current
+        |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, event_id""".stripMargin
   )
 
   // ---- O: sort / limit / offset ------------------------------------------
