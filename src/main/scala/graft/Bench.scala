@@ -17,6 +17,14 @@ object Bench {
     "d2_ngram_jaccard_pairs" // O(n²) exact-Jaccard baseline for d3
   )
 
+  /** Execute the query's OWN plan to completion and count rows.
+    * `df.count()` would let Catalyst prune windows/sorts/projections
+    * that cannot change the row count — timing a different (cheaper)
+    * query than the one declared. `toRdd` materializes every column of
+    * the unmodified plan without collecting data to the driver. */
+  def force(df: org.apache.spark.sql.DataFrame): Long =
+    df.queryExecution.toRdd.count()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -35,7 +43,7 @@ object Bench {
       .foreach(n => Tables.table(spark, sfDir, n).count())
     Tables.events(spark, sfDir).count() // nanos-aware loader
 
-    SparkEntry.queries("flagship_manager_dashboard")(spark, sfDir).count()
+    force(SparkEntry.queries("flagship_manager_dashboard")(spark, sfDir))
     // Two timed executions per query, report the min: single-shot
     // numbers carry ±25% JIT/codegen/page-cache noise (round 1's
     // driver run showed a 15.7s spike on a 0.6s query), and the
@@ -45,7 +53,7 @@ object Bench {
       .map { case (name, fn) =>
         val runs = (1 to 2).map { _ =>
           val t0 = System.nanoTime()
-          val n = try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+          val n = try { force(fn(spark, sfDir)) } catch { case _: Throwable => -1L }
           (System.nanoTime() - t0) / 1e9 -> n
         }
         val (secs, n) = runs.minBy(_._1)

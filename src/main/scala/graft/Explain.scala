@@ -28,7 +28,7 @@ object Explain {
     df.explain("formatted")
     (1 to runs).foreach { i =>
       val t0 = System.nanoTime()
-      val n = df.count()
+      val n = Bench.force(df)
       println(f"[explain] run $i: ${(System.nanoTime() - t0) / 1e9}%.2fs rows=$n")
     }
     spark.stop()

@@ -27,7 +27,7 @@ object ScaleCheck {
     names.foreach { name =>
       val secs = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
-        val n = SparkEntry.queries(name)(spark, dir).count()
+        val n = Bench.force(SparkEntry.queries(name)(spark, dir))
         (System.nanoTime() - t0) / 1e9 -> n
       }
       val (best, rows) = secs.minBy(_._1)

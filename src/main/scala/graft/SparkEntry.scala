@@ -737,16 +737,16 @@ object SparkEntry {
           ntile(4).over(Window.orderBy(col("c_acctbal"), col("c_custkey")))
             .as("quartile"))
         .orderBy("c_custkey")),
-    // W8 (beyond reference): RANGE frame — trailing-7-day sum per user
-    // in the µs domain (value-range frames, not row counts).
+    // W8 (beyond reference): trailing-7-day sum per user with RANGE-
+    // frame semantics. Computed via prefix sums + as-of boundary lookup
+    // (TrailingWindow) — the naive bounded RANGE frame re-aggregates
+    // the whole frame per row (228 s vs 20 s on the 100× replica); the
+    // DuckDB oracle IS the naive frame, pinning the equivalence.
     "w8_range_frame" -> ((s, d) =>
-      t(s, d, "events")
-        .withColumn("us", unix_micros(col("ts")))
-        .select(col("event_id"), col("user_id"), col("value"),
-          sum(col("value").cast("decimal(18,2)"))
-            .over(Window.partitionBy(col("user_id")).orderBy(col("us"))
-              .rangeBetween(-604800000000L, 0L))
-            .cast("double").as("trailing_7d"))
+      graft.operators.TrailingWindow.trailingSumMicros(
+          t(s, d, "events").withColumn("us", unix_micros(col("ts"))),
+          Seq("user_id"), "us", col("value"), 604800000000L, "trailing_7d")
+        .select(col("event_id"), col("user_id"), col("value"), col("trailing_7d"))
         .orderBy("user_id", "event_id")),
     // W9 (beyond reference): SCD type-2 intervals — turn the
     // append-only state log into validity ranges (effective_from /

@@ -45,6 +45,42 @@ class AsOfSpec extends SparkSpec {
     assert(out(4L) === None, "matches must not leak across keys")
   }
 
+  test("trailing-window sum equals the naive RANGE frame (peers + boundary)") {
+    import graft.operators.TrailingWindow
+    import org.apache.spark.sql.expressions.Window
+    // handcrafted: same-timestamp peers (2,3), an exact-boundary row
+    // (1 at t=0 with window 10 probed from t=10), and a separate key
+    val rows = Seq(
+      (1L, 10L, 0L, 1.0), (2L, 10L, 5L, 2.0), (3L, 10L, 5L, 4.0),
+      (4L, 10L, 10L, 8.0), (5L, 10L, 16L, 16.0), (6L, 20L, 5L, 32.0)
+    ).toDF("event_id", "user_id", "us", "value")
+    def naive(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("event_id"),
+        sum(col("value").cast("decimal(18,2)"))
+          .over(Window.partitionBy(col("user_id")).orderBy(col("us"))
+            .rangeBetween(-10L, 0L)).cast("double").as("t"))
+    val fast = TrailingWindow
+      .trailingSumMicros(rows, Seq("user_id"), "us", col("value"), 10L, "t")
+      .select("event_id", "t").as[(Long, Double)].collect().toMap
+    val slow = naive(rows).as[(Long, Double)].collect().toMap
+    assert(fast === slow)
+    // peers see each other; t=10 still includes the t=0 boundary row
+    assert(fast(2L) === 7.0 && fast(3L) === 7.0)
+    assert(fast(4L) === 15.0)
+    assert(fast(5L) === 24.0, "t=16 window [6,16] must drop rows at t<=5")
+    // and on real data
+    val ev = Tables.events(spark, sfDir).withColumn("us", unix_micros(col("ts")))
+    val f2 = TrailingWindow
+      .trailingSumMicros(ev, Seq("user_id"), "us", col("value"), 604800000000L, "t")
+      .select("event_id", "t").as[(Long, Double)].collect().toMap
+    val s2 = ev.select(col("event_id"),
+        sum(col("value").cast("decimal(18,2)"))
+          .over(Window.partitionBy(col("user_id")).orderBy(col("us"))
+            .rangeBetween(-604800000000L, 0L)).cast("double").as("t"))
+      .as[(Long, Double)].collect().toMap
+    assert(f2 === s2)
+  }
+
   test("as-of equals the quadratic reference formulation on real data") {
     val ev = Tables.events(spark, sfDir)
     val purchases = ev.filter(col("event_type") === "purchase")

@@ -58,6 +58,22 @@ class SourcesSpec extends SparkSpec {
     assert(out.schema("action_id").dataType === LongType)
   }
 
+  test("Graft.session + attach: one-call setup serves SQL with the rule installed") {
+    val s = Graft.session(master = "local[4]")
+    try {
+      Graft.attach(s, sfDir)
+      assert(s.sql("SELECT count(*) FROM lineitem").head().getLong(0) > 0)
+      // native function is SQL-callable without further setup
+      val d = s.sql("SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d))")
+        .head().getDouble(0)
+      assert(d === 11.0)
+      assert(s.experimental.extraOptimizations
+        .exists(_.isInstanceOf[graft.plans.BroadcastDims]))
+    } finally {
+      s.experimental.extraOptimizations = Nil
+    }
+  }
+
   test("S9: registerViews gives a drop-in spark.sql endpoint over the warehouse") {
     Tables.registerViews(spark, sfDir)
     graft.functions.GraftFunctions.register(spark)
