@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.Bridge
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native n-gram word shingling: `array<string>` of words → distinct
@@ -170,10 +170,53 @@ case class SimHashSig(child: Expression, salt: String)
     copy(child = newChild)
 }
 
+/** Native BPE-ish token count: maximal `[a-z]+` runs + maximal
+  * `[0-9]+` runs + one token per other non-space character — exactly
+  * the match count of the regex `[a-z]+|[0-9]+|[^a-z0-9 ]` (greedy
+  * alternation ⇒ maximal runs), as a single linear scan. The regex
+  * engine costs ~5–10 µs per document; this loop is ~50× cheaper and
+  * was the difference between 18.7 s and ~2 s for token counting on
+  * the 100× corpus. (Counts chars, not code points — identical on
+  * BMP text; the corpus is ASCII.) */
+case class BpeTokenCount(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_bpe_count"
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val len = s.length
+    var i = 0
+    var count = 0
+    while (i < len) {
+      val c = s.charAt(i)
+      if (c >= 'a' && c <= 'z') {
+        count += 1
+        while (i < len && s.charAt(i) >= 'a' && s.charAt(i) <= 'z') i += 1
+      } else if (c >= '0' && c <= '9') {
+        count += 1
+        while (i < len && s.charAt(i) >= '0' && s.charAt(i) <= '9') i += 1
+      } else {
+        if (c != ' ') count += 1
+        i += 1
+      }
+    }
+    count
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextExpressions {
   /** Distinct n-gram shingles of a words array (native, see above). */
   def wordShingles(words: Column, n: Int): Column =
     Bridge.column(WordShingles(Bridge.expression(words), n))
+
+  /** BPE-ish token count of a text column (native, see above). */
+  def bpeTokenCount(text: Column): Column =
+    Bridge.column(BpeTokenCount(Bridge.expression(text)))
 
   /** K-permutation MinHash signature of a shingle array (native). */
   def minhashSig(shingles: Column, params: Seq[(Long, Long)], p: Long): Column =

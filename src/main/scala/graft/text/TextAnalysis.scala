@@ -92,13 +92,16 @@ object TextAnalysis {
       .withColumn("stop_ratio", round(stopRatio, 4))
   }
 
-  /** Token counting: whitespace tokens + a BPE-ish regex segmentation
-    * (letter runs / digit runs / single punctuation). */
+  /** Token counting: whitespace tokens + a BPE-ish segmentation
+    * (letter runs / digit runs / single punctuation — the native
+    * [[graft.functions.BpeTokenCount]] scan; equivalence with the
+    * regex `[a-z]+|[0-9]+|[^a-z0-9 ]` is pinned in TextAnalysisSpec
+    * and by the DuckDB regex oracle). */
   def withTokenCounts(docs: DataFrame): DataFrame =
     docs
       .withColumn("n_ws_tokens", size(words(col("text"))))
       .withColumn("n_bpe_tokens",
-        size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))))
+        graft.functions.TextExpressions.bpeTokenCount(col("text")))
 
   /** Document fingerprint: position-salted rolling-style hash folded
     * with BIT_XOR — order-sensitive (token swaps change it) yet

@@ -15,6 +15,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.getAs[Int]("n_bpe_tokens") === 6)
   }
 
+  test("native BpeTokenCount equals the regex formulation") {
+    import org.apache.spark.sql.functions._
+    val tricky = Seq(
+      (1L, "abc def"), (2L, "abc123def"), (3L, "!!a1!b..c "),
+      (4L, ""), (5L, "   "), (6L, "42"), (7L, "a,b.c;d 99x")
+    ).toDF("doc_id", "text")
+    val corpus = Tables.table(spark, sfDir, "documents").select("doc_id", "text")
+    Seq(tricky, corpus).foreach { df =>
+      val both = df.select(col("doc_id"),
+        graft.functions.TextExpressions.bpeTokenCount(col("text")).as("native"),
+        size(regexp_extract_all(col("text"),
+          lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).as("regex"))
+      assert(both.filter(col("native") =!= col("regex")).count() === 0L)
+    }
+  }
+
   test("T4: fingerprint is order-sensitive but deterministic") {
     val df = Seq((1L, "a b c"), (2L, "c b a"), (3L, "a b c")).toDF("doc_id", "text")
     val fp = TextAnalysis.fingerprints(df).as[(Long, Long)].collect().toMap
