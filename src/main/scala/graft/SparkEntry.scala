@@ -875,6 +875,18 @@ object SparkEntry {
       o.filter(col("o_custkey") % 2 === 0)
         .intersect(o.filter(col("o_orderkey") % 3 === 0))
         .orderBy("o_orderkey")
+    }),
+    // U5 (beyond reference): EXCEPT ALL — bag semantics. Subtracting
+    // the DISTINCT 'R' rows removes exactly ONE copy per duplicated
+    // (orderkey, flag) pair and drops singletons — multiplicity
+    // arithmetic the set-form EXCEPT cannot express.
+    "u5_except_all" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_returnflag"))
+      li.exceptAll(li.filter(col("l_returnflag") === "R").distinct())
+        .groupBy(col("l_orderkey"), col("l_returnflag"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("l_orderkey", "l_returnflag")
     })
   )
 
@@ -897,7 +909,15 @@ object SparkEntry {
       """SELECT o_orderkey, o_custkey FROM orders WHERE o_custkey % 2 = 0
         |INTERSECT
         |SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey % 3 = 0
-        |ORDER BY o_orderkey""".stripMargin
+        |ORDER BY o_orderkey""".stripMargin,
+    "u5_except_all" ->
+      """WITH li AS (SELECT l_orderkey, l_returnflag FROM lineitem),
+        |rem AS (
+        |  SELECT * FROM li
+        |  EXCEPT ALL
+        |  SELECT DISTINCT l_orderkey, l_returnflag FROM li WHERE l_returnflag = 'R')
+        |SELECT l_orderkey, l_returnflag, count(*) AS n
+        |FROM rem GROUP BY 1, 2 ORDER BY l_orderkey, l_returnflag""".stripMargin
   )
 
   // ---- F: scalar functions ------------------------------------------------

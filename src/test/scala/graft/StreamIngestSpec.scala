@@ -137,6 +137,42 @@ class StreamIngestSpec extends SparkSpec {
       "restart must deliver each source file exactly once")
   }
 
+  test("ST2/E3: scheduled mart refresh — bronze append + KPI overwrite per drain") {
+    // the reference's Import-mode refresh: events land in the warehouse,
+    // the measure mart is recomputed on schedule. Here: foreachBatch
+    // appends idempotently to bronze, then rebuilds the mart — rerun
+    // with late + duplicate events and the mart stays consistent.
+    val dir = java.nio.file.Files.createTempDirectory("graft_mart")
+    val src = dir.resolve("in").toString
+    val bronze = dir.resolve("bronze").toString
+    val mart = dir.resolve("mart").toString
+    val schema = Seq(Ev(0, ts("2024-01-01 00:00:00"), 0, "x", 0.0)).toDF().schema
+    def refresh(): Unit = {
+      val q = spark.readStream.schema(schema).parquet(src)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          StreamIngest.idempotentAppend(batch, bronze, "event_id")
+          spark.read.parquet(bronze).groupBy("event_type").count()
+            .write.mode("overwrite").parquet(mart)
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", dir.resolve("chk").toString)
+        .start()
+      q.awaitTermination(60000); q.stop()
+    }
+    Seq(Ev(1, ts("2024-01-01 10:00:00"), 7, "signup", 1.0),
+      Ev(2, ts("2024-01-01 10:00:01"), 8, "view", 2.0)).toDF().write.parquet(src)
+    refresh()
+    // second refresh: one new event + one duplicate delivery of event 1
+    Seq(Ev(3, ts("2024-01-01 11:00:00"), 7, "view", 3.0),
+      Ev(1, ts("2024-01-01 10:00:00"), 7, "signup", 1.0)).toDF()
+      .write.mode("append").parquet(src)
+    refresh()
+    val kpis = spark.read.parquet(mart).as[(String, Long)].collect().toMap
+    assert(kpis === Map("signup" -> 1L, "view" -> 2L),
+      "duplicate delivery must not inflate the refreshed mart")
+  }
+
   test("ST1: idempotent sink append — replayed batch adds nothing") {
     val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString + "/t"
     val batch = Seq(Ev(1, ts("2024-01-01 10:00:00"), 7, "signup", 1.0),
