@@ -322,6 +322,26 @@ object SparkEntry {
         .withColumn("us_since_signup",
           unix_micros(col("ts")) - unix_micros(col("signup_ts")))
         .orderBy("event_id")
+    }),
+    // J8 (beyond reference): interval join — ALL signups within the
+    // hour before each purchase (attribution window), vs j7's single
+    // latest match. Equality on the key bounds the range probe to one
+    // user's events; the streaming twin (ST9) runs the same condition
+    // as a watermarked stream-stream join (StreamIngestSpec).
+    "j8_interval_join" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts").as("p_ts"))
+      val g = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts").as("s_ts"),
+          col("event_id").as("signup_id"))
+      p.join(g, Seq("user_id"))
+        .filter(col("s_ts") <= col("p_ts") &&
+          col("s_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
+        .select(col("purchase_id"), col("user_id"), col("signup_id"),
+          (unix_micros(col("p_ts")) - unix_micros(col("s_ts"))).as("us_gap"))
+        .orderBy("purchase_id", "signup_id")
     })
   )
 
@@ -372,7 +392,15 @@ object SparkEntry {
         |FROM p LEFT JOIN s ON s.user_id = p.user_id AND s.signup_ts <= p.ts
         |QUALIFY row_number() OVER (PARTITION BY p.event_id
         |  ORDER BY s.signup_ts DESC NULLS LAST, s.signup_event_id DESC NULLS LAST) = 1
-        |ORDER BY p.event_id""".stripMargin
+        |ORDER BY p.event_id""".stripMargin,
+    "j8_interval_join" ->
+      """WITH p AS (SELECT event_id AS purchase_id, user_id, ts AS p_ts FROM events WHERE event_type = 'purchase'),
+        |s AS (SELECT user_id, ts AS s_ts, event_id AS signup_id FROM events WHERE event_type = 'signup')
+        |SELECT purchase_id, user_id, signup_id,
+        |  epoch_us(p_ts) - epoch_us(s_ts) AS us_gap
+        |FROM p JOIN s USING (user_id)
+        |WHERE s_ts <= p_ts AND s_ts >= p_ts - INTERVAL 1 HOUR
+        |ORDER BY purchase_id, signup_id""".stripMargin
   )
 
   // ---- A: aggregations ----------------------------------------------------

@@ -85,6 +85,29 @@ object StreamIngest {
       .select(col("w.start").as("day_start"), col("event_type"),
         col("count").as("n"))
 
+  /** ST9: stream-stream interval join — attribute each purchase to the
+    * signups of the same user within the preceding hour, as both sides
+    * arrive. Watermarks bound the buffered state on each side: a
+    * purchase can stop waiting for signups once the signup watermark
+    * passes its window start; Spark derives the eviction from the join
+    * condition. Batch twin: `j8_interval_join` (same condition). */
+  def purchaseAttribution(purchases: DataFrame, signups: DataFrame,
+                          lateness: String = "1 hour"): DataFrame = {
+    val p = purchases
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", lateness)
+    val s = signups
+      .select(col("event_id").as("signup_id"), col("user_id").as("s_user"),
+        col("ts").as("s_ts"))
+      .withWatermark("s_ts", lateness)
+    p.join(s, expr(
+      """p_user = s_user AND
+        |s_ts <= p_ts AND s_ts >= p_ts - INTERVAL 1 HOUR""".stripMargin))
+      .select(col("purchase_id"), col("p_user").as("user_id"),
+        col("signup_id"), col("p_ts"), col("s_ts"))
+  }
+
   /** ST1/ST2 sink: idempotent append per micro-batch (the reference's
     * ON CONFLICT DO NOTHING against already-landed rows). For plain
     * parquet this anti-joins the sink's key set; a transactional table

@@ -137,6 +137,28 @@ class StreamIngestSpec extends SparkSpec {
       "restart must deliver each source file exactly once")
   }
 
+  test("ST9: stream-stream interval join attributes purchases to in-window signups") {
+    implicit val sqlCtx = spark.sqlContext
+    val purchases = MemoryStream[Ev]
+    val signups = MemoryStream[Ev]
+    val q = StreamIngest.purchaseAttribution(purchases.toDF(), signups.toDF())
+      .writeStream.format("memory").queryName("st9_out").outputMode("append").start()
+    signups.addData(
+      Ev(10, ts("2024-01-01 09:30:00"), 7, "signup", 0.0),  // in window
+      Ev(11, ts("2024-01-01 08:30:00"), 7, "signup", 0.0),  // too early
+      Ev(12, ts("2024-01-01 09:45:00"), 8, "signup", 0.0))  // other user
+    purchases.addData(Ev(1, ts("2024-01-01 10:00:00"), 7, "purchase", 5.0))
+    q.processAllAvailable()
+    // the other side arriving later still joins (state retained by watermark)
+    signups.addData(Ev(13, ts("2024-01-01 09:59:00"), 7, "signup", 0.0))
+    q.processAllAvailable()
+    val got = spark.table("st9_out")
+      .select("purchase_id", "signup_id").as[(Long, Long)].collect().toSet
+    q.stop()
+    assert(got === Set((1L, 10L), (1L, 13L)),
+      "exactly the same-user in-window signups must attribute")
+  }
+
   test("ST2/E3: scheduled mart refresh — bronze append + KPI overwrite per drain") {
     // the reference's Import-mode refresh: events land in the warehouse,
     // the measure mart is recomputed on schedule. Here: foreachBatch
