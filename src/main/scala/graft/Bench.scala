@@ -57,6 +57,12 @@ object Bench {
           (System.nanoTime() - t0) / 1e9 -> n
         }
         val (secs, n) = runs.minBy(_._1)
+        // drop this query's localCheckpoint blocks: without it the
+        // checkpointed intermediates of ~10 queries × 2 runs accumulate
+        // in the heap and later queries pay GC pressure (x1 measured
+        // 0.7 s early in the sweep vs 7.6 s late).
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
         System.err.println(f"[bench] $name%-28s $secs%8.2fs rows=$n")
         name -> secs
       }

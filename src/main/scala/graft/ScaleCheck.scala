@@ -31,6 +31,8 @@ object ScaleCheck {
         (System.nanoTime() - t0) / 1e9 -> n
       }
       val (best, rows) = secs.minBy(_._1)
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
       println(f"[scale] $name%-28s ${best}%8.2fs rows=$rows dir=$dir")
     }
     spark.stop()

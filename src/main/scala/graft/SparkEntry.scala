@@ -1533,7 +1533,12 @@ object SparkEntry {
     // T6: top-3 TF-IDF terms per document.
     "t6_tfidf" -> ((s, d) =>
       graft.text.Chunking.tfidfTopTerms(t(s, d, "documents"))
-        .orderBy(col("doc_id"), col("tfidf").desc, col("term")))
+        .orderBy(col("doc_id"), col("tfidf").desc, col("term"))),
+    // T7: unigram-LM quality score (CCNet-style perplexity filter) —
+    // mean token negative log-prob under corpus-trained unigrams.
+    "t7_unigram_nll" -> ((s, d) =>
+      graft.text.Chunking.unigramLogProb(t(s, d, "documents"))
+        .orderBy("doc_id"))
   )
 
   private val shapeOracles: Map[String, String] = Map(
@@ -1575,7 +1580,17 @@ object SparkEntry {
         |  FROM tf JOIN df USING (term) CROSS JOIN n)
         |SELECT doc_id, term, tf, df, tfidf FROM (
         |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn FROM sc)
-        |WHERE rn <= 3 ORDER BY doc_id, tfidf DESC, term""".stripMargin
+        |WHERE rn <= 3 ORDER BY doc_id, tfidf DESC, term""".stripMargin,
+    "t7_unigram_nll" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |counts AS (SELECT term, count(*) AS c FROM tok GROUP BY 1),
+        |total AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM counts),
+        |model AS (SELECT term, CAST(-ln(c * 1.0 / total) AS DECIMAL(20,12)) AS nll
+        |  FROM counts CROSS JOIN total)
+        |SELECT doc_id, count(*) AS n_tok,
+        |  round(CAST(sum(nll) AS DOUBLE) / count(*), 6) AS avg_nll
+        |FROM tok JOIN model USING (term)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 
   // ---- X: scan-heavy warehouse workload (lineitem/part/supplier) ----------

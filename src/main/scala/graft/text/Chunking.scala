@@ -49,6 +49,31 @@ object Chunking {
       .withColumn("pack_id", ((col("cum_tok") - col("n_tok")) / capacity).cast("long"))
   }
 
+  /** Unigram language-model scoring — the CCNet-style perplexity
+    * filter: train unigram probabilities on the corpus itself, score
+    * each document by its mean token negative log-probability (low =
+    * fluent/common, high = rare/garbled). Two shuffles (corpus term
+    * counts, per-doc mean); the model is a broadcast of the (tiny)
+    * vocabulary. A real deployment swaps the self-trained unigrams for
+    * a held-out LM's token probabilities — the pipeline shape is
+    * identical. */
+  def unigramLogProb(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"), explode(words(col("text"))).as("term"))
+    val counts = tok.groupBy(col("term")).agg(count(lit(1)).as("c"))
+    val total = counts.agg(sum(col("c")).as("total"))
+    // quantize each term's nll to DECIMAL once (per-VOCAB-term, not
+    // per-token), so the per-doc aggregation is associative-exact —
+    // averaging raw doubles would make the result depend on partition
+    // order.
+    val model = counts.join(broadcast(total))
+      .select(col("term"),
+        (-log(col("c") * lit(1.0) / col("total"))).cast("decimal(20,12)").as("nll"))
+    tok.join(model, "term")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"),
+        round(sum(col("nll")).cast("double") / count(lit(1)), 6).as("avg_nll"))
+  }
+
   /** Per-document top-k TF-IDF terms: tf(d,t) * ln(N / df(t)), the
     * classic relevance / keyword-extraction score. Two aggregations
     * (term frequency per doc, document frequency per term) + a
