@@ -1263,7 +1263,11 @@ object SparkEntry {
     // E6: IVF build step — nearest-centroid assignment (deterministic
     // seeds ⇒ exact oracle, unlike the end-to-end approximate e4).
     "e6_centroid_assign" -> ((s, d) =>
-      graft.similarity.Ann.centroidAssign(t(s, d, "embeddings"), 8).orderBy("vec_id"))
+      graft.similarity.Ann.centroidAssign(t(s, d, "embeddings"), 8).orderBy("vec_id")),
+    // E7: product-quantization encoding (8 subspaces × 16 centroids =
+    // 32 bits/vector) with exact reconstruction error.
+    "e7_pq_encode" -> ((s, d) =>
+      graft.similarity.Ann.pqEncode(t(s, d, "embeddings")).orderBy("vec_id"))
   )
 
   private val simOracles: Map[String, String] = Map(
@@ -1286,6 +1290,22 @@ object SparkEntry {
          |      / (a.nrm * b.nrm), 6) AS sim
          |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
          |WHERE sim >= 0.35 ORDER BY d1, d2""".stripMargin,
+    "e7_pq_encode" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |sub AS (SELECT vec_id, j AS sub, v[j*8+1 : j*8+8] AS sv
+        |  FROM e, (SELECT unnest(range(8)) AS j)),
+        |cb AS (SELECT sub, vec_id AS centroid_id, sv AS cv FROM sub WHERE vec_id < 16),
+        |d AS (SELECT s.vec_id, s.sub, c.centroid_id,
+        |    list_reduce(list_apply(range(1, 9),
+        |      i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i])), (a,b) -> a+b) AS d2
+        |  FROM sub s JOIN cb c USING (sub)),
+        |best AS (SELECT vec_id, sub, centroid_id AS code, CAST(d2 AS DECIMAL(20,12)) AS qd
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, centroid_id) AS rn FROM d)
+        |  WHERE rn = 1)
+        |SELECT vec_id,
+        |  array_to_string(list(code ORDER BY sub), ',') AS codes,
+        |  round(CAST(sum(qd) AS DOUBLE) / 64, 6) AS mse
+        |FROM best GROUP BY vec_id ORDER BY vec_id""".stripMargin,
     "e6_centroid_assign" ->
       s"""$cosineCte,
          |c AS (SELECT vec_id AS centroid_id, v AS cv, nrm AS cn FROM n WHERE vec_id < 8),

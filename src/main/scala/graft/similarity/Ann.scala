@@ -441,6 +441,43 @@ object Ann {
     * the k-row centroid table; cost is O(n·k·d) map-side work, no
     * shuffle of the vector corpus — the partitioning primitive that
     * makes [[ivfTopK]] scale. */
+  /** Product-quantization encoding: split each vector into `m`
+    * subspaces, assign every sub-vector to its nearest sub-centroid
+    * (codebook = the first `k` vectors' slices, deterministic seeding
+    * as in [[centroidAssign]]), emit the code string plus the
+    * reconstruction MSE. PQ is the memory-bound ANN storage format —
+    * m log2(k) bits per vector instead of 64 floats — and this is its
+    * build step: an equality join of (vector, subspace) slices against
+    * a broadcast codebook, argmin per cell, one aggregation to
+    * assemble codes. Per-cell distances are strict left folds and the
+    * summed MSE terms are decimal-quantized, so the DuckDB twin
+    * reproduces codes AND error bit-for-bit. */
+  def pqEncode(embeddings: DataFrame, m: Int = 8, k: Int = 16): DataFrame = {
+    val e = prepared(embeddings)
+    val dim = 64 / m
+    val subCols = (0 until m).map(j =>
+      struct(lit(j).as("sub"), slice(col("v"), j * dim + 1, dim).as("sv")))
+    val sub = e.select(col("vec_id"), explode(array(subCols: _*)).as("s"))
+      .select(col("vec_id"), col("s.sub").as("sub"), col("s.sv").as("sv"))
+    val codebook = sub.filter(col("vec_id") < k)
+      .select(col("sub"), col("vec_id").as("centroid_id"), col("sv").as("cv"))
+    val dist2 = aggregate(
+      zip_with(col("sv"), col("cv"), (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, x) => acc + x)
+    val best = sub.join(broadcast(codebook), "sub")
+      .select(col("vec_id"), col("sub"), col("centroid_id"), dist2.as("d2"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id"), col("sub"))
+          .orderBy(col("d2"), col("centroid_id"))))
+      .filter(col("rn") === 1)
+    best.groupBy(col("vec_id"))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("sub"), col("centroid_id").as("code")))),
+          x => x.getField("code").cast("string")), ",").as("codes"),
+        round(sum(col("d2").cast("decimal(20,12)")).cast("double") / 64, 6).as("mse"))
+  }
+
   def centroidAssign(embeddings: DataFrame, k: Int): DataFrame = {
     val e = prepared(embeddings)
     val cents = e.filter(col("vec_id") < k)

@@ -108,6 +108,20 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("E7: codebook vectors PQ-encode to themselves with zero error") {
+    val out = Ann.pqEncode(emb, m = 8, k = 16)
+      .select("vec_id", "codes", "mse").as[(Long, String, Double)].collect()
+    assert(out.length === emb.count())
+    out.filter(_._1 < 16).foreach { case (v, codes, mse) =>
+      assert(codes === Array.fill(8)(v.toString).mkString(","),
+        s"seed vector $v must pick its own slice in every subspace")
+      assert(mse === 0.0)
+    }
+    out.foreach { case (_, codes, mse) =>
+      assert(codes.split(",").length === 8 && mse >= 0.0)
+    }
+  }
+
   test("E1 ranks are dense 1..k per query") {
     val ranks = Ann.cosineTopK(emb.limit(20), 3)
       .groupBy("query_id").agg(collect_list("rank").as("rs"))
