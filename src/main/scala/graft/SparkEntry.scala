@@ -150,6 +150,25 @@ object SparkEntry {
           col(s"nn_$c").as("n_nulls"), col(s"d_$c").as("n_distinct")))
         .reduce(_ unionByName _)
         .orderBy("col_name")
+    }),
+    // DQ2 (beyond reference): referential-integrity audit — orphan
+    // counts per foreign-key relation (anti-join counts), the other
+    // standard post-load gate.
+    "dq2_referential" -> ((s, d) => {
+      // NULL fks are dq1's domain — excluded here so the anti-join and
+      // the oracle's NOT IN (3-valued logic) agree.
+      def orphans(rel: String, fact: DataFrame, fk: String,
+                  dim: DataFrame, pk: String) =
+        fact.filter(col(fk).isNotNull).select(col(fk).as(pk))
+          .join(dim.select(col(pk)), Seq(pk), "left_anti")
+          .agg(lit(rel).as("relation"), count(lit(1)).as("n_orphans"))
+      orphans("lineitem->orders", t(s, d, "lineitem"), "l_orderkey",
+          t(s, d, "orders"), "o_orderkey")
+        .unionByName(orphans("orders->customer", t(s, d, "orders"), "o_custkey",
+          t(s, d, "customer"), "c_custkey"))
+        .unionByName(orphans("customer->nation", t(s, d, "customer"), "c_nationkey",
+          t(s, d, "nation"), "n_nationkey"))
+        .orderBy("relation")
     })
   )
 
@@ -178,6 +197,17 @@ object SparkEntry {
       s"""WITH one AS (SELECT count(*) AS n_rows, $aggExprs FROM orders)
          |$arms ORDER BY col_name""".stripMargin
     },
+    "dq2_referential" ->
+      """SELECT 'lineitem->orders' AS relation,
+        |  (SELECT count(*) FROM lineitem WHERE l_orderkey IS NOT NULL
+        |     AND l_orderkey NOT IN (SELECT o_orderkey FROM orders)) AS n_orphans
+        |UNION ALL SELECT 'orders->customer',
+        |  (SELECT count(*) FROM orders WHERE o_custkey IS NOT NULL
+        |     AND o_custkey NOT IN (SELECT c_custkey FROM customer))
+        |UNION ALL SELECT 'customer->nation',
+        |  (SELECT count(*) FROM customer WHERE c_nationkey IS NOT NULL
+        |     AND c_nationkey NOT IN (SELECT n_nationkey FROM nation))
+        |ORDER BY relation""".stripMargin,
     "s5_route_whitelist" ->
       """SELECT event_id, user_id, 'office_' || (user_id % 3) AS office
         |FROM events WHERE (user_id % 3) IN (0, 1) ORDER BY event_id""".stripMargin,
@@ -544,6 +574,25 @@ object SparkEntry {
           round(expr("percentile(o_totalprice, 0.5)"), 2).as("p50"),
           round(expr("percentile(o_totalprice, 0.9)"), 2).as("p90"))
         .orderBy("status")),
+    // A20 (beyond reference): robust statistics — median + MAD (median
+    // absolute deviation) per stage, the outlier-resistant spread
+    // measure. Deviations are computed from the UNROUNDED median
+    // (identical interpolation arithmetic in both engines); only the
+    // final values round.
+    "a20_robust_stats" -> ((s, d) => {
+      val med = t(s, d, "orders")
+        .groupBy(col("o_orderstatus").as("status"))
+        .agg(expr("percentile(o_totalprice, 0.5)").as("med"))
+      t(s, d, "orders")
+        .select(col("o_orderstatus").as("status"), col("o_totalprice"))
+        .join(broadcast(med), "status")
+        .select(col("status"), col("med"),
+          abs(col("o_totalprice") - col("med")).as("dev"))
+        .groupBy("status")
+        .agg(round(max(col("med")), 2).as("median"),
+          round(expr("percentile(dev, 0.5)"), 2).as("mad"))
+        .orderBy("status")
+    }),
     // A16: fixed-width histogram binning (value-distribution bar chart).
     "a16_histogram" -> ((s, d) =>
       t(s, d, "orders")
@@ -651,6 +700,14 @@ object SparkEntry {
          |  coalesce(o_orderpriority, 'ALL') AS priority
          |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
          |ORDER BY gid, status, priority""".stripMargin,
+    "a20_robust_stats" ->
+      """WITH med AS (SELECT o_orderstatus AS status, quantile_cont(o_totalprice, 0.5) AS med
+        |  FROM orders GROUP BY 1),
+        |dev AS (SELECT status, med, abs(o_totalprice - med) AS dev
+        |  FROM orders JOIN med ON o_orderstatus = status)
+        |SELECT status, round(max(med), 2) AS median,
+        |  round(quantile_cont(dev, 0.5), 2) AS mad
+        |FROM dev GROUP BY status ORDER BY status""".stripMargin,
     "a19_salted_agg" ->
       """SELECT user_id, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
         |  count(*) AS n
