@@ -4,6 +4,20 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+/** Prepared vector row (cast-to-double embedding + precomputed norm).
+  * Top-level: Encoders for nested/private case classes fall back to
+  * interpreted paths. */
+case class PreparedVec(vec_id: Long, v: Array[Double], nrm: Double)
+
+/** One vector's membership in one (LSH table, bucket) cell. */
+case class BucketedVec(tbl: Int, bucket: Int, vec_id: Long, v: Array[Double], nrm: Double)
+
+/** One vector's membership in its (unique) IVF cell. */
+case class CellVec(cell: Int, vec_id: Long, v: Array[Double], nrm: Double)
+
+/** One query's probe of one IVF cell (nProbe rows per query). */
+case class CellProbe(cell: Int, query_id: Long, qv: Array[Double], qn: Double)
+
 /** Similarity search over an embedding column (`Array[Float]`).
   *
   * Two paths:
@@ -179,93 +193,99 @@ object Ann {
     math.max(2, math.min(16,
       math.round(math.log(math.max(2.0, n.toDouble / bucketTarget)) / math.log(2.0)).toInt))
 
-  /** Multi-table sign-LSH top-k via a broadcast bucket INDEX + probe
-    * kernel — the production ANN query shape: build the per-table
-    * bucket → members index once (driver side here; an IVF/LSH shard
-    * per executor at 100 TB), broadcast it, and let each query vector
-    * probe its own buckets, dedupe candidates, and keep a bounded
-    * top-k. Identical output to [[lshTopKJoin]] (same planes, same
-    * candidates, same fold/tiebreak — asserted in AnnSpec); ~50× less
-    * per-candidate overhead than the join, and immune to the join's
-    * skewed-bucket blowup (measured 525 s join vs seconds for the
-    * probe kernel on a 20k-vector clustered corpus). */
+  /** Bounded top-k selection of one query against a cell's members —
+    * the probe kernel shared by [[lshTopK]] and [[ivfTopK]]. Same
+    * strict left-fold dot and (sim desc, id asc) tiebreak as the join
+    * formulations, so outputs stay bit-identical. Emits RAW sims; the
+    * caller ranks globally and rounds once at the end. */
+  private def topKAgainst(qid: Long, qv: Array[Double], qn: Double,
+      cids: Array[Long], cvs: Array[Array[Double]], cns: Array[Double],
+      k: Int): Seq[(Long, Long, Double)] = {
+    val ids = new Array[Long](k)
+    val sims = new Array[Double](k)
+    var filled = 0
+    var ci = 0
+    while (ci < cids.length) {
+      val cid = cids(ci)
+      if (cid != qid) {
+        val cv = cvs(ci)
+        var acc = 0.0
+        var i = 0
+        val n = math.min(qv.length, cv.length)
+        while (i < n) { acc += qv(i) * cv(i); i += 1 }
+        val sim = acc / (qn * cns(ci))
+        // insertion position under (sim desc, id asc) — identical to
+        // row_number() OVER (ORDER BY sim DESC, neighbor_id)
+        var pos = filled
+        while (pos > 0 && (sims(pos - 1) < sim ||
+            (sims(pos - 1) == sim && ids(pos - 1) > cid))) pos -= 1
+        if (pos < k) {
+          val last = math.min(filled, k - 1)
+          var j = last
+          while (j > pos) { sims(j) = sims(j - 1); ids(j) = ids(j - 1); j -= 1 }
+          sims(pos) = sim
+          ids(pos) = cid
+          if (filled < k) filled += 1
+        }
+      }
+      ci += 1
+    }
+    (0 until filled).map(r => (qid, ids(r), sims(r)))
+  }
+
+  /** Global per-query rank over (deduped) candidate partials: window is
+    * partitioned by query_id — bounded rows per query (nTables·k or
+    * nProbe·k), never a global sort. Rounding (HALF_UP, 6) happens here
+    * exactly once, after ranking on raw sims, matching the join twins. */
+  private def rankCandidates(cands: DataFrame, k: Int): DataFrame =
+    cands
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), round(col("sim"), 6).as("sim"), col("rank"))
+
+  /** Multi-table sign-LSH top-k, fully distributed — the production ANN
+    * query shape at 100 TB: vectors explode to their (table, bucket)
+    * cells via the same [[bucketOf]] projection the join twin uses, ONE
+    * shuffle co-locates each cell, and the bounded probe kernel runs
+    * per cell — no driver-side index, no corpus `collect()`. The
+    * per-cell partial top-k is a safe prune (the global top-k of a
+    * union is contained in the union of per-set top-ks); duplicate
+    * candidate pairs from different tables carry bit-identical sims
+    * (same fold) and collapse via `distinct` before the per-query rank.
+    *
+    * Identical output to [[lshTopKJoin]] (same planes, same candidate
+    * set, same fold/tiebreak — asserted in AnnSpec) at the kernel's
+    * per-candidate economics (~50× less row machinery than the join,
+    * and immune to the join's skewed-bucket row blowup: a hot cell
+    * costs O(m²·d) in-register flops, not m² shuffled join rows —
+    * measured 525 s join vs seconds for the probe kernel on a
+    * 20k-vector clustered corpus). Adaptive plane count keeps expected
+    * cell size ≈ bucketTarget as the corpus grows. */
   def lshTopK(embeddings: DataFrame, k: Int, nTables: Int = 8,
       bucketTarget: Int = 64): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val dim = 64
-    val vecs = prepared(embeddings)
-      .select(col("vec_id"), col("v"), col("nrm")).as[(Long, Array[Double], Double)]
-    val all = vecs.collect()
-    val nPlanes = adaptivePlanes(all.length.toLong, bucketTarget)
-    val mats = Array.tabulate(nTables)(t => planes(nPlanes, dim, t))
-    def bucketIdx(v: Array[Double], m: Array[Array[Double]]): Int = {
-      var b = 0
-      var j = 0
-      while (j < m.length) {
-        val p = m(j)
-        var acc = 0.0
-        var i = 0
-        while (i < dim && i < v.length) { acc += v(i) * p(i); i += 1 }
-        if (acc > 0) b |= (1 << j)
-        j += 1
-      }
-      b
+    val n = embeddings.count()
+    val nPlanes = adaptivePlanes(n, bucketTarget)
+    val tables = (0 until nTables).map { tbl =>
+      struct(lit(tbl).as("tbl"), bucketOf(col("v"), planes(nPlanes, dim, tbl)).as("bucket"))
     }
-    // per-table index: bucket -> member positions in `all`
-    val index: Array[Map[Int, Array[Int]]] = mats.map { m =>
-      all.indices.groupBy(i => bucketIdx(all(i)._2, m))
-        .map { case (b, xs) => b -> xs.toArray }
+    val cells = prepared(embeddings)
+      .select(col("vec_id"), col("v"), col("nrm"), explode(array(tables: _*)).as("tb"))
+      .select(col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"),
+        col("vec_id"), col("v"), col("nrm"))
+      .as[BucketedVec]
+    val partial = cells.groupByKey(m => (m.tbl, m.bucket)).flatMapGroups {
+      (_: (Int, Int), it: Iterator[BucketedVec]) =>
+        val ms = it.toArray
+        val cids = ms.map(_.vec_id)
+        val cvs = ms.map(_.v)
+        val cns = ms.map(_.nrm)
+        ms.iterator.flatMap(q => topKAgainst(q.vec_id, q.v, q.nrm, cids, cvs, cns, k))
     }
-    val bcAll = spark.sparkContext.broadcast(all)
-    val bcIdx = spark.sparkContext.broadcast(index)
-    val out = vecs.mapPartitions { it =>
-      val cands = bcAll.value
-      val idx = bcIdx.value
-      it.flatMap { case (qid, qv, qn) =>
-        val seen = new java.util.HashSet[Integer]()
-        val ids = new Array[Long](k)
-        val sims = new Array[Double](k)
-        var filled = 0
-        var t = 0
-        while (t < idx.length) {
-          val members = idx(t).getOrElse(bucketIdx(qv, mats(t)), Array.emptyIntArray)
-          var mi = 0
-          while (mi < members.length) {
-            val ci = members(mi)
-            if (seen.add(ci)) {
-              val (cid, cv, cn) = cands(ci)
-              if (cid != qid) {
-                var acc = 0.0
-                var i = 0
-                val n = math.min(qv.length, cv.length)
-                while (i < n) { acc += qv(i) * cv(i); i += 1 }
-                val sim = acc / (qn * cn)
-                var pos = filled
-                while (pos > 0 && (sims(pos - 1) < sim ||
-                    (sims(pos - 1) == sim && ids(pos - 1) > cid))) pos -= 1
-                if (pos < k) {
-                  val last = math.min(filled, k - 1)
-                  var j = last
-                  while (j > pos) { sims(j) = sims(j - 1); ids(j) = ids(j - 1); j -= 1 }
-                  sims(pos) = sim
-                  ids(pos) = cid
-                  if (filled < k) filled += 1
-                }
-              }
-            }
-            mi += 1
-          }
-          t += 1
-        }
-        (0 until filled).map { r =>
-          val rounded = new java.math.BigDecimal(java.lang.Double.toString(sims(r)))
-            .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
-          (qid, ids(r), rounded, r + 1)
-        }
-      }
-    }.toDF("query_id", "neighbor_id", "sim", "rank")
-    out
+    rankCandidates(partial.toDF("query_id", "neighbor_id", "sim").distinct(), k)
   }
 
   /** IVF (inverted-file) approximate top-k: partition the corpus into
@@ -275,111 +295,114 @@ object Ann {
     * Complementary to [[lshTopK]]: IVF cells adapt to the DATA
     * distribution (centroids sit where vectors are, so clustered
     * corpora get balanced cells — exactly where sign-LSH buckets skew),
-    * at the price of a centroid-selection step. Centroids are a
-    * deterministic stride-sample by vec_id order refined with one
-    * k-means-style mean step (sequential, fixed order ⇒ reproducible
-    * across runs and resumes; no RNG).
+    * at the price of a centroid-selection step.
     *
-    * At 100 TB the centroid table is tiny and broadcast; assignment is
-    * a scan; each executor holds the member lists for its cells
-    * (partitionBy(cell)). Here both sides broadcast, matching the
-    * other kernels. Approximate ⇒ no SQL oracle; recall vs
-    * [[cosineTopK]] asserted in AnnSpec. */
+    * Fully distributed build — only the ≤4096-row centroid table ever
+    * touches the driver:
+    *  1. seeds: top-nCells by `xxhash64(vec_id)` — a deterministic
+    *     pseudo-random spread that plans as TakeOrderedAndProject
+    *     (per-partition top-k + merge), never a corpus collect;
+    *  2. one k-means mean step: map-side assignment against the
+    *     broadcast seeds, then per-(cell, dim) means via EXACT decimal
+    *     sums — associative ⇒ the refined centroids are bit-identical
+    *     regardless of partitioning / shuffle fetch order (no RNG, no
+    *     fp-order nondeterminism; reproducible across runs + resumes);
+    *  3. members: map-side assignment against the broadcast refined
+    *     centroids — each vector lands in exactly one cell;
+    *  4. probe: each query explodes to its nProbe nearest cells
+    *     (map-side against the same broadcast), and a cogroup on cell
+    *     id runs the bounded probe kernel per cell. Cells partition the
+    *     corpus, so per-cell partials are disjoint — no dedup needed
+    *     before the per-query rank.
+    * Approximate ⇒ no SQL oracle; recall vs [[cosineTopK]] asserted in
+    * AnnSpec. */
   def ivfTopK(embeddings: DataFrame, k: Int, nProbe: Int = 4): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val vecs = prepared(embeddings)
-      .select(col("vec_id"), col("v"), col("nrm")).as[(Long, Array[Double], Double)]
-    val all = vecs.collect().sortBy(_._1)
-    val dim = if (all.isEmpty) 0 else all.head._2.length
-    val nCells = math.max(1, math.min(4096, math.round(math.sqrt(all.length.toDouble)).toInt))
-    def cosineTo(v: Array[Double], vn: Double, c: Array[Double], cn: Double): Double = {
-      var acc = 0.0
-      var i = 0
-      val n = math.min(v.length, c.length)
-      while (i < n) { acc += v(i) * c(i); i += 1 }
-      acc / (vn * cn)
+      .select(col("vec_id"), col("v"), col("nrm")).as[PreparedVec]
+    val n = embeddings.count()
+    if (n == 0)
+      return rankCandidates(
+        spark.emptyDataset[(Long, Long, Double)].toDF("query_id", "neighbor_id", "sim"), k)
+    val nCells = math.max(1, math.min(4096, math.round(math.sqrt(n.toDouble)).toInt))
+    val seeds: Array[PreparedVec] = vecs
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(nCells).collect()
+    val dim = seeds.head.v.length
+    val sc = spark.sparkContext
+    val bcSeeds = sc.broadcast((seeds.map(_.v), seeds.map(_.nrm)))
+    // one mean-refinement pass: map-side assign, decimal-exact means
+    val assigned0 = vecs.map { p =>
+      val (cs, cns) = bcSeeds.value
+      (nearestCell(p.v, p.nrm, cs, cns), p.v)
+    }.toDF("cell", "v")
+    val meanRows = assigned0
+      .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("cell"), col("pos"))
+      .agg((sum(col("x").cast("decimal(28,15)")) / count(lit(1))).cast("double").as("m"))
+      .collect()
+    val centroids = Array.tabulate(nCells)(c => seeds(c).v.clone()) // empty cells keep their seed
+    meanRows.foreach { r =>
+      centroids(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
     }
-    def normOf(v: Array[Double]): Double = {
+    val cnorms = centroids.map { v =>
       var acc = 0.0; var i = 0
       while (i < v.length) { acc += v(i) * v(i); i += 1 }
       math.sqrt(acc)
     }
-    // stride-sampled seeds, one mean-refinement pass
-    var centroids = Array.tabulate(nCells)(c => all(c * all.length / nCells)._2.clone())
-    var cnorms = centroids.map(normOf)
-    def assign(v: Array[Double], vn: Double): Int = {
-      var best = 0; var bestSim = Double.NegativeInfinity
-      var c = 0
-      while (c < centroids.length) {
-        val s = cosineTo(v, vn, centroids(c), cnorms(c))
-        if (s > bestSim) { bestSim = s; best = c }
-        c += 1
-      }
-      best
+    val bcCent = sc.broadcast((centroids, cnorms))
+    val members = vecs.map { p =>
+      val (cs, cns) = bcCent.value
+      CellVec(nearestCell(p.v, p.nrm, cs, cns), p.vec_id, p.v, p.nrm)
     }
-    val sums = Array.fill(nCells, dim)(0.0)
-    val counts = new Array[Long](nCells)
-    all.foreach { case (_, v, vn) =>
-      val c = assign(v, vn)
-      var i = 0
-      while (i < dim) { sums(c)(i) += v(i); i += 1 }
-      counts(c) += 1
+    val probes = vecs.flatMap { p =>
+      val (cs, cns) = bcCent.value
+      nearestCells(p.v, p.nrm, cs, cns, nProbe)
+        .map(c => CellProbe(c, p.vec_id, p.v, p.nrm))
     }
-    centroids = Array.tabulate(nCells)(c =>
-      if (counts(c) == 0) centroids(c)
-      else Array.tabulate(dim)(i => sums(c)(i) / counts(c)))
-    cnorms = centroids.map(normOf)
-    val index: Map[Int, Array[Int]] =
-      all.indices.groupBy(i => assign(all(i)._2, all(i)._3))
-        .map { case (c, xs) => c -> xs.toArray }
-    val bcAll = spark.sparkContext.broadcast(all)
-    val bcIdx = spark.sparkContext.broadcast(index)
-    val bcCent = spark.sparkContext.broadcast((centroids, cnorms))
-    vecs.mapPartitions { it =>
-      val cands = bcAll.value
-      val idx = bcIdx.value
-      val (cents, cns) = bcCent.value
-      it.flatMap { case (qid, qv, qn) =>
-        // nProbe nearest cells (sim desc, cell asc tiebreak)
-        val cellSims = cents.indices.map(c => (cosineTo(qv, qn, cents(c), cns(c)), c))
-        val probes = cellSims.sortBy { case (s, c) => (-s, c) }.take(nProbe).map(_._2)
-        val ids = new Array[Long](k)
-        val sims = new Array[Double](k)
-        var filled = 0
-        probes.foreach { cell =>
-          val members = idx.getOrElse(cell, Array.emptyIntArray)
-          var mi = 0
-          while (mi < members.length) {
-            val (cid, cv, cn) = cands(members(mi))
-            if (cid != qid) {
-              var acc = 0.0
-              var i = 0
-              val n = math.min(qv.length, cv.length)
-              while (i < n) { acc += qv(i) * cv(i); i += 1 }
-              val sim = acc / (qn * cn)
-              var pos = filled
-              while (pos > 0 && (sims(pos - 1) < sim ||
-                  (sims(pos - 1) == sim && ids(pos - 1) > cid))) pos -= 1
-              if (pos < k) {
-                val last = math.min(filled, k - 1)
-                var j = last
-                while (j > pos) { sims(j) = sims(j - 1); ids(j) = ids(j - 1); j -= 1 }
-                sims(pos) = sim
-                ids(pos) = cid
-                if (filled < k) filled += 1
-              }
-            }
-            mi += 1
-          }
+    val partial = probes.groupByKey(_.cell).cogroup(members.groupByKey(_.cell)) {
+      (_: Int, qs: Iterator[CellProbe], ms: Iterator[CellVec]) =>
+        val arr = ms.toArray
+        if (arr.isEmpty) Iterator.empty
+        else {
+          val cids = arr.map(_.vec_id)
+          val cvs = arr.map(_.v)
+          val cns = arr.map(_.nrm)
+          qs.flatMap(q => topKAgainst(q.query_id, q.qv, q.qn, cids, cvs, cns, k))
         }
-        (0 until filled).map { r =>
-          val rounded = new java.math.BigDecimal(java.lang.Double.toString(sims(r)))
-            .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
-          (qid, ids(r), rounded, r + 1)
-        }
-      }
-    }.toDF("query_id", "neighbor_id", "sim", "rank")
+    }
+    rankCandidates(partial.toDF("query_id", "neighbor_id", "sim"), k)
+  }
+
+  /** Nearest centroid by cosine (sim desc, cell asc tiebreak via strict
+    * `>` over ascending scan) — the map-side IVF assignment kernel. */
+  private def nearestCell(v: Array[Double], vn: Double,
+      cents: Array[Array[Double]], cnorms: Array[Double]): Int = {
+    var best = 0
+    var bestSim = Double.NegativeInfinity
+    var c = 0
+    while (c < cents.length) {
+      val s = cosineTo(v, vn, cents(c), cnorms(c))
+      if (s > bestSim) { bestSim = s; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** nProbe nearest cells (sim desc, cell asc tiebreak). */
+  private def nearestCells(v: Array[Double], vn: Double,
+      cents: Array[Array[Double]], cnorms: Array[Double], nProbe: Int): Seq[Int] =
+    cents.indices.map(c => (cosineTo(v, vn, cents(c), cnorms(c)), c))
+      .sortBy { case (s, c) => (-s, c) }.take(nProbe).map(_._2)
+
+  private def cosineTo(v: Array[Double], vn: Double,
+      c: Array[Double], cn: Double): Double = {
+    var acc = 0.0
+    var i = 0
+    val n = math.min(v.length, c.length)
+    while (i < n) { acc += v(i) * c(i); i += 1 }
+    acc / (vn * cn)
   }
 
   /** Symmetric int8 quantization of an embedding column — the storage
@@ -434,13 +457,6 @@ object Ann {
     }.toDF("d1", "d2", "sim")
   }
 
-  /** IVF build step, exposed as a standalone (oracle-checked) operator:
-    * assign every vector to its nearest of the first `k` vectors taken
-    * as fixed centroids (deterministic seeding — the k-means++ style
-    * refinement loop would iterate this exact assignment). Broadcast
-    * the k-row centroid table; cost is O(n·k·d) map-side work, no
-    * shuffle of the vector corpus — the partitioning primitive that
-    * makes [[ivfTopK]] scale. */
   /** Product-quantization encoding: split each vector into `m`
     * subspaces, assign every sub-vector to its nearest sub-centroid
     * (codebook = the first `k` vectors' slices, deterministic seeding
@@ -478,6 +494,13 @@ object Ann {
         round(sum(col("d2").cast("decimal(20,12)")).cast("double") / 64, 6).as("mse"))
   }
 
+  /** IVF build step, exposed as a standalone (oracle-checked) operator:
+    * assign every vector to its nearest of the first `k` vectors taken
+    * as fixed centroids (deterministic seeding — the k-means++ style
+    * refinement loop would iterate this exact assignment). Broadcast
+    * the k-row centroid table; cost is O(n·k·d) map-side work, no
+    * shuffle of the vector corpus — the partitioning primitive that
+    * makes [[ivfTopK]] scale. */
   def centroidAssign(embeddings: DataFrame, k: Int): DataFrame = {
     val e = prepared(embeddings)
     val cents = e.filter(col("vec_id") < k)

@@ -122,6 +122,22 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("E2/E4 build no driver-side corpus index: cells shuffle, kernels run per group") {
+    // the round-2 formulation collect()ed the whole corpus to the driver at
+    // DataFrame-construction time; the distributed form must show a shuffle
+    // on the cell key feeding the probe kernel instead.
+    val lsh = Ann.lshTopK(emb, 5).queryExecution.executedPlan.toString
+    assert(lsh.contains("MapGroups"),
+      "LSH probe kernel must run per (table, bucket) group")
+    assert(lsh.contains("hashpartitioning"),
+      "LSH cells must be co-located by shuffle, not a broadcast of collected rows")
+    val ivf = Ann.ivfTopK(emb, 5).queryExecution.executedPlan.toString
+    assert(ivf.contains("CoGroup"),
+      "IVF probe must cogroup query probes with cell members")
+    assert(ivf.contains("hashpartitioning"),
+      "IVF cells must be co-located by shuffle")
+  }
+
   test("E1 ranks are dense 1..k per query") {
     val ranks = Ann.cosineTopK(emb.limit(20), 3)
       .groupBy("query_id").agg(collect_list("rank").as("rs"))
