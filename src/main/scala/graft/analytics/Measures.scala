@@ -83,13 +83,20 @@ object Measures {
     post.foldLeft(base) { case (d, (n, c)) => d.withColumn(n, c) }
   }
 
-  /** A6/W2: top-k leaderboard with deterministic tiebreak. */
+  /** A6/W2: top-k leaderboard with deterministic tiebreak.
+    *
+    * `orderBy().limit(k)` plans as TakeOrderedAndProject (per-partition
+    * bounded top-k + single merge of k·partitions rows); rank is then
+    * assigned post-hoc on the k survivors. The rank-then-filter window
+    * form this replaces pushed the ENTIRE aggregated keyspace through
+    * one partition — harmless over bounded dims, a scale-killer over
+    * unbounded keys (agents/tokens at 100 TB). */
   def topK(df: DataFrame, key: Column, keyName: String, measure: Column,
            k: Int): DataFrame = {
     val agg = df.groupBy(key.as(keyName)).agg(measure.as("total"))
-    agg.withColumn("rnk",
+    agg.orderBy(col("total").desc, col(keyName)).limit(k)
+      .withColumn("rnk",
         row_number().over(Window.orderBy(col("total").desc, col(keyName))))
-      .filter(col("rnk") <= k)
   }
 
   /** A8/W4: percent-of-total distribution over an aggregated slice. */

@@ -67,4 +67,27 @@ class MeasuresSpec extends SparkSpec {
       .agg(sum("pct")).head().getDouble(0)
     assert(math.abs(pct - 100.0) < 0.05)
   }
+
+  test("W7: approx-percentile ntile agrees with exact ntile and never sorts globally") {
+    val exact = SparkEntry.queries("w7_ntile")(spark, sfDir)
+      .select("c_custkey", "quartile").as[(Long, Int)].collect().toMap
+    val approx = SparkEntry.queries("w7_ntile_approx")(spark, sfDir)
+      .select("c_custkey", "quartile").as[(Long, Int)].collect().toMap
+    assert(approx.keySet === exact.keySet)
+    assert(approx.values.forall(q => q >= 1 && q <= 4))
+    val agree = exact.count { case (k, q) => approx(k) == q }.toDouble / exact.size
+    assert(agree >= 0.95, s"approx ntile agreement too low: $agree")
+    // and the plan is cutoffs + projection, not a single-partition sort
+    val plan = SparkEntry.queries("w7_ntile_approx")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "approx ntile must not use a global window")
+  }
+
+  test("A6: top-k leaderboard plans as TakeOrderedAndProject, ranks dense 1..k") {
+    val df = SparkEntry.queries("a6_topk_ranking")(spark, sfDir)
+    assert(df.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"),
+      "top-k must be a bounded per-partition selection, not a global rank window")
+    val ranks = df.select("rnk").as[Int].collect().sorted
+    assert(ranks.sameElements(1 to ranks.length))
+  }
 }
