@@ -66,13 +66,21 @@ object Bench {
         System.err.println(f"[bench] $name%-28s $secs%8.2fs rows=$n")
         name -> secs
       }
+    // Locale.ROOT: the f"" interpolator formats with the JVM default
+    // locale — a comma-decimal locale would emit unparseable JSON.
+    def num(fmt: String, v: Double): String =
+      String.format(java.util.Locale.ROOT, fmt, Double.box(v))
     // Compact formatting keeps the whole line well under the driver's
     // output-tail capture window (round 1's 9-decimal line got truncated
     // and failed to parse).
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + num("%.2f", v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${num("%.3f", total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // The driver's capture window has clipped the LONG line from the
+    // head in two rounds running; emit a short total-only line LAST so
+    // a parseable JSON line always survives the tail capture.
+    println(s"""{"metric":"total","value":${num("%.3f", total)},"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -33,7 +33,9 @@ object ScaleCheck {
       val (best, rows) = secs.minBy(_._1)
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
-      println(f"[scale] $name%-28s ${best}%8.2fs rows=$rows dir=$dir")
+      // Locale.ROOT so comma-decimal locales can't mangle the number
+      println("[scale] %-28s %8ss rows=%d dir=%s".format(name,
+        String.format(java.util.Locale.ROOT, "%.2f", Double.box(best)), rows, dir))
     }
     spark.stop()
   }

@@ -1205,10 +1205,12 @@ object SparkEntry {
       graft.dedup.Dedup.editDistancePairs(t(s, d, "documents"), 80, 20)
         .orderBy("d1", "d2")),
     // D7: duplicate families — connected components over the verified
-    // near-dup pair graph (bounded min-label propagation, fixed 8
-    // rounds so the unrolled SQL oracle is structurally identical).
+    // near-dup pair graph (bounded min-label propagation, fixed 4
+    // rounds so the 4-step unrolled SQL oracle is structurally
+    // identical — iterations passed explicitly to tie query, oracle
+    // and comment together).
     "d7_dup_clusters" -> ((s, d) =>
-      graft.dedup.Clusters.duplicateClusters(t(s, d, "documents"), 0.7)
+      graft.dedup.Clusters.duplicateClusters(t(s, d, "documents"), 0.7, iterations = 4)
         .orderBy("doc_id"))
   )
 

@@ -149,6 +149,11 @@ object Dedup {
     docs.select(col("doc_id"),
       graft.functions.TextExpressions
         .simhashSig(words(col("text")), "sh").as("simhash"))
+      // NULL text ⇒ NULL signature; drop it so the output matches the
+      // explode+groupBy formulation (which never emits the doc) and no
+      // NULL block value flows into simhashPairs' equality join —
+      // mirrors the isNotNull filter in minhashSignatures.
+      .filter(col("simhash").isNotNull)
 
   /** SimHash near-dup pairs: pigeonhole blocking — split the signature
     * into [[SIMHASH_BLOCKS]] 15-bit blocks; a pair within

@@ -315,8 +315,18 @@ object Ann {
     *     corpus, so per-cell partials are disjoint — no dedup needed
     *     before the per-query rank.
     * Approximate ⇒ no SQL oracle; recall vs [[cosineTopK]] asserted in
-    * AnnSpec. */
-  def ivfTopK(embeddings: DataFrame, k: Int, nProbe: Int = 4): DataFrame = {
+    * AnnSpec.
+    *
+    * `maxCells` caps the centroid table (the one structure broadcast to
+    * every executor and collected on the driver). nCells grows as √n up
+    * to the cap, so past n = maxCells² vectors (~16M at the default)
+    * per-cell membership grows linearly again and the probe kernel
+    * re-inherits the scan cost — at that scale raise `maxCells` to
+    * ≈√n (a 1M-row centroid table is still broadcast-able at ~500 MB,
+    * or shard the corpus and run one index per shard; see PLANS.md
+    * "IVF beyond 16M vectors"). */
+  def ivfTopK(embeddings: DataFrame, k: Int, nProbe: Int = 4,
+      maxCells: Int = 4096): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val vecs = prepared(embeddings)
@@ -325,7 +335,7 @@ object Ann {
     if (n == 0)
       return rankCandidates(
         spark.emptyDataset[(Long, Long, Double)].toDF("query_id", "neighbor_id", "sim"), k)
-    val nCells = math.max(1, math.min(4096, math.round(math.sqrt(n.toDouble)).toInt))
+    val nCells = math.max(1, math.min(maxCells, math.round(math.sqrt(n.toDouble)).toInt))
     val seeds: Array[PreparedVec] = vecs
       .orderBy(xxhash64(col("vec_id")), col("vec_id"))
       .limit(nCells).collect()

@@ -72,6 +72,19 @@ class DedupSpec extends SparkSpec {
     assert(sig(1L) !== sig(3L))
   }
 
+  test("D4: NULL text yields no signature row (matches explode+groupBy)") {
+    // the explode+groupBy formulation drops NULL-text docs (explode of a
+    // NULL array emits nothing); the native projection must agree, and
+    // no NULL block value may reach simhashPairs' equality join.
+    val df = Seq((1L, Option("spark query plan join")), (2L, Option.empty[String]),
+      (3L, Option("spark query plan join"))).toDF("doc_id", "text")
+    val sig = Dedup.simhashSignatures(df).as[(Long, Long)].collect().toMap
+    assert(sig.keySet === Set(1L, 3L), "NULL text must not emit a signature row")
+    val pairs = Dedup.simhashPairs(df).select("d1", "d2")
+      .as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 3L)))
+  }
+
   test("D5: duplicate docs pair at Hamming 0; unrelated docs never pair") {
     val df = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again today"),
