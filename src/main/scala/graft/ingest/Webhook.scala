@@ -37,6 +37,19 @@ object Webhook {
   def rejected(parsedDf: DataFrame): DataFrame =
     parsedDf.filter(col("env").isNull || !col("env.event").isin(knownEvents: _*))
 
+  /** Complement of [[rejected]]: parseable envelope, known event type. */
+  def wellFormed(parsedDf: DataFrame): DataFrame =
+    parsedDf.filter(col("env").isNotNull && col("env.event").isin(knownEvents: _*))
+
+  /** Envelope table of the well-formed rows — the common columns every
+    * per-type projection carries plus the raw archive. This is what ST1
+    * lands in the bronze sink before type dispatch; the four
+    * projections below re-derive from it (or from the parsed frame
+    * directly) without another JSON parse of `raw_data` being needed
+    * until a schema change forces reprocessing. */
+  def envelope(parsedDf: DataFrame): DataFrame =
+    wellFormed(parsedDf).select(envelopeCols: _*)
+
   /** Common envelope columns every event table carries (README.md:73-80)
     * plus the S10 raw archive of the full body. */
   private def envelopeCols: Seq[Column] = Seq(
