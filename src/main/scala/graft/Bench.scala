@@ -76,10 +76,13 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + num("%.2f", v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":${num("%.3f", total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    // The driver's capture window has clipped the LONG line from the
-    // head in two rounds running; emit a short total-only line LAST so
-    // a parseable JSON line always survives the tail capture.
+    // Exactly ONE line carries metric "total" (a consumer matching on
+    // the metric name must never double-count): the long per-query line
+    // is metric "detail", and the tail-safe short line printed LAST is
+    // the canonical "total". The driver's ~2KB tail capture has clipped
+    // the long line from the head in two rounds running; the short line
+    // always survives the tail.
+    println(s"""{"metric":"detail","value":${num("%.3f", total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     println(s"""{"metric":"total","value":${num("%.3f", total)},"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}""")
     spark.stop()
   }

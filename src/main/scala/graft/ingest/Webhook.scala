@@ -33,13 +33,21 @@ object Webhook {
       .filter(col("account").isin(allowedAccounts: _*))
       .withColumn("env", from_json(col("body"), Schemas.bodySchema).getField("webhook_event"))
 
-  /** S4/ST7 side output: unparseable bodies or unknown event types. */
+  /** S4/ST7 side output: unparseable bodies, missing event field, or
+    * unknown event types. NULL-safe: a parseable envelope whose `event`
+    * is NULL (body missing the field) must land here, not vanish —
+    * `isin` on a NULL yields NULL which a bare filter would drop from
+    * BOTH sides. `coalesce(..., false)` makes the two predicates exact
+    * complements, preserving the malformed-never-lost posture. */
   def rejected(parsedDf: DataFrame): DataFrame =
-    parsedDf.filter(col("env").isNull || !col("env.event").isin(knownEvents: _*))
+    parsedDf.filter(col("env").isNull ||
+      !coalesce(col("env.event").isin(knownEvents: _*), lit(false)))
 
-  /** Complement of [[rejected]]: parseable envelope, known event type. */
+  /** Exact complement of [[rejected]]: parseable envelope, known
+    * (non-NULL) event type. */
   def wellFormed(parsedDf: DataFrame): DataFrame =
-    parsedDf.filter(col("env").isNotNull && col("env.event").isin(knownEvents: _*))
+    parsedDf.filter(col("env").isNotNull &&
+      coalesce(col("env.event").isin(knownEvents: _*), lit(false)))
 
   /** Envelope table of the well-formed rows — the common columns every
     * per-type projection carries plus the raw archive. This is what ST1

@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -122,12 +122,23 @@ object StreamIngest {
   def idempotentAppend(batch: DataFrame, sinkPath: String, key: String): Unit = {
     val spark = batch.sparkSession
     val deduped = batch.dropDuplicates(key)
-    val isNew = !scala.util.Try(spark.read.parquet(sinkPath)).isSuccess
-    val toWrite =
-      if (isNew) deduped
-      else deduped.join(spark.read.parquet(sinkPath).select(col(key)), Seq(key), "left_anti")
+    val toWrite = readSinkIfExists(spark, sinkPath) match {
+      case None       => deduped
+      case Some(sink) => deduped.join(sink.select(col(key)), Seq(key), "left_anti")
+    }
     toWrite.write.mode("append").parquet(sinkPath)
   }
+
+  /** Read the sink, treating ONLY path-not-found as "sink is new".
+    * Any other failure (transient FS error, corrupt footer, permission)
+    * rethrows — silently skipping the anti-join on a flaky read would
+    * append duplicates, the exact bug idempotence exists to prevent. */
+  private def readSinkIfExists(spark: SparkSession, sinkPath: String): Option[DataFrame] =
+    try Some(spark.read.parquet(sinkPath))
+    catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getCondition == "PATH_NOT_FOUND" => None
+    }
 
   /** Scale-safe ST1 sink: the sink is laid out `partitionBy(partCol)`
     * (sources.Layout grain — here typically the received date), and a
@@ -159,20 +170,34 @@ object StreamIngest {
     * (exposed so specs can assert `PartitionFilters` on the sink scan).
     * `batchWithPart` must already carry `partCol`. */
   def pendingRows(batchWithPart: DataFrame, sinkPath: String, key: String,
-      partCol: String): DataFrame = {
+      partCol: String, maxParts: Int = 64): DataFrame = {
     val spark = batchWithPart.sparkSession
-    scala.util.Try(spark.read.parquet(sinkPath)).toOption match {
+    readSinkIfExists(spark, sinkPath) match {
       case None => batchWithPart // first write: nothing to collide with
       case Some(sink) =>
         // the batch's own partition values — bounded by the retry
         // horizon (a few dates), never by sink age. Collecting them is
-        // the one driver-side step and it is O(horizon).
+        // the one driver-side step and it is O(horizon). `maxParts`
+        // enforces that assumption: a batch spanning more partitions
+        // than the horizon allows falls back to the full anti-join
+        // (correct, just unpruned) instead of building a huge IN list.
         val parts = batchWithPart.select(col(partCol)).distinct().collect()
           .map(_.get(0)).toSeq
-        if (parts.isEmpty) batchWithPart
-        else batchWithPart.join(
-          sink.filter(col(partCol).isInCollection(parts)).select(col(key)),
-          Seq(key), "left_anti")
+        val (nullPart, defined) = parts.partition(_ == null)
+        val sinkKeys =
+          if (parts.size > maxParts) sink.select(col(key))
+          else if (parts.isEmpty) return batchWithPart
+          else {
+            // NULL partition values land in __HIVE_DEFAULT_PARTITION__;
+            // isInCollection is NULL for them, so OR-in isNull explicitly
+            // or those sink rows are never anti-joined and re-land as
+            // duplicates every retry.
+            val inDefined =
+              if (defined.isEmpty) lit(false) else col(partCol).isInCollection(defined)
+            val pred = if (nullPart.nonEmpty) inDefined || col(partCol).isNull else inDefined
+            sink.filter(pred).select(col(key))
+          }
+        batchWithPart.join(sinkKeys, Seq(key), "left_anti")
     }
   }
 }

@@ -203,4 +203,75 @@ class StreamIngestSpec extends SparkSpec {
     StreamIngest.idempotentAppend(batch, dir, "event_id") // replay
     assert(spark.read.parquet(dir).count() === 2)
   }
+
+  import org.apache.spark.sql.functions.{col, to_date}
+
+  test("ST1: partitioned idempotent sink — duplicate delivery across batches deduped") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_psink").toString + "/t"
+    val day = to_date(col("ts"))
+    val b1 = Seq(Ev(1, ts("2024-01-01 10:00:00"), 7, "signup", 1.0),
+      Ev(2, ts("2024-01-02 10:00:01"), 8, "view", 2.0)).toDF()
+    StreamIngest.idempotentAppendPartitioned(b1, dir, "event_id", "day", day)
+    // batch 2: at-least-once retry of event 1 + a genuinely new event
+    val b2 = Seq(Ev(1, ts("2024-01-01 10:00:00"), 7, "signup", 1.0),
+      Ev(3, ts("2024-01-03 11:00:00"), 7, "purchase", 9.0)).toDF()
+    StreamIngest.idempotentAppendPartitioned(b2, dir, "event_id", "day", day)
+    val ids = spark.read.parquet(dir).select("event_id").as[Long].collect().sorted
+    assert(ids.toSeq === Seq(1L, 2L, 3L), "retry must land exactly once")
+  }
+
+  test("ST1: pendingRows prunes the sink scan to the batch's own partitions") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val dir = java.nio.file.Files.createTempDirectory("graft_prune").toString + "/t"
+    val day = to_date(col("ts"))
+    val sink3days = Seq(Ev(1, ts("2024-01-01 10:00:00"), 7, "signup", 1.0),
+      Ev(2, ts("2024-01-02 10:00:01"), 8, "view", 2.0),
+      Ev(3, ts("2024-01-03 11:00:00"), 7, "purchase", 9.0)).toDF()
+    StreamIngest.idempotentAppendPartitioned(sink3days, dir, "event_id", "day", day)
+    // batch touches ONE of the three sink partitions
+    val batch = Seq(Ev(4, ts("2024-01-02 12:00:00"), 9, "view", 1.0)).toDF()
+      .withColumn("day", day)
+    val pending = StreamIngest.pendingRows(batch, dir, "event_id", "day")
+    val sinkScans = pending.queryExecution.sparkPlan.collect {
+      case s: FileSourceScanExec if s.partitionFilters.nonEmpty => s
+    }
+    assert(sinkScans.nonEmpty, "sink scan must carry PartitionFilters")
+    assert(sinkScans.head.partitionFilters.mkString.contains("day"),
+      "pruning must be on the partition column")
+    assert(pending.select("event_id").as[Long].collect().toSeq === Seq(4L))
+  }
+
+  test("ST1: NULL partition value still dedups (HIVE default partition)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_nullpart").toString + "/t"
+    val b = Seq((1L, null.asInstanceOf[String], "a"), (2L, "2024-01-01", "b"))
+      .toDF("event_id", "day_src", "v")
+    StreamIngest.idempotentAppendPartitioned(b, dir, "event_id", "day", col("day_src"))
+    StreamIngest.idempotentAppendPartitioned(b, dir, "event_id", "day", col("day_src"))
+    assert(spark.read.parquet(dir).count() === 2,
+      "null-partition rows must not re-land on retry")
+  }
+
+  test("ST1: batch spanning more partitions than maxParts falls back to full anti-join") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_horizon").toString + "/t"
+    val day = to_date(col("ts"))
+    val b = Seq(Ev(1, ts("2024-01-01 10:00:00"), 7, "signup", 1.0),
+      Ev(2, ts("2024-01-02 10:00:01"), 8, "view", 2.0),
+      Ev(3, ts("2024-01-03 11:00:00"), 7, "purchase", 9.0)).toDF()
+    StreamIngest.idempotentAppendPartitioned(b, dir, "event_id", "day", day)
+    val batchWithPart = b.withColumn("day", day)
+    // horizon violated (3 partitions > maxParts=2): still correct, just unpruned
+    val pending = StreamIngest.pendingRows(batchWithPart, dir, "event_id", "day", maxParts = 2)
+    assert(pending.count() === 0, "fallback path must still anti-join everything")
+  }
+
+  test("ST1: unreadable (non-path-missing) sink fails loudly, never duplicates") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_badsink").resolve("t")
+    java.nio.file.Files.createDirectories(dir)
+    java.nio.file.Files.write(dir.resolve("part-0000.parquet"),
+      "this is not parquet".getBytes("UTF-8"))
+    val batch = Seq(Ev(1, ts("2024-01-01 10:00:00"), 7, "signup", 1.0)).toDF()
+    intercept[Exception] {
+      StreamIngest.idempotentAppend(batch, dir.toString, "event_id")
+    }
+  }
 }

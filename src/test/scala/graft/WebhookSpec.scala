@@ -34,6 +34,23 @@ class WebhookSpec extends SparkSpec {
     assert(rej.filter(col("env.event") === "mystery.event").count() === 1)
   }
 
+  test("S4: envelope with missing event field routes to rejected, never lost") {
+    // parseable JSON whose webhook_event lacks `event`: isin(NULL) is
+    // NULL, which a naive filter drops from BOTH sides — the row must
+    // land in rejected (malformed-never-lost posture).
+    val noEvent = Seq(("office_a", """{"webhook_event": {"id": 9999, "signature": "s"}}"""))
+      .toDF("account", "body")
+      .withColumn("received_at", to_timestamp(lit("2025-09-30 12:00:00")))
+    val p = Webhook.parsed(noEvent, Seq("office_a"))
+    assert(Webhook.rejected(p).count() === 1, "null-event row must be dead-lettered")
+    assert(Webhook.wellFormed(p).count() === 0)
+  }
+
+  test("S4: rejected and wellFormed partition the parsed frame exactly") {
+    assert(Webhook.rejected(parsed).count() + Webhook.wellFormed(parsed).count()
+      === parsed.count())
+  }
+
   test("P1/P3/P4/F1: lead_created projection — nested nulls, client fallback, date formats") {
     val lc = Webhook.leadCreated(parsed).orderBy("id").collect()
     assert(lc.length === 2)
