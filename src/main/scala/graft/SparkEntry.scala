@@ -6,7 +6,8 @@ import org.apache.spark.sql.functions._
 
 import graft.analytics.{Dims, Measures}
 import graft.functions.Normalize
-import graft.ingest.Events
+import graft.ingest.{Events, Webhook}
+import graft.sources.BulkLoad
 
 /** Driver contract (SURVEY.md §0 harness note, §7).
   *
@@ -132,6 +133,20 @@ object SparkEntry {
         .select(col("event_id"),
           to_json(struct(col("event_id"), col("event_type"))).as("raw_data"))
         .orderBy("event_id")),
+    // S8: one-time bulk file load (reference README.md:146-147 — the
+    // action_history CSV loaded via psql COPY): export the nation dim
+    // as CSV, reload through the declared-schema permissive reader,
+    // archive as parquet, serve from the archive. The oracle reads the
+    // original parquet — hash equality proves the roundtrip lossless.
+    "s8_bulk_load_roundtrip" -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_s8")
+      val src = t(s, d, "nation")
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      val csvPath = tmp.resolve("nation_csv").toString
+      src.write.option("header", "true").mode("overwrite").csv(csvPath)
+      BulkLoad.csvToParquet(s, csvPath, src.schema, tmp.resolve("nation_pq").toString)
+        .orderBy("n_nationkey")
+    }),
     // DQ1 (beyond reference): column profiling — null and distinct
     // counts per column in ONE aggregation pass (multiple
     // count-distincts plan via Expand), then the 1-row result is
@@ -154,6 +169,26 @@ object SparkEntry {
     // DQ2 (beyond reference): referential-integrity audit — orphan
     // counts per foreign-key relation (anti-join counts), the other
     // standard post-load gate.
+    // DQ1 scale path: HLL sketches (approx_count_distinct) replace the
+    // Expand-based exact distincts — at 100-column width the exact form
+    // multiplies the scan by the column count; the sketch form stays
+    // one pass with constant memory per column. No oracle (approximate
+    // by design) — the driver records a rows-only check, the exact
+    // dq1_profile above remains the correctness anchor.
+    "dq1_profile_approx" -> ((s, d) => {
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderpriority")
+      val aggs = cols.flatMap(c => Seq(
+        approx_count_distinct(col(c)).as(s"d_$c"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn_$c")
+      )) :+ count(lit(1)).as("n_rows")
+      val one = t(s, d, "orders").agg(aggs.head, aggs.tail: _*).localCheckpoint(true)
+      cols.map(c => one.select(
+          lit(c).as("col_name"), col("n_rows"),
+          col(s"nn_$c").as("n_nulls"), col(s"d_$c").as("n_approx_distinct")))
+        .reduce(_ unionByName _)
+        .orderBy("col_name")
+    }),
     "dq2_referential" -> ((s, d) => {
       // NULL fks are dq1's domain — excluded here so the anti-join and
       // the oracle's NOT IN (3-valued logic) agree.
@@ -227,7 +262,9 @@ object SparkEntry {
     "s10_raw_archive" ->
       """SELECT event_id,
         |  '{"event_id":' || event_id || ',"event_type":"' || event_type || '"}' AS raw_data
-        |FROM events ORDER BY event_id""".stripMargin
+        |FROM events ORDER BY event_id""".stripMargin,
+    "s8_bulk_load_roundtrip" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey"
   )
 
   // ---- P: projections / filters ------------------------------------------
@@ -259,7 +296,37 @@ object SparkEntry {
       t(s, d, "customer")
         .filter(col("c_mktsegment") === "BUILDING")
         .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
-        .orderBy("c_custkey"))
+        .orderBy("c_custkey")),
+    // P2: event-type dispatch — re-envelope the event log as webhook
+    // POST bodies, then route every row through the four per-type
+    // Webhook projections plus the dead-letter side output
+    // (webhook_app.py:167-176). Per-route counts prove the dispatch is
+    // a partition: each row lands in exactly one table, unknown types
+    // are acked into the dead letter, none are lost.
+    "p2_event_dispatch" -> ((s, d) => {
+      val posts = t(s, d, "events").select(
+        lit("office_a").as("account"),
+        to_json(struct(struct(
+          col("event_id").as("id"),
+          when(col("event_type") === "signup", "lead.creation")
+            .when(col("event_type") === "click", "lead.step.changed")
+            .when(col("event_type") === "view", "lead.deleted")
+            .when(col("event_type") === "purchase", "client_folder.created")
+            .otherwise("unknown.event").as("event")
+        ).as("webhook_event"))).as("body"),
+        col("ts").as("received_at"))
+      val parsed = Webhook.parsed(posts, Seq("office_a"))
+      val routes: Seq[(String, DataFrame => DataFrame)] = Seq(
+        "lead_created" -> (Webhook.leadCreated _),
+        "step_changed" -> (Webhook.stepChanged _),
+        "lead_deleted" -> (Webhook.leadDeleted _),
+        "folder_created" -> (Webhook.folderCreated _),
+        "dead_letter" -> (Webhook.rejected _))
+      routes.map { case (name, f) =>
+          f(parsed).agg(lit(name).as("route"), count(lit(1)).as("n")) }
+        .reduce(_ unionByName _)
+        .orderBy("route")
+    })
   )
 
   private val projOracles: Map[String, String] = Map(
@@ -278,7 +345,16 @@ object SparkEntry {
         |ORDER BY o_orderkey""".stripMargin,
     "p6_lookup_filter" ->
       """SELECT c_custkey, c_name, c_acctbal FROM customer
-        |WHERE c_mktsegment = 'BUILDING' ORDER BY c_custkey""".stripMargin
+        |WHERE c_mktsegment = 'BUILDING' ORDER BY c_custkey""".stripMargin,
+    "p2_event_dispatch" ->
+      """SELECT route, count(*) AS n FROM (
+        |  SELECT CASE event_type
+        |    WHEN 'signup' THEN 'lead_created'
+        |    WHEN 'click' THEN 'step_changed'
+        |    WHEN 'view' THEN 'lead_deleted'
+        |    WHEN 'purchase' THEN 'folder_created'
+        |    ELSE 'dead_letter' END AS route
+        |  FROM events) GROUP BY route ORDER BY route""".stripMargin
   )
 
   // ---- J: joins -----------------------------------------------------------
@@ -522,6 +598,30 @@ object SparkEntry {
     // A11: goal-progress gauge — same operator as j2_goal_progress,
     // registered under its §2.4 id as well (judged line-by-line).
     "a11_goal_progress" -> ((s, d) => joinQueries("j2_goal_progress")(s, d)),
+    // A11 annual gauge (reference README.md:519, Meta_Anual): A12's YTD
+    // cumulative per nation composed with the broadcast annual-goal
+    // dim — the "% of annual target reached so far" gauge. Decimal
+    // partials keep the running sum partition-order exact; the pct is
+    // computed from exact values with identical double arithmetic.
+    "a11_goal_progress_annual" -> ((s, d) => {
+      val goals = Dims.goals(t(s, d, "nation"))
+      t(s, d, "orders")
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey").as("nationkey"),
+          year(col("o_orderdate")).cast("int").as("yr"),
+          month(col("o_orderdate")).cast("int").as("mo"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev_dec"))
+        .select(col("nationkey"), col("yr"), col("mo"),
+          sum(col("rev_dec")).over(Window.partitionBy(col("nationkey"), col("yr"))
+            .orderBy(col("mo"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("ytd_dec"))
+        .join(broadcast(goals), col("nationkey") === col("g_nationkey"))
+        .select(col("nationkey"), col("yr"), col("mo"),
+          col("ytd_dec").cast("double").as("ytd_revenue"), col("annual_goal"),
+          round(col("ytd_dec").cast("double") * 100.0 / col("annual_goal"), 2)
+            .as("annual_goal_pct"))
+        .orderBy("nationkey", "yr", "mo")
+    }),
     // A17: CUBE — all grouping-set combinations of (status, priority)
     // with grouping_id labeling each subtotal level (generalizes the
     // rollup Total row to multi-dimensional subtotal surfaces).
@@ -693,6 +793,23 @@ object SparkEntry {
       """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "a11_goal_progress" -> joinOracles("j2_goal_progress"),
+    "a11_goal_progress_annual" ->
+      """SELECT nationkey, yr, mo,
+        |  CAST(ytd_dec AS DOUBLE) AS ytd_revenue,
+        |  CAST((nationkey + 1) * 24000000 AS DOUBLE) AS annual_goal,
+        |  round(CAST(ytd_dec AS DOUBLE) * 100.0
+        |        / CAST((nationkey + 1) * 24000000 AS DOUBLE), 2) AS annual_goal_pct
+        |FROM (
+        |  SELECT nationkey, yr, mo,
+        |    sum(rev_dec) OVER (PARTITION BY nationkey, yr ORDER BY mo
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ytd_dec
+        |  FROM (
+        |    SELECT c_nationkey AS nationkey, CAST(year(o_orderdate) AS INT) AS yr,
+        |      CAST(month(o_orderdate) AS INT) AS mo,
+        |      sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_dec
+        |    FROM orders JOIN customer ON o_custkey = c_custkey
+        |    GROUP BY 1, 2, 3))
+        |ORDER BY nationkey, yr, mo""".stripMargin,
     "a17_cube" ->
       s"""SELECT count(*) AS n, ${sqlMoney("o_totalprice")} AS revenue,
          |  CAST(grouping(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
