@@ -15,9 +15,12 @@ import graft.functions.Normalize
   * `INSERT OR REPLACE`s into a snapshot table. Here:
   *  - [[paginatedFetch]] keeps the reference's stop-on-empty-page loop
   *    (a driver-side concern — the API budget of 2k req/day makes the
-  *    fetch itself the bottleneck, not Spark). At real scale this
-  *    becomes a DataSource V2 `TableProvider` whose `InputPartition`s
-  *    carry offset ranges so executors fetch pages in parallel.
+  *    fetch itself the bottleneck, not Spark). The scale-true form is
+  *    [[graft.sources.rest.PagedSource]]: a DataSource V2
+  *    `TableProvider` whose `InputPartition`s carry offset ranges so
+  *    executors fetch pages in parallel (`spark.read.format
+  *    ("graft-paged")`); this driver-side variant remains for
+  *    closure-style callers and tiny collections.
   *  - normalization is column expressions (F1/F2/F4/F5), not per-row
   *    code, so the whole transform codegens once the data is a frame.
   *  - the snapshot is [[Events.latestState]] (W1) + an overwrite — the

@@ -22,6 +22,23 @@ class SourcesSpec extends SparkSpec {
     assert(ds.count() === total)
   }
 
+  test("S1: DSv2 paged source fetches offset ranges as parallel partitions") {
+    val df = spark.read.format("graft-paged")
+      .option("fetcher", classOf[StubLeadFetcher].getName)
+      .option("pageSize", 100)
+      .load()
+    // ceil(237/100) = 3 pages -> 3 input partitions, fetched by executors
+    assert(df.rdd.getNumPartitions === 3, "one InputPartition per page")
+    assert(df.count() === 237)
+    // content is exactly the collection, no page lost or double-fetched
+    import org.apache.spark.sql.functions.{count => fcount, countDistinct, sum}
+    val r = df.agg(sum("id"), countDistinct("id"), fcount(lit(1))).head()
+    assert(r.getLong(0) === (0L until 237).sum)
+    assert(r.getLong(1) === 237L && r.getLong(2) === 237L)
+    // composes with the normal relational surface (schema is declared)
+    assert(df.filter(col("id") === 7).head().getAs[String]("title") === "lead-7")
+  }
+
   test("E1: normalize applies F1/F2/F4/F5 column-wise") {
     val raw = Seq(
       RawLead(1, "t", "open", "s", Some(5.0), "2024-06-15 12:00:00", "2024-06-16",

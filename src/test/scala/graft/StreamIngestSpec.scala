@@ -204,7 +204,7 @@ class StreamIngestSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() === 2)
   }
 
-  import org.apache.spark.sql.functions.{col, to_date}
+  import org.apache.spark.sql.functions.{col, lit, to_date, to_timestamp}
 
   test("ST1: partitioned idempotent sink — duplicate delivery across batches deduped") {
     val dir = java.nio.file.Files.createTempDirectory("graft_psink").toString + "/t"
@@ -262,6 +262,90 @@ class StreamIngestSpec extends SparkSpec {
     // horizon violated (3 partitions > maxParts=2): still correct, just unpruned
     val pending = StreamIngest.pendingRows(batchWithPart, dir, "event_id", "day", maxParts = 2)
     assert(pending.count() === 0, "fallback path must still anti-join everything")
+  }
+
+  test("ST1/E2: streamed ingest through the partitioned upsert sink, retries absorbed") {
+    import graft.streaming.ParquetUpsertSink
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsert")
+    val sink = new ParquetUpsertSink(dir.resolve("bronze").toString,
+      "event_id", "day", to_date(col("ts")))
+    val in = MemoryStream[Ev]
+    val q = in.toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        sink.upsert(batch, id)
+        sink.upsert(batch, id) // foreachBatch is at-least-once: replay the epoch
+      }
+      .option("checkpointLocation", dir.resolve("chk").toString)
+      .start()
+    in.addData(Ev(1, ts("2024-01-01 10:00:00"), 7, "signup", 1.0),
+      Ev(2, ts("2024-01-02 10:00:01"), 8, "view", 2.0))
+    q.processAllAvailable()
+    // cross-batch duplicate delivery on top of the in-batch replay
+    in.addData(Ev(1, ts("2024-01-01 10:00:00"), 7, "signup", 1.0),
+      Ev(3, ts("2024-01-03 11:00:00"), 7, "purchase", 9.0))
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.read.parquet(dir.resolve("bronze").toString)
+      .select("event_id").as[Long].collect().sorted
+    assert(ids.toSeq === Seq(1L, 2L, 3L), "every delivery lands exactly once")
+  }
+
+  test("S3/ST1/E2: file-tail push source -> webhook parse -> partitioned sink, restart-safe") {
+    // the reference's always-on POST endpoint re-expressed as a file-tail
+    // stream (each landed file = a batch of webhook deliveries): parse ->
+    // envelope -> idempotent partitioned bronze sink, drained with
+    // AvailableNow per schedule; kill/resume on the same checkpoint must
+    // neither lose nor duplicate, including a re-delivered envelope id.
+    import graft.ingest.Webhook
+    import graft.streaming.ParquetUpsertSink
+    val dir = java.nio.file.Files.createTempDirectory("graft_push")
+    val src = dir.resolve("in"); java.nio.file.Files.createDirectories(src)
+    val bronze = dir.resolve("bronze").toString
+    def body(id: Long, event: String): String =
+      s"""{"webhook_event": {"id": $id, "event": "$event", "try_count": 1, "data": {"id": ${id + 500}}}}"""
+    def land(name: String, lines: String*): Unit =
+      java.nio.file.Files.write(src.resolve(name),
+        lines.mkString("\n").getBytes("UTF-8"))
+    val sink = new ParquetUpsertSink(bronze, "id", "office", col("office"))
+    def drain(): Unit = {
+      val q = spark.readStream.text(src.toString)
+        .select(lit("office_a").as("account"), col("value").as("body"),
+          to_timestamp(lit("2025-09-30 12:00:00")).as("received_at"))
+        .writeStream
+        .foreachBatch { (posts: org.apache.spark.sql.DataFrame, id: Long) =>
+          val parsed = Webhook.parsed(posts, Seq("office_a"))
+          sink.upsert(Webhook.envelope(parsed), id)
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", dir.resolve("chk").toString)
+        .start()
+      q.awaitTermination(60000); q.stop()
+    }
+    land("f1.jsonl", body(1, "lead.creation"), body(2, "lead.step.changed"))
+    drain()
+    assert(spark.read.parquet(bronze).count() === 2)
+    // query DOWN; new file lands with one retry (id 1) + one new delivery
+    land("f2.jsonl", body(1, "lead.creation"), body(3, "lead.deleted"))
+    drain() // restart from checkpoint: only f2 processed, retry absorbed
+    val got = spark.read.parquet(bronze)
+    assert(got.select("id").as[Long].collect().sorted.toSeq === Seq(1L, 2L, 3L),
+      "restart must deliver each envelope exactly once")
+    assert(got.columns.contains("raw_data"), "bronze keeps the raw archive (S10)")
+  }
+
+  test("JdbcUpsertSink emits the reference's conflict statement per dialect") {
+    import graft.streaming.JdbcUpsertSink
+    val pg = new JdbcUpsertSink("jdbc:postgresql://wh/db", "events", "event_id")
+    assert(pg.upsertSql(Seq("event_id", "ts", "value")) ===
+      "INSERT INTO events (event_id, ts, value) VALUES (?, ?, ?) " +
+        "ON CONFLICT (event_id) DO NOTHING")
+    val mg = new JdbcUpsertSink("jdbc:x://wh/db", "events", "event_id", dialect = "merge")
+    val sql = mg.upsertSql(Seq("event_id", "value"))
+    assert(sql.contains("MERGE INTO events t") && sql.contains("ON t.event_id = s.event_id"))
+    intercept[IllegalArgumentException] {
+      new JdbcUpsertSink("jdbc:x", "t", "k", dialect = "nope").upsertSql(Seq("k"))
+    }
   }
 
   test("ST1: unreadable (non-path-missing) sink fails loudly, never duplicates") {
