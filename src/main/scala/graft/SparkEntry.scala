@@ -302,7 +302,11 @@ object SparkEntry {
     // Webhook projections plus the dead-letter side output
     // (webhook_app.py:167-176). Per-route counts prove the dispatch is
     // a partition: each row lands in exactly one table, unknown types
-    // are acked into the dead letter, none are lost.
+    // are acked into the dead letter, none are lost. The parsed frame
+    // is localCheckpoint'ed so the five route reads share ONE scan +
+    // JSON parse — the batch-query image of foreachBatch dispatch,
+    // where the micro-batch is parsed once and each projection writes
+    // its own sink from the cached batch.
     "p2_event_dispatch" -> ((s, d) => {
       val posts = t(s, d, "events").select(
         lit("office_a").as("account"),
@@ -315,7 +319,7 @@ object SparkEntry {
             .otherwise("unknown.event").as("event")
         ).as("webhook_event"))).as("body"),
         col("ts").as("received_at"))
-      val parsed = Webhook.parsed(posts, Seq("office_a"))
+      val parsed = Webhook.parsed(posts, Seq("office_a")).localCheckpoint(true)
       val routes: Seq[(String, DataFrame => DataFrame)] = Seq(
         "lead_created" -> (Webhook.leadCreated _),
         "step_changed" -> (Webhook.stepChanged _),

@@ -37,6 +37,15 @@ class PlansSpec extends SparkSpec {
     }
   }
 
+  test("p2 dispatch parses once: the five route reads share the checkpointed batch") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val df = SparkEntry.queries("p2_event_dispatch")(spark, sfDir)
+    val scans = df.queryExecution.sparkPlan.collect { case s: FileSourceScanExec => s }
+    assert(scans.isEmpty,
+      "route aggregates must read the localCheckpoint'ed parse, not re-scan " +
+        "events per union arm (one scan+parse total, done eagerly at checkpoint)")
+  }
+
   test("the rule never hints non-dim sides or overrides explicit hints") {
     val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
