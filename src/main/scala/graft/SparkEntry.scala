@@ -1265,7 +1265,21 @@ object SparkEntry {
         .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
         .agg(count(lit(1)).as("n"))
         .select(col("w.start").as("day_start"), col("event_type"), col("n"))
-        .orderBy("day_start", "event_type"))
+        .orderBy("day_start", "event_type")),
+    // ST10 (beyond reference): session windows — gap-merged activity
+    // bursts per user via the NATIVE session_window (vs w5's lag+cumsum
+    // formulation; the streaming form with watermarked state eviction
+    // is StreamIngest.sessionCounts, StreamIngestSpec). Session end =
+    // last event + gap (Spark's definition); the oracle reproduces it
+    // with the island trick: new session when the gap since the
+    // previous event is >= 30 minutes.
+    "st10_session_counts_twin" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("w.start").as("session_start"),
+          col("w.end").as("session_end"), col("n_events"))
+        .orderBy("user_id", "session_start"))
   )
 
   private val streamTwinOracles: Map[String, String] = Map(
@@ -1286,7 +1300,24 @@ object SparkEntry {
     // date_trunc('day').
     "st8_windowed_counts_twin" ->
       """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_start, event_type, count(*) AS n
-        |FROM events GROUP BY 1, 2 ORDER BY day_start, event_type""".stripMargin
+        |FROM events GROUP BY 1, 2 ORDER BY day_start, event_type""".stripMargin,
+    "st10_session_counts_twin" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sessions AS (
+        |  SELECT user_id, ts,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM flagged)
+        |SELECT user_id, min(ts) AS session_start,
+        |  max(ts) + INTERVAL 30 MINUTE AS session_end, count(*) AS n_events
+        |FROM sessions GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin
   )
 
   // ---- D: dedup suite (training-data pipeline) ---------------------------

@@ -85,6 +85,21 @@ object StreamIngest {
       .select(col("w.start").as("day_start"), col("event_type"),
         col("count").as("n"))
 
+  /** ST10: streaming session windows — gap-merged activity bursts per
+    * user via the native `session_window`. State per key is the set of
+    * OPEN sessions only: a session closes (and emits, in append mode)
+    * once the watermark passes its end, so memory is bounded by the
+    * gap + horizon, never by stream age. Batch twin:
+    * `st10_session_counts_twin` (same gap semantics, oracled via the
+    * lag/cumsum island form). */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes",
+      horizon: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", horizon)
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
+      .count()
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("count").as("n_events"))
+
   /** ST9: stream-stream interval join — attribute each purchase to the
     * signups of the same user within the preceding hour, as both sides
     * arrive. Watermarks bound the buffered state on each side: a

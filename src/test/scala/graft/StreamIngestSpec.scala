@@ -137,6 +137,31 @@ class StreamIngestSpec extends SparkSpec {
       "restart must deliver each source file exactly once")
   }
 
+  test("ST10: streaming session windows merge bursts and emit on watermark close") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = StreamIngest.sessionCounts(in.toDF(), gap = "30 minutes", horizon = "10 minutes")
+      .writeStream.format("memory").queryName("st10_out").outputMode("append").start()
+    // burst of 3 events inside the gap + a separate later burst of 1
+    in.addData(Ev(1, ts("2024-01-01 10:00:00"), 7, "view", 1.0),
+      Ev(2, ts("2024-01-01 10:10:00"), 7, "click", 1.0),
+      Ev(3, ts("2024-01-01 10:25:00"), 7, "view", 1.0),
+      Ev(4, ts("2024-01-01 12:00:00"), 7, "view", 1.0))
+    q.processAllAvailable()
+    // advance the watermark far past both session ends so both emit
+    in.addData(Ev(5, ts("2024-01-01 15:00:00"), 8, "view", 1.0))
+    q.processAllAvailable()
+    val got = spark.table("st10_out")
+      .as[(Long, Timestamp, Timestamp, Long)].collect().filter(_._1 == 7L)
+      .sortBy(_._2.getTime)
+    q.stop()
+    assert(got.length === 2, "two closed sessions for user 7")
+    assert(got(0)._2 === ts("2024-01-01 10:00:00") &&
+      got(0)._3 === ts("2024-01-01 10:55:00") && got(0)._4 === 3L,
+      "burst merges into one session ending last-event + gap")
+    assert(got(1)._2 === ts("2024-01-01 12:00:00") && got(1)._4 === 1L)
+  }
+
   test("ST9: stream-stream interval join attributes purchases to in-window signups") {
     implicit val sqlCtx = spark.sqlContext
     val purchases = MemoryStream[Ev]
