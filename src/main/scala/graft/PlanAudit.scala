@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.optimizer.BuildLeft
+import org.apache.spark.sql.execution.{FileSourceScanExec, GlobalLimitExec, SparkPlan, TakeOrderedAndProjectExec}
+import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec, SortMergeJoinExec}
+
+/** Whole-suite physical-plan audit: walks every registered query and
+  * counts the plan shapes that matter at 100 TB — parquet scans (a
+  * query re-scanning the same table per union arm is a bug: caught
+  * p2's 5× re-parse), shuffle exchanges, sort-merge joins (a fact⋈dim
+  * SMJ means a broadcast was missed), and nested-loop/cartesian joins
+  * (quadratic by construction — only the two documented O(n²)
+  * baselines may carry one).
+  *
+  *   sbt "runMain graft.PlanAudit [sfDir]"
+  *
+  * Prints one line per query and a FLAGGED section; exits nonzero if a
+  * non-whitelisted query plans a cartesian/nested-loop join, so it can
+  * gate CI.
+  */
+object PlanAudit {
+
+  /** Documented quadratic baselines (SURVEY §2.9 / PLANS.md): the only
+    * queries allowed an UNBOUNDED nested-loop or cartesian join. */
+  private val quadraticBaselines = Set(
+    "d2_ngram_jaccard_pairs", "e1_cosine_topk", "e3_cosine_near_dup")
+
+  /** Joins whose broadcast side is bounded by construction in a way
+    * the physical plan cannot show (a filter on a key, not a limit):
+    * query name → why the build side is small. */
+  private val boundedByConstruction = Map(
+    "e6_centroid_assign" ->
+      "centroid side is `vec_id < k` — exactly k rows by key semantics")
+
+  /** A nested-loop join is the legitimate scale pattern when its
+    * broadcast side is provably bounded: a global aggregate (exactly
+    * one row — scalar frames like the top-k cutoff, corpus size, or
+    * quantile bounds) or an explicit limit (e.g. the ≤√n centroid
+    * table). Anything else is an accidental cross product. */
+  private def boundedBuild(j: BroadcastNestedLoopJoinExec): Boolean = {
+    val build: SparkPlan = if (j.buildSide == BuildLeft) j.left else j.right
+    build.collectFirst {
+      case a: HashAggregateExec if a.groupingExpressions.isEmpty       => ()
+      case a: SortAggregateExec if a.groupingExpressions.isEmpty       => ()
+      case a: ObjectHashAggregateExec if a.groupingExpressions.isEmpty => ()
+      case _: TakeOrderedAndProjectExec                                => ()
+      case _: GlobalLimitExec                                          => ()
+    }.isDefined
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    var flagged = List.empty[String]
+    println(f"${"query"}%-32s scans exch smj nlj")
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val plan = fn(spark, dir).queryExecution.sparkPlan
+        val scans = plan.collect { case s: FileSourceScanExec => s }.size
+        val exch = plan.collect { case e: ShuffleExchangeExec => e }.size
+        val smj = plan.collect { case j: SortMergeJoinExec => j }.size
+        val unbounded = plan.collect {
+          case j: BroadcastNestedLoopJoinExec if !boundedBuild(j) => j
+          case j: CartesianProductExec => j
+        }.size
+        val bounded = plan.collect {
+          case j: BroadcastNestedLoopJoinExec if boundedBuild(j) => j
+        }.size
+        println(f"$name%-32s $scans%5d $exch%4d $smj%3d ${unbounded}%3d (+$bounded bounded)")
+        if (unbounded > 0 && !quadraticBaselines.contains(name) &&
+            !boundedByConstruction.contains(name))
+          flagged ::= s"$name: $unbounded unbounded nested-loop/cartesian join(s) outside the documented baselines"
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+      } catch {
+        case e: Throwable =>
+          flagged ::= s"$name: plan construction failed: ${e.getMessage}"
+      }
+    }
+    if (flagged.nonEmpty) {
+      println("\nFLAGGED:")
+      flagged.foreach(f => println(s"  $f"))
+      spark.stop()
+      sys.exit(1)
+    }
+    println("\nno flags")
+    spark.stop()
+  }
+}

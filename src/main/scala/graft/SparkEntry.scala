@@ -1363,7 +1363,23 @@ object SparkEntry {
     // and comment together).
     "d7_dup_clusters" -> ((s, d) =>
       graft.dedup.Clusters.duplicateClusters(t(s, d, "documents"), 0.7, iterations = 4)
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+    // D8: the shipped artifact of dedup — one canonical doc per family,
+    // everything else dropped (anti-join on the broadcast drop list).
+    "d8_dedup_survivors" -> ((s, d) =>
+      graft.dedup.Clusters.survivors(t(s, d, "documents"), 0.7, iterations = 4)
+        .select(col("doc_id"), length(col("text")).as("text_len"))
+        .orderBy("doc_id")),
+    // D9: eval-set decontamination — train docs that exactly or nearly
+    // match a held-out eval doc (doc_id % 10 = 0 here) are removed.
+    "d9_decontaminate" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      graft.dedup.Dedup.decontaminate(
+          docs.filter(col("doc_id") % 10 =!= 0),
+          docs.filter(col("doc_id") % 10 === 0), 0.7)
+        .select(col("doc_id"), length(col("text")).as("text_len"))
+        .orderBy("doc_id")
+    })
   )
 
   private val dedupOracles: Map[String, String] = {
@@ -1451,6 +1467,50 @@ object SparkEntry {
            |  count(*) OVER (PARTITION BY lbl) AS n_members
            |FROM l4 ORDER BY doc_id""".stripMargin
       },
+      "d8_dedup_survivors" -> {
+        // d7's pipeline verbatim, then the anti filter: keep every doc
+        // that is not a non-canonical family member.
+        val steps = (1 to 4).map { k =>
+          s"""l$k AS MATERIALIZED (SELECT l.node, least(l.lbl, min(n.lbl)) AS lbl
+             |  FROM l${k - 1} l JOIN edges e ON e.src = l.node JOIN l${k - 1} n ON n.node = e.dst
+             |  GROUP BY l.node, l.lbl)""".stripMargin
+        }.mkString(",\n")
+        s"""$shingleCte,
+           |ex AS (SELECT doc_id, ('0x' || substr(md5(unnest(g)), 1, 7))::BIGINT AS base FROM sh),
+           |sig AS (SELECT doc_id, $minExprs FROM ex GROUP BY doc_id),
+           |bands AS ($bandSelects),
+           |cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+           |  FROM bands x JOIN bands y ON x.band = y.band AND x.s = y.s AND x.doc_id < y.doc_id),
+           |pairs AS MATERIALIZED (SELECT d1, d2 FROM (
+           |  SELECT d1, d2, $sqlJaccard AS jaccard
+           |  FROM cand JOIN sh a ON a.doc_id = d1 JOIN sh b ON b.doc_id = d2)
+           |  WHERE jaccard >= 0.7),
+           |edges AS MATERIALIZED (SELECT d1 AS src, d2 AS dst FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
+           |l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS lbl FROM edges),
+           |$steps
+           |SELECT doc_id, CAST(len(text) AS INT) AS text_len FROM documents
+           |WHERE doc_id NOT IN (SELECT node FROM l4 WHERE node <> lbl)
+           |ORDER BY doc_id""".stripMargin
+      },
+      "d9_decontaminate" ->
+        s"""$shingleCte,
+           |ex AS (SELECT doc_id, ('0x' || substr(md5(unnest(g)), 1, 7))::BIGINT AS base FROM sh),
+           |sig AS (SELECT doc_id, $minExprs FROM ex GROUP BY doc_id),
+           |bands AS ($bandSelects),
+           |cand AS MATERIALIZED (SELECT DISTINCT x.doc_id AS t_id, y.doc_id AS e_id
+           |  FROM bands x JOIN bands y ON x.band = y.band AND x.s = y.s
+           |  WHERE x.doc_id % 10 <> 0 AND y.doc_id % 10 = 0),
+           |near AS (SELECT DISTINCT t_id AS doc_id FROM (
+           |  SELECT t_id, $sqlJaccard AS jaccard
+           |  FROM cand JOIN sh a ON a.doc_id = t_id JOIN sh b ON b.doc_id = e_id)
+           |  WHERE jaccard >= 0.7),
+           |exact AS (SELECT DISTINCT tr.doc_id FROM documents tr JOIN documents ev
+           |  ON md5(tr.text) = md5(ev.text)
+           |  WHERE tr.doc_id % 10 <> 0 AND ev.doc_id % 10 = 0)
+           |SELECT doc_id, CAST(len(text) AS INT) AS text_len FROM documents
+           |WHERE doc_id % 10 <> 0
+           |  AND doc_id NOT IN (SELECT doc_id FROM near UNION SELECT doc_id FROM exact)
+           |ORDER BY doc_id""".stripMargin,
       "d4_simhash_signatures" ->
         s"""$simhashCte
            |SELECT doc_id, simhash FROM sig ORDER BY doc_id""".stripMargin,

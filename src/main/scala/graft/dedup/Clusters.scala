@@ -55,4 +55,18 @@ object Clusters {
     labels.select(col("node").as("doc_id"), col("lbl").as("cluster_id"),
       count(lit(1)).over(Window.partitionBy(col("lbl"))).as("n_members"))
   }
+
+  /** D8: dedup survivors — the corpus with every non-canonical member
+    * of a duplicate family removed (canonical = the family's min doc
+    * id, which IS the converged cluster label). This is the step a
+    * training pipeline actually ships: pairs → families → one document
+    * per family. The drop list is |family members − families| rows —
+    * tiny relative to the corpus — so it broadcasts and the anti-join
+    * never shuffles document bodies. */
+  def survivors(docs: DataFrame, threshold: Double, iterations: Int = 4): DataFrame = {
+    val drop = duplicateClusters(docs, threshold, iterations)
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id"))
+    docs.join(broadcast(drop), Seq("doc_id"), "left_anti")
+  }
 }

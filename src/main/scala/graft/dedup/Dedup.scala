@@ -82,25 +82,31 @@ object Dedup {
       minhashParams.indices.map(j => element_at(col("sig"), j + 1).as(s"h$j")): _*)
   }
 
-  /** Banded LSH candidate pairs, verified with exact Jaccard ≥ threshold.
-    * Equality join on (band, band-signature) — shuffle on tiny strings,
-    * never on document bodies. */
-  def minhashLshPairs(docs: DataFrame, threshold: Double): DataFrame = {
+  /** LSH band table: (doc_id, band, band-signature) — the small
+    * intermediate every banded-LSH consumer joins on (self-join for
+    * corpus pairs, bipartite join for decontamination). */
+  def bandTable(docs: DataFrame): DataFrame = {
     val sig = minhashSignatures(docs)
     val rows = MINHASH_K / LSH_BANDS
     val bandCols = (0 until LSH_BANDS).map { b =>
       struct(lit(b).as("band"),
         concat_ws("_", (0 until rows).map(r => col(s"h${b * rows + r}")).toSeq: _*).as("sig"))
     }
+    sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+  }
+
+  /** Banded LSH candidate pairs, verified with exact Jaccard ≥ threshold.
+    * Equality join on (band, band-signature) — shuffle on tiny strings,
+    * never on document bodies. */
+  def minhashLshPairs(docs: DataFrame, threshold: Double): DataFrame = {
     // Materialize the band table once: the self-join references it on
     // BOTH sides, and without a checkpoint Spark re-derives the whole
     // scan→shingle→signature subtree per reference (the physical plan
     // had 11 parquet scans). Bands are LSH_BANDS rows/doc of (int,
     // short string) — at 100 TB this is the small intermediate you
     // would persist anyway to serve repeated candidate lookups.
-    val bands = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bs"))
-      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
-      .localCheckpoint(true)
+    val bands = bandTable(docs).localCheckpoint(true)
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -118,6 +124,44 @@ object Dedup {
       .join(s.select(col("doc_id").as("d2"), col("g").as("g2")), "d2")
       .select(col("d1"), col("d2"), round(jaccard(col("g1"), col("g2")), 4).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+  }
+
+  /** D9: eval-set decontamination — drop every training document that
+    * exactly matches (content digest) or near-matches (n-gram Jaccard ≥
+    * threshold) a held-out evaluation document, so benchmark answers
+    * can't leak into the training corpus. The standard pre-training
+    * hygiene step; its shape differs from corpus dedup in one way that
+    * matters at 100 TB: the comparison is BIPARTITE against a small
+    * eval set, so the eval side (digests, band table, shingles)
+    * broadcasts and the train corpus is never shuffled at all — each
+    * train partition probes the broadcast tables map-side.
+    */
+  def decontaminate(train: DataFrame, evalDocs: DataFrame, threshold: Double): DataFrame = {
+    // exact leg: digest semi-join against the broadcast eval digest set
+    val evalDigests = evalDocs
+      .select(md5(col("text").cast("binary")).as("h")).distinct()
+    val exactHit = train
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
+      .join(broadcast(evalDigests), Seq("h"), "left_semi")
+      .select(col("doc_id"))
+    // near leg: bipartite banded LSH — same signatures as corpus dedup
+    val cand = bandTable(train)
+      .join(broadcast(bandTable(evalDocs)
+          .select(col("doc_id").as("e_id"), col("band"), col("sig"))),
+        Seq("band", "sig"))
+      .select(col("doc_id").as("t_id"), col("e_id")).distinct()
+      .localCheckpoint(true) // reused by both id-set filters + verify join
+    val tIds = cand.select(col("t_id").as("doc_id")).distinct()
+    val eIds = cand.select(col("e_id").as("doc_id")).distinct()
+    // re-shingle only candidate docs (broadcast semi-join filters)
+    val ts = shingleSets(train.join(broadcast(tIds), Seq("doc_id"), "left_semi"))
+    val es = shingleSets(evalDocs.join(broadcast(eIds), Seq("doc_id"), "left_semi"))
+    val nearHit = cand
+      .join(ts.select(col("doc_id").as("t_id"), col("g").as("g1")), "t_id")
+      .join(es.select(col("doc_id").as("e_id"), col("g").as("g2")), "e_id")
+      .filter(round(jaccard(col("g1"), col("g2")), 4) >= threshold)
+      .select(col("t_id").as("doc_id")).distinct()
+    train.join(broadcast(exactHit.union(nearHit).distinct()), Seq("doc_id"), "left_anti")
   }
 
   /** Fuzzy near-dup pairs: MinHash-LSH candidate generation composed

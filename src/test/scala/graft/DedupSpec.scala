@@ -85,6 +85,37 @@ class DedupSpec extends SparkSpec {
     assert(pairs === Set((1L, 3L)))
   }
 
+  test("D8: survivors keep exactly one canonical doc per duplicate family") {
+    val fams = graft.dedup.Clusters.duplicateClusters(docs, 0.7)
+      .as[(Long, Long, Long)].collect()
+    val surv = graft.dedup.Clusters.survivors(docs, 0.7)
+      .select("doc_id").as[Long].collect().toSet
+    val total = docs.count()
+    // every family contributes exactly its canonical (min id) member
+    fams.groupBy(_._2).foreach { case (cluster, members) =>
+      val ids = members.map(_._1).toSet
+      assert(surv.intersect(ids) === Set(cluster),
+        s"family $cluster must keep exactly its canonical member")
+    }
+    // docs with no dup edge are all kept
+    assert(surv.size === total - fams.count(f => f._1 != f._2))
+  }
+
+  test("D9: decontamination removes exact and near matches of the eval set, nothing else") {
+    val train = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "an entirely different document about catalyst optimizer rules"),
+      (3L, "the quick brown fox jumps over the lazy dog right now today"), // near-dup of eval 10
+      (4L, "spark structured streaming watermark semantics explained fully")).toDF("doc_id", "text")
+    val eval = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog today"), // exact = train 1, near = train 3
+      (11L, "held out benchmark question nobody should train on")).toDF("doc_id", "text")
+    val clean = Dedup.decontaminate(train, eval, 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(clean === Set(2L, 4L),
+      "exact match (1) and near match (3) must be removed; unrelated docs kept")
+  }
+
   test("D5: duplicate docs pair at Hamming 0; unrelated docs never pair") {
     val df = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again today"),
