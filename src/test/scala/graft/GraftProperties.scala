@@ -124,6 +124,35 @@ object GraftProperties extends Properties("graft") {
       }
     }
 
+  property("dedup survivors partition the corpus: kept ⊎ dropped, one canonical per family") =
+    forAll(Gen.listOfN(8, genDoc)) { docs0 =>
+      val docs = docs0.distinctBy(_._1)
+      val df = docs.toDF("doc_id", "text")
+      val fams = graft.dedup.Clusters.duplicateClusters(df, 0.7)
+        .select("doc_id", "cluster_id").as[(Long, Long)].collect()
+      val surv = graft.dedup.Clusters.survivors(df, 0.7)
+        .select("doc_id").as[Long].collect().toSet
+      val dropped = fams.filter(f => f._1 != f._2).map(_._1).toSet
+      surv.intersect(dropped).isEmpty && surv.size + dropped.size == docs.size &&
+        fams.filter(f => f._1 == f._2).forall(f => surv.contains(f._1))
+    }
+
+  property("decontaminate: exact eval matches always removed; cleaning is idempotent") =
+    forAll(Gen.listOfN(6, genDoc), Gen.listOfN(3, genDoc)) { (tr0, ev0) =>
+      val trainRows = tr0.distinctBy(_._1)
+      val train = trainRows.toDF("doc_id", "text")
+      // eval ids disjoint from train ids (held-out set)
+      val evalDf = ev0.distinctBy(_._1).map { case (id, t) => (id + 2000000L, t) }
+        .toDF("doc_id", "text")
+      val clean = graft.dedup.Dedup.decontaminate(train, evalDf, 0.7)
+      val cleanIds = clean.select("doc_id").as[Long].collect().toSet
+      val evalTexts = ev0.map(_._2).toSet
+      val exactMatches = trainRows.filter(d => evalTexts.contains(d._2)).map(_._1).toSet
+      val again = graft.dedup.Dedup.decontaminate(clean, evalDf, 0.7)
+        .select("doc_id").as[Long].collect().toSet
+      cleanIds.intersect(exactMatches).isEmpty && again == cleanIds
+    }
+
   property("as-of join: every match precedes the probe, per key") =
     forAll(genEvents) { evs =>
       val left = evs.filter(_.event_type == "purchase")
