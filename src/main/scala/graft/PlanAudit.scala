@@ -35,6 +35,15 @@ object PlanAudit {
     "e6_centroid_assign" ->
       "centroid side is `vec_id < k` — exactly k rows by key semantics")
 
+  /** Queries allowed ≥3 scans of one path, with why the repeats are not
+    * repeated work. */
+  private val rescanWhitelist = Map(
+    "u1_union_offices" ->
+      "3 DISJOINT office slices of one table — partition-pruned, one logical pass",
+    "d9_decontaminate" ->
+      ("train and eval both derive from the harness documents table; the scans are " +
+        "1 full output pass + 2 candidate-PRUNED verify scans, different datasets in deployment"))
+
   /** A nested-loop join is the legitimate scale pattern when its
     * broadcast side is provably bounded: a global aggregate (exactly
     * one row — scalar frames like the top-k cutoff, corpus size, or
@@ -69,6 +78,16 @@ object PlanAudit {
         val scans = plan.collect { case s: FileSourceScanExec => s }.size
         val exch = plan.collect { case e: ShuffleExchangeExec => e }.size
         val smj = plan.collect { case j: SortMergeJoinExec => j }.size
+        // re-scan detection (the p2 bug class): the same parquet path
+        // scanned ≥3× in one plan means a shared frame should have been
+        // checkpointed (2× is legitimate: self-joins, hist∪live).
+        val scansPerPath = plan.collect { case s: FileSourceScanExec =>
+          s.relation.location.rootPaths.mkString(",")
+        }.groupBy(identity).view.mapValues(_.size)
+        if (!rescanWhitelist.contains(name))
+          scansPerPath.filter(_._2 >= 3).foreach { case (path, n) =>
+            flagged ::= s"$name: $n scans of the same input ($path) — checkpoint the shared frame"
+          }
         val unbounded = plan.collect {
           case j: BroadcastNestedLoopJoinExec if !boundedBuild(j) => j
           case j: CartesianProductExec => j

@@ -126,27 +126,57 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** One-pass dedup key table: content digest + MinHash signature per
+    * doc — the small per-doc index a pipeline persists (id + 16-byte
+    * digest + K longs), from which every dedup leg derives without
+    * re-reading bodies. `sig` is NULL for shingle-less docs (they can
+    * never near-match but still participate in exact matching). */
+  def dedupKeys(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      md5(col("text").cast("binary")).as("content_hash"),
+      graft.functions.TextExpressions.minhashSig(
+        graft.functions.TextExpressions.wordShingles(words(col("text")), 3),
+        minhashParams, MINHASH_P).as("sig"))
+
+  /** Band table derived from a [[dedupKeys]] frame — identical band
+    * strings to [[bandTable]] (same signature elements, same
+    * concat_ws), without touching document bodies. */
+  private def bandsFromKeys(keys: DataFrame): DataFrame = {
+    val rows = MINHASH_K / LSH_BANDS
+    val bandCols = (0 until LSH_BANDS).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws("_", (0 until rows)
+          .map(r => element_at(col("sig"), b * rows + r + 1)): _*).as("sig"))
+    }
+    keys.filter(col("sig").isNotNull)
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+  }
+
   /** D9: eval-set decontamination — drop every training document that
     * exactly matches (content digest) or near-matches (n-gram Jaccard ≥
     * threshold) a held-out evaluation document, so benchmark answers
     * can't leak into the training corpus. The standard pre-training
-    * hygiene step; its shape differs from corpus dedup in one way that
-    * matters at 100 TB: the comparison is BIPARTITE against a small
-    * eval set, so the eval side (digests, band table, shingles)
-    * broadcasts and the train corpus is never shuffled at all — each
-    * train partition probes the broadcast tables map-side.
+    * hygiene step; its shape differs from corpus dedup in two ways that
+    * matter at 100 TB: (a) the comparison is BIPARTITE against a small
+    * eval set, so the eval side broadcasts and the train corpus is
+    * never shuffled — each train partition probes map-side; (b) ONE
+    * pass over each corpus builds its [[dedupKeys]] index (digest +
+    * signature together), and the exact and LSH legs both derive from
+    * that checkpointed index — bodies are read again only for the
+    * candidate-verify shingles (pruned) and the final output.
     */
   def decontaminate(train: DataFrame, evalDocs: DataFrame, threshold: Double): DataFrame = {
-    // exact leg: digest semi-join against the broadcast eval digest set
-    val evalDigests = evalDocs
-      .select(md5(col("text").cast("binary")).as("h")).distinct()
-    val exactHit = train
-      .select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
-      .join(broadcast(evalDigests), Seq("h"), "left_semi")
+    val tKeys = dedupKeys(train).localCheckpoint(true)
+    val eKeys = dedupKeys(evalDocs).localCheckpoint(true)
+    // exact leg: digest semi-join against the broadcast eval digests
+    val exactHit = tKeys
+      .join(broadcast(eKeys.select(col("content_hash")).distinct()),
+        Seq("content_hash"), "left_semi")
       .select(col("doc_id"))
-    // near leg: bipartite banded LSH — same signatures as corpus dedup
-    val cand = bandTable(train)
-      .join(broadcast(bandTable(evalDocs)
+    // near leg: bipartite banded LSH over the same key frames
+    val cand = bandsFromKeys(tKeys)
+      .join(broadcast(bandsFromKeys(eKeys)
           .select(col("doc_id").as("e_id"), col("band"), col("sig"))),
         Seq("band", "sig"))
       .select(col("doc_id").as("t_id"), col("e_id")).distinct()
@@ -171,7 +201,11 @@ object Dedup {
     * never the corpus cross product. */
   def editDistancePairs(docs: DataFrame, prefixLen: Int, maxDist: Int): DataFrame = {
     val cand = minhashLshPairs(docs, 0.5).select(col("d1"), col("d2"))
+    // the prefix table joins on BOTH pair sides — materialize it once
+    // (id + short prefix, the persistable intermediate) instead of
+    // scanning the corpus twice
     val txt = docs.select(col("doc_id"), substring(col("text"), 1, prefixLen).as("prefix"))
+      .localCheckpoint(true)
     cand
       .join(txt.select(col("doc_id").as("d1"), col("prefix").as("p1")), "d1")
       .join(txt.select(col("doc_id").as("d2"), col("prefix").as("p2")), "d2")

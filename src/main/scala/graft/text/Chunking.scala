@@ -58,7 +58,13 @@ object Chunking {
     * a held-out LM's token probabilities — the pipeline shape is
     * identical. */
   def unigramLogProb(docs: DataFrame): DataFrame = {
+    // tokenize ONCE: the token table feeds both the vocab counts and
+    // the per-doc scoring join — without the checkpoint each reference
+    // re-scans and re-splits the corpus (PlanAudit's re-scan flag). At
+    // warehouse scale this is the tokenized-corpus intermediate a
+    // pipeline persists anyway.
     val tok = docs.select(col("doc_id"), explode(words(col("text"))).as("term"))
+      .localCheckpoint(true)
     val counts = tok.groupBy(col("term")).agg(count(lit(1)).as("c"))
     val total = counts.agg(sum(col("c")).as("total"))
     // quantize each term's nll to DECIMAL once (per-VOCAB-term, not
@@ -79,7 +85,9 @@ object Chunking {
     * (term frequency per doc, document frequency per term) + a
     * broadcast of the single-row corpus size — no O(n²) anywhere. */
   def tfidfTopTerms(docs: DataFrame, k: Int = 3): DataFrame = {
+    // tokenize ONCE for both aggregations (see unigramLogProb note)
     val tok = docs.select(col("doc_id"), explode(words(col("text"))).as("term"))
+      .localCheckpoint(true)
     val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val df = tok.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
     val n = docs.select(count(lit(1)).as("n"))
