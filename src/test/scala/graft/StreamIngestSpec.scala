@@ -137,6 +137,38 @@ class StreamIngestSpec extends SparkSpec {
       "restart must deliver each source file exactly once")
   }
 
+  test("ST3/ST6 run on the RocksDB state store (the large-state backend)") {
+    // at 100 TB the dedup/session state outgrows the default in-memory
+    // HDFS-backed store; RocksDB keeps state off-heap with incremental
+    // checkpoints. The operators must be provider-agnostic — run the
+    // watermarked dedup end-to-end against RocksDB and confirm the
+    // same exactly-once result.
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[Ev]
+      val q = StreamIngest.dedupWithinWatermark(in.toDF())
+        .writeStream.format("memory").queryName("st_rocks_out")
+        .outputMode("append").start()
+      in.addData(Ev(1, ts("2024-01-01 10:00:00"), 7, "signup", 1.0),
+        Ev(1, ts("2024-01-01 10:00:00"), 7, "signup", 1.0))
+      q.processAllAvailable()
+      in.addData(Ev(1, ts("2024-01-01 10:00:01"), 7, "signup", 1.0),
+        Ev(2, ts("2024-01-01 10:00:02"), 7, "purchase", 2.0))
+      q.processAllAvailable()
+      val ids = spark.table("st_rocks_out").select("event_id").as[Long].collect().sorted
+      q.stop()
+      assert(ids.toSeq === Seq(1L, 2L), "RocksDB-backed dedup must match the default store")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("ST10: streaming session windows merge bursts and emit on watermark close") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Ev]
