@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// With fork, the default LoggedOutput pipes the child's stdout through
+// sbt's logger, prefixing every line with "[info] " — which breaks any
+// consumer parsing Bench/Verify's machine-readable stdout lines as JSON
+// (BENCH_r1–r5 all show `parsed: null` for exactly this reason).
+// StdoutOutput hands the child sbt's own stdout: bare, unprefixed lines.
+outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

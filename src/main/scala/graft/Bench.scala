@@ -82,6 +82,13 @@ object Bench {
     // the canonical "total". The driver's ~2KB tail capture has clipped
     // the long line from the head in two rounds running; the short line
     // always survives the tail.
+    // These land on stdout as BARE json only because build.sbt sets
+    // `outputStrategy := Some(StdoutOutput)`: with `run / fork := true`
+    // the default LoggedOutput pipes the forked JVM's stdout through
+    // sbt's logger, prefixing every line with "[info] " — five rounds
+    // of BENCH_r*.json show the driver's JSON parse failing on exactly
+    // that prefix (`parsed: null` even when rc=0 and the line itself
+    // was well-formed).
     println(s"""{"metric":"detail","value":${num("%.3f", total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     println(s"""{"metric":"total","value":${num("%.3f", total)},"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}""")
     spark.stop()
