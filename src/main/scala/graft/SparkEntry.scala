@@ -1364,6 +1364,14 @@ object SparkEntry {
     "d7_dup_clusters" -> ((s, d) =>
       graft.dedup.Clusters.duplicateClusters(t(s, d, "documents"), 0.7, iterations = 4)
         .orderBy("doc_id")),
+    // D10: duplicate families as TRUE connected components — large-star/
+    // small-star alternated to a star-certificate fixpoint, exact for
+    // any chain diameter (d7's fixed-round propagation is exact only up
+    // to its iteration bound). Oracle: recursive-CTE transitive closure
+    // over the same verified-pair graph — min reachable id, no unrolling.
+    "d10_cc_converged" -> ((s, d) =>
+      graft.dedup.Clusters.duplicateClustersConverged(t(s, d, "documents"), 0.7)
+        .orderBy("doc_id")),
     // D8: the shipped artifact of dedup — one canonical doc per family,
     // everything else dropped (anti-join on the broadcast drop list).
     "d8_dedup_survivors" -> ((s, d) =>
@@ -1466,6 +1474,30 @@ object SparkEntry {
            |SELECT node AS doc_id, lbl AS cluster_id,
            |  count(*) OVER (PARTITION BY lbl) AS n_members
            |FROM l4 ORDER BY doc_id""".stripMargin
+      },
+      "d10_cc_converged" -> {
+        // Same verified-pair graph as d7, but labels from a recursive
+        // transitive closure (min reachable node id) instead of unrolled
+        // propagation rounds — the exact fixpoint large-star/small-star
+        // converges to, so no iteration count appears on either side.
+        s"""${shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+           |ex AS (SELECT doc_id, ('0x' || substr(md5(unnest(g)), 1, 7))::BIGINT AS base FROM sh),
+           |sig AS (SELECT doc_id, $minExprs FROM ex GROUP BY doc_id),
+           |bands AS ($bandSelects),
+           |cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+           |  FROM bands x JOIN bands y ON x.band = y.band AND x.s = y.s AND x.doc_id < y.doc_id),
+           |pairs AS MATERIALIZED (SELECT d1, d2 FROM (
+           |  SELECT d1, d2, $sqlJaccard AS jaccard
+           |  FROM cand JOIN sh a ON a.doc_id = d1 JOIN sh b ON b.doc_id = d2)
+           |  WHERE jaccard >= 0.7),
+           |edges AS MATERIALIZED (SELECT d1 AS src, d2 AS dst FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
+           |reach AS (SELECT src AS node, src AS r FROM edges
+           |  UNION
+           |  SELECT e.src, q.r FROM edges e JOIN reach q ON q.node = e.dst),
+           |labels AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node)
+           |SELECT node AS doc_id, cluster_id,
+           |  count(*) OVER (PARTITION BY cluster_id) AS n_members
+           |FROM labels ORDER BY doc_id""".stripMargin
       },
       "d8_dedup_survivors" -> {
         // d7's pipeline verbatim, then the anti filter: keep every doc

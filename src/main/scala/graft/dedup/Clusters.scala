@@ -56,6 +56,105 @@ object Clusters {
       count(lit(1)).over(Window.partitionBy(col("lbl"))).as("n_members"))
   }
 
+  /** Connected components to FULL convergence via large-star/small-star
+    * alternation (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC'14) — the scale path [[duplicateClusters]]' scaladoc
+    * promises for adversarially long chains. Bounded label propagation
+    * is exact only up to its iteration diameter; this converges in
+    * O(log² n) rounds regardless of component shape, each round two
+    * self-equi-joins on the (tiny) edge table — document bodies never
+    * enter the shuffle.
+    *
+    * Round r: large-star points every neighbor v > u at m = min(Γ(u) ∪
+    * {u}); small-star points every neighbor v < u (and u itself) at the
+    * min of u's smaller neighborhood. Both preserve connectivity and
+    * monotonically flatten trees toward the component-min root.
+    *
+    * Termination is certificate-checked, not assumed: the loop exits
+    * when the edge set is a disjoint union of stars — no target node
+    * reappears as a source (depth 1) AND every source points at exactly
+    * one target (single root per node). Both star transforms preserve
+    * connectivity, so the certificate proves labels = exact
+    * component-min of the ORIGINAL graph. `maxRounds` is a safety rail
+    * far above the O(log² n) bound; hitting it throws rather than
+    * returning silently-unconverged labels.
+    *
+    * @param pairs undirected edge list; first two columns are node ids.
+    * @return (node, cluster_id = min node id of the component); every
+    *         node incident to an edge appears exactly once.
+    */
+  def connectedComponents(pairs: DataFrame, maxRounds: Int = 40): DataFrame = {
+    val spark = pairs.sparkSession
+    val c = pairs.columns
+    var e = pairs
+      .select(col(c(0)).cast("long").as("u"), col(c(1)).cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+      .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+      .distinct().localCheckpoint(true)
+
+    def sym(e: DataFrame) = e.union(e.select(col("v").as("u"), col("u").as("v")))
+
+    // large-star: for each u, m = min(Γ(u) ∪ {u}); emit (v, m) ∀ v ∈ Γ(u), v > u.
+    def largeStar(e: DataFrame): DataFrame = {
+      val adj = sym(e)
+      val m = adj.groupBy("u")
+        .agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      adj.filter(col("v") > col("u")).join(m, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+    }
+
+    // small-star: for each u with smaller neighbors N = {v ∈ Γ(u): v < u},
+    // m = min(N); emit (x, m) ∀ x ∈ N ∪ {u}, x ≠ m.
+    def smallStar(e: DataFrame): DataFrame = {
+      val sm = sym(e).filter(col("v") < col("u"))
+      val m = sm.groupBy("u").agg(min(col("v")).as("m"))
+      sm.join(m, "u").select(col("v").as("x"), col("m"))
+        .union(m.select(col("u").as("x"), col("m")))
+        .filter(col("x") =!= col("m"))
+        .select(col("x").as("u"), col("m").as("v")).distinct()
+    }
+
+    // star certificate: no root is also a leaf, and each leaf has one root.
+    def isStars(e: DataFrame): Boolean = {
+      val chained = e.select(col("v").as("n")).distinct()
+        .join(e.select(col("u").as("n")).distinct(), "n")
+        .limit(1).isEmpty
+      lazy val single = e.groupBy("u").agg(countDistinct(col("v")).as("k"))
+        .filter(col("k") > 1).limit(1).isEmpty
+      chained && single
+    }
+
+    var rounds = 0
+    while (!e.isEmpty && !isStars(e)) {
+      if (rounds >= maxRounds)
+        throw new IllegalStateException(
+          s"connectedComponents: no convergence after $maxRounds rounds " +
+            s"(O(log² n) expected; graph is pathological or inputs are corrupt)")
+      // localCheckpoint: each round references its predecessor several
+      // times; unbroken lineage would grow exponentially.
+      e = smallStar(largeStar(e)).localCheckpoint(true)
+      rounds += 1
+    }
+    // stars: u → root, plus each root labeling itself.
+    e.select(col("u").as("node"), col("v").as("lbl"))
+      .union(e.select(col("v").as("node"), col("v").as("lbl")).distinct())
+  }
+
+  /** [[duplicateClusters]] with exact convergence: families are the TRUE
+    * connected components of the verified near-dup pair graph, whatever
+    * their diameter — the variant to ship when duplicate chains (doc A ~
+    * B ~ C ~ … with A !~ C) can be arbitrarily long, e.g. boilerplate
+    * drift across crawl snapshots. Same output shape as
+    * [[duplicateClusters]]. */
+  def duplicateClustersConverged(docs: DataFrame, threshold: Double): DataFrame = {
+    val pairs = Dedup.minhashLshPairs(docs, threshold).select(col("d1"), col("d2"))
+    connectedComponents(pairs)
+      .select(col("node").as("doc_id"), col("lbl").as("cluster_id"),
+        count(lit(1)).over(Window.partitionBy(col("lbl"))).as("n_members"))
+  }
+
   /** D8: dedup survivors — the corpus with every non-canonical member
     * of a duplicate family removed (canonical = the family's min doc
     * id, which IS the converged cluster label). This is the step a

@@ -37,6 +37,50 @@ class ClustersSpec extends SparkSpec {
     assert(sizes(0L) === 3L && sizes(11L) === 2L)
   }
 
+  test("connectedComponents: a 100-link chain collapses to one min-id component") {
+    // Diameter 100 — far beyond any bounded propagation; the star
+    // certificate must still deliver the exact component min.
+    val edges = (0L until 100L).map(i => (i, i + 1)).toDF("src", "dst")
+    val lbl = Clusters.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(lbl.length === 101)
+    assert(lbl.forall(_._2 === 0L), "every chain node must take label 0")
+  }
+
+  test("connectedComponents matches a union-find ground truth on a random graph") {
+    val rnd = new scala.util.Random(42)
+    val n = 400
+    val edges = Seq.fill(300)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }
+    // driver-side union-find ground truth (test-only)
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val touched = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val truth = touched.map(v => v -> {
+      // component min = min over members sharing the root
+      val r = find(v.toInt)
+      touched.filter(w => find(w.toInt) == r).min
+    }).toMap
+    val got = Clusters.connectedComponents(edges.toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === truth)
+  }
+
+  test("converged clusters agree with bounded propagation on the real table") {
+    // At this SF families are near-cliques, so d7's 4 rounds have
+    // converged — the exact-CC variant must produce identical output.
+    val real = Tables.table(spark, sfDir, "documents")
+    val a = Clusters.duplicateClusters(real, 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val b = Clusters.duplicateClustersConverged(real, 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(a.nonEmpty && (a sameElements b))
+  }
+
   test("clusters refine the pair graph: every verified pair is co-clustered") {
     val real = Tables.table(spark, sfDir, "documents")
     val lbl = Clusters.duplicateClusters(real, 0.7)

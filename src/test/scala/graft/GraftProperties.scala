@@ -137,6 +137,30 @@ object GraftProperties extends Properties("graft") {
         fams.filter(f => f._1 == f._2).forall(f => surv.contains(f._1))
     }
 
+  property("connectedComponents equals union-find on random graphs") =
+    forAll(Gen.chooseNum(2, 60), Gen.listOfN(60, Gen.chooseNum(0, 59))) { (n, picks) =>
+      // random edge list over n nodes (pairs drawn from the pick stream)
+      val edges = picks.grouped(2).collect {
+        case List(a, b) if a % n != b % n => ((a % n).toLong, (b % n).toLong)
+      }.toList
+      edges.isEmpty || {
+        val parent = Array.tabulate(n)(identity)
+        def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a.toInt), find(b.toInt))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val touched = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        val truth = touched.map { v =>
+          val r = find(v.toInt)
+          v -> touched.filter(w => find(w.toInt) == r).min
+        }.toMap
+        val got = graft.dedup.Clusters.connectedComponents(edges.toDF("a", "b"))
+          .as[(Long, Long)].collect().toMap
+        got == truth
+      }
+    }
+
   property("decontaminate: exact eval matches always removed; cleaning is idempotent") =
     forAll(Gen.listOfN(6, genDoc), Gen.listOfN(3, genDoc)) { (tr0, ev0) =>
       val trainRows = tr0.distinctBy(_._1)
