@@ -46,6 +46,39 @@ class PlansSpec extends SparkSpec {
         "events per union arm (one scan+parse total, done eagerly at checkpoint)")
   }
 
+  test("runtime bloom filter prunes the fact side of a selective fact-fact join") {
+    // At 100 TB the win is reading only the lineitem rows whose orderkey
+    // can pass the selective orders filter: Spark's InjectRuntimeFilter
+    // builds a bloom filter from the filtered (small) side and pushes a
+    // might_contain(l_orderkey) predicate into the big side's scan. The
+    // size thresholds are tuned for clusters, so at test SF we lower the
+    // application-side floor to prove the rewrite engages — the plan
+    // shape, not the byte counts, is what carries to scale.
+    val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> spark.conf.get(k))
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force shuffle join
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      def query = Tables.table(spark, sfDir, "lineitem")
+        .join(Tables.table(spark, sfDir, "orders")
+            .filter(col("o_orderpriority") === "1-URGENT"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority")).agg(sum(col("l_quantity")).as("qty"))
+
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      val withFilter = query.queryExecution.optimizedPlan.toString
+      assert(withFilter.contains("might_contain"),
+        "expected a bloom-filter runtime predicate on the application side")
+
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+      val without = query.queryExecution.optimizedPlan.toString
+      assert(!without.contains("might_contain"),
+        "causality check: the predicate must come from InjectRuntimeFilter")
+    } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("the rule never hints non-dim sides or overrides explicit hints") {
     val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
