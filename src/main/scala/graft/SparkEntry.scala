@@ -1689,7 +1689,13 @@ object SparkEntry {
         .groupBy(col("w")).agg(count(lit(1)).as("freq"))
         .orderBy(col("freq").desc, col("w")).limit(100)
         .withColumn("rnk", row_number().over(Window.orderBy(col("freq").desc, col("w"))))
-        .orderBy("rnk"))
+        .orderBy("rnk")),
+    // T8: Gopher-style repetition metrics — duplicate-token / duplicate-
+    // 2-gram fractions and most-frequent-term share, the curation
+    // signals that drop boilerplate and generation loops.
+    "t8_repetition" -> ((s, d) =>
+      graft.text.TextAnalysis.repetitionMetrics(t(s, d, "documents"))
+        .orderBy("doc_id"))
   )
 
   private val textOracles: Map[String, String] = {
@@ -1740,7 +1746,25 @@ object SparkEntry {
           |    SELECT w, count(*) AS freq FROM (
           |      SELECT unnest(string_split(text, ' ')) AS w FROM documents)
           |    GROUP BY w))
-          |WHERE rnk <= 100 ORDER BY rnk""".stripMargin)
+          |WHERE rnk <= 100 ORDER BY rnk""".stripMargin,
+      "t8_repetition" ->
+        """WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+          |tc AS (SELECT doc_id, x, count(*) AS c FROM
+          |  (SELECT doc_id, unnest(w) AS x FROM t) GROUP BY doc_id, x),
+          |t1 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+          |  count(*) AS n_distinct, max(c) AS top_cnt FROM tc GROUP BY doc_id),
+          |gc AS (SELECT doc_id, g, count(*) AS c FROM
+          |  (SELECT doc_id, unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS g FROM t)
+          |  GROUP BY doc_id, g),
+          |t2 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+          |  count(*) AS n_distinct_g, max(c) AS top_g FROM gc GROUP BY doc_id)
+          |SELECT t1.doc_id,
+          |  round(1.0 - n_distinct * 1.0 / n_tokens, 4) AS dup_token_frac,
+          |  round(top_cnt * 1.0 / n_tokens, 4) AS top_token_frac,
+          |  round(1.0 - n_distinct_g * 1.0 / n_bigrams, 4) AS dup_bigram_frac,
+          |  round(top_g * 1.0 / n_bigrams, 4) AS top_bigram_frac
+          |FROM t1 LEFT JOIN t2 ON t1.doc_id = t2.doc_id
+          |ORDER BY t1.doc_id""".stripMargin)
   }
 
   // ---- MM: multimodal column plumbing -------------------------------------
@@ -1872,6 +1896,14 @@ object SparkEntry {
           col("doc_id"), col("lang"), Map("en" -> 10), 50)
         .select(col("doc_id"), col("lang"), col("bucket"))
         .orderBy("doc_id")),
+    // SA3: balanced domain mix — every language downsampled to the
+    // smallest one with an integer cross-multiplied keep predicate
+    // (data-derived rates, no float drift, re-shard stable).
+    "sa3_domain_mix" -> ((s, d) =>
+      graft.sampling.Sampling.balancedMix(t(s, d, "documents"),
+          col("doc_id"), col("lang"))
+        .select(col("doc_id"), col("lang"), col("bucket"))
+        .orderBy("doc_id")),
     // C1: overlapping token-window chunking (size 50 / stride 40).
     "c1_chunk_windows" -> ((s, d) =>
       graft.text.Chunking.chunkWindows(t(s, d, "documents"))
@@ -1908,6 +1940,16 @@ object SparkEntry {
         |    CASE WHEN lang = 'en' THEN 10 ELSE 50 END AS rate
         |  FROM documents)
         |WHERE bucket < rate ORDER BY doc_id""".stripMargin,
+    "sa3_domain_mix" ->
+      """WITH c AS (SELECT lang AS k, count(*) AS cnt FROM documents GROUP BY lang),
+        |r AS (SELECT k, cnt, min(cnt) OVER () AS mn FROM c)
+        |SELECT doc_id, lang, bucket FROM (
+        |  SELECT d.doc_id, d.lang,
+        |    ('0x' || substr(md5('mix:' || d.doc_id), 1, 7))::BIGINT % 10000 AS bucket,
+        |    r.cnt, r.mn
+        |  FROM documents d JOIN r ON d.lang = r.k)
+        |WHERE bucket * cnt < 10000 * mn
+        |ORDER BY doc_id""".stripMargin,
     // '//' (integer division) is load-bearing: DuckDB '/' is float
     // division and CAST rounds-to-nearest, unlike Spark's integer '/'.
     "c1_chunk_windows" ->

@@ -44,4 +44,34 @@ object Sampling {
     }
     df.withColumn("bucket", bucket(id, salt)).filter(col("bucket") < rate)
   }
+
+  /** SA3: balanced domain mix — deterministically downsample every
+    * stratum (language, source, ...) to the size of the SMALLEST one,
+    * the data-mixing step before training when domains must contribute
+    * equally. Rates are derived from the data, not configured: stratum
+    * d keeps ~min_count/count_d of its rows.
+    *
+    * The keep predicate is integer cross-multiplication —
+    * `bucket * count_d < resolution * min_count` — never a floating-
+    * point rate, so Spark and any oracle agree bit-for-bit and the
+    * sample is stable under re-sharding (same salted-hash posture as
+    * [[hashSplit]]). Scale: the per-stratum count table is |domains|
+    * rows; it broadcasts, and the corpus itself sees one scan + one
+    * broadcast-join — no wide shuffle of bodies. */
+  def balancedMix(df: DataFrame, id: Column, stratum: Column,
+                  salt: String = "mix", resolution: Int = 10000): DataFrame = {
+    val counts = df.groupBy(stratum.as("stratum_key"))
+      .agg(count(lit(1)).as("stratum_cnt"))
+    // global min via an unpartitioned window over the |domains|-row
+    // count table: a second `counts.agg(min)` branch would re-scan the
+    // corpus (the plan audit's re-scan detector exists for exactly this).
+    val rates = counts.withColumn("min_cnt",
+      min(col("stratum_cnt")).over(org.apache.spark.sql.expressions.Window
+        .partitionBy()))
+    df.join(broadcast(rates), stratum === col("stratum_key"))
+      .withColumn("bucket", bucket(id, salt, resolution))
+      .filter(col("bucket") * col("stratum_cnt") <
+        lit(resolution.toLong) * col("min_cnt"))
+      .drop("stratum_key", "stratum_cnt", "min_cnt")
+  }
 }

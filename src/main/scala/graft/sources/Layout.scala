@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Warehouse layout (SURVEY.md §4): one logical table per event type,
@@ -31,6 +31,56 @@ object Layout {
         .withColumn("year", year(col("ts")))
         .withColumn("month", month(col("ts"))),
       path, Seq("office", "year", "month"))
+
+  /** Morton (Z-order) key over two numeric columns: each input is
+    * scaled to `bits` levels by its min/max range, then the level bits
+    * are interleaved. Files written in z-key ranges carry TIGHT parquet
+    * min/max footer stats on BOTH columns at once, so range predicates
+    * on EITHER column skip most files/row-groups — the multi-dimension
+    * clustering a single-column sort can't give (sorting by a keeps
+    * file stats on b full-width, so b-predicates prune nothing).
+    *
+    * The min/max scaling constants come from one aggregate (4 longs to
+    * the driver — bounded; a production writer would cache them in table
+    * metadata). Linear scaling is right for roughly uniform keys; for
+    * heavy skew substitute approx-quantile cut points per column — the
+    * interleave below is unchanged. Pure codegen'd bit arithmetic: no
+    * UDF, no shuffle beyond the final range partition. */
+  def zValue(a: Column, b: Column, aMin: Long, aMax: Long,
+             bMin: Long, bMax: Long, bits: Int = 16): Column = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
+    val levels = (1L << bits) - 1
+    def scaled(c: Column, lo: Long, hi: Long): Column =
+      if (hi == lo) lit(0L)
+      else ((c.cast("long") - lo) * levels / (hi - lo)).cast("long")
+    val sa = scaled(a, aMin, aMax)
+    val sb = scaled(b, bMin, bMax)
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(sa.bitwiseAND(1L << i), i))
+        .bitwiseOR(shiftleft(sb.bitwiseAND(1L << i), i + 1))
+    }
+  }
+
+  /** Write `df` clustered by the Z-order of (`colA`, `colB`) into
+    * `nFiles` range-partitioned files. `repartitionByRange` on the
+    * z-key gives each file a disjoint z-range — i.e. a small rectangle
+    * of the (a, b) key space — and the in-file sort keeps row-group
+    * stats tight within it. One range-exchange shuffle total; scales
+    * as ordinary sorted write. */
+  def zorderWrite(df: DataFrame, colA: String, colB: String,
+                  path: String, nFiles: Int, bits: Int = 16): Unit = {
+    val r = df.agg(
+      min(col(colA)).cast("long"), max(col(colA)).cast("long"),
+      min(col(colB)).cast("long"), max(col(colB)).cast("long")).head()
+    val z = zValue(col(colA), col(colB),
+      r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), bits)
+    df.withColumn("__z", z)
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
 
   /** Scan with slicer predicates; Catalyst prunes partitions before any
     * file is opened. Callers can verify via the plan's PartitionFilters. */

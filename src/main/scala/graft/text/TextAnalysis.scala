@@ -92,6 +92,50 @@ object TextAnalysis {
       .withColumn("stop_ratio", round(stopRatio, 4))
   }
 
+  /** 2-gram word shingles; < 2 words ⇒ empty (same `sequence` guard as
+    * [[shingles3]]). */
+  def bigrams(w: Column): Column =
+    when(size(w) >= 2,
+      transform(sequence(lit(1), size(w) - 1),
+        i => concat_ws(" ", element_at(w, i), element_at(w, i + 1))))
+      .otherwise(typedlit(Seq.empty[String]))
+
+  /** T8: repetition metrics in the style of the Gopher quality rules
+    * (Rae et al. 2021 §A1.1): fraction of duplicate tokens/2-grams and
+    * the share taken by the single most-frequent token/2-gram. High
+    * values flag boilerplate, keyword stuffing, and generation loops —
+    * the documents a curation pipeline drops before training.
+    *
+    * Shape: explode → count per (doc, term) → one per-doc aggregate;
+    * everything keyed by doc_id, so the two token-level shuffles
+    * partition evenly at any corpus size and nothing is ever global.
+    * 2-gram metrics are NULL for single-token documents (no bigrams
+    * exist; a left join keeps the row). */
+  def repetitionMetrics(docs: DataFrame): DataFrame = {
+    val tk = docs.select(col("doc_id"), words(col("text")).as("tk"))
+    val tokenAgg = tk.select(col("doc_id"), explode(col("tk")).as("x"))
+      .groupBy(col("doc_id"), col("x")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_distinct"),
+        max(col("c")).as("top_cnt"))
+    val bigramAgg = tk.filter(size(col("tk")) >= 2)
+      .select(col("doc_id"), explode(bigrams(col("tk"))).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_bigrams"), count(lit(1)).as("n_distinct_g"),
+        max(col("c")).as("top_g"))
+    tokenAgg.join(bigramAgg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        round(lit(1.0) - col("n_distinct").cast("double") / col("n_tokens"), 4)
+          .as("dup_token_frac"),
+        round(col("top_cnt").cast("double") / col("n_tokens"), 4)
+          .as("top_token_frac"),
+        round(lit(1.0) - col("n_distinct_g").cast("double") / col("n_bigrams"), 4)
+          .as("dup_bigram_frac"),
+        round(col("top_g").cast("double") / col("n_bigrams"), 4)
+          .as("top_bigram_frac"))
+  }
+
   /** Token counting: whitespace tokens + a BPE-ish segmentation
     * (letter runs / digit runs / single punctuation — the native
     * [[graft.functions.BpeTokenCount]] scan; equivalence with the

@@ -40,4 +40,25 @@ class SamplingSpec extends SparkSpec {
       Map("en" -> 10), 50).select("doc_id").as[Long].collect().sorted
     assert(ids.toSeq === again.toSeq)
   }
+
+  test("balanced mix downsamples every stratum toward the smallest") {
+    val mixed = Sampling.balancedMix(docs, col("doc_id"), col("lang"))
+    val before = docs.groupBy("lang").count()
+      .as[(String, Long)].collect().toMap
+    val after = mixed.groupBy("lang").count()
+      .as[(String, Long)].collect().toMap
+    val mn = before.values.min
+    after.foreach { case (lang, kept) =>
+      // every stratum lands near min_count: binomial(count_d, mn/count_d)
+      // with resolution-10000 buckets — ±40% covers sf0.001's tiny strata
+      assert(kept <= before(lang), s"$lang grew")
+      assert(math.abs(kept - mn) <= math.max(4L, (mn * 0.4).toLong),
+        s"$lang kept $kept, expected ≈$mn of ${before(lang)}")
+    }
+    // deterministic: same ids on a re-run over a re-shard
+    val a = mixed.select("doc_id").as[Long].collect().sorted.toSeq
+    val b = Sampling.balancedMix(docs.repartition(13), col("doc_id"), col("lang"))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(a === b)
+  }
 }

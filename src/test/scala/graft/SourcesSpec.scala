@@ -120,4 +120,36 @@ class SourcesSpec extends SparkSpec {
     assert(pruned.count() < full)
     assert(pruned.select("office").distinct().as[String].collect().toSeq === Seq("office_1"))
   }
+
+  test("z-order layout keeps file stats tight on BOTH join dimensions") {
+    val li = Tables.table(spark, sfDir, "lineitem").select("l_orderkey", "l_partkey")
+    val base = Files.createTempDirectory("graft_zorder")
+    val zPath = base.resolve("z").toString
+    val sPath = base.resolve("sorted").toString
+    Layout.zorderWrite(li, "l_orderkey", "l_partkey", zPath, 8)
+    // the single-column alternative: clustered on orderkey only
+    li.repartitionByRange(8, col("l_orderkey"))
+      .sortWithinPartitions("l_orderkey")
+      .write.mode("overwrite").parquet(sPath)
+
+    // files whose [min,max] interval on `c` intersects [lo,hi] — the set
+    // a stats-based reader must open (parquet footer pruning proxy)
+    def overlapping(path: String, c: String, lo: Long, hi: Long): Long =
+      spark.read.parquet(path)
+        .groupBy(input_file_name()).agg(min(col(c)).as("mn"), max(col(c)).as("mx"))
+        .filter(col("mn") <= hi && col("mx") >= lo).count()
+
+    val r = li.agg(min(col("l_partkey")), max(col("l_partkey"))).head()
+    val (pLo, pHi) = (r.getLong(0), r.getLong(0) + (r.getLong(1) - r.getLong(0)) / 4)
+    // under orderkey-sort, every file spans the full partkey domain:
+    // a partkey predicate can prune nothing
+    assert(overlapping(sPath, "l_partkey", pLo, pHi) === 8L)
+    // under z-order the same quartile predicate touches a minority of files
+    val zTouched = overlapping(zPath, "l_partkey", pLo, pHi)
+    assert(zTouched <= 4L, s"z-order should prune most files, touched $zTouched/8")
+    // and the first dimension still prunes too (no single-axis collapse)
+    val o = li.agg(min(col("l_orderkey")), max(col("l_orderkey"))).head()
+    val oHi = o.getLong(0) + (o.getLong(1) - o.getLong(0)) / 4
+    assert(overlapping(zPath, "l_orderkey", o.getLong(0), oHi) < 8L)
+  }
 }

@@ -67,4 +67,19 @@ class TextAnalysisSpec extends SparkSpec {
       .head().getInt(0)
     assert(n === 0)
   }
+
+  test("T8: repetition metrics on hand-computed documents") {
+    // "a a a b": tokens a×3 b×1 → dup = 1-2/4, top = 3/4;
+    // bigrams [a a, a a, a b] → dup = 1-2/3, top = 2/3.
+    val df = Seq((1L, "a a a b"), (2L, "solo")).toDF("doc_id", "text")
+    val m = TextAnalysis.repetitionMetrics(df).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(m(1L).getDouble(1) === 0.5)     // dup_token_frac
+    assert(m(1L).getDouble(2) === 0.75)    // top_token_frac
+    assert(m(1L).getDouble(3) === 0.3333)  // dup_bigram_frac
+    assert(m(1L).getDouble(4) === 0.6667)  // top_bigram_frac
+    // single-token doc: token metrics defined, bigram metrics NULL
+    assert(m(2L).getDouble(1) === 0.0 && m(2L).getDouble(2) === 1.0)
+    assert(m(2L).isNullAt(3) && m(2L).isNullAt(4))
+  }
 }
