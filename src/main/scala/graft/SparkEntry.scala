@@ -1387,7 +1387,12 @@ object SparkEntry {
           docs.filter(col("doc_id") % 10 === 0), 0.7)
         .select(col("doc_id"), length(col("text")).as("text_len"))
         .orderBy("doc_id")
-    })
+    }),
+    // D11: passage-level exact dedup (Lee et al. exact-substring shape)
+    // — repeated 20-token passages keep only their globally-first
+    // occurrence; docs are rebuilt from surviving passages.
+    "d11_passage_dedup" -> ((s, d) =>
+      graft.dedup.Dedup.passageDedup(t(s, d, "documents")).orderBy("doc_id"))
   )
 
   private val dedupOracles: Map[String, String] = {
@@ -1560,7 +1565,19 @@ object SparkEntry {
            |  ON x.blk = y.blk AND x.bv = y.bv AND x.doc_id < y.doc_id
            |WHERE bit_count(xor(x.simhash, y.simhash)) <= ${graft.dedup.Dedup.SIMHASH_MAX_HAMMING}
            |ORDER BY d1, d2""".stripMargin
-      })
+      },
+      "d11_passage_dedup" ->
+        """WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+          |p0 AS (SELECT doc_id, w,
+          |  unnest(range(0, CAST(ceil(len(w)/20.0) AS BIGINT))) AS i FROM t),
+          |p AS (SELECT doc_id, CAST(i AS INT) AS pos,
+          |  array_to_string(w[(i*20+1):(i*20+20)], ' ') AS passage FROM p0),
+          |r2 AS (SELECT *,
+          |  row_number() OVER (PARTITION BY passage ORDER BY doc_id, pos) AS rn FROM p)
+          |SELECT doc_id, count(*) AS n_passages,
+          |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+          |  string_agg(CASE WHEN rn = 1 THEN passage END, ' ' ORDER BY pos) AS clean_text
+          |FROM r2 GROUP BY doc_id ORDER BY doc_id""".stripMargin)
   }
 
   // ---- E: embedding similarity search -------------------------------------
@@ -1597,7 +1614,11 @@ object SparkEntry {
     // E7: product-quantization encoding (8 subspaces × 16 centroids =
     // 32 bits/vector) with exact reconstruction error.
     "e7_pq_encode" -> ((s, d) =>
-      graft.similarity.Ann.pqEncode(t(s, d, "embeddings")).orderBy("vec_id"))
+      graft.similarity.Ann.pqEncode(t(s, d, "embeddings")).orderBy("vec_id")),
+    // E8: SemDedup — within-centroid-cell semantic near-dup removal
+    // (deterministic seeds + rounded-cosine decision ⇒ exact oracle).
+    "e8_semdedup" -> ((s, d) =>
+      graft.similarity.Ann.semDedup(t(s, d, "embeddings"), 8, 0.3).orderBy("vec_id"))
   )
 
   private val simOracles: Map[String, String] = Map(
@@ -1652,7 +1673,23 @@ object SparkEntry {
         |FROM (
         |  SELECT vec_id, v, 127.0 / list_max(list_transform(v, x -> abs(x))) AS scale
         |  FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings))
-        |ORDER BY vec_id""".stripMargin
+        |ORDER BY vec_id""".stripMargin,
+    "e8_semdedup" ->
+      s"""$cosineCte,
+         |c AS (SELECT vec_id AS centroid_id, v AS cv, nrm AS cn FROM n WHERE vec_id < 8),
+         |p AS (SELECT n.vec_id, n.v, n.nrm, c.centroid_id,
+         |  list_reduce(list_apply(range(1, 65), i -> n.v[i] * c.cv[i]), (a,b) -> a+b) / (n.nrm * c.cn) AS sim
+         |  FROM n CROSS JOIN c),
+         |a AS (SELECT vec_id, v, nrm, centroid_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) AS rn FROM p)
+         |  WHERE rn = 1),
+         |drops AS (SELECT DISTINCT y.vec_id FROM a x JOIN a y
+         |  ON x.centroid_id = y.centroid_id AND x.vec_id < y.vec_id
+         |  WHERE round(list_reduce(list_apply(range(1, 65), i -> x.v[i] * y.v[i]), (a,b) -> a+b)
+         |    / (x.nrm * y.nrm), 6) >= 0.3)
+         |SELECT a.vec_id, a.centroid_id,
+         |  a.vec_id NOT IN (SELECT vec_id FROM drops) AS kept
+         |FROM a ORDER BY vec_id""".stripMargin
   )
 
   // ---- T: text analysis ----------------------------------------------------
@@ -1695,6 +1732,11 @@ object SparkEntry {
     // signals that drop boilerplate and generation loops.
     "t8_repetition" -> ((s, d) =>
       graft.text.TextAnalysis.repetitionMetrics(t(s, d, "documents"))
+        .orderBy("doc_id")),
+    // T9: PII scrubbing — regex (email/IPv4) + dictionary redaction
+    // with per-class counts; pure projection.
+    "t9_pii_scrub" -> ((s, d) =>
+      graft.text.TextAnalysis.piiScrub(t(s, d, "documents"))
         .orderBy("doc_id"))
   )
 
@@ -1764,7 +1806,20 @@ object SparkEntry {
           |  round(1.0 - n_distinct_g * 1.0 / n_bigrams, 4) AS dup_bigram_frac,
           |  round(top_g * 1.0 / n_bigrams, 4) AS top_bigram_frac
           |FROM t1 LEFT JOIN t2 ON t1.doc_id = t2.doc_id
-          |ORDER BY t1.doc_id""".stripMargin)
+          |ORDER BY t1.doc_id""".stripMargin,
+      "t9_pii_scrub" -> {
+        val em = graft.text.TextAnalysis.emailRe
+        val ip = graft.text.TextAnalysis.ipv4Re
+        val nm = "\\b(customer)\\b"
+        s"""SELECT doc_id,
+           |  CAST(len(regexp_extract_all(text, '$em')) AS INT) AS n_email,
+           |  CAST(len(regexp_extract_all(text, '$ip')) AS INT) AS n_ip,
+           |  CAST(len(regexp_extract_all(text, '$nm')) AS INT) AS n_name,
+           |  regexp_replace(regexp_replace(regexp_replace(text,
+           |    '$em', '<EMAIL>', 'g'), '$ip', '<IP>', 'g'), '$nm', '<NAME>', 'g')
+           |    AS scrubbed
+           |FROM documents ORDER BY doc_id""".stripMargin
+      })
   }
 
   // ---- MM: multimodal column plumbing -------------------------------------
@@ -1904,6 +1959,13 @@ object SparkEntry {
           col("doc_id"), col("lang"))
         .select(col("doc_id"), col("lang"), col("bucket"))
         .orderBy("doc_id")),
+    // SA4: temperature mixing at τ=1/2 — rate (min/cnt)^(1/2) per
+    // stratum, all-integer keep predicate (bucket²·cnt < res²·min).
+    "sa4_temperature_mix" -> ((s, d) =>
+      graft.sampling.Sampling.temperatureMix(t(s, d, "documents"),
+          col("doc_id"), col("lang"))
+        .select(col("doc_id"), col("lang"), col("bucket"))
+        .orderBy("doc_id")),
     // C1: overlapping token-window chunking (size 50 / stride 40).
     "c1_chunk_windows" -> ((s, d) =>
       graft.text.Chunking.chunkWindows(t(s, d, "documents"))
@@ -1949,6 +2011,16 @@ object SparkEntry {
         |    r.cnt, r.mn
         |  FROM documents d JOIN r ON d.lang = r.k)
         |WHERE bucket * cnt < 10000 * mn
+        |ORDER BY doc_id""".stripMargin,
+    "sa4_temperature_mix" ->
+      """WITH c AS (SELECT lang AS k, count(*) AS cnt FROM documents GROUP BY lang),
+        |r AS (SELECT k, cnt, min(cnt) OVER () AS mn FROM c)
+        |SELECT doc_id, lang, bucket FROM (
+        |  SELECT d.doc_id, d.lang,
+        |    ('0x' || substr(md5('tmix:' || d.doc_id), 1, 7))::BIGINT % 10000 AS bucket,
+        |    r.cnt, r.mn
+        |  FROM documents d JOIN r ON d.lang = r.k)
+        |WHERE bucket * bucket * cnt < 10000 * 10000 * mn
         |ORDER BY doc_id""".stripMargin,
     // '//' (integer division) is load-bearing: DuckDB '/' is float
     // division and CAST rounds-to-nearest, unlike Spark's integer '/'.

@@ -257,4 +257,41 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** D11: passage-level exact dedup (the "exact substring" family of
+    * Lee et al. 2021, *Deduplicating Training Data Makes Language
+    * Models Better*, arXiv:2107.06499 — at passage granularity):
+    * documents are tiled into non-overlapping `passageTokens`-token
+    * windows; a passage KEEPS only its globally-first occurrence
+    * (ordered by doc_id, then position), so boilerplate repeated across
+    * documents — headers, license blocks, navigation chrome — is
+    * removed everywhere but its first appearance while the surrounding
+    * unique text survives. Returns per-doc passage counts and the
+    * rebuilt text (NULL when every passage was a repeat).
+    *
+    * Scale: two shuffles, both linear in corpus size — one hash
+    * exchange on passage content for the global first-occurrence rank,
+    * one on doc_id for the rebuild. Nothing is pairwise and no state
+    * grows beyond a passage's own duplicate set. (At PB scale the rank
+    * shuffle can key on hash60(passage) to make the exchange key
+    * fixed-width; the raw passage is kept here so the result is exact
+    * even under hash collision.) */
+  def passageDedup(docs: DataFrame, passageTokens: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tk = docs.select(col("doc_id"), words(col("text")).as("tk"))
+      .filter(size(col("tk")) > 0)
+    val nWin = ceil(size(col("tk")).cast("double") / passageTokens).cast("int")
+    val passages = tk.select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), nWin - 1),
+          i => concat_ws(" ", slice(col("tk"), i * passageTokens + 1, lit(passageTokens))))))
+      .toDF("doc_id", "pos", "passage")
+    val ranked = passages.withColumn("rn", row_number().over(
+      Window.partitionBy(col("passage")).orderBy(col("doc_id"), col("pos"))))
+    ranked.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_passages"),
+        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+        nullif(concat_ws(" ", transform(array_sort(collect_list(
+            when(col("rn") === 1, struct(col("pos"), col("passage"))))),
+          x => x.getField("passage"))), lit("")).as("clean_text"))
+  }
 }

@@ -74,4 +74,48 @@ object Sampling {
         lit(resolution.toLong) * col("min_cnt"))
       .drop("stratum_key", "stratum_cnt", "min_cnt")
   }
+
+  /** SA4: temperature-scaled domain mixing — the generalization of
+    * [[balancedMix]] used by multilingual / multi-domain training
+    * recipes (sample domain d with probability ∝ count_d^τ): each
+    * stratum keeps rate (min_count / count_d)^(1-τ), so τ=0 flattens
+    * every domain to the smallest and τ=1 keeps the natural mix, with
+    * a smooth rebalance in between. Downsample-only — no row is ever
+    * repeated.
+    *
+    * τ is a RATIONAL p/q so the keep predicate stays in integer
+    * arithmetic: bucket < resolution·(min/cnt)^((q-p)/q)  ⟺
+    * bucket^q · cnt^(q-p) < resolution^q · min^(q-p) — no floating-
+    * point `pow`, whose last-ulp differences across engines could flip
+    * boundary rows. Same scale shape as [[balancedMix]]: one corpus
+    * scan + one broadcast join against the |domains|-row rate table.
+    *
+    * Overflow bound (documented, enforced): resolution^q · min^(q-p)
+    * and bucket^q · cnt^(q-p) must fit in signed 64-bit — with the
+    * default resolution 10^4 and q=2, strata up to ~9·10^10 rows are
+    * safe; callers with larger strata should lower `resolution`. */
+  def temperatureMix(df: DataFrame, id: Column, stratum: Column,
+                     tauNum: Int = 1, tauDen: Int = 2, salt: String = "tmix",
+                     resolution: Int = 10000): DataFrame = {
+    require(tauDen >= 1 && tauNum >= 0 && tauNum <= tauDen,
+      s"tau must be a rational in [0,1], got $tauNum/$tauDen")
+    require(tauDen <= 4, s"tauDen must be <= 4 (int64 overflow bound), got $tauDen")
+    val q = tauDen
+    val qp = tauDen - tauNum
+    def ipow(c: Column, k: Int): Column =
+      (1 until k).foldLeft(c) { (acc, _) => acc * c }
+    if (qp == 0) df.withColumn("bucket", bucket(id, salt, resolution))
+    else {
+      val counts = df.groupBy(stratum.as("stratum_key"))
+        .agg(count(lit(1)).as("stratum_cnt"))
+      val rates = counts.withColumn("min_cnt",
+        min(col("stratum_cnt")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy()))
+      df.join(broadcast(rates), stratum === col("stratum_key"))
+        .withColumn("bucket", bucket(id, salt, resolution))
+        .filter(ipow(col("bucket"), q) * ipow(col("stratum_cnt"), qp) <
+          ipow(lit(resolution.toLong), q) * ipow(col("min_cnt"), qp))
+        .drop("stratum_key", "stratum_cnt", "min_cnt")
+    }
+  }
 }

@@ -504,6 +504,54 @@ object Ann {
         round(sum(col("d2").cast("decimal(20,12)")).cast("double") / 64, 6).as("mse"))
   }
 
+  /** E8: SemDedup (Abbas et al. 2023, arXiv:2303.09540) — semantic
+    * near-duplicate removal via centroid clustering: assign every
+    * vector to its nearest of `k` fixed centroids (the [[centroidAssign]]
+    * step), then WITHIN each cell drop any vector that has a
+    * more-senior neighbor (lower vec_id) with cosine ≥ `threshold`.
+    * Cross-cell near-duplicates are deliberately out of scope — that
+    * locality assumption is the whole point of the method (pairwise
+    * work collapses from O(n²) to Σ|cell|²).
+    *
+    * Returns every vector with its cell and a `kept` flag, so callers
+    * can either filter survivors or audit the drop set.
+    *
+    * Scale: centroids broadcast (k rows); assignment is map-side; the
+    * within-cell self-join shuffles each cell once on centroid_id. With
+    * k ≈ √n cells the expected pairwise term is n — linear overall; a
+    * skewed giant cell is the known failure mode, handled the same way
+    * as [[ivfTopK]]'s cells (AQE skew split, or sub-cluster cells past
+    * a size cap). The comparison uses the 6-decimal-rounded cosine so
+    * the keep/drop decision is stable across engines (same posture as
+    * [[centroidAssign]]'s output rounding).
+    *
+    * The assigned table is localCheckpoint'ed: it feeds both sides of
+    * the self-join and the final anti-join — without the barrier the
+    * O(n·k) assignment would run three times. */
+  def semDedup(embeddings: DataFrame, k: Int = 8,
+               threshold: Double = 0.8): DataFrame = {
+    val e = prepared(embeddings)
+    val cents = e.filter(col("vec_id") < k)
+      .select(col("vec_id").as("centroid_id"), col("v").as("cv"), col("nrm").as("cn"))
+    val assigned = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("v"), col("nrm"), col("centroid_id"),
+        (dot(col("v"), col("cv")) / (col("nrm") * col("cn"))).as("sim"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("centroid_id"))))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("nrm"), col("centroid_id"))
+      .localCheckpoint(true)
+    val drops = assigned.as("a").join(assigned.as("b"),
+        col("a.centroid_id") === col("b.centroid_id") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .filter(round(dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")), 6)
+        >= threshold)
+      .select(col("b.vec_id").as("vec_id")).distinct()
+    assigned.join(drops.withColumn("dropped", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("centroid_id"),
+        coalesce(col("dropped"), lit(false)).unary_!.as("kept"))
+  }
+
   /** IVF build step, exposed as a standalone (oracle-checked) operator:
     * assign every vector to its nearest of the first `k` vectors taken
     * as fixed centroids (deterministic seeding — the k-means++ style

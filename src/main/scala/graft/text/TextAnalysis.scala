@@ -136,6 +136,37 @@ object TextAnalysis {
           .as("top_bigram_frac"))
   }
 
+  /** T9: PII scrubbing — the redaction pass a corpus runs before
+    * training. Three deterministic redaction classes, each counted on
+    * the original text and replaced in sequence:
+    *  - emails  → `<EMAIL>`
+    *  - IPv4    → `<IP>`
+    *  - a dictionary of sensitive terms → `<NAME>` (word-boundary
+    *    anchored; stands in for the gazetteer/NER stage of a production
+    *    scrubber — swap the alternation for a broader list or a model
+    *    without touching the plumbing)
+    *
+    * Pure projection (regexp_count/regexp_replace are codegen'd) — no
+    * shuffle, pushes through column pruning, embarrassingly parallel at
+    * any corpus size. Patterns deliberately stay in the common
+    * Java-regex ∩ RE2 subset (no backrefs, no lookaround) so the DuckDB
+    * oracle replays them verbatim. */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  def piiScrub(docs: DataFrame,
+               nameDict: Seq[String] = Seq("customer")): DataFrame = {
+    val nameRe = "\\b(" + nameDict.mkString("|") + ")\\b"
+    val t = col("text")
+    docs.select(col("doc_id"),
+      regexp_count(t, lit(emailRe)).as("n_email"),
+      regexp_count(t, lit(ipv4Re)).as("n_ip"),
+      regexp_count(t, lit(nameRe)).as("n_name"),
+      regexp_replace(regexp_replace(regexp_replace(
+        t, emailRe, "<EMAIL>"), ipv4Re, "<IP>"), nameRe, "<NAME>")
+        .as("scrubbed"))
+  }
+
   /** Token counting: whitespace tokens + a BPE-ish segmentation
     * (letter runs / digit runs / single punctuation — the native
     * [[graft.functions.BpeTokenCount]] scan; equivalence with the

@@ -144,4 +144,29 @@ class AnnSpec extends SparkSpec {
       .select("rs").as[Seq[Int]].collect()
     assert(ranks.forall(_.sorted == Seq(1, 2, 3)))
   }
+
+  test("E8: semdedup partitions the corpus; drops are senior-justified") {
+    val out = Ann.semDedup(emb, 8, 0.3).cache()
+    assert(out.count() === emb.count(), "every vector appears exactly once")
+    // the most-senior vector of every cell is always kept
+    val cellHeads = out.groupBy("centroid_id").agg(min("vec_id").as("vec_id"))
+    assert(out.join(cellHeads, Seq("centroid_id", "vec_id"))
+      .filter(!col("kept")).count() === 0)
+    // every dropped vector has a more-senior SAME-CELL neighbor ≥ θ:
+    // recompute pairwise sims within cells and compare drop sets
+    val a = Ann.prepared(emb)
+    val cells = out.select(col("vec_id"), col("centroid_id"))
+      .join(a, "vec_id")
+    val expectDropped = cells.as("x").join(cells.as("y"),
+        col("x.centroid_id") === col("y.centroid_id") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .filter(round(Ann.dot(col("x.v"), col("y.v")) /
+        (col("x.nrm") * col("y.nrm")), 6) >= 0.3)
+      .select(col("y.vec_id")).distinct()
+      .as[Long].collect().toSet
+    val gotDropped = out.filter(!col("kept")).select("vec_id")
+      .as[Long].collect().toSet
+    assert(gotDropped === expectDropped)
+    assert(gotDropped.nonEmpty, "corpus must contain semantic near-dups at 0.3")
+  }
 }

@@ -138,4 +138,27 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long, Int)].collect().toSet
     assert(blocked === brute)
   }
+
+  test("D11: passage dedup keeps first global occurrence, rebuilds text") {
+    val df = Seq(
+      (1L, "a b c d e f"),      // passages: "a b c" | "d e f"
+      (2L, "a b c x y z"),      // "a b c" repeats doc1 → dropped
+      (3L, "a b c d e f"),      // both passages repeat → NULL text
+      (4L, "q r")               // single short passage, unique
+    ).toDF("doc_id", "text")
+    val got = Dedup.passageDedup(df, passageTokens = 3).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getLong(1) === 2 && got(1L).getLong(2) === 2)
+    assert(got(1L).getString(3) === "a b c d e f")
+    assert(got(2L).getLong(1) === 2 && got(2L).getLong(2) === 1)
+    assert(got(2L).getString(3) === "x y z")
+    assert(got(3L).getLong(2) === 0 && got(3L).isNullAt(3))
+    assert(got(4L).getString(3) === "q r")
+    // corpus-level invariant: every distinct passage content is kept
+    // exactly once across the whole corpus
+    val out = Dedup.passageDedup(docs)
+    val total = out.agg(sum("n_passages"), sum("n_kept")).head()
+    assert(total.getLong(1) <= total.getLong(0))
+    assert(out.filter(col("n_kept") > col("n_passages")).count() === 0)
+  }
 }

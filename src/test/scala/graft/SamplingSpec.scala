@@ -61,4 +61,30 @@ class SamplingSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().sorted.toSeq
     assert(a === b)
   }
+
+  test("SA4: temperature mix interpolates between flat (τ=0) and natural (τ=1)") {
+    def keptBy(tn: Int, td: Int): Map[String, Long] =
+      Sampling.temperatureMix(docs, col("doc_id"), col("lang"), tn, td)
+        .groupBy("lang").count().as[(String, Long)].collect().toMap
+    val natural = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val mn = natural.values.min
+    val flat = keptBy(0, 1)     // τ=0 ⇒ balancedMix semantics
+    val half = keptBy(1, 2)     // τ=1/2 ⇒ rate sqrt(min/cnt)
+    val full = keptBy(1, 1)     // τ=1 ⇒ keep everything
+    assert(full === natural)
+    natural.keys.foreach { l =>
+      assert(flat(l) <= half(l) + 2 && half(l) <= full(l),
+        s"$l: expected flat ≤ half ≤ full, got ${flat(l)}/${half(l)}/${full(l)}")
+      // τ=1/2 keeps ≈ sqrt(min·cnt) rows: cnt·(min/cnt)^(1/2)
+      val expect = math.sqrt(mn.toDouble * natural(l)).toLong
+      assert(math.abs(half(l) - expect) <= math.max(4L, (expect * 0.4).toLong),
+        s"$l kept ${half(l)}, expected ≈$expect")
+    }
+    // reshard-stable like every sampler here
+    val x = Sampling.temperatureMix(docs, col("doc_id"), col("lang"))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val y = Sampling.temperatureMix(docs.repartition(7), col("doc_id"), col("lang"))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(x === y)
+  }
 }

@@ -82,4 +82,18 @@ class TextAnalysisSpec extends SparkSpec {
     assert(m(2L).getDouble(1) === 0.0 && m(2L).getDouble(2) === 1.0)
     assert(m(2L).isNullAt(3) && m(2L).isNullAt(4))
   }
+
+  test("T9: PII scrub redacts emails, IPv4s, and dictionary terms") {
+    val df = Seq(
+      (1L, "mail bob.smith+x@corp.example.com from 10.0.42.7 re customer intake"),
+      (2L, "no pii here"),
+      (3L, "customer customer and uncustomary words")).toDF("doc_id", "text")
+    val got = TextAnalysis.piiScrub(df).collect().map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getInt(1) === 1 && got(1L).getInt(2) === 1 && got(1L).getInt(3) === 1)
+    assert(got(1L).getString(4) === "mail <EMAIL> from <IP> re <NAME> intake")
+    assert(got(2L).getString(4) === "no pii here")
+    // word-boundary anchored: "uncustomary" survives, both bare hits redact
+    assert(got(3L).getInt(3) === 2)
+    assert(got(3L).getString(4) === "<NAME> <NAME> and uncustomary words")
+  }
 }
