@@ -42,7 +42,11 @@ object PlanAudit {
       "3 DISJOINT office slices of one table — partition-pruned, one logical pass",
     "d9_decontaminate" ->
       ("train and eval both derive from the harness documents table; the scans are " +
-        "1 full output pass + 2 candidate-PRUNED verify scans, different datasets in deployment"))
+        "1 full output pass + 2 candidate-PRUNED verify scans, different datasets in deployment"),
+    "d12_incremental_admit" ->
+      ("batch and corpus both derive from the harness documents table; in deployment the " +
+        "corpus contributes only its persisted dedupKeys index and a candidate-pruned " +
+        "verify fetch — the batch-side scans are over the small arriving batch"))
 
   /** A nested-loop join is the legitimate scale pattern when its
     * broadcast side is provably bounded: a global aggregate (exactly

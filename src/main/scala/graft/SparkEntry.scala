@@ -1392,7 +1392,18 @@ object SparkEntry {
     // — repeated 20-token passages keep only their globally-first
     // occurrence; docs are rebuilt from surviving passages.
     "d11_passage_dedup" -> ((s, d) =>
-      graft.dedup.Dedup.passageDedup(t(s, d, "documents")).orderBy("doc_id"))
+      graft.dedup.Dedup.passageDedup(t(s, d, "documents")).orderBy("doc_id")),
+    // D12: incremental admission — the arriving batch (doc_id % 3 = 0)
+    // deduped against the standing corpus (doc_id % 3 ≠ 0) plus
+    // first-wins within itself; broadcast batch, corpus index only.
+    "d12_incremental_admit" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      graft.dedup.Dedup.incrementalAdmit(
+          docs.filter(col("doc_id") % 3 === 0),
+          docs.filter(col("doc_id") % 3 =!= 0), 0.7)
+        .select(col("doc_id"), length(col("text")).as("text_len"))
+        .orderBy("doc_id")
+    })
   )
 
   private val dedupOracles: Map[String, String] = {
@@ -1566,6 +1577,25 @@ object SparkEntry {
            |WHERE bit_count(xor(x.simhash, y.simhash)) <= ${graft.dedup.Dedup.SIMHASH_MAX_HAMMING}
            |ORDER BY d1, d2""".stripMargin
       },
+      "d12_incremental_admit" ->
+        s"""$shingleCte,
+           |ex AS (SELECT doc_id, ('0x' || substr(md5(unnest(g)), 1, 7))::BIGINT AS base FROM sh),
+           |sig AS (SELECT doc_id, $minExprs FROM ex GROUP BY doc_id),
+           |bands AS ($bandSelects),
+           |cand AS MATERIALIZED (SELECT DISTINCT x.doc_id AS b_id, y.doc_id AS t_id
+           |  FROM bands x JOIN bands y ON x.band = y.band AND x.s = y.s
+           |  WHERE x.doc_id % 3 = 0 AND (y.doc_id % 3 <> 0 OR y.doc_id < x.doc_id)),
+           |near AS (SELECT DISTINCT b_id AS doc_id FROM (
+           |  SELECT b_id, $sqlJaccard AS jaccard
+           |  FROM cand JOIN sh a ON a.doc_id = b_id JOIN sh b ON b.doc_id = t_id)
+           |  WHERE jaccard >= 0.7),
+           |exact AS (SELECT DISTINCT x.doc_id FROM documents x JOIN documents y
+           |  ON md5(x.text) = md5(y.text)
+           |  WHERE x.doc_id % 3 = 0 AND (y.doc_id % 3 <> 0 OR y.doc_id < x.doc_id))
+           |SELECT doc_id, CAST(len(text) AS INT) AS text_len FROM documents
+           |WHERE doc_id % 3 = 0
+           |  AND doc_id NOT IN (SELECT doc_id FROM near UNION SELECT doc_id FROM exact)
+           |ORDER BY doc_id""".stripMargin,
       "d11_passage_dedup" ->
         """WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
           |p0 AS (SELECT doc_id, w,
@@ -2152,7 +2182,34 @@ object SparkEntry {
         .groupBy(col("n_name"))
         .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
           (lit(1) - col("l_discount").cast("decimal(4,2)"))).cast("double").as("revenue"))
-        .orderBy(col("revenue").desc, col("n_name")))
+        .orderBy(col("revenue").desc, col("n_name"))),
+    // X6: volume shipping between two nations (TPC-H Q7 shape). The
+    // nation filter is pushed INTO the supplier/customer dims BEFORE
+    // they touch the facts — lineitem and orders are each reduced by
+    // ~2/25 at the broadcast-join instead of carrying full rows to a
+    // final filter; only the cross-pair predicate waits for both sides.
+    "x6_volume_shipping" -> ((s, d) => {
+      val twoNations = broadcast(t(s, d, "nation")
+        .filter(col("n_name").isin("NATION_1", "NATION_2")))
+      val supp = broadcast(t(s, d, "supplier").join(twoNations,
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation")))
+      val cust = broadcast(t(s, d, "customer").join(twoNations,
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name").as("cust_nation")))
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+          col("l_shipdate") < to_timestamp(lit("1998-01-01 00:00:00")))
+        .join(supp, col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1) - col("l_discount").cast("decimal(4,2)"))).cast("double").as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    })
   )
 
   private val whOracles: Map[String, String] = Map(
@@ -2208,7 +2265,23 @@ object SparkEntry {
         |WHERE r_name = 'ASIA'
         |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
         |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
-        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    "x6_volume_shipping" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS INT) AS l_year,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+        |  AND n2.n_name IN ('NATION_1', 'NATION_2')
+        |  AND n1.n_name <> n2.n_name
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
   )
 
   // ---- assembled contract -------------------------------------------------

@@ -258,6 +258,67 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** D12: incremental admission — dedup a NEW batch of documents
+    * against an already-curated corpus, the steady-state operation of a
+    * continuously-fed training pipeline (the corpus was deduped once;
+    * every arriving batch must not reintroduce duplicates).
+    *
+    * A batch document is REJECTED when it exactly matches (content
+    * digest) or near-matches (banded MinHash-LSH candidates, n-gram
+    * Jaccard ≥ `threshold` verified) either (a) any corpus document or
+    * (b) a more-senior batch document (lower doc_id — first-wins within
+    * the batch, same posture as [[graft.ingest.Events.dedupFirstWins]]).
+    * Within-batch matching is pairwise seniority, not transitive
+    * families: admission is an ordered stream decision, unlike the
+    * global [[graft.dedup.Clusters.survivors]] collapse.
+    *
+    * Scale shape — the reason this is its own operator instead of
+    * re-running corpus dedup: the batch side is SMALL, so its keys and
+    * bands broadcast; the corpus contributes only its [[dedupKeys]]
+    * INDEX (digest + minhash signature — in production persisted from
+    * the original dedup run, amortized across batches; recomputed here
+    * because the test corpus is parquet-only). Corpus BODIES are read
+    * exactly once, semi-join-pruned to LSH candidates for the Jaccard
+    * verify — at 100 TB that is a point-lookup fetch of a handful of
+    * documents, never a corpus shuffle. */
+  def incrementalAdmit(batch: DataFrame, corpus: DataFrame,
+                       threshold: Double): DataFrame = {
+    val bKeys = dedupKeys(batch).localCheckpoint(true)
+    val cKeys = dedupKeys(corpus).localCheckpoint(true)
+    // exact leg: digest seen in the corpus, or earlier in the batch
+    val exactVsCorpus = cKeys
+      .join(broadcast(bKeys.select(col("doc_id"), col("content_hash"))
+        .withColumnRenamed("doc_id", "b_id")), Seq("content_hash"))
+      .select(col("b_id"))
+    val exactInBatch = bKeys.as("x").join(bKeys.as("y"),
+        col("x.content_hash") === col("y.content_hash") &&
+          col("y.doc_id") < col("x.doc_id"))
+      .select(col("x.doc_id").as("b_id"))
+    // near leg: broadcast batch bands probe corpus bands ∪ senior batch bands
+    val bBands = bandsFromKeys(bKeys)
+      .select(col("doc_id").as("b_id"), col("band"), col("sig"))
+    val targets = bandsFromKeys(cKeys).withColumn("is_corpus", lit(true))
+      .unionByName(bandsFromKeys(bKeys).withColumn("is_corpus", lit(false)))
+      .select(col("doc_id").as("t_id"), col("band"), col("sig"), col("is_corpus"))
+    val cand = targets.join(broadcast(bBands), Seq("band", "sig"))
+      .filter(col("is_corpus") || col("t_id") < col("b_id"))
+      .select(col("b_id"), col("t_id")).distinct()
+      .localCheckpoint(true) // feeds two id-set filters + the verify join
+    // verify: re-shingle only candidate docs (corpus scan is semi-join pruned)
+    val bs = shingleSets(batch.join(
+      broadcast(cand.select(col("b_id").as("doc_id")).distinct()), Seq("doc_id"), "left_semi"))
+    val ts = shingleSets(batch.unionByName(corpus).join(
+      broadcast(cand.select(col("t_id").as("doc_id")).distinct()), Seq("doc_id"), "left_semi"))
+    val nearHit = cand
+      .join(bs.select(col("doc_id").as("b_id"), col("g").as("g1")), "b_id")
+      .join(ts.select(col("doc_id").as("t_id"), col("g").as("g2")), "t_id")
+      .filter(round(jaccard(col("g1"), col("g2")), 4) >= threshold)
+      .select(col("b_id")).distinct()
+    val rejected = exactVsCorpus.union(exactInBatch).union(nearHit)
+      .distinct().withColumnRenamed("b_id", "doc_id")
+    batch.join(broadcast(rejected), Seq("doc_id"), "left_anti")
+  }
+
   /** D11: passage-level exact dedup (the "exact substring" family of
     * Lee et al. 2021, *Deduplicating Training Data Makes Language
     * Models Better*, arXiv:2107.06499 — at passage granularity):

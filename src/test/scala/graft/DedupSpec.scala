@@ -139,6 +139,32 @@ class DedupSpec extends SparkSpec {
     assert(blocked === brute)
   }
 
+  test("D12: incremental admission rejects corpus and senior-batch dupes") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight nine ten")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (3L, "alpha beta gamma delta epsilon zeta eta theta"), // exact corpus dup
+      (6L, "fresh unique words never seen anywhere before now"),
+      (9L, "fresh unique words never seen anywhere before now"), // senior-batch dup
+      (12L, "totally disjoint vocabulary in this arriving document")
+    ).toDF("doc_id", "text")
+    val admitted = Dedup.incrementalAdmit(batch, corpus, 0.7)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(admitted === Seq(6L, 12L))
+    // real-corpus invariants: admitted ⊆ batch; re-admitting the
+    // admitted set against the same corpus changes nothing (idempotent)
+    val b = docs.filter(col("doc_id") % 3 === 0)
+    val c = docs.filter(col("doc_id") % 3 =!= 0)
+    val once = Dedup.incrementalAdmit(b, c, 0.7)
+    val ids = once.select("doc_id").as[Long].collect().toSet
+    assert(ids.subsetOf(b.select("doc_id").as[Long].collect().toSet))
+    val twice = Dedup.incrementalAdmit(once, c, 0.7)
+      .select("doc_id").as[Long].collect().toSet
+    assert(twice === ids, "admission must be idempotent")
+  }
+
   test("D11: passage dedup keeps first global occurrence, rebuilds text") {
     val df = Seq(
       (1L, "a b c d e f"),      // passages: "a b c" | "d e f"
