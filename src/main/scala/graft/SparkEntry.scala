@@ -1996,6 +1996,11 @@ object SparkEntry {
           col("doc_id"), col("lang"))
         .select(col("doc_id"), col("lang"), col("bucket"))
         .orderBy("doc_id")),
+    // SA5: per-language quality-median filter — broadcast threshold
+    // table, map-side keep decision.
+    "sa5_quality_filter" -> ((s, d) =>
+      graft.sampling.Sampling.qualityQuantileFilter(t(s, d, "documents"))
+        .orderBy("doc_id")),
     // C1: overlapping token-window chunking (size 50 / stride 40).
     "c1_chunk_windows" -> ((s, d) =>
       graft.text.Chunking.chunkWindows(t(s, d, "documents"))
@@ -2042,6 +2047,22 @@ object SparkEntry {
         |  FROM documents d JOIN r ON d.lang = r.k)
         |WHERE bucket * cnt < 10000 * mn
         |ORDER BY doc_id""".stripMargin,
+    "sa5_quality_filter" -> {
+      val stopList = graft.text.TextAnalysis.stopwords.map(w => s"'$w'").mkString(", ")
+      s"""WITH s AS (
+         |  SELECT doc_id, lang,
+         |    round((n_unique * 1.0 / n_words) * 0.5 + least(1.0, n_words / 100.0) * 0.3
+         |          + (1.0 - n_stop * 1.0 / n_words) * 0.2, 4) AS quality_score
+         |  FROM (
+         |    SELECT doc_id, lang, CAST(len(w) AS INT) AS n_words,
+         |      CAST(len(list_distinct(w)) AS INT) AS n_unique,
+         |      CAST(len(list_filter(w, x -> list_contains([$stopList], x))) AS INT) AS n_stop
+         |    FROM (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents))),
+         |thr AS (SELECT lang, quantile_cont(quality_score, 0.5) AS q_thr
+         |  FROM s GROUP BY lang)
+         |SELECT doc_id, lang, quality_score FROM s JOIN thr USING (lang)
+         |WHERE quality_score >= q_thr ORDER BY doc_id""".stripMargin
+    },
     "sa4_temperature_mix" ->
       """WITH c AS (SELECT lang AS k, count(*) AS cnt FROM documents GROUP BY lang),
         |r AS (SELECT k, cnt, min(cnt) OVER () AS mn FROM c)

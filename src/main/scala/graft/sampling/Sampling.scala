@@ -75,6 +75,30 @@ object Sampling {
       .drop("stratum_key", "stratum_cnt", "min_cnt")
   }
 
+  /** SA5: per-domain quality-quantile filtering — keep each domain's
+    * top (1-q) fraction by [[graft.text.TextAnalysis.withQuality]]
+    * score (q = 0.5 ⇒ drop the bottom half per language), the standard
+    * "filter junk per domain, don't let one domain's scale set the
+    * bar" curation step.
+    *
+    * The threshold, not the rank, is what's distributed: one aggregate
+    * computes the per-domain quantile (a |domains|-row table), it
+    * broadcasts, and the keep decision is a map-side comparison — no
+    * per-domain global sort of the corpus survives into the filter. At
+    * 100 TB swap the exact `percentile` (per-group sort inside the agg)
+    * for `approx_percentile` with an accuracy bound — a one-line
+    * change; the broadcast-threshold shape is unchanged. Exact here so
+    * the DuckDB oracle (quantile_cont) matches bit-for-bit. */
+  def qualityQuantileFilter(docs: DataFrame, q: Double = 0.5): DataFrame = {
+    val scored = graft.text.TextAnalysis.withQuality(docs)
+      .select(col("doc_id"), col("lang"), col("quality_score"))
+    val thr = scored.groupBy(col("lang"))
+      .agg(expr(s"percentile(quality_score, $q)").as("q_thr"))
+    scored.join(broadcast(thr), "lang")
+      .filter(col("quality_score") >= col("q_thr"))
+      .select(col("doc_id"), col("lang"), col("quality_score"))
+  }
+
   /** SA4: temperature-scaled domain mixing — the generalization of
     * [[balancedMix]] used by multilingual / multi-domain training
     * recipes (sample domain d with probability ∝ count_d^τ): each

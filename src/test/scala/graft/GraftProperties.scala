@@ -165,12 +165,17 @@ object GraftProperties extends Properties("graft") {
     forAll(Gen.listOfN(6, genDoc), Gen.listOfN(3, genDoc)) { (tr0, ev0) =>
       val trainRows = tr0.distinctBy(_._1)
       val train = trainRows.toDF("doc_id", "text")
-      // eval ids disjoint from train ids (held-out set)
-      val evalDf = ev0.distinctBy(_._1).map { case (id, t) => (id + 2000000L, t) }
+      // eval ids disjoint from train ids (held-out set); doc_id is a
+      // KEY, so dedupe by id BEFORE deriving both the frame and the
+      // expected-text set — computing evalTexts from the raw list let a
+      // shrunk id collision drop a text from the frame but not from the
+      // expectation (the one falsification this property ever produced)
+      val evalRows = ev0.distinctBy(_._1)
+      val evalDf = evalRows.map { case (id, t) => (id + 2000000L, t) }
         .toDF("doc_id", "text")
       val clean = graft.dedup.Dedup.decontaminate(train, evalDf, 0.7)
       val cleanIds = clean.select("doc_id").as[Long].collect().toSet
-      val evalTexts = ev0.map(_._2).toSet
+      val evalTexts = evalRows.map(_._2).toSet
       val exactMatches = trainRows.filter(d => evalTexts.contains(d._2)).map(_._1).toSet
       val again = graft.dedup.Dedup.decontaminate(clean, evalDf, 0.7)
         .select("doc_id").as[Long].collect().toSet

@@ -87,4 +87,21 @@ class SamplingSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().sorted.toSeq
     assert(x === y)
   }
+
+  test("SA5: quality filter keeps each language's top half by score") {
+    val scored = graft.text.TextAnalysis.withQuality(docs)
+      .select(col("doc_id"), col("lang"), col("quality_score"))
+      .as[(Long, String, Double)].collect()
+    val kept = Sampling.qualityQuantileFilter(docs)
+      .select("doc_id").as[Long].collect().toSet
+    scored.groupBy(_._2).foreach { case (lang, rows) =>
+      val (k, d) = rows.partition(r => kept(r._1))
+      // separation: no dropped doc outscores a kept doc
+      if (k.nonEmpty && d.nonEmpty)
+        assert(d.map(_._3).max <= k.map(_._3).min, s"$lang: overlap across threshold")
+      // ≥ half kept (ties at the median stay), but not everything
+      assert(k.size * 2 >= rows.size, s"$lang kept ${k.size}/${rows.size}")
+      assert(d.nonEmpty, s"$lang dropped nothing — threshold degenerate")
+    }
+  }
 }
