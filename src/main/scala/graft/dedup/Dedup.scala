@@ -282,9 +282,21 @@ object Dedup {
     * verify — at 100 TB that is a point-lookup fetch of a handful of
     * documents, never a corpus shuffle. */
   def incrementalAdmit(batch: DataFrame, corpus: DataFrame,
-                       threshold: Double): DataFrame = {
+                       threshold: Double): DataFrame =
+    incrementalAdmitIndexed(batch, dedupKeys(corpus).localCheckpoint(true),
+      corpus, threshold)
+
+  /** [[incrementalAdmit]] against an already-persisted corpus index —
+    * the form a production pipeline actually runs (the index is written
+    * once per admitted batch, see
+    * [[graft.streaming.StreamIngest.admitToCorpus]]; corpus bodies are
+    * opened only for the LSH-candidate verify fetch). `corpusKeys` must
+    * be a [[dedupKeys]] frame (doc_id, content_hash, sig). */
+  def incrementalAdmitIndexed(batch: DataFrame, corpusKeys: DataFrame,
+                              corpusBodies: DataFrame,
+                              threshold: Double): DataFrame = {
     val bKeys = dedupKeys(batch).localCheckpoint(true)
-    val cKeys = dedupKeys(corpus).localCheckpoint(true)
+    val cKeys = corpusKeys
     // exact leg: digest seen in the corpus, or earlier in the batch
     val exactVsCorpus = cKeys
       .join(broadcast(bKeys.select(col("doc_id"), col("content_hash"))
@@ -307,7 +319,7 @@ object Dedup {
     // verify: re-shingle only candidate docs (corpus scan is semi-join pruned)
     val bs = shingleSets(batch.join(
       broadcast(cand.select(col("b_id").as("doc_id")).distinct()), Seq("doc_id"), "left_semi"))
-    val ts = shingleSets(batch.unionByName(corpus).join(
+    val ts = shingleSets(batch.unionByName(corpusBodies).join(
       broadcast(cand.select(col("t_id").as("doc_id")).distinct()), Seq("doc_id"), "left_semi"))
     val nearHit = cand
       .join(bs.select(col("doc_id").as("b_id"), col("g").as("g1")), "b_id")

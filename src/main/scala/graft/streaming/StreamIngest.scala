@@ -144,6 +144,35 @@ object StreamIngest {
     toWrite.write.mode("append").parquet(sinkPath)
   }
 
+  /** ST11: streaming corpus admission — the streaming twin of
+    * [[graft.dedup.Dedup.incrementalAdmit]] (batch twin query
+    * `d12_incremental_admit`): every micro-batch of documents is
+    * content-deduped against the standing corpus BEFORE appending, so
+    * the sink stays duplicate-free by construction — content-level
+    * exactly-once, one level stronger than [[idempotentAppend]]'s
+    * by-id idempotence (a re-crawled page gets a fresh id; only its
+    * content betrays it).
+    *
+    * Per-batch cost is O(index + batch), not O(corpus): the corpus
+    * side is its persisted [[graft.dedup.Dedup.dedupKeys]] INDEX at
+    * `indexPath` (digest + minhash signature, a few hundred bytes/doc),
+    * appended in the same call for every admitted batch; corpus BODIES
+    * at `sinkPath` are opened only for the LSH-candidate verify fetch,
+    * semi-join-pruned to a handful of doc_ids. Invoke from
+    * `foreachBatch` — batch-id-based replay protection composes via
+    * the usual checkpointed trigger. */
+  def admitToCorpus(batch: DataFrame, sinkPath: String, indexPath: String,
+                    threshold: Double = 0.7): Unit = {
+    val spark = batch.sparkSession
+    val admitted = (readSinkIfExists(spark, indexPath) match {
+      case None => graft.dedup.Dedup.incrementalAdmit(batch, batch.limit(0), threshold)
+      case Some(idx) => graft.dedup.Dedup.incrementalAdmitIndexed(
+        batch, idx, spark.read.parquet(sinkPath), threshold)
+    }).localCheckpoint(true) // one computation feeds two sinks
+    admitted.write.mode("append").parquet(sinkPath)
+    graft.dedup.Dedup.dedupKeys(admitted).write.mode("append").parquet(indexPath)
+  }
+
   /** Read the sink, treating ONLY path-not-found as "sink is new".
     * Any other failure (transient FS error, corrupt footer, permission)
     * rethrows — silently skipping the anti-join on a flaky read would

@@ -415,4 +415,33 @@ class StreamIngestSpec extends SparkSpec {
       StreamIngest.idempotentAppend(batch, dir.toString, "event_id")
     }
   }
+
+  test("ST11: streaming admission keeps the corpus content-duplicate-free") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_admit")
+    val sink = base.resolve("corpus").toString
+    val idx = base.resolve("index").toString
+    val in = MemoryStream[(Long, String)]
+    val q = in.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        StreamIngest.admitToCorpus(b, sink, idx)
+      }
+      .option("checkpointLocation", base.resolve("chk").toString)
+      .start()
+    in.addData((1L, "alpha beta gamma delta epsilon"), (2L, "one two three four five"))
+    q.processAllAvailable()
+    // batch 2: a re-crawl of doc 1 under a NEW id (by-id idempotence
+    // can't catch it), a senior-batch dup, and two genuinely new docs
+    in.addData((10L, "alpha beta gamma delta epsilon"),
+      (11L, "fresh words appearing here first"),
+      (12L, "fresh words appearing here first"),
+      (13L, "completely different final content"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.read.parquet(sink).select("doc_id").as[Long].collect().sorted
+    assert(got.toSeq === Seq(1L, 2L, 11L, 13L))
+    // the index tracks the sink row-for-row (it IS the next batch's corpus side)
+    val idxIds = spark.read.parquet(idx).select("doc_id").as[Long].collect().sorted
+    assert(idxIds.toSeq === got.toSeq)
+  }
 }
