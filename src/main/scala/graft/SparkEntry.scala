@@ -1388,6 +1388,15 @@ object SparkEntry {
         .select(col("doc_id"), length(col("text")).as("text_len"))
         .orderBy("doc_id")
     }),
+    // T10: per-doc n-gram contamination fraction vs the eval split —
+    // the graded diagnostic behind d9's binary decision.
+    "t10_contamination" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      graft.dedup.Dedup.contaminationStats(
+          docs.filter(col("doc_id") % 10 =!= 0),
+          docs.filter(col("doc_id") % 10 === 0))
+        .orderBy("doc_id")
+    }),
     // D11: passage-level exact dedup (Lee et al. exact-substring shape)
     // — repeated 20-token passages keep only their globally-first
     // occurrence; docs are rebuilt from surviving passages.
@@ -1577,6 +1586,23 @@ object SparkEntry {
            |WHERE bit_count(xor(x.simhash, y.simhash)) <= ${graft.dedup.Dedup.SIMHASH_MAX_HAMMING}
            |ORDER BY d1, d2""".stripMargin
       },
+      "t10_contamination" ->
+        """WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+          |tg AS (SELECT doc_id,
+          |  list_distinct([array_to_string(w[i:i+7], ' ') for i in range(1, len(w) - 6)]) g
+          |  FROM t WHERE doc_id % 10 <> 0),
+          |ev AS (SELECT DISTINCT
+          |  unnest([array_to_string(w[i:i+7], ' ') for i in range(1, len(w) - 6)]) AS g
+          |  FROM t WHERE doc_id % 10 = 0),
+          |tx AS (SELECT doc_id, unnest(g) AS g FROM tg),
+          |j AS (SELECT tx.doc_id, CASE WHEN ev.g IS NOT NULL THEN 1 ELSE 0 END AS hit
+          |  FROM tx LEFT JOIN ev ON tx.g = ev.g),
+          |agg AS (SELECT doc_id, count(*) AS n_ngrams, CAST(sum(hit) AS BIGINT) AS n_hit
+          |  FROM j GROUP BY doc_id)
+          |SELECT tg.doc_id, coalesce(n_ngrams, 0) AS n_ngrams,
+          |  coalesce(n_hit, 0) AS n_hit,
+          |  round(n_hit * 1.0 / nullif(n_ngrams, 0), 4) AS contamination
+          |FROM tg LEFT JOIN agg USING (doc_id) ORDER BY tg.doc_id""".stripMargin,
       "d12_incremental_admit" ->
         s"""$shingleCte,
            |ex AS (SELECT doc_id, ('0x' || substr(md5(unnest(g)), 1, 7))::BIGINT AS base FROM sh),

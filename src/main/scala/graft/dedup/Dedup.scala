@@ -258,6 +258,34 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** T10: per-document n-gram contamination statistics — for every
+    * train document, the fraction of its DISTINCT `n`-gram windows that
+    * also appear anywhere in the eval set. [[decontaminate]] makes the
+    * binary drop decision; this is the graded diagnostic behind it
+    * (report "3% of this doc is eval text" instead of keep/drop — the
+    * audit number contamination studies publish).
+    *
+    * Scale: the eval n-gram set is distinct-reduced and BROADCAST (eval
+    * suites are tiny next to the corpus); the train side is one explode
+    * + map-side hash-join + one doc_id-keyed aggregation — linear, no
+    * corpus self-interaction. Documents with fewer than `n` words have
+    * no windows and are reported with n_ngrams = 0, NULL fraction. */
+  def contaminationStats(train: DataFrame, evalDocs: DataFrame,
+                         n: Int = 8): DataFrame = {
+    import graft.functions.TextExpressions.wordShingles
+    val trainNg = train.select(col("doc_id"),
+      explode_outer(array_distinct(wordShingles(words(col("text")), n))).as("g"))
+    val evalNg = evalDocs
+      .select(explode(wordShingles(words(col("text")), n)).as("g")).distinct()
+    trainNg
+      .join(broadcast(evalNg.withColumn("hit", lit(1))), Seq("g"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(col("g")).as("n_ngrams"),
+        coalesce(sum(col("hit")), lit(0L)).as("n_hit"))
+      .withColumn("contamination",
+        round(col("n_hit").cast("double") / nullif(col("n_ngrams"), lit(0)), 4))
+  }
+
   /** D12: incremental admission — dedup a NEW batch of documents
     * against an already-curated corpus, the steady-state operation of a
     * continuously-fed training pipeline (the corpus was deduped once;

@@ -139,6 +139,23 @@ class DedupSpec extends SparkSpec {
     assert(blocked === brute)
   }
 
+  test("T10: contamination fraction on hand-computed overlaps") {
+    val evalDocs = Seq((100L, "a b c d e f g h i j")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "a b c d e f g h i j"),                 // identical: 3/3 windows hit
+      (2L, "a b c d e f g h z y x w v u t s"),     // 1 of 9 windows hits
+      (3L, "short words only")                     // < 8 words: no windows
+    ).toDF("doc_id", "text")
+    val got = Dedup.contaminationStats(train, evalDocs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getLong(1) === 3 && got(1L).getLong(2) === 3)
+    assert(got(1L).getDouble(3) === 1.0)
+    assert(got(2L).getLong(1) === 9 && got(2L).getLong(2) === 1)
+    assert(got(2L).getDouble(3) === 0.1111)
+    assert(got(3L).getLong(1) === 0 && got(3L).getLong(2) === 0)
+    assert(got(3L).isNullAt(3))
+  }
+
   test("D12: incremental admission rejects corpus and senior-batch dupes") {
     val corpus = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),
