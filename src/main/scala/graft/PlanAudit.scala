@@ -33,7 +33,9 @@ object PlanAudit {
     * query name → why the build side is small. */
   private val boundedByConstruction = Map(
     "e6_centroid_assign" ->
-      "centroid side is `vec_id < k` — exactly k rows by key semantics")
+      "centroid side is `vec_id < k` — exactly k rows by key semantics",
+    "e9_kmeans_update" ->
+      "same assignment join as e6: broadcast side is the `vec_id < k` centroid slice")
 
   /** Queries allowed ≥3 scans of one path, with why the repeats are not
     * repeated work. */

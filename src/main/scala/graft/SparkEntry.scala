@@ -1120,6 +1120,23 @@ object SparkEntry {
         .groupBy(col("l_orderkey"), col("l_returnflag"))
         .agg(count(lit(1)).as("n"))
         .orderBy("l_orderkey", "l_returnflag")
+    }),
+    // U6 (beyond reference): CDC snapshot diff — per-user latest state
+    // at two points in time, classified insert/update/delete. The old
+    // snapshot sees everything before Jan 15; the new one is an
+    // activity-window snapshot (events since Jan 10), so a user with no
+    // recent events classifies as `delete`. Both time ranges push down
+    // to the parquet reader (Tables.eventsBetween nanos-domain filter).
+    "u6_snapshot_diff" -> ((s, d) => {
+      def snap(lo: String, hi: String) = Events.latestState(
+          Tables.eventsBetween(s, d, lo, hi), Seq("user_id"),
+          col("ts"), col("event_id"))
+        .select(col("user_id"), col("event_type").as("type"), col("value"))
+      Events.snapshotDiff(
+          snap("2000-01-01 00:00:00", "2024-01-15 00:00:00"),
+          snap("2024-01-10 00:00:00", "2030-01-01 00:00:00"),
+          Seq("user_id"), Seq("type", "value"))
+        .orderBy("user_id")
     })
   )
 
@@ -1150,7 +1167,24 @@ object SparkEntry {
         |  EXCEPT ALL
         |  SELECT DISTINCT l_orderkey, l_returnflag FROM li WHERE l_returnflag = 'R')
         |SELECT l_orderkey, l_returnflag, count(*) AS n
-        |FROM rem GROUP BY 1, 2 ORDER BY l_orderkey, l_returnflag""".stripMargin
+        |FROM rem GROUP BY 1, 2 ORDER BY l_orderkey, l_returnflag""".stripMargin,
+    "u6_snapshot_diff" ->
+      """WITH o AS (SELECT user_id, event_type, value FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM events WHERE ts < TIMESTAMP '2024-01-15 00:00:00') WHERE rn = 1),
+        |n AS (SELECT user_id, event_type, value FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM events WHERE ts >= TIMESTAMP '2024-01-10 00:00:00') WHERE rn = 1)
+        |SELECT user_id, old_type, old_value, new_type, new_value, change_type FROM (
+        |  SELECT coalesce(o.user_id, n.user_id) AS user_id,
+        |    o.event_type AS old_type, o.value AS old_value,
+        |    n.event_type AS new_type, n.value AS new_value,
+        |    CASE WHEN o.user_id IS NULL THEN 'insert'
+        |         WHEN n.user_id IS NULL THEN 'delete'
+        |         WHEN (o.event_type IS DISTINCT FROM n.event_type)
+        |           OR (o.value IS DISTINCT FROM n.value) THEN 'update' END AS change_type
+        |  FROM o FULL JOIN n ON o.user_id = n.user_id)
+        |WHERE change_type IS NOT NULL ORDER BY user_id""".stripMargin
   )
 
   // ---- F: scalar functions ------------------------------------------------
@@ -1412,7 +1446,12 @@ object SparkEntry {
           docs.filter(col("doc_id") % 3 =!= 0), 0.7)
         .select(col("doc_id"), length(col("text")).as("text_len"))
         .orderBy("doc_id")
-    })
+    }),
+    // D13: directed n-gram containment — the asymmetric (doc-inside-doc)
+    // near-dup test, computed sparsely via an inverted shingle index.
+    "d13_containment_pairs" -> ((s, d) =>
+      graft.dedup.Dedup.containmentPairs(t(s, d, "documents"), 0.5)
+        .orderBy("d1", "d2"))
   )
 
   private val dedupOracles: Map[String, String] = {
@@ -1633,7 +1672,17 @@ object SparkEntry {
           |SELECT doc_id, count(*) AS n_passages,
           |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
           |  string_agg(CASE WHEN rn = 1 THEN passage END, ' ' ORDER BY pos) AS clean_text
-          |FROM r2 GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+          |FROM r2 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      "d13_containment_pairs" ->
+        s"""$shingleCte,
+           |ds AS (SELECT doc_id, g, len(g) AS n_a FROM sh WHERE len(g) > 0),
+           |ex AS (SELECT doc_id, unnest(g) AS s FROM ds),
+           |i AS (SELECT x.doc_id AS d1, y.doc_id AS d2, count(*) AS inter
+           |  FROM ex x JOIN ex y ON x.s = y.s AND x.doc_id <> y.doc_id GROUP BY 1, 2)
+           |SELECT d1, d2, containment FROM (
+           |  SELECT d1, d2, round(i.inter * 1.0 / ds.n_a, 4) AS containment
+           |  FROM i JOIN ds ON ds.doc_id = i.d1)
+           |WHERE containment >= 0.5 ORDER BY d1, d2""".stripMargin)
   }
 
   // ---- E: embedding similarity search -------------------------------------
@@ -1674,7 +1723,13 @@ object SparkEntry {
     // E8: SemDedup — within-centroid-cell semantic near-dup removal
     // (deterministic seeds + rounded-cosine decision ⇒ exact oracle).
     "e8_semdedup" -> ((s, d) =>
-      graft.similarity.Ann.semDedup(t(s, d, "embeddings"), 8, 0.3).orderBy("vec_id"))
+      graft.similarity.Ann.semDedup(t(s, d, "embeddings"), 8, 0.3).orderBy("vec_id")),
+    // E9: one k-means Lloyd update step — per-(centroid, dim) member
+    // means, decimal-exact (completes the e6 assign step into a
+    // testable train iteration).
+    "e9_kmeans_update" -> ((s, d) =>
+      graft.similarity.Ann.centroidUpdate(t(s, d, "embeddings"), 8)
+        .orderBy("centroid_id", "dim"))
   )
 
   private val simOracles: Map[String, String] = Map(
@@ -1745,7 +1800,21 @@ object SparkEntry {
          |    / (x.nrm * y.nrm), 6) >= 0.3)
          |SELECT a.vec_id, a.centroid_id,
          |  a.vec_id NOT IN (SELECT vec_id FROM drops) AS kept
-         |FROM a ORDER BY vec_id""".stripMargin
+         |FROM a ORDER BY vec_id""".stripMargin,
+    "e9_kmeans_update" ->
+      s"""$cosineCte,
+         |c AS (SELECT vec_id AS centroid_id, v AS cv, nrm AS cn FROM n WHERE vec_id < 8),
+         |p AS (SELECT n.vec_id, n.v, c.centroid_id,
+         |  list_reduce(list_apply(range(1, 65), i -> n.v[i] * c.cv[i]), (a,b) -> a+b) / (n.nrm * c.cn) AS sim
+         |  FROM n CROSS JOIN c),
+         |a AS (SELECT vec_id, v, centroid_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) AS rn FROM p)
+         |  WHERE rn = 1),
+         |x AS (SELECT a.centroid_id, CAST(i AS INT) AS dim, CAST(a.v[i] AS DECIMAL(25,12)) AS qx
+         |  FROM a, (SELECT unnest(range(1, 65)) AS i))
+         |SELECT centroid_id, dim, count(*) AS n,
+         |  round(CAST(sum(qx) AS DOUBLE) / count(*), 6) AS mean_x
+         |FROM x GROUP BY 1, 2 ORDER BY centroid_id, dim""".stripMargin
   )
 
   // ---- T: text analysis ----------------------------------------------------
@@ -1793,6 +1862,13 @@ object SparkEntry {
     // with per-class counts; pure projection.
     "t9_pii_scrub" -> ((s, d) =>
       graft.text.TextAnalysis.piiScrub(t(s, d, "documents"))
+        .orderBy("doc_id")),
+    // T11: Gopher static quality rules (word count / word shape /
+    // symbol density / stopword presence) with a composite keep flag.
+    "t11_gopher_rules" -> ((s, d) =>
+      graft.text.TextAnalysis.gopherRules(t(s, d, "documents"))
+        .select(col("doc_id"), col("n_words"), col("mean_word_len"),
+          col("symbol_frac"), col("alpha_frac"), col("n_stop"), col("keep"))
         .orderBy("doc_id"))
   )
 
@@ -1875,7 +1951,26 @@ object SparkEntry {
            |    '$em', '<EMAIL>', 'g'), '$ip', '<IP>', 'g'), '$nm', '<NAME>', 'g')
            |    AS scrubbed
            |FROM documents ORDER BY doc_id""".stripMargin
-      })
+      },
+      "t11_gopher_rules" ->
+        s"""SELECT doc_id, n_words,
+           |  round(n_letters * 1.0 / n_words, 4) AS mean_word_len,
+           |  round(n_symbol * 1.0 / n_words, 4) AS symbol_frac,
+           |  round(n_alpha * 1.0 / n_words, 4) AS alpha_frac,
+           |  n_stop,
+           |  (n_words BETWEEN 50 AND 100000
+           |    AND n_letters * 1.0 / n_words >= 3.0 AND n_letters * 1.0 / n_words <= 10.0
+           |    AND n_symbol * 1.0 / n_words <= 0.1
+           |    AND n_alpha * 1.0 / n_words >= 0.8
+           |    AND n_stop >= 2) AS keep
+           |FROM (
+           |  SELECT doc_id, CAST(len(w) AS INT) AS n_words,
+           |    length(replace(text, ' ', '')) AS n_letters,
+           |    CAST(len(list_filter(w, x -> contains(x, '#') OR contains(x, '...'))) AS INT) AS n_symbol,
+           |    CAST(len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]'))) AS INT) AS n_alpha,
+           |    CAST(len(list_filter(w, x -> list_contains([$stopList], x))) AS INT) AS n_stop
+           |  FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents))
+           |ORDER BY doc_id""".stripMargin)
   }
 
   // ---- MM: multimodal column plumbing -------------------------------------
@@ -2256,7 +2351,26 @@ object SparkEntry {
         .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
           (lit(1) - col("l_discount").cast("decimal(4,2)"))).cast("double").as("revenue"))
         .orderBy("supp_nation", "cust_nation", "l_year")
-    })
+    }),
+    // X7: returned-item report (TPC-H Q10 shape) — revenue lost to
+    // returns per customer over one quarter, top 20. The quarter
+    // pushes to the orders scan and the returnflag to the lineitem
+    // scan BEFORE the fact-fact join; nation broadcasts; the top-20
+    // plans as TakeOrderedAndProject (per-partition top-k + merge),
+    // never a global sort.
+    "x7_returned_items" -> ((s, d) =>
+      t(s, d, "lineitem").filter(col("l_returnflag") === "R")
+        .join(t(s, d, "orders")
+            .filter(col("o_orderdate") >= to_timestamp(lit("1995-10-01 00:00:00")) &&
+              col("o_orderdate") < to_timestamp(lit("1996-01-01 00:00:00"))),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1) - col("l_discount").cast("decimal(4,2)"))).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20))
   )
 
   private val whOracles: Map[String, String] = Map(
@@ -2328,7 +2442,17 @@ object SparkEntry {
         |  AND n1.n_name <> n2.n_name
         |  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
         |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
-        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "x7_returned_items" ->
+      """SELECT c_custkey, c_name, n_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1995-10-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+        |GROUP BY 1, 2, 3 ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
   )
 
   // ---- assembled contract -------------------------------------------------

@@ -53,6 +53,39 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** D13: directed n-gram containment pairs — c(a→b) = |A∩B| / |A| ≥
+    * threshold. The asymmetric near-dup test MinHash cannot see: a
+    * short document embedded inside a long one has high containment
+    * but low Jaccard (the union is dominated by the long side), so
+    * banded-LSH candidates miss it; quote/boilerplate/superset
+    * detection needs this operator.
+    *
+    * Exact, but NOT all-pairs: an inverted shingle index self-joined on
+    * the shingle computes every nonzero |A∩B| sparsely. Cost is
+    * Σ df(shingle)² — linear-ish while shingles are near-unique (3-gram
+    * df concentrates at 1 in real corpora). The skew knob at 100 TB is
+    * a df cap on the index (drop shingles with df > D before the join):
+    * it can only lose pairs whose every shared shingle is ubiquitous,
+    * which a containment threshold ≥ 0.5 rules out unless the contained
+    * doc is itself pure boilerplate. Kept uncapped here so the oracle
+    * is exact; the cap is a one-line filter on `df`. */
+  def containmentPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    val sets = shingleSets(docs).filter(size(col("g")) > 0)
+    // materialize once: referenced by the index (exploded) and the |A| side
+    val sized = sets.select(col("doc_id"), col("g"), size(col("g")).as("n_a"))
+      .localCheckpoint(true)
+    val ex = sized.select(col("doc_id"), explode(col("g")).as("sh"))
+    val inter = ex.as("x")
+      .join(ex.as("y"),
+        col("x.sh") === col("y.sh") && col("x.doc_id") =!= col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      .agg(count(lit(1)).as("inter"))
+    inter.join(sized.select(col("doc_id").as("d1"), col("n_a")), "d1")
+      .select(col("d1"), col("d2"),
+        round(col("inter").cast("double") / col("n_a"), 4).as("containment"))
+      .filter(col("containment") >= threshold)
+  }
+
   val MINHASH_K = 12  // hash functions
   val LSH_BANDS = 4   // bands of K/BANDS rows each
   val MINHASH_P = 536870909L // prime < 2^29

@@ -85,4 +85,40 @@ object Events {
     * retries replayed in both paths) collapsed (README.md:148-149). */
   def mergeHistLive(hist: DataFrame, live: DataFrame): DataFrame =
     hist.unionByName(live, allowMissingColumns = true).distinct()
+
+  /** U6/CDC: snapshot difference — classify every key as insert /
+    * update / delete between two snapshot states; unchanged keys drop
+    * out. This is the change-data-capture primitive behind the
+    * reference's nightly re-sync (Lead_Ingestion_CRM_SQLite.py:141-148
+    * rebuilds the whole leads snapshot; diffing instead ships only the
+    * delta downstream — the difference between a full rewrite and an
+    * incremental publish at 100 TB).
+    *
+    * Column compare is null-safe (`<=>`), so NULL→value and value→NULL
+    * both classify as `update` instead of vanishing. Presence on each
+    * side is detected with injected literal flags — a NULL value column
+    * can never be mistaken for an absent row.
+    *
+    * Scale: both inputs shuffle once on `keys` for the full-outer join;
+    * when the snapshots come from [[latestState]] over the same store,
+    * the window partitioning and the join key coincide, so the plan
+    * reuses one hash exchange per side and nothing wider than
+    * keys+values ever moves. */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
+      keys: Seq[String], valueCols: Seq[String]): DataFrame = {
+    val o = oldSnap.select(keys.map(col) ++
+      valueCols.map(c => col(c).as(s"old_$c")) :+ lit(1).as("__in_old"): _*)
+    val n = newSnap.select(keys.map(col) ++
+      valueCols.map(c => col(c).as(s"new_$c")) :+ lit(1).as("__in_new"): _*)
+    val changed = valueCols
+      .map(c => !(col(s"old_$c") <=> col(s"new_$c")))
+      .reduce(_ || _)
+    o.join(n, keys, "full_outer")
+      .withColumn("change_type",
+        when(col("__in_old").isNull, lit("insert"))
+          .when(col("__in_new").isNull, lit("delete"))
+          .when(changed, lit("update")))
+      .filter(col("change_type").isNotNull)
+      .drop("__in_old", "__in_new")
+  }
 }

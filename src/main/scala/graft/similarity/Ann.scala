@@ -571,4 +571,43 @@ object Ann {
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("centroid_id"), round(col("sim"), 6).as("sim"))
   }
+
+  /** E9: one Lloyd update step — per-(centroid, dimension) member means
+    * over the [[centroidAssign]] partition. With e6 (assign) this
+    * completes the exactly-testable half of a k-means/IVF index build:
+    * iterate assign→update to train, then [[ivfTopK]] probes the result.
+    *
+    * Exactness recipe (the e7/t7 pattern): each element is quantized
+    * double→DECIMAL(25,12) per row FIRST, and only the decimals are
+    * summed across rows — decimal addition is associative, so the means
+    * are bit-identical under any partitioning / shuffle order, and the
+    * DuckDB oracle replays them. The mean itself is one double division
+    * of that exact sum, rounded for reporting.
+    *
+    * Scale: assignment is a map-side broadcast compare; the update is
+    * ONE shuffle of (cell, dim, decimal) partials with map-side combine
+    * — k×dim cells regardless of corpus size. This plan IS the
+    * distributed k-means iteration at 100 TB (the classic
+    * reduce-by-(cell,dim) formulation); nothing touches the driver. */
+  def centroidUpdate(embeddings: DataFrame, k: Int): DataFrame = {
+    // Same assignment as [[centroidAssign]], but `v` rides along so the
+    // update needs no second pass over the corpus (2 scans total: the
+    // k-row centroid slice — `vec_id < k` pushed to the reader — and
+    // one member pass).
+    val e = prepared(embeddings)
+    val cents = e.filter(col("vec_id") < k)
+      .select(col("vec_id").as("centroid_id"), col("v").as("cv"), col("nrm").as("cn"))
+    val assigned = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("v"), col("centroid_id"),
+        (dot(col("v"), col("cv")) / (col("nrm") * col("cn"))).as("sim"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("centroid_id"))))
+      .filter(col("rn") === 1)
+    assigned.select(col("centroid_id"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("centroid_id"), (col("pos") + 1).as("dim"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast("decimal(25,12)")).as("sx"))
+      .select(col("centroid_id"), col("dim"), col("n"),
+        round(col("sx").cast("double") / col("n"), 6).as("mean_x"))
+  }
 }

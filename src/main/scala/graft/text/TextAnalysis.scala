@@ -136,6 +136,42 @@ object TextAnalysis {
           .as("top_bigram_frac"))
   }
 
+  /** T11: Gopher static quality rules (Rae et al. 2021, Table A1) —
+    * the document-shape filters a curation pipeline applies before the
+    * repetition metrics of [[repetitionMetrics]]:
+    *  - word count in [50, 100000]
+    *  - mean word length in [3, 10]
+    *  - symbol-to-word ratio ≤ 0.1 (`#` or `...` bearing words)
+    *  - ≥ 80% of words contain an alphabetic character
+    *  - ≥ 2 stopwords (the "real prose" test)
+    *
+    * Pure projection — one scan, no shuffle, embarrassingly parallel at
+    * any corpus size. The `keep` verdict is computed from the UNROUNDED
+    * ratios (see [[withQuality]]'s rounding-boundary note); the rounded
+    * columns are reporting-only. */
+  def gopherRules(docs: DataFrame): DataFrame = {
+    val w = words(col("text"))
+    val nWords = col("n_words").cast("double")
+    val meanLen = col("n_letters").cast("double") / nWords
+    val symbolFrac = col("n_symbol").cast("double") / nWords
+    val alphaFrac = col("n_alpha").cast("double") / nWords
+    docs
+      .withColumn("n_words", size(w))
+      .withColumn("n_letters", length(regexp_replace(col("text"), " ", "")))
+      .withColumn("n_symbol", size(filter(w, x => x.contains("#") || x.contains("..."))))
+      .withColumn("n_alpha", size(filter(w, x => x.rlike("[a-zA-Z]"))))
+      .withColumn("n_stop", size(filter(w, x => array_contains(typedlit(stopwords), x))))
+      .withColumn("keep",
+        col("n_words").between(50, 100000) &&
+          meanLen >= 3.0 && meanLen <= 10.0 &&
+          symbolFrac <= 0.1 &&
+          alphaFrac >= 0.8 &&
+          col("n_stop") >= 2)
+      .withColumn("mean_word_len", round(meanLen, 4))
+      .withColumn("symbol_frac", round(symbolFrac, 4))
+      .withColumn("alpha_frac", round(alphaFrac, 4))
+  }
+
   /** T9: PII scrubbing — the redaction pass a corpus runs before
     * training. Three deterministic redaction classes, each counted on
     * the original text and replaced in sequence:

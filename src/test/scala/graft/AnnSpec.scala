@@ -108,6 +108,28 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("E9: centroid update means match a driver-side recompute of the assignment") {
+    val k = 8
+    val updated = Ann.centroidUpdate(emb, k)
+      .select("centroid_id", "dim", "n", "mean_x")
+      .as[(Long, Int, Long, Double)].collect()
+    val assign = Ann.centroidAssign(emb, k)
+      .select("vec_id", "centroid_id").as[(Long, Long)].collect().toMap
+    val vecs = emb.select("vec_id", "embedding").as[(Long, Array[Float])].collect()
+    val dim = vecs.head._2.length
+    assert(updated.length === assign.values.toSet.size * dim,
+      "one row per (occupied cell, dimension)")
+    // exact per-cell membership counts
+    val cellN = vecs.groupBy(v => assign(v._1)).view.mapValues(_.length.toLong).toMap
+    updated.foreach { case (c, _, n, _) => assert(n === cellN(c)) }
+    // means agree with a naive double recompute to rounding tolerance
+    val byCell = vecs.groupBy(v => assign(v._1))
+    updated.foreach { case (c, d, n, m) =>
+      val naive = byCell(c).map(_._2(d - 1).toDouble).sum / n
+      assert(math.abs(naive - m) < 1e-6, s"cell $c dim $d: $m vs $naive")
+    }
+  }
+
   test("E7: codebook vectors PQ-encode to themselves with zero error") {
     val out = Ann.pqEncode(emb, m = 8, k = 16)
       .select("vec_id", "codes", "mse").as[(Long, String, Double)].collect()

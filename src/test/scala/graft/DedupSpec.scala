@@ -26,6 +26,26 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.9, s"banded LSH recall too low: $recall")
   }
 
+  test("D13: containment is asymmetric — a quoted doc scores high, its superset low") {
+    // doc 1 (8 words, 6 shingles) is verbatim inside doc 2 (21 words,
+    // 19 shingles); Jaccard is 6/19 (below any dedup threshold) but
+    // containment 1→2 is exactly 1.0. doc 3 shares nothing.
+    val quote = "alpha beta gamma delta epsilon zeta eta theta"
+    val host = s"intro words here $quote and then a long tail of unrelated filler tokens follows"
+    val df = Seq((1L, quote), (2L, host), (3L, "k l m n o p q r s t"))
+      .toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(df, 0.5)
+      .select("d1", "d2", "containment").as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got((1L, 2L)) === 1.0, "quote fully contained in host")
+    assert(!got.contains((2L, 1L)), "host is not contained in the quote")
+    assert(!got.keySet.exists { case (a, b) => a == 3L || b == 3L })
+    // sanity vs the Jaccard baseline: this pair is invisible at 0.5
+    val jac = Dedup.ngramJaccardPairs(df, 0.5).select("d1", "d2")
+      .as[(Long, Long)].collect().toSet
+    assert(!jac.contains((1L, 2L)))
+  }
+
   test("native MinHash signatures equal the explode+groupBy formulation") {
     import graft.dedup.Dedup.{minhashParams, MINHASH_P}
     val builtin = {

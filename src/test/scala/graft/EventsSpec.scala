@@ -50,4 +50,21 @@ class EventsSpec extends SparkSpec {
     val routed = Events.routeOffices(df(evs), col("user_id"), Seq("office_1"))
     assert(routed.select("user_id").as[Long].collect().toSet === Set(7L))
   }
+
+  test("U6: snapshotDiff classifies insert/update/delete, drops unchanged, null-safe") {
+    // key 1: unchanged (dropped); key 2: value change; key 3: deleted;
+    // key 4: inserted; key 5: NULL -> value transition must be 'update'
+    // (a value-equality compare would drop it as NULL-unknown).
+    val oldSnap = Seq(
+      (1L, Some("a"), Some(1.0)), (2L, Some("b"), Some(2.0)),
+      (3L, Some("c"), Some(3.0)), (5L, None: Option[String], Some(5.0)))
+      .toDF("user_id", "type", "value")
+    val newSnap = Seq(
+      (1L, Some("a"), Some(1.0)), (2L, Some("b"), Some(9.0)),
+      (4L, Some("d"), Some(4.0)), (5L, Some("e"), Some(5.0)))
+      .toDF("user_id", "type", "value")
+    val diff = Events.snapshotDiff(oldSnap, newSnap, Seq("user_id"), Seq("type", "value"))
+      .select("user_id", "change_type").as[(Long, String)].collect().toMap
+    assert(diff === Map(2L -> "update", 3L -> "delete", 4L -> "insert", 5L -> "update"))
+  }
 }

@@ -83,6 +83,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(m(2L).isNullAt(3) && m(2L).isNullAt(4))
   }
 
+  test("T11: gopher rules evaluate each filter on crafted documents") {
+    val longDoc = Array.fill(60)("the good word and").mkString(" ") // 240 words, stopwords ok
+    val docs = Seq(
+      (1L, longDoc),                                        // passes everything
+      (2L, "the a of to and tiny"),                         // < 50 words
+      (3L, Array.fill(30)("the xx ##tag...").mkString(" ")) // symbol-heavy
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.gopherRules(docs)
+      .select("doc_id", "keep", "n_words", "n_stop").collect()
+      .map(x => x.getLong(0) -> (x.getBoolean(1), x.getInt(2), x.getInt(3))).toMap
+    assert(r(1L)._1, "long clean doc must pass")
+    assert(!r(2L)._1 && r(2L)._2 < 50, "short doc fails the word-count rule")
+    assert(!r(3L)._1, "symbol-laden doc fails the symbol-ratio rule")
+    // symbol fraction on doc 3: every 3rd word carries # and ...
+    val s3 = TextAnalysis.gopherRules(docs).filter(col("doc_id") === 3)
+      .select("symbol_frac").head().getDouble(0)
+    assert(s3 > 0.3)
+  }
+
   test("T9: PII scrub redacts emails, IPv4s, and dictionary terms") {
     val df = Seq(
       (1L, "mail bob.smith+x@corp.example.com from 10.0.42.7 re customer intake"),
