@@ -204,6 +204,24 @@ object SparkEntry {
         .unionByName(orphans("customer->nation", t(s, d, "customer"), "c_nationkey",
           t(s, d, "nation"), "n_nationkey"))
         .orderBy("relation")
+    }),
+    // S11 (beyond reference): schema-evolution read — two parquet
+    // generations (a column added in v2) unified under mergeSchema;
+    // v1 rows surface the new column as NULL. The lake-format
+    // guarantee a 100 TB store needs before any ALTER TABLE: readers
+    // keep working across writer generations.
+    "s11_schema_evolution" -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_s11")
+      val v1 = t(s, d, "nation").select(col("n_nationkey"), col("n_name"))
+      val v2 = t(s, d, "nation")
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      v1.write.mode("overwrite").parquet(tmp.resolve("gen1").toString)
+      v2.write.mode("overwrite").parquet(tmp.resolve("gen2").toString)
+      s.read.option("mergeSchema", "true")
+        .parquet(tmp.resolve("gen1").toString, tmp.resolve("gen2").toString)
+        .withColumn("generation",
+          when(col("n_regionkey").isNull, 1).otherwise(2).cast("int"))
+        .orderBy("generation", "n_nationkey")
     })
   )
 
@@ -264,7 +282,12 @@ object SparkEntry {
         |  '{"event_id":' || event_id || ',"event_type":"' || event_type || '"}' AS raw_data
         |FROM events ORDER BY event_id""".stripMargin,
     "s8_bulk_load_roundtrip" ->
-      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey"
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    "s11_schema_evolution" ->
+      """SELECT n_nationkey, n_name, CAST(NULL AS INTEGER) AS n_regionkey, 1 AS generation FROM nation
+        |UNION ALL
+        |SELECT n_nationkey, n_name, n_regionkey, 2 FROM nation
+        |ORDER BY generation, n_nationkey""".stripMargin
   )
 
   // ---- P: projections / filters ------------------------------------------
@@ -716,7 +739,14 @@ object SparkEntry {
       t(s, d, "events")
         .groupBy(col("event_type"))
         .agg(approx_count_distinct(col("user_id")).as("approx_users"))
-        .orderBy("event_type"))
+        .orderBy("event_type")),
+    // A21 (beyond reference): weekly cohort retention triangle — only
+    // (user, week) pairs ever shuffle, never event bodies.
+    "a21_cohort_retention" -> ((s, d) =>
+      Measures.cohortRetention(t(s, d, "events"), col("user_id"), col("ts"),
+          "week", 7)
+        .withColumnRenamed("offset", "week_offset")
+        .orderBy("cohort_start", "week_offset"))
   )
 
   private val aggOracles: Map[String, String] = Map(
@@ -829,6 +859,14 @@ object SparkEntry {
         |SELECT status, round(max(med), 2) AS median,
         |  round(quantile_cont(dev, 0.5), 2) AS mad
         |FROM dev GROUP BY status ORDER BY status""".stripMargin,
+    "a21_cohort_retention" ->
+      """WITH act AS (SELECT DISTINCT user_id AS u, CAST(date_trunc('week', ts) AS TIMESTAMP) AS m FROM events),
+        |coh AS (SELECT u, min(m) AS cohort_start FROM act GROUP BY u)
+        |SELECT cohort_start,
+        |  CAST(date_diff('day', cohort_start, m) // 7 AS INT) AS week_offset,
+        |  count(DISTINCT u) AS n_active
+        |FROM act JOIN coh USING (u)
+        |GROUP BY 1, 2 ORDER BY cohort_start, week_offset""".stripMargin,
     "a19_salted_agg" ->
       """SELECT user_id, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
         |  count(*) AS n
@@ -994,6 +1032,18 @@ object SparkEntry {
           lead(col("ts"), 1).over(w).as("effective_to"),
           lead(col("ts"), 1).over(w).isNull.cast("int").as("is_current"))
         .orderBy("user_id", "event_id")
+    }),
+    // W10 (beyond reference): distribution windows — percent_rank and
+    // cume_dist per event type (the percentile position of every row,
+    // the window complement of a15's aggregated percentiles). Unique
+    // (value, event_id) ordering makes both deterministic.
+    "w10_distribution" -> ((s, d) => {
+      val w = Window.partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))
+      t(s, d, "events")
+        .select(col("event_id"), col("event_type"), col("value"))
+        .withColumn("pct_rank", round(percent_rank().over(w), 6))
+        .withColumn("cume", round(cume_dist().over(w), 6))
+        .orderBy("event_id")
     })
   )
 
@@ -1064,7 +1114,13 @@ object SparkEntry {
         |  lead(ts) OVER w AS effective_to,
         |  CAST(lead(ts) OVER w IS NULL AS INT) AS is_current
         |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-        |ORDER BY user_id, event_id""".stripMargin
+        |ORDER BY user_id, event_id""".stripMargin,
+    "w10_distribution" ->
+      """SELECT event_id, event_type, value,
+        |  round(percent_rank() OVER w, 6) AS pct_rank,
+        |  round(cume_dist() OVER w, 6) AS cume
+        |FROM events WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+        |ORDER BY event_id""".stripMargin
   )
 
   // ---- O: sort / limit / offset ------------------------------------------
@@ -2122,6 +2178,20 @@ object SparkEntry {
     "sa5_quality_filter" -> ((s, d) =>
       graft.sampling.Sampling.qualityQuantileFilter(t(s, d, "documents"))
         .orderBy("doc_id")),
+    // SA6: fixed-size per-stratum sample — exactly k docs per language
+    // by salted-hash rank (deterministic "reservoir"; complements sa2's
+    // per-stratum rates). The rank filter plans as WindowGroupLimit, so
+    // each partition keeps only its local top-k before the shuffle.
+    "sa6_fixed_size_sample" -> ((s, d) => {
+      val w = Window.partitionBy(col("lang")).orderBy(
+        graft.text.TextAnalysis.hash60(col("doc_id").cast("string"), "sa6"),
+        col("doc_id"))
+      t(s, d, "documents")
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 20)
+        .select(col("lang"), col("rk"), col("doc_id"))
+        .orderBy("lang", "rk")
+    }),
     // C1: overlapping token-window chunking (size 50 / stride 40).
     "c1_chunk_windows" -> ((s, d) =>
       graft.text.Chunking.chunkWindows(t(s, d, "documents"))
@@ -2184,6 +2254,12 @@ object SparkEntry {
          |SELECT doc_id, lang, quality_score FROM s JOIN thr USING (lang)
          |WHERE quality_score >= q_thr ORDER BY doc_id""".stripMargin
     },
+    "sa6_fixed_size_sample" ->
+      s"""SELECT lang, rk, doc_id FROM (
+         |  SELECT lang, doc_id, CAST(row_number() OVER (PARTITION BY lang
+         |    ORDER BY ${sqlHash60("sa6", "CAST(doc_id AS VARCHAR)")}, doc_id) AS INT) AS rk
+         |  FROM documents)
+         |WHERE rk <= 20 ORDER BY lang, rk""".stripMargin,
     "sa4_temperature_mix" ->
       """WITH c AS (SELECT lang AS k, count(*) AS cnt FROM documents GROUP BY lang),
         |r AS (SELECT k, cnt, min(cnt) OVER () AS mn FROM c)

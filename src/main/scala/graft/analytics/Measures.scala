@@ -118,4 +118,31 @@ object Measures {
     sum(valueCol).over(
       Window.partitionBy(part: _*).orderBy(order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+
+  /** A21: cohort retention — users grouped by their first-activity
+    * period, counted per period offset (the "how many of the week-1
+    * signups were still active in week N" triangle every growth
+    * dashboard carries).
+    *
+    * `grain` is any date_trunc grain ("week", "month"). The offset is
+    * day-difference / days-per-grain — exact for truncated timestamps
+    * and identical across engines (DuckDB's date_diff('week') counts
+    * boundary crossings, which agrees only because both sides are
+    * truncated; the day arithmetic avoids relying on that).
+    *
+    * Scale: the (user, period) activity table is distinct-ed FIRST (one
+    * shuffle on the pair, collapsing the raw event volume), the cohort
+    * min is a second shuffle on user — and the activity→cohort join
+    * then reuses that user partitioning; the final rollup is over
+    * |periods|² cells. Event bodies never move — only (user, period)
+    * pairs. */
+  def cohortRetention(events: DataFrame, userCol: Column, tsCol: Column,
+                      grain: String, daysPerGrain: Int): DataFrame = {
+    val monthly = events.select(userCol.as("u"), date_trunc(grain, tsCol).as("m")).distinct()
+    val cohorts = monthly.groupBy(col("u")).agg(min(col("m")).as("cohort_start"))
+    monthly.join(cohorts, "u")
+      .groupBy(col("cohort_start"),
+        (datediff(col("m"), col("cohort_start")) / daysPerGrain).cast("int").as("offset"))
+      .agg(countDistinct(col("u")).as("n_active"))
+  }
 }

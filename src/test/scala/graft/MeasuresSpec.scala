@@ -35,6 +35,25 @@ class MeasuresSpec extends SparkSpec {
     assert(got.isNullAt(got.fieldIndex("r")))
   }
 
+  test("A21: cohort retention counts survivors per (cohort, offset)") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    // week of Jan 1 (Mon) cohort: users 1,2; week of Jan 8 cohort: user 3.
+    // user 1 active weeks 0 and 1; user 2 only week 0; user 3 week 0.
+    val ev = Seq(
+      (1L, ts("2024-01-02 10:00:00")), (1L, ts("2024-01-09 10:00:00")),
+      (1L, ts("2024-01-09 11:00:00")), // same week twice — must not double-count
+      (2L, ts("2024-01-03 10:00:00")),
+      (3L, ts("2024-01-10 10:00:00"))).toDF("user_id", "ts")
+    val got = Measures.cohortRetention(ev, col("user_id"), col("ts"), "week", 7)
+      .select("cohort_start", "offset", "n_active")
+      .collect().map(r => (r.getTimestamp(0).toString, r.getInt(1)) -> r.getLong(2)).toMap
+    assert(got === Map(
+      ("2024-01-01 00:00:00.0", 0) -> 2L,
+      ("2024-01-01 00:00:00.0", 1) -> 1L,
+      ("2024-01-08 00:00:00.0", 0) -> 1L))
+  }
+
   test("A5: rollup Total row uses ratio-of-totals, not avg-of-ratios") {
     // seller dashboard YTD: 213 ingresados / 52 firmados across agents
     // => Total row ratio must be 52/213 = 24.41%.

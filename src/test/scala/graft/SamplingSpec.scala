@@ -104,4 +104,21 @@ class SamplingSpec extends SparkSpec {
       assert(d.nonEmpty, s"$lang dropped nothing — threshold degenerate")
     }
   }
+
+  test("SA6: fixed-size sample takes exactly min(k, |stratum|) docs, reshard-stable") {
+    def sample(df: org.apache.spark.sql.DataFrame) = {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+        .orderBy(graft.text.TextAnalysis.hash60(col("doc_id").cast("string"), "sa6"),
+          col("doc_id"))
+      df.withColumn("rk", row_number().over(w)).filter(col("rk") <= 20)
+        .select("lang", "doc_id").as[(String, Long)].collect().toSet
+    }
+    val got = sample(docs)
+    val strata = docs.groupBy("lang").count()
+      .as[(String, Long)].collect().toMap
+    got.groupBy(_._1).foreach { case (lang, rows) =>
+      assert(rows.size === math.min(20L, strata(lang)), s"$lang size")
+    }
+    assert(sample(docs.repartition(13)) === got, "sample must not depend on sharding")
+  }
 }

@@ -75,6 +75,18 @@ class SourcesSpec extends SparkSpec {
     assert(out.schema("action_id").dataType === LongType)
   }
 
+  test("S11: mergeSchema read unifies writer generations; old rows NULL the new column") {
+    val dir = Files.createTempDirectory("graft_s11_spec")
+    Seq((1L, "a")).toDF("id", "name").write.parquet(dir.resolve("g1").toString)
+    Seq((2L, "b", 7L)).toDF("id", "name", "extra").write.parquet(dir.resolve("g2").toString)
+    val merged = spark.read.option("mergeSchema", "true")
+      .parquet(dir.resolve("g1").toString, dir.resolve("g2").toString)
+    assert(merged.columns.toSet === Set("id", "name", "extra"))
+    val byId = merged.collect().map(r => r.getAs[Long]("id") -> r).toMap
+    assert(byId(1L).isNullAt(byId(1L).fieldIndex("extra")), "v1 row NULLs the added column")
+    assert(byId(2L).getAs[Long]("extra") === 7L)
+  }
+
   test("Graft.session + attach: one-call setup serves SQL with the rule installed") {
     val s = Graft.session(master = "local[4]")
     try {
