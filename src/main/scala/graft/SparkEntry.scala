@@ -205,6 +205,48 @@ object SparkEntry {
           t(s, d, "nation"), "n_nationkey"))
         .orderBy("relation")
     }),
+    // DQ3 (beyond reference): winsorization — clip a measure to its
+    // per-group [p5, p95] band before downstream stats (the outlier
+    // containment step of a cleaning pipeline). Exact interpolated
+    // percentiles (a15/a20 parity with quantile_cont); the |groups|-row
+    // bound table broadcasts, the clip itself is map-side.
+    "dq3_winsorize" -> ((s, d) => {
+      val bounds = t(s, d, "orders")
+        .groupBy(col("o_orderstatus").as("status"))
+        .agg(expr("percentile(o_totalprice, 0.05)").as("p05"),
+          expr("percentile(o_totalprice, 0.95)").as("p95"))
+      t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus").as("status"),
+          col("o_totalprice"))
+        .join(broadcast(bounds), "status")
+        .withColumn("clipped",
+          least(greatest(col("o_totalprice"), col("p05")), col("p95")))
+        .withColumn("was_clipped",
+          (col("clipped") =!= col("o_totalprice")).cast("int"))
+        .select(col("o_orderkey"), col("status"), col("o_totalprice"),
+          round(col("clipped"), 2).as("clipped"), col("was_clipped"))
+        .orderBy("o_orderkey")
+    }),
+    // DQ4 (beyond reference): order-insensitive table checksums — the
+    // cross-engine digest that validates a migration (precisely the
+    // "does the new engine hold the same data" check this library's
+    // adoption needs). BIT_XOR of per-row salted hashes is commutative
+    // ⇒ partitioning/order-independent; one scan per table, constant
+    // output. Numeric columns enter the hash via canonical string
+    // casts; float columns would need an explicit quantization rule
+    // first (documented, none included here).
+    "dq4_table_checksum" -> ((s, d) => {
+      def ck(name: String, df: DataFrame, cols: Seq[String]) =
+        df.select(graft.text.TextAnalysis.hash60(
+            concat_ws("|", cols.map(c => col(c).cast("string")): _*), "ck").as("h"))
+          .agg(lit(name).as("relation"), count(lit(1)).as("n_rows"),
+            expr("bit_xor(h)").as("checksum"))
+      ck("nation", t(s, d, "nation"), Seq("n_nationkey", "n_name", "n_regionkey"))
+        .unionByName(ck("region", t(s, d, "region"), Seq("r_regionkey", "r_name")))
+        .unionByName(ck("supplier", t(s, d, "supplier"),
+          Seq("s_suppkey", "s_name", "s_nationkey")))
+        .orderBy("relation")
+    }),
     // S11 (beyond reference): schema-evolution read — two parquet
     // generations (a column added in v2) unified under mergeSchema;
     // v1 rows surface the new column as NULL. The lake-format
@@ -287,7 +329,29 @@ object SparkEntry {
       """SELECT n_nationkey, n_name, CAST(NULL AS INTEGER) AS n_regionkey, 1 AS generation FROM nation
         |UNION ALL
         |SELECT n_nationkey, n_name, n_regionkey, 2 FROM nation
-        |ORDER BY generation, n_nationkey""".stripMargin
+        |ORDER BY generation, n_nationkey""".stripMargin,
+    "dq3_winsorize" ->
+      """WITH b AS (SELECT o_orderstatus AS status,
+        |    quantile_cont(o_totalprice, 0.05) AS p05,
+        |    quantile_cont(o_totalprice, 0.95) AS p95
+        |  FROM orders GROUP BY 1)
+        |SELECT o_orderkey, status, o_totalprice,
+        |  round(least(greatest(o_totalprice, p05), p95), 2) AS clipped,
+        |  CAST(least(greatest(o_totalprice, p05), p95) <> o_totalprice AS INT) AS was_clipped
+        |FROM orders JOIN b ON o_orderstatus = b.status
+        |ORDER BY o_orderkey""".stripMargin,
+    "dq4_table_checksum" -> {
+      def ck(name: String, cols: Seq[String]) = {
+        val cat = cols.map(c => s"CAST($c AS VARCHAR)").mkString(", ")
+        s"""SELECT '$name' AS relation, count(*) AS n_rows,
+           |  bit_xor(${sqlHash60("ck", s"concat_ws('|', $cat)")}) AS checksum
+           |FROM $name""".stripMargin
+      }
+      Seq(ck("nation", Seq("n_nationkey", "n_name", "n_regionkey")),
+        ck("region", Seq("r_regionkey", "r_name")),
+        ck("supplier", Seq("s_suppkey", "s_name", "s_nationkey")))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY relation")
+    }
   )
 
   // ---- P: projections / filters ------------------------------------------
@@ -475,6 +539,23 @@ object SparkEntry {
         .select(col("purchase_id"), col("user_id"), col("signup_id"),
           (unix_micros(col("p_ts")) - unix_micros(col("s_ts"))).as("us_gap"))
         .orderBy("purchase_id", "signup_id")
+    }),
+    // J9 (beyond reference): FORWARD as-of — first purchase at or after
+    // each signup (time-to-convert / SLA first-response shape); the
+    // mirror of j7's latest-before match, same single-shuffle
+    // union-merge plan.
+    "j9_asof_forward" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("purchase_ts"),
+          col("event_id").as("purchase_event_id"))
+      graft.operators.AsOf
+        .asOfForward(signups, purchases, Seq("user_id"), "ts", "purchase_ts")
+        .withColumn("us_to_purchase",
+          unix_micros(col("purchase_ts")) - unix_micros(col("ts")))
+        .orderBy("event_id")
     })
   )
 
@@ -533,7 +614,16 @@ object SparkEntry {
         |  epoch_us(p_ts) - epoch_us(s_ts) AS us_gap
         |FROM p JOIN s USING (user_id)
         |WHERE s_ts <= p_ts AND s_ts >= p_ts - INTERVAL 1 HOUR
-        |ORDER BY purchase_id, signup_id""".stripMargin
+        |ORDER BY purchase_id, signup_id""".stripMargin,
+    "j9_asof_forward" ->
+      """WITH si AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'signup'),
+        |pu AS (SELECT user_id, ts AS purchase_ts, event_id AS purchase_event_id FROM events WHERE event_type = 'purchase')
+        |SELECT si.event_id, si.user_id, si.ts, pu.purchase_ts, pu.purchase_event_id,
+        |  epoch_us(pu.purchase_ts) - epoch_us(si.ts) AS us_to_purchase
+        |FROM si LEFT JOIN pu ON pu.user_id = si.user_id AND pu.purchase_ts >= si.ts
+        |QUALIFY row_number() OVER (PARTITION BY si.event_id
+        |  ORDER BY pu.purchase_ts ASC NULLS LAST, pu.purchase_event_id ASC NULLS LAST) = 1
+        |ORDER BY si.event_id""".stripMargin
   )
 
   // ---- A: aggregations ----------------------------------------------------

@@ -62,4 +62,34 @@ object AsOf {
       .select(left.columns.map(col) ++
         payloadCols.map(c => col(s"__asof.$c").as(c)): _*)
   }
+
+  /** Forward as-of join (match the EARLIEST right row at or after the
+    * left ts) — the mirror of [[asOfBackward]] for "next event"
+    * semantics: next price update, SLA first-response matching, the
+    * next state transition after a checkpoint.
+    *
+    * Same union-merge single-shuffle shape, traversed in DESCENDING
+    * time order: right rows still sort before left rows at an equal
+    * timestamp (>= matches), and among same-(key, ts) right rows the
+    * running `last` picks the MIN payload struct — matching an
+    * ASC-ordered row_number()=1 oracle. */
+  def asOfForward(left: DataFrame, right: DataFrame, keys: Seq[String],
+                  leftTs: String, rightTs: String): DataFrame = {
+    val payloadCols = right.columns.filterNot(keys.contains).toSeq
+    val packed = right.select(
+      keys.map(col) ++ Seq(col(rightTs).as("__t"),
+        struct(payloadCols.map(col): _*).as("__r")): _*)
+      .withColumn("__side", lit(0))
+    val probe = left
+      .withColumn("__t", col(leftTs))
+      .withColumn("__side", lit(1))
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__t").desc, col("__side").asc, col("__r").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    probe.unionByName(packed, allowMissingColumns = true)
+      .withColumn("__asof", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(left.columns.map(col) ++
+        payloadCols.map(c => col(s"__asof.$c").as(c)): _*)
+  }
 }

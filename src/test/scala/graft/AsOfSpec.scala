@@ -45,6 +45,28 @@ class AsOfSpec extends SparkSpec {
     assert(out(4L) === None, "matches must not leak across keys")
   }
 
+  private lazy val fwd = AsOf
+    .asOfForward(left, right, Seq("user_id"), "ts", "r_ts")
+    .select("event_id", "r_id").as[(Long, Option[Long])]
+    .collect().toMap
+
+  test("forward match picks the earliest right row at or after the left ts") {
+    assert(fwd(1L) === Some(102L), "next right after 10:00 is the 12:00 pair, min id wins")
+    assert(fwd(3L) === Some(101L))
+  }
+
+  test("forward: equal timestamps match inclusively, tie-broken to the min payload") {
+    assert(fwd(2L) === Some(102L))
+  }
+
+  test("forward: left rows with no following right row get NULL payload") {
+    assert(fwd(4L) === None, "matches must not leak across keys")
+    val lateLeft = Seq((9L, 10L, ts("2024-01-01 13:00:00"))).toDF("event_id", "user_id", "ts")
+    val late = AsOf.asOfForward(lateLeft, right, Seq("user_id"), "ts", "r_ts")
+      .select("event_id", "r_id").as[(Long, Option[Long])].collect().toMap
+    assert(late(9L) === None)
+  }
+
   test("trailing-window sum equals the naive RANGE frame (peers + boundary)") {
     import graft.operators.TrailingWindow
     import org.apache.spark.sql.expressions.Window
