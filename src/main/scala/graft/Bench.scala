@@ -48,13 +48,39 @@ object Bench {
     // numbers carry ±25% JIT/codegen/page-cache noise (round 1's
     // driver run showed a 15.7s spike on a 0.6s query), and the
     // steady-state time is what a resident service would see.
+    // SPARK_GRAFT_ONLY: optional comma-separated allowlist — lets a
+    // perf investigation replay an exact subsequence of the suite in
+    // one JVM (the full-run interference effects don't reproduce
+    // query-by-query). Unset in driver runs.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    // Retry budget for the stall guard below. A GLOBAL budget, not
+    // per-query: in a regime where the whole box is slow every query
+    // would qualify and per-query retries would multiply the suite's
+    // wall time 2× — the budget spends extra runs only on the first few
+    // outliers (a transient stall) and degrades to plain min-of-2 when
+    // slowness is systemic (a retry can't fix that anyway).
+    var retryBudget = 12
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (name, _) => excluded.contains(name) }
+      .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
-        val runs = (1 to 2).map { _ =>
+        def once(): (Double, Long) = {
           val t0 = System.nanoTime()
           val n = try { force(fn(spark, sfDir)) } catch { case _: Throwable => -1L }
           (System.nanoTime() - t0) / 1e9 -> n
+        }
+        // Two timed runs, min — plus budgeted retries when the pair
+        // disagrees by >2× above the 1 s floor. Full-suite runs on this
+        // box intermittently hit multi-minute external stalls (PLANS.md
+        // "bench variance": the same query measures 45 s mid-suite and
+        // 0.5 s replayed); a stall spanning both runs would otherwise be
+        // reported as the query's steady-state cost.
+        var runs = List(once(), once())
+        while (runs.size < 4 && retryBudget > 0 && runs.map(_._1).min > 1.0 &&
+            runs.map(_._1).max / runs.map(_._1).min > 2.0) {
+          retryBudget -= 1
+          runs ::= once()
         }
         val (secs, n) = runs.minBy(_._1)
         // drop this query's localCheckpoint blocks: without it the

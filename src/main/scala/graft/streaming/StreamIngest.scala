@@ -173,6 +173,77 @@ object StreamIngest {
     graft.dedup.Dedup.dedupKeys(admitted).write.mode("append").parquet(indexPath)
   }
 
+  /** ST12: streaming CDC publication — the streaming twin of
+    * [[graft.ingest.Events.snapshotDiff]] (batch twin `u6_snapshot_diff`).
+    * Each micro-batch folds into a persisted latest-state snapshot and
+    * only the CHANGED rows are appended to a delta feed: downstream
+    * consumers get an incremental `insert`/`update` stream instead of
+    * re-reading a nightly full snapshot rewrite.
+    *
+    * Scale mechanics (the same trick as [[idempotentAppendPartitioned]],
+    * applied to a KEY domain instead of a time domain):
+    *  - the snapshot is laid out in `pmod(xxhash64(key), nBuckets)`
+    *    partitions, so a batch touches only the buckets its own keys
+    *    hash into — the snapshot read prunes to those directories
+    *    (`PartitionFilters`), and the rewrite replaces ONLY those
+    *    buckets (dynamic partition overwrite), never the whole store;
+    *  - newest-wins merge is one window over (old ∩ touched buckets) ∪
+    *    batch — a late/stale batch row loses to the standing state and
+    *    emits nothing;
+    *  - an update is emitted only when a value column actually changed
+    *    (null-safe compare); a newer timestamp with identical values
+    *    refreshes the state silently.
+    * Deletes don't arise from an append-only event stream — route
+    * tombstone events to [[graft.ingest.Events.snapshotDiff]] semantics
+    * downstream if the source has them. Invoke from `foreachBatch`. */
+  def publishDeltas(batch: DataFrame, snapshotPath: String, deltaPath: String,
+      key: String, tsCol: String, tiebreak: String, valueCols: Seq[String],
+      nBuckets: Int = 64): Unit = {
+    val spark = batch.sparkSession
+    import org.apache.spark.sql.expressions.Window
+    val cols = Seq(key, tsCol, tiebreak) ++ valueCols
+    val fresh = graft.ingest.Events
+      .latestState(batch.select(cols.map(col): _*), Seq(key), col(tsCol), col(tiebreak))
+      .withColumn("bucket", pmod(xxhash64(col(key)), lit(nBuckets)).cast("int"))
+      .persist()
+    try {
+      val buckets = fresh.select(col("bucket")).distinct().collect()
+        .map(_.getInt(0)).toSeq
+      val old = readSinkIfExists(spark, snapshotPath)
+        .map(_.filter(col("bucket").isInCollection(buckets))
+          .select((cols :+ "bucket").map(col): _*))
+      val unioned = old match {
+        case None      => fresh.withColumn("__src", lit("new"))
+        case Some(o)   => o.withColumn("__src", lit("old"))
+          .unionByName(fresh.withColumn("__src", lit("new")))
+      }
+      val w = Window.partitionBy(col(key))
+        .orderBy(col(tsCol).desc, col(tiebreak).desc, col("__src").desc)
+      val winners = unioned.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+        .localCheckpoint(true) // feeds the delta classification AND the state rewrite
+      val changed = valueCols.map(c => !(col(c) <=> col(s"__old_$c"))).reduce(_ || _)
+      // presence flag, not value-nullness: an old row whose value
+      // columns are all NULL must still classify as update, not insert
+      val oldVals = old.map(_.select(
+          col(key) +: (valueCols.map(c => col(c).as(s"__old_$c")) :+
+            lit(1).as("__in_old")): _*))
+        .getOrElse(winners.limit(0).select(
+          col(key) +: (valueCols.map(c => col(c).as(s"__old_$c")) :+
+            lit(1).as("__in_old")): _*))
+      val deltas = winners.join(oldVals, Seq(key), "left_outer")
+        .withColumn("change_type",
+          when(col("__in_old").isNull && col("__src") === "new", lit("insert"))
+            .when(col("__src") === "new" && changed, lit("update")))
+        .filter(col("change_type").isNotNull)
+        .select((cols :+ "change_type").map(col): _*)
+      deltas.write.mode("append").parquet(deltaPath)
+      winners.select((cols :+ "bucket").map(col): _*)
+        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bucket").parquet(snapshotPath)
+    } finally { fresh.unpersist(); () }
+  }
+
   /** Read the sink, treating ONLY path-not-found as "sink is new".
     * Any other failure (transient FS error, corrupt footer, permission)
     * rethrows — silently skipping the anti-join on a flaky read would

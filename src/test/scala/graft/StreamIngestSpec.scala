@@ -416,6 +416,52 @@ class StreamIngestSpec extends SparkSpec {
     }
   }
 
+  test("ST12: delta publication emits only real changes; snapshot stays newest-wins") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_cdc")
+    val snap = base.resolve("snapshot").toString
+    val delta = base.resolve("deltas").toString
+    val in = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val q = in.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        StreamIngest.publishDeltas(b, snap, delta,
+          "user_id", "ts", "event_id", Seq("event_type", "value"), nBuckets = 8)
+      }
+      .option("checkpointLocation", base.resolve("chk").toString)
+      .start()
+    // batch 1: two users appear -> two inserts
+    in.addData(
+      (1L, ts("2024-01-01 10:00:00"), 7L, "signup", 1.0),
+      (2L, ts("2024-01-01 11:00:00"), 8L, "signup", 2.0))
+    q.processAllAvailable()
+    // batch 2: user 7 advances (update), user 8 gets a STALE row (no
+    // delta), user 9 appears (insert), user 7 also gets a same-batch
+    // older row that must lose to its newer sibling
+    in.addData(
+      (3L, ts("2024-01-01 12:00:00"), 7L, "purchase", 9.0),
+      (4L, ts("2024-01-01 09:00:00"), 7L, "view", 0.5),
+      (5L, ts("2024-01-01 10:30:00"), 8L, "view", 0.1),
+      (6L, ts("2024-01-01 12:30:00"), 9L, "signup", 3.0))
+    q.processAllAvailable()
+    // batch 3: a newer row for user 9 with IDENTICAL values — state
+    // refreshes, but no delta is published
+    in.addData((7L, ts("2024-01-01 13:00:00"), 9L, "signup", 3.0))
+    q.processAllAvailable()
+    q.stop()
+    val deltas = spark.read.parquet(delta)
+      .select("user_id", "change_type").as[(Long, String)].collect()
+      .groupBy(identity).view.mapValues(_.length).toMap
+    assert(deltas === Map(
+      (7L, "insert") -> 1, (8L, "insert") -> 1, (9L, "insert") -> 1,
+      (7L, "update") -> 1))
+    val state = spark.read.parquet(snap)
+      .select("user_id", "event_id", "event_type").as[(Long, Long, String)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(state === Map(
+      7L -> ((3L, "purchase")), 8L -> ((2L, "signup")), 9L -> ((7L, "signup"))))
+  }
+
   test("ST11: streaming admission keeps the corpus content-duplicate-free") {
     implicit val sqlCtx = spark.sqlContext
     val base = java.nio.file.Files.createTempDirectory("graft_admit")
