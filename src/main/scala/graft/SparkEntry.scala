@@ -1822,7 +1822,9 @@ object SparkEntry {
       "d13_containment_pairs" ->
         s"""$shingleCte,
            |ds AS (SELECT doc_id, g, len(g) AS n_a FROM sh WHERE len(g) > 0),
-           |ex AS (SELECT doc_id, unnest(g) AS s FROM ds),
+           |ex0 AS (SELECT doc_id, unnest(g) AS s FROM ds),
+           |rare AS (SELECT s FROM ex0 GROUP BY s HAVING count(*) <= 1000),
+           |ex AS (SELECT doc_id, s FROM ex0 SEMI JOIN rare USING (s)),
            |i AS (SELECT x.doc_id AS d1, y.doc_id AS d2, count(*) AS inter
            |  FROM ex x JOIN ex y ON x.s = y.s AND x.doc_id <> y.doc_id GROUP BY 1, 2)
            |SELECT d1, d2, containment FROM (

@@ -63,18 +63,30 @@ object Dedup {
     * Exact, but NOT all-pairs: an inverted shingle index self-joined on
     * the shingle computes every nonzero |A∩B| sparsely. Cost is
     * Σ df(shingle)² — linear-ish while shingles are near-unique (3-gram
-    * df concentrates at 1 in real corpora). The skew knob at 100 TB is
-    * a df cap on the index (drop shingles with df > D before the join):
-    * it can only lose pairs whose every shared shingle is ubiquitous,
-    * which a containment threshold ≥ 0.5 rules out unless the contained
-    * doc is itself pure boilerplate. Kept uncapped here so the oracle
-    * is exact; the cap is a one-line filter on `df`. */
-  def containmentPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    * df concentrates at 1 in real corpora).
+    *
+    * `maxDf` is the load-bearing skew knob: shingles with df > maxDf
+    * are dropped from the index BEFORE the self-join. High-multiplicity
+    * EXACT-copy families multiply every df by the family size (measured:
+    * 10 exact copies per doc → Σ df² × 100 → 279M join rows on the 50k
+    * replica, PLANS.md round-6 stress) — and those families are
+    * [[exact]]'s domain, not containment's; the intended pipeline runs
+    * exact dedup → [[dedupSurvivors]] → containment. The cap can only
+    * lose pairs whose EVERY shared shingle sits in > maxDf documents —
+    * pure boilerplate under a θ ≥ 0.5 threshold. Both the operator and
+    * the SQL oracle implement the cap, so semantics stay engine-exact
+    * at any corpus (it is inactive at the harness SFs, whose max df is
+    * 25). */
+  def containmentPairs(docs: DataFrame, threshold: Double,
+      maxDf: Int = 1000): DataFrame = {
     val sets = shingleSets(docs).filter(size(col("g")) > 0)
     // materialize once: referenced by the index (exploded) and the |A| side
     val sized = sets.select(col("doc_id"), col("g"), size(col("g")).as("n_a"))
       .localCheckpoint(true)
-    val ex = sized.select(col("doc_id"), explode(col("g")).as("sh"))
+    val ex0 = sized.select(col("doc_id"), explode(col("g")).as("sh"))
+    val rare = ex0.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+    val ex = ex0.join(rare.select(col("sh")), Seq("sh"), "left_semi")
     val inter = ex.as("x")
       .join(ex.as("y"),
         col("x.sh") === col("y.sh") && col("x.doc_id") =!= col("y.doc_id"))

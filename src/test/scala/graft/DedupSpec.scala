@@ -46,6 +46,24 @@ class DedupSpec extends SparkSpec {
     assert(!jac.contains((1L, 2L)))
   }
 
+  test("D13: the df cap drops high-multiplicity family pairs, keeps rare-shingle pairs") {
+    val quote = "alpha beta gamma delta epsilon zeta eta theta"
+    val host = s"intro words here $quote and then a long tail of unrelated filler tokens follows"
+    // docs 10..12: a 3-strong exact-copy family (df 3 on every shingle)
+    val fam = "copy pasta body repeated verbatim in every member here"
+    val df5 = (Seq((1L, quote), (2L, host)) ++ (10L to 12L).map(_ -> fam))
+      .toDF("doc_id", "text")
+    val capped = Dedup.containmentPairs(df5, 0.5, maxDf = 2)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert(capped((1L, 2L)), "df<=2 quote shingles survive the cap")
+    assert(!capped.exists { case (a, b) => a >= 10L || b >= 10L },
+      "df-3 family shingles are dropped — exact-copy families are d1's domain")
+    val uncapped = Dedup.containmentPairs(df5, 0.5)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert((10L to 12L).forall(a => (10L to 12L).forall(b =>
+      a == b || uncapped((a, b)))), "inactive cap keeps all family pairs")
+  }
+
   test("native MinHash signatures equal the explode+groupBy formulation") {
     import graft.dedup.Dedup.{minhashParams, MINHASH_P}
     val builtin = {
