@@ -2538,7 +2538,36 @@ object SparkEntry {
         .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
           (lit(1) - col("l_discount").cast("decimal(4,2)"))).cast("double").as("revenue"))
         .orderBy(col("revenue").desc, col("c_custkey"))
-        .limit(20))
+        .limit(20)),
+    // X8: forecast-revenue-change (TPC-H Q6 shape) — a pure banded
+    // filter aggregate; all three predicates reach the parquet reader
+    // (PushedFilters) and the whole query is one scan, no shuffle
+    // beyond the single-row final agg.
+    "x8_forecast_revenue" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= to_timestamp(lit("1995-01-01 00:00:00")) &&
+          col("l_shipdate") < to_timestamp(lit("1996-01-01 00:00:00")) &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+            col("l_discount").cast("decimal(4,2)")).cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))),
+    // X9: order-priority checking (TPC-H Q4 shape) — orders with at
+    // least one late line (EXISTS ⇒ left-semi join; the probe carries
+    // only the join key + compare columns), counted per priority.
+    "x9_priority_check" -> ((s, d) => {
+      val o = t(s, d, "orders")
+        .filter(col("o_orderdate") >= to_timestamp(lit("1995-07-01 00:00:00")) &&
+          col("o_orderdate") < to_timestamp(lit("1995-10-01 00:00:00")))
+      val late = t(s, d, "lineitem")
+        .join(o.select(col("o_orderkey").as("ok"), col("o_orderdate")),
+          col("l_orderkey") === col("ok"))
+        .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+        .select(col("l_orderkey"))
+      o.join(late, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    })
   )
 
   private val whOracles: Map[String, String] = Map(
@@ -2620,7 +2649,23 @@ object SparkEntry {
         |WHERE l_returnflag = 'R'
         |  AND o_orderdate >= TIMESTAMP '1995-10-01 00:00:00'
         |  AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
-        |GROUP BY 1, 2, 3 ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
+        |GROUP BY 1, 2, 3 ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "x8_forecast_revenue" ->
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+    "x9_priority_check" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1995-07-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1995-10-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey
+        |      AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
   )
 
   // ---- assembled contract -------------------------------------------------
