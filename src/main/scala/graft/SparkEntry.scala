@@ -2303,6 +2303,10 @@ object SparkEntry {
     // mean token negative log-prob under corpus-trained unigrams.
     "t7_unigram_nll" -> ((s, d) =>
       graft.text.Chunking.unigramLogProb(t(s, d, "documents"))
+        .orderBy("doc_id")),
+    // T12: bigram-LM conditional NLL — word-order-sensitive fluency.
+    "t12_bigram_nll" -> ((s, d) =>
+      graft.text.Chunking.bigramLogProb(t(s, d, "documents"))
         .orderBy("doc_id"))
   )
 
@@ -2397,6 +2401,18 @@ object SparkEntry {
         |SELECT doc_id, count(*) AS n_tok,
         |  round(CAST(sum(nll) AS DOUBLE) / count(*), 6) AS avg_nll
         |FROM tok JOIN model USING (term)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "t12_bigram_nll" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+        |bg AS (SELECT doc_id, unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS b
+        |  FROM t WHERE len(w) >= 2),
+        |cb AS (SELECT b, count(*) AS cb FROM bg GROUP BY 1),
+        |cw AS (SELECT split_part(b, ' ', 1) AS w1, CAST(sum(cb) AS BIGINT) AS cw FROM cb GROUP BY 1),
+        |model AS (SELECT b, CAST(-ln(cb * 1.0 / cw) AS DECIMAL(20,12)) AS nll
+        |  FROM cb JOIN cw ON split_part(b, ' ', 1) = w1)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  round(CAST(sum(nll) AS DOUBLE) / count(*), 6) AS avg_nll
+        |FROM bg JOIN model USING (b)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 

@@ -80,6 +80,38 @@ object Chunking {
         round(sum(col("nll")).cast("double") / count(lit(1)), 6).as("avg_nll"))
   }
 
+  /** T12: bigram-LM document score — mean conditional NLL
+    * `-ln(c(w1 w2) / c(w1 ·))` over a document's bigrams, the
+    * word-order-sensitive sharpening of [[unigramLogProb]]'s fluency
+    * filter (a shuffled bag of common words scores fluent under
+    * unigrams; its improbable transitions surface here).
+    *
+    * Same exactness recipe as t7: each bigram's nll is quantized to
+    * DECIMAL once per VOCAB entry, so the per-doc mean is
+    * associative-exact under any partitioning. The left-context count
+    * c(w1 ·) is derived by rolling up the bigram counts (Σ over w2) —
+    * no second corpus pass, and the conditional probabilities sum to 1
+    * per context by construction. Docs with < 2 tokens have no bigrams
+    * and drop out. One corpus bigram pass (checkpointed), a bigram-
+    * vocab shuffle, a |vocab|-sized rollup, and a keyed scoring join —
+    * nothing quadratic, model never on the driver. */
+  def bigramLogProb(docs: DataFrame): DataFrame = {
+    val big = docs.select(col("doc_id"),
+        explode(graft.text.TextAnalysis.bigrams(words(col("text")))).as("bg"))
+      .localCheckpoint(true)
+    val cb = big.groupBy(col("bg")).agg(count(lit(1)).as("cb"))
+      .localCheckpoint(true) // feeds the context rollup AND the model join
+    val cw = cb.groupBy(substring_index(col("bg"), " ", 1).as("w1"))
+      .agg(sum(col("cb")).as("cw"))
+    val model = cb.join(cw, substring_index(col("bg"), " ", 1) === col("w1"))
+      .select(col("bg"),
+        (-log(col("cb") * lit(1.0) / col("cw"))).cast("decimal(20,12)").as("nll"))
+    big.join(model, "bg")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("nll")).cast("double") / count(lit(1)), 6).as("avg_nll"))
+  }
+
   /** Per-document top-k TF-IDF terms: tf(d,t) * ln(N / df(t)), the
     * classic relevance / keyword-extraction score. Two aggregations
     * (term frequency per doc, document frequency per term) + a

@@ -69,4 +69,35 @@ class ChunkingSpec extends SparkSpec {
     assert(top.groupBy("doc_id").count().filter(col("count") > 3).count() === 0L)
     assert(top.select("doc_id").distinct().count() === docs.count())
   }
+
+  test("T12: bigram NLL matches a hand computation; short docs drop out") {
+    // d1 "x y x z": bigrams (x y)(y x)(x z); contexts x·=2, y·=1.
+    // nll(x y) = -ln(1/2), nll(y x) = -ln(1/1) = 0, nll(x z) = -ln(1/2)
+    // ⇒ avg = 2·ln2 / 3. d2 is a single token: no bigrams, no row.
+    val df = Seq((1L, "x y x z"), (2L, "solo")).toDF("doc_id", "text")
+    val out = Chunking.bigramLogProb(df)
+      .select("doc_id", "n_bigrams", "avg_nll")
+      .as[(Long, Long, Double)].collect()
+    assert(out.map(_._1).toSet === Set(1L))
+    val (_, n, avg) = out.head
+    assert(n === 3L)
+    assert(math.abs(avg - 2 * math.log(2) / 3) < 1e-6)
+  }
+
+  test("T12: a word-order shuffle raises bigram NLL but not unigram NLL") {
+    // 5 fluent docs share their transitions; doc 6 is the same BAG of
+    // words in a shuffled order, so its transitions are corpus-rare.
+    val fluent = "the quick fox jumps over the lazy dog"
+    val shuffled = "the fox the jumps quick dog over lazy"
+    val df = ((1L to 5L).map(_ -> fluent) :+ (6L -> shuffled))
+      .toDF("doc_id", "text")
+    val uni = Chunking.unigramLogProb(df)
+      .select("doc_id", "avg_nll").as[(Long, Double)].collect().toMap
+    val bi = Chunking.bigramLogProb(df)
+      .select("doc_id", "avg_nll").as[(Long, Double)].collect().toMap
+    assert(math.abs(uni(1L) - uni(6L)) < 1e-9,
+      "same bag of words ⇒ identical unigram score")
+    assert(bi(6L) > bi(1L),
+      "the improbable transitions must surface in the bigram score")
+  }
 }
