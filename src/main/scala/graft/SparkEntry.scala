@@ -247,6 +247,27 @@ object SparkEntry {
           Seq("s_suppkey", "s_name", "s_nationkey")))
         .orderBy("relation")
     }),
+    // DQ5 (beyond reference): distribution drift — Population
+    // Stability Index of the event-type mix between two time windows
+    // (the "did the feed change shape" monitor a production ingest
+    // runs daily). ONE pass: both windows are conditional counts in a
+    // single aggregation (never two scans); the PSI arithmetic runs on
+    // the |categories|-row result via empty-frame window totals.
+    "dq5_drift_psi" -> ((s, d) => {
+      val cut = to_timestamp(lit("2024-01-15 00:00:00"))
+      val w = Window.partitionBy()
+      t(s, d, "events")
+        .groupBy(col("event_type"))
+        .agg(Measures.countIf(col("ts") < cut).as("n1"),
+          Measures.countIf(col("ts") >= cut).as("n2"))
+        .withColumn("p1", col("n1").cast("double") / sum(col("n1")).over(w))
+        .withColumn("p2", col("n2").cast("double") / sum(col("n2")).over(w))
+        .select(col("event_type"), col("n1"), col("n2"),
+          round(col("p1"), 6).as("p1"), round(col("p2"), 6).as("p2"),
+          round((col("p1") - col("p2")) * log(col("p1") / col("p2")), 6)
+            .as("psi_term"))
+        .orderBy("event_type")
+    }),
     // S11 (beyond reference): schema-evolution read — two parquet
     // generations (a column added in v2) unified under mergeSchema;
     // v1 rows surface the new column as NULL. The lake-format
@@ -330,6 +351,18 @@ object SparkEntry {
         |UNION ALL
         |SELECT n_nationkey, n_name, n_regionkey, 2 FROM nation
         |ORDER BY generation, n_nationkey""".stripMargin,
+    "dq5_drift_psi" ->
+      """WITH a AS (SELECT event_type,
+        |    count(*) FILTER (WHERE ts < TIMESTAMP '2024-01-15 00:00:00') AS n1,
+        |    count(*) FILTER (WHERE ts >= TIMESTAMP '2024-01-15 00:00:00') AS n2
+        |  FROM events GROUP BY 1),
+        |p AS (SELECT event_type, n1, n2,
+        |    CAST(n1 AS DOUBLE) / CAST(sum(n1) OVER () AS DOUBLE) AS p1,
+        |    CAST(n2 AS DOUBLE) / CAST(sum(n2) OVER () AS DOUBLE) AS p2 FROM a)
+        |SELECT event_type, CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+        |  round(p1, 6) AS p1, round(p2, 6) AS p2,
+        |  round((p1 - p2) * ln(p1 / p2), 6) AS psi_term
+        |FROM p ORDER BY event_type""".stripMargin,
     "dq3_winsorize" ->
       """WITH b AS (SELECT o_orderstatus AS status,
         |    quantile_cont(o_totalprice, 0.05) AS p05,
