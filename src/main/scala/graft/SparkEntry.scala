@@ -869,7 +869,22 @@ object SparkEntry {
       Measures.cohortRetention(t(s, d, "events"), col("user_id"), col("ts"),
           "week", 7)
         .withColumnRenamed("offset", "week_offset")
-        .orderBy("cohort_start", "week_offset"))
+        .orderBy("cohort_start", "week_offset")),
+    // A22: retention RATES — the a21 triangle normalized by cohort
+    // size (offset-0 active count IS the cohort by construction: every
+    // user is active in their own first week). The normalizing window
+    // runs over the tiny aggregate, never the facts.
+    "a22_retention_rate" -> ((s, d) => {
+      val w = Window.partitionBy(col("cohort_start"))
+      Measures.cohortRetention(t(s, d, "events"), col("user_id"), col("ts"),
+          "week", 7)
+        .withColumnRenamed("offset", "week_offset")
+        .withColumn("cohort_size",
+          max(when(col("week_offset") === 0, col("n_active"))).over(w))
+        .withColumn("retention_pct",
+          round(col("n_active") * 100.0 / col("cohort_size"), 2))
+        .orderBy("cohort_start", "week_offset")
+    })
   )
 
   private val aggOracles: Map[String, String] = Map(
@@ -990,6 +1005,19 @@ object SparkEntry {
         |  count(DISTINCT u) AS n_active
         |FROM act JOIN coh USING (u)
         |GROUP BY 1, 2 ORDER BY cohort_start, week_offset""".stripMargin,
+    "a22_retention_rate" ->
+      """WITH act AS (SELECT DISTINCT user_id AS u, CAST(date_trunc('week', ts) AS TIMESTAMP) AS m FROM events),
+        |coh AS (SELECT u, min(m) AS cohort_start FROM act GROUP BY u),
+        |tri AS (SELECT cohort_start,
+        |    CAST(date_diff('day', cohort_start, m) // 7 AS INT) AS week_offset,
+        |    count(DISTINCT u) AS n_active
+        |  FROM act JOIN coh USING (u) GROUP BY 1, 2)
+        |SELECT cohort_start, week_offset, n_active,
+        |  max(CASE WHEN week_offset = 0 THEN n_active END)
+        |    OVER (PARTITION BY cohort_start) AS cohort_size,
+        |  round(n_active * 100.0 / max(CASE WHEN week_offset = 0 THEN n_active END)
+        |    OVER (PARTITION BY cohort_start), 2) AS retention_pct
+        |FROM tri ORDER BY cohort_start, week_offset""".stripMargin,
     "a19_salted_agg" ->
       """SELECT user_id, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
         |  count(*) AS n
@@ -2050,7 +2078,37 @@ object SparkEntry {
       graft.text.TextAnalysis.gopherRules(t(s, d, "documents"))
         .select(col("doc_id"), col("n_words"), col("mean_word_len"),
           col("symbol_frac"), col("alpha_frac"), col("n_stop"), col("keep"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+    // T13: Zipf-slope corpus diagnostic — least-squares slope of
+    // ln(freq) vs ln(rank) over the top-100 vocabulary. Natural text
+    // sits near -1; a corpus drifting toward 0 (flat) or strongly
+    // steeper signals templating/boilerplate. One token shuffle +
+    // TakeOrderedAndProject (the t5 vocab path), then 100-row
+    // regression with decimal-quantized terms so the sums are
+    // partition-order-exact (e7/t7 recipe).
+    "t13_zipf_slope" -> ((s, d) => {
+      val vocab = t(s, d, "documents")
+        .select(explode(graft.text.TextAnalysis.words(col("text"))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("w")).limit(100)
+      val terms = vocab
+        .withColumn("rnk", row_number().over(Window.orderBy(col("freq").desc, col("w"))))
+        .select(
+          log(col("rnk")).cast("decimal(20,12)").as("x"),
+          log(col("freq")).cast("decimal(20,12)").as("y"),
+          (log(col("rnk")) * log(col("freq"))).cast("decimal(20,10)").as("xy"),
+          (log(col("rnk")) * log(col("rnk"))).cast("decimal(20,10)").as("xx"))
+      terms
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("xy")).as("sxy"), sum(col("xx")).as("sxx"))
+        .select(col("n"),
+          round(
+            (col("n") * col("sxy").cast("double") -
+              col("sx").cast("double") * col("sy").cast("double")) /
+            (col("n") * col("sxx").cast("double") -
+              col("sx").cast("double") * col("sx").cast("double")), 6)
+            .as("zipf_slope"))
+    })
   )
 
   private val textOracles: Map[String, String] = {
@@ -2151,7 +2209,25 @@ object SparkEntry {
            |    CAST(len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]'))) AS INT) AS n_alpha,
            |    CAST(len(list_filter(w, x -> list_contains([$stopList], x))) AS INT) AS n_stop
            |  FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents))
-           |ORDER BY doc_id""".stripMargin)
+           |ORDER BY doc_id""".stripMargin,
+      "t13_zipf_slope" ->
+        """WITH v AS (SELECT w, count(*) AS freq FROM (
+          |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+          |  GROUP BY w ORDER BY freq DESC, w LIMIT 100),
+          |r AS (SELECT freq, row_number() OVER (ORDER BY freq DESC, w) AS rnk FROM v),
+          |q AS (SELECT
+          |    CAST(ln(rnk) AS DECIMAL(20,12)) AS x,
+          |    CAST(ln(freq) AS DECIMAL(20,12)) AS y,
+          |    CAST(ln(rnk) * ln(freq) AS DECIMAL(20,10)) AS xy,
+          |    CAST(ln(rnk) * ln(rnk) AS DECIMAL(20,10)) AS xx
+          |  FROM r),
+          |s AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+          |    sum(xy) AS sxy, sum(xx) AS sxx FROM q)
+          |SELECT n, round(
+          |  (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+          |  (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+          |  AS zipf_slope
+          |FROM s""".stripMargin)
   }
 
   // ---- MM: multimodal column plumbing -------------------------------------
