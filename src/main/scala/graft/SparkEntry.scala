@@ -1520,7 +1520,26 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_events"))
         .select(col("user_id"), col("w.start").as("session_start"),
           col("w.end").as("session_end"), col("n_events"))
-        .orderBy("user_id", "session_start"))
+        .orderBy("user_id", "session_start")),
+    // ST13 (beyond reference): per-day drift monitor — the dq5 PSI
+    // scored against a first-half baseline for every later day; the
+    // streaming form is StreamIngest.driftCounts + psiAgainstBaseline
+    // over closed windows (baseline broadcast; left join surfaces
+    // never-seen categories as NULL psi).
+    "st13_drift_twin" -> ((s, d) => {
+      val cut = to_timestamp(lit("2024-01-15 00:00:00"))
+      val ev = t(s, d, "events")
+      val base = ev.filter(col("ts") < cut)
+        .groupBy(col("event_type")).agg(count(lit(1)).as("bn"))
+        .withColumn("base_p",
+          col("bn").cast("double") / sum(col("bn")).over(Window.partitionBy()))
+        .select(col("event_type"), col("base_p"))
+      val days = ev.filter(col("ts") >= cut)
+        .groupBy(date_trunc("day", col("ts")).as("day_start"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      graft.streaming.StreamIngest.psiAgainstBaseline(days, base)
+        .orderBy("day_start", "event_type")
+    })
   )
 
   private val streamTwinOracles: Map[String, String] = Map(
@@ -1558,7 +1577,21 @@ object SparkEntry {
         |SELECT user_id, min(ts) AS session_start,
         |  max(ts) + INTERVAL 30 MINUTE AS session_end, count(*) AS n_events
         |FROM sessions GROUP BY user_id, sid
-        |ORDER BY user_id, session_start""".stripMargin
+        |ORDER BY user_id, session_start""".stripMargin,
+    "st13_drift_twin" ->
+      """WITH base AS (SELECT event_type,
+        |    CAST(count(*) AS DOUBLE) / CAST(sum(count(*)) OVER () AS DOUBLE) AS base_p
+        |  FROM events WHERE ts < TIMESTAMP '2024-01-15 00:00:00' GROUP BY event_type),
+        |days AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_start,
+        |    event_type, count(*) AS n
+        |  FROM events WHERE ts >= TIMESTAMP '2024-01-15 00:00:00' GROUP BY 1, 2),
+        |p AS (SELECT day_start, event_type, n,
+        |    CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY day_start) AS DOUBLE) AS p
+        |  FROM days)
+        |SELECT day_start, event_type, p.n, round(p, 6) AS p,
+        |  round((p - base_p) * ln(p / base_p), 6) AS psi_term
+        |FROM p LEFT JOIN base USING (event_type)
+        |ORDER BY day_start, event_type""".stripMargin
   )
 
   // ---- D: dedup suite (training-data pipeline) ---------------------------

@@ -3,6 +3,7 @@ package graft.streaming
 import java.sql.Timestamp
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -84,6 +85,41 @@ object StreamIngest {
       .count()
       .select(col("w.start").as("day_start"), col("event_type"),
         col("count").as("n"))
+
+  /** ST13: streaming drift monitor — per-day event-type mix scored
+    * against a fixed BASELINE distribution with PSI terms (batch twin
+    * `st13_drift_twin`; one-shot form `dq5_drift_psi`). The baseline is
+    * a tiny (category, share) frame — broadcast, typically last week's
+    * profile — so the stream side stays the [[windowedCounts]]
+    * aggregation: watermark-bounded state, append-mode emission when a
+    * day closes, and the alert predicate (`psi_term` above threshold)
+    * composes downstream. The one subtlety: per-window shares need the
+    * window TOTAL, which in append-mode streaming must come from a
+    * second keyless aggregation — instead the day total is folded in as
+    * `sum over the emitted day's rows` in the same grouped result via a
+    * self-contained two-level groupBy (day first, then the small
+    * (day, type) frame is re-grouped in the same micro-batch epoch).
+    * Here we keep it single-level: counts emit per (day, type) and the
+    * PSI projection runs wherever the closed windows land (foreachBatch
+    * / the downstream mart), exactly how the batch twin computes it. */
+  def driftCounts(events: DataFrame, horizon: String = "1 hour"): DataFrame =
+    windowedCounts(events, horizon)
+
+  /** The PSI scoring applied to closed (day, type) count rows —
+    * shared verbatim by the streaming sink side and the batch twin.
+    * LEFT join: a category the baseline has never seen surfaces with a
+    * NULL psi_term (the strongest drift signal there is) instead of
+    * silently dropping out of the monitor. */
+  def psiAgainstBaseline(dayCounts: DataFrame, baseline: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("day_start"))
+    dayCounts
+      .withColumn("p", col("n").cast("double") / sum(col("n")).over(w))
+      .join(broadcast(baseline), Seq("event_type"), "left")
+      .select(col("day_start"), col("event_type"), col("n"),
+        round(col("p"), 6).as("p"),
+        round((col("p") - col("base_p")) * log(col("p") / col("base_p")), 6)
+          .as("psi_term"))
+  }
 
   /** ST10: streaming session windows — gap-merged activity bursts per
     * user via the native `session_window`. State per key is the set of

@@ -462,6 +462,26 @@ class StreamIngestSpec extends SparkSpec {
       7L -> ((3L, "purchase")), 8L -> ((2L, "signup")), 9L -> ((7L, "signup"))))
   }
 
+  test("ST13: drift PSI is ~zero on the baseline mix, positive when skewed, NULL on new types") {
+    val baseline = Seq(("view", 0.5), ("click", 0.5)).toDF("event_type", "base_p")
+    // day 1 matches the baseline exactly; day 2 is 90/10 skewed;
+    // day 3 introduces a type the baseline never saw
+    val counts = Seq(
+      (ts("2024-02-01 00:00:00"), "view", 50L), (ts("2024-02-01 00:00:00"), "click", 50L),
+      (ts("2024-02-02 00:00:00"), "view", 90L), (ts("2024-02-02 00:00:00"), "click", 10L),
+      (ts("2024-02-03 00:00:00"), "view", 50L), (ts("2024-02-03 00:00:00"), "mystery", 50L))
+      .toDF("day_start", "event_type", "n")
+    val out = StreamIngest.psiAgainstBaseline(counts, baseline)
+      .select("day_start", "event_type", "psi_term")
+      .collect().map(r => (r.getTimestamp(0).toString.take(10), r.getString(1)) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(out(("2024-02-01", "view")) === Some(0.0))
+    assert(out(("2024-02-02", "view")).exists(_ > 0.1), "skew must score high")
+    assert(out(("2024-02-02", "click")).exists(_ > 0.1), "shrinkage scores too")
+    assert(out(("2024-02-03", "mystery")) === None,
+      "never-seen category surfaces as NULL, not dropped")
+  }
+
   test("ST11: streaming admission keeps the corpus content-duplicate-free") {
     implicit val sqlCtx = spark.sqlContext
     val base = java.nio.file.Files.createTempDirectory("graft_admit")
