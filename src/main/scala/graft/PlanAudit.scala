@@ -35,6 +35,8 @@ object PlanAudit {
     "e6_centroid_assign" ->
       "centroid side is `vec_id < k` — exactly k rows by key semantics",
     "e9_kmeans_update" ->
+      "same assignment join as e6: broadcast side is the `vec_id < k` centroid slice",
+    "e11_ivf_probe_cells" ->
       "same assignment join as e6: broadcast side is the `vec_id < k` centroid slice")
 
   /** Queries allowed ≥3 scans of one path, with why the repeats are not

@@ -7,6 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.analytics.{Dims, Measures}
 import graft.functions.Normalize
 import graft.ingest.{Events, Webhook}
+import graft.operators.SetOps
 import graft.sources.BulkLoad
 
 /** Driver contract (SURVEY.md §0 harness note, §7).
@@ -230,17 +231,24 @@ object SparkEntry {
     // DQ4 (beyond reference): order-insensitive table checksums — the
     // cross-engine digest that validates a migration (precisely the
     // "does the new engine hold the same data" check this library's
-    // adoption needs). BIT_XOR of per-row salted hashes is commutative
-    // ⇒ partitioning/order-independent; one scan per table, constant
-    // output. Numeric columns enter the hash via canonical string
-    // casts; float columns would need an explicit quantization rule
-    // first (documented, none included here).
+    // adoption needs). Wrap-around SUM (mod 2^60) of per-row salted
+    // hashes is commutative ⇒ partitioning/order-independent, and —
+    // unlike BIT_XOR — MULTISET-sensitive: XOR cancels identical rows
+    // at even multiplicity ({A,A,B} vs {B,B,B} collide with equal
+    // n_rows), so a sum is required when tables lack a unique key.
+    // The sum runs in decimal(38,0) (exact to ~10^38 ≫ any row count ×
+    // 2^60) then reduces mod 2^60, matching DuckDB's exact hugeint
+    // sum. One scan per table, constant output. Numeric columns enter
+    // the hash via canonical string casts; float columns would need an
+    // explicit quantization rule first (documented, none included
+    // here).
     "dq4_table_checksum" -> ((s, d) => {
       def ck(name: String, df: DataFrame, cols: Seq[String]) =
         df.select(graft.text.TextAnalysis.hash60(
             concat_ws("|", cols.map(c => col(c).cast("string")): _*), "ck").as("h"))
           .agg(lit(name).as("relation"), count(lit(1)).as("n_rows"),
-            expr("bit_xor(h)").as("checksum"))
+            pmod(sum(col("h").cast("decimal(38,0)")),
+              lit(1152921504606846976L)).cast("long").as("checksum"))
       ck("nation", t(s, d, "nation"), Seq("n_nationkey", "n_name", "n_regionkey"))
         .unionByName(ck("region", t(s, d, "region"), Seq("r_regionkey", "r_name")))
         .unionByName(ck("supplier", t(s, d, "supplier"),
@@ -264,7 +272,13 @@ object SparkEntry {
         .withColumn("p2", col("n2").cast("double") / sum(col("n2")).over(w))
         .select(col("event_type"), col("n1"), col("n2"),
           round(col("p1"), 6).as("p1"), round(col("p2"), 6).as("p2"),
-          round((col("p1") - col("p2")) * log(col("p1") / col("p2")), 6)
+          // a category absent from either window has an undefined PSI
+          // term (ln 0) — surface NULL explicitly and ENGINE-PORTABLY:
+          // Spark's log(0) yields NULL silently but DuckDB's ln(0)
+          // raises, so the guard must live on both sides of the oracle
+          when(col("n1") === 0 || col("n2") === 0, lit(null))
+            .otherwise(
+              round((col("p1") - col("p2")) * log(col("p1") / col("p2")), 6))
             .as("psi_term"))
         .orderBy("event_type")
     }),
@@ -273,8 +287,16 @@ object SparkEntry {
     // v1 rows surface the new column as NULL. The lake-format
     // guarantee a 100 TB store needs before any ALTER TABLE: readers
     // keep working across writer generations.
+    //
+    // Scratch handling: a FIXED per-process path (overwritten each
+    // invocation) — `createTempDirectory` per call leaked a fresh copy
+    // on every bench repeat. java.nio on a driver-local path is a
+    // LOCAL-MODE assumption (fine here: the query exists to exercise
+    // mergeSchema semantics); a cluster deployment would stage the
+    // generations on shared storage instead.
     "s11_schema_evolution" -> ((s, d) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_s11")
+      val tmp = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"), "graft_s11_scratch")
       val v1 = t(s, d, "nation").select(col("n_nationkey"), col("n_name"))
       val v2 = t(s, d, "nation")
         .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
@@ -361,7 +383,8 @@ object SparkEntry {
         |    CAST(n2 AS DOUBLE) / CAST(sum(n2) OVER () AS DOUBLE) AS p2 FROM a)
         |SELECT event_type, CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
         |  round(p1, 6) AS p1, round(p2, 6) AS p2,
-        |  round((p1 - p2) * ln(p1 / p2), 6) AS psi_term
+        |  CASE WHEN n1 = 0 OR n2 = 0 THEN NULL
+        |       ELSE round((p1 - p2) * ln(p1 / p2), 6) END AS psi_term
         |FROM p ORDER BY event_type""".stripMargin,
     "dq3_winsorize" ->
       """WITH b AS (SELECT o_orderstatus AS status,
@@ -377,7 +400,8 @@ object SparkEntry {
       def ck(name: String, cols: Seq[String]) = {
         val cat = cols.map(c => s"CAST($c AS VARCHAR)").mkString(", ")
         s"""SELECT '$name' AS relation, count(*) AS n_rows,
-           |  bit_xor(${sqlHash60("ck", s"concat_ws('|', $cat)")}) AS checksum
+           |  CAST(sum(${sqlHash60("ck", s"concat_ws('|', $cat)")})
+           |    % 1152921504606846976 AS BIGINT) AS checksum
            |FROM $name""".stripMargin
       }
       Seq(ck("nation", Seq("n_nationkey", "n_name", "n_regionkey")),
@@ -884,7 +908,15 @@ object SparkEntry {
         .withColumn("retention_pct",
           round(col("n_active") * 100.0 / col("cohort_size"), 2))
         .orderBy("cohort_start", "week_offset")
-    })
+    }),
+    // A23: MONTHLY cohort triangle — exercises the calendar-grain
+    // offset path (exact months_between, not day division; Jan→Mar
+    // must be offset 2 even though it's only 59 days).
+    "a23_monthly_cohort" -> ((s, d) =>
+      Measures.cohortRetention(t(s, d, "events"), col("user_id"), col("ts"),
+          "month")
+        .withColumnRenamed("offset", "month_offset")
+        .orderBy("cohort_start", "month_offset"))
   )
 
   private val aggOracles: Map[String, String] = Map(
@@ -1018,6 +1050,14 @@ object SparkEntry {
         |  round(n_active * 100.0 / max(CASE WHEN week_offset = 0 THEN n_active END)
         |    OVER (PARTITION BY cohort_start), 2) AS retention_pct
         |FROM tri ORDER BY cohort_start, week_offset""".stripMargin,
+    "a23_monthly_cohort" ->
+      """WITH act AS (SELECT DISTINCT user_id AS u, CAST(date_trunc('month', ts) AS TIMESTAMP) AS m FROM events),
+        |coh AS (SELECT u, min(m) AS cohort_start FROM act GROUP BY u)
+        |SELECT cohort_start,
+        |  CAST(date_diff('month', cohort_start, m) AS INT) AS month_offset,
+        |  count(DISTINCT u) AS n_active
+        |FROM act JOIN coh USING (u)
+        |GROUP BY 1, 2 ORDER BY cohort_start, month_offset""".stripMargin,
     "a19_salted_agg" ->
       """SELECT user_id, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
         |  count(*) AS n
@@ -1319,13 +1359,16 @@ object SparkEntry {
     // U5 (beyond reference): EXCEPT ALL — bag semantics. Subtracting
     // the DISTINCT 'R' rows removes exactly ONE copy per duplicated
     // (orderkey, flag) pair and drops singletons — multiplicity
-    // arithmetic the set-form EXCEPT cannot express.
+    // arithmetic the set-form EXCEPT cannot express. Computed by
+    // SetOps count subtraction: two narrow map-side-combined
+    // aggregations instead of `DataFrame.exceptAll`'s full-width row
+    // exchange (the query already wants grouped counts, so the count
+    // form IS the answer — no row re-generation step).
     "u5_except_all" -> ((s, d) => {
       val li = t(s, d, "lineitem")
         .select(col("l_orderkey"), col("l_returnflag"))
-      li.exceptAll(li.filter(col("l_returnflag") === "R").distinct())
-        .groupBy(col("l_orderkey"), col("l_returnflag"))
-        .agg(count(lit(1)).as("n"))
+      SetOps.exceptAllCounts(li,
+          li.filter(col("l_returnflag") === "R").distinct(), "n")
         .orderBy("l_orderkey", "l_returnflag")
     }),
     // U6 (beyond reference): CDC snapshot diff — per-user latest state
@@ -1589,7 +1632,8 @@ object SparkEntry {
         |    CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY day_start) AS DOUBLE) AS p
         |  FROM days)
         |SELECT day_start, event_type, p.n, round(p, 6) AS p,
-        |  round((p - base_p) * ln(p / base_p), 6) AS psi_term
+        |  CASE WHEN base_p IS NULL OR base_p = 0 THEN NULL
+        |       ELSE round((p - base_p) * ln(p / base_p), 6) END AS psi_term
         |FROM p LEFT JOIN base USING (event_type)
         |ORDER BY day_start, event_type""".stripMargin
   )
@@ -1971,10 +2015,55 @@ object SparkEntry {
     // testable train iteration).
     "e9_kmeans_update" -> ((s, d) =>
       graft.similarity.Ann.centroidUpdate(t(s, d, "embeddings"), 8)
-        .orderBy("centroid_id", "dim"))
+        .orderBy("centroid_id", "dim")),
+    // E10: the bucket-assignment half of e2's LSH candidate generation,
+    // oracle-exact — the ±1 plane matrix is LCG-deterministic, so the
+    // (table, bucket) cells every vector lands in replay in SQL with
+    // the plane signs inlined as literals (d3/d5 recipe). Pinned
+    // nPlanes=8 (the registered config; e2 itself stays adaptive).
+    "e10_lsh_buckets" -> ((s, d) => {
+      val e = graft.similarity.Ann.prepared(t(s, d, "embeddings"))
+      val tables = (0 until 8).map(tbl => struct(lit(tbl).as("tbl"),
+        graft.similarity.Ann.bucketOf(col("v"),
+          graft.similarity.Ann.planes(8, 64, tbl)).as("bucket")))
+      e.select(col("vec_id"), explode(array(tables: _*)).as("tb"))
+        .select(col("vec_id"), col("tb.tbl").as("tbl"),
+          col("tb.bucket").as("bucket"))
+        .orderBy("vec_id", "tbl")
+    }),
+    // E11: the probe-set half of e4's IVF candidate generation,
+    // oracle-exact over the deterministic vec_id<k centroids.
+    "e11_ivf_probe_cells" -> ((s, d) =>
+      graft.similarity.Ann.probeCells(t(s, d, "embeddings"), 8, 4)
+        .orderBy("vec_id", "probe_rank"))
   )
 
   private val simOracles: Map[String, String] = Map(
+    // e10: plane signs are LCG-deterministic — inline them as SQL list
+    // literals (the d3 recipe: oracle built from the SAME Scala
+    // constants the operator uses). ±1 multiplies are exact and the
+    // fold order matches the strict left-fold dot, so the sign test —
+    // and hence every bucket id — is bit-identical.
+    "e10_lsh_buckets" -> {
+      val selects = (0 until 8).map { tbl =>
+        val ps = graft.similarity.Ann.planes(8, 64, tbl)
+        val bucket = (0 until 8).map { j =>
+          val lst = ps(j).map(x => if (x > 0) "1" else "-1").mkString("[", ",", "]")
+          s"(CASE WHEN list_reduce(list_apply(range(1, 65), i -> v[i] * ($lst)[i]), (a,b) -> a+b) > 0 THEN ${1 << j} ELSE 0 END)"
+        }.mkString(" + ")
+        s"SELECT vec_id, $tbl AS tbl, $bucket AS bucket FROM e"
+      }.mkString("\nUNION ALL\n")
+      s"$cosineCte\nSELECT * FROM (\n$selects\n) ORDER BY vec_id, tbl"
+    },
+    "e11_ivf_probe_cells" ->
+      s"""$cosineCte,
+         |c AS (SELECT vec_id AS centroid_id, v AS cv, nrm AS cn FROM n WHERE vec_id < 8),
+         |p AS (SELECT n.vec_id, c.centroid_id,
+         |  list_reduce(list_apply(range(1, 65), i -> n.v[i] * c.cv[i]), (a,b) -> a+b) / (n.nrm * c.cn) AS sim
+         |  FROM n CROSS JOIN c)
+         |SELECT vec_id, probe_rank, centroid_id, round(sim, 6) AS sim FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) AS probe_rank FROM p)
+         |WHERE probe_rank <= 4 ORDER BY vec_id, probe_rank""".stripMargin,
     "e1_cosine_topk" ->
       s"""$cosineCte,
          |p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -2036,7 +2125,10 @@ object SparkEntry {
          |a AS (SELECT vec_id, v, nrm, centroid_id FROM (
          |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) AS rn FROM p)
          |  WHERE rn = 1),
-         |drops AS (SELECT DISTINCT y.vec_id FROM a x JOIN a y
+         |sen AS (SELECT vec_id, v, nrm, centroid_id FROM (
+         |  SELECT a.*, row_number() OVER (PARTITION BY centroid_id ORDER BY vec_id) AS srn FROM a)
+         |  WHERE srn <= 4096),
+         |drops AS (SELECT DISTINCT y.vec_id FROM sen x JOIN a y
          |  ON x.centroid_id = y.centroid_id AND x.vec_id < y.vec_id
          |  WHERE round(list_reduce(list_apply(range(1, 65), i -> x.v[i] * y.v[i]), (a,b) -> a+b)
          |    / (x.nrm * y.nrm), 6) >= 0.3)

@@ -124,11 +124,16 @@ object Measures {
     * signups were still active in week N" triangle every growth
     * dashboard carries).
     *
-    * `grain` is any date_trunc grain ("week", "month"). The offset is
-    * day-difference / days-per-grain — exact for truncated timestamps
-    * and identical across engines (DuckDB's date_diff('week') counts
-    * boundary crossings, which agrees only because both sides are
-    * truncated; the day arithmetic avoids relying on that).
+    * `grain` is any date_trunc grain. Offsets are computed per grain
+    * family: fixed-length grains ("day", "week") use day-difference /
+    * days-per-grain — exact for truncated timestamps and identical
+    * across engines (DuckDB's date_diff('week') counts boundary
+    * crossings, which agrees only because both sides are truncated;
+    * the day arithmetic avoids relying on that). Calendar grains
+    * ("month", "quarter", "year") use `months_between`, which is exact
+    * on truncated boundaries — day division would mis-bucket almost
+    * immediately (Jan→Mar is 59 days in a non-leap year: 59/30 = 1,
+    * not the correct offset 2).
     *
     * Scale: the (user, period) activity table is distinct-ed FIRST (one
     * shuffle on the pair, collapsing the raw event volume), the cohort
@@ -137,12 +142,21 @@ object Measures {
     * |periods|² cells. Event bodies never move — only (user, period)
     * pairs. */
   def cohortRetention(events: DataFrame, userCol: Column, tsCol: Column,
-                      grain: String, daysPerGrain: Int): DataFrame = {
+                      grain: String, daysPerGrain: Int = 1): DataFrame = {
     val monthly = events.select(userCol.as("u"), date_trunc(grain, tsCol).as("m")).distinct()
     val cohorts = monthly.groupBy(col("u")).agg(min(col("m")).as("cohort_start"))
+    val offset = grain.toLowerCase match {
+      case "month" =>
+        floor(months_between(col("m"), col("cohort_start"))).cast("int")
+      case "quarter" =>
+        floor(months_between(col("m"), col("cohort_start")) / 3).cast("int")
+      case "year" =>
+        floor(months_between(col("m"), col("cohort_start")) / 12).cast("int")
+      case _ =>
+        (datediff(col("m"), col("cohort_start")) / daysPerGrain).cast("int")
+    }
     monthly.join(cohorts, "u")
-      .groupBy(col("cohort_start"),
-        (datediff(col("m"), col("cohort_start")) / daysPerGrain).cast("int").as("offset"))
+      .groupBy(col("cohort_start"), offset.as("offset"))
       .agg(countDistinct(col("u")).as("n_active"))
   }
 }

@@ -47,27 +47,72 @@ object Media {
         (pmod(col("doc_id") * 53, lit(464)) + 16).cast("int").as("height"),
         (expr("n_chars div 100") + 1).cast("int").as("n_frames")).as("meta"))
 
-  private case class Decoded(asset_id: Long, width: Int, height: Int,
+  /** One decoded asset's features — the row type every [[MediaCodec]]
+    * produces (top-level so the Dataset Encoder stays codegen'd). */
+  case class Decoded(asset_id: Long, width: Int, height: Int,
       n_frames: Int, n_bytes: Int, checksum: String)
 
-  /** Decode / feature-extract over binary content, one codec init per
-    * partition. STUB: derives deterministic fake features from the
-    * bytes; a real build decodes pixels/samples here. */
-  def decodeStub(spark: SparkSession, assets: DataFrame): DataFrame = {
+  /** The codec boundary: a serializable factory whose [[MediaCodec.Session]]
+    * holds per-PARTITION decoder state (native contexts, buffers) —
+    * `open()` runs once per partition inside `mapPartitions`, never per
+    * row. A real deployment implements this with TwelveMonkeys/JavaCV
+    * and plugs it into [[decode]]; nothing else in the pipeline —
+    * schema, batch shape, partitioning — changes. */
+  trait MediaCodec extends Serializable {
+    def open(): MediaCodec.Session
+  }
+  object MediaCodec {
+    trait Session {
+      def decode(assetId: Long, bytes: Array[Byte],
+          width: Int, height: Int, nFrames: Int): Decoded
+      def close(): Unit = ()
+    }
+  }
+
+  /** Deterministic fake codec — byte-level features only (length + MD5
+    * digest), standing in for pixel/sample decode in an environment
+    * with no media libraries. The Session allocates its MessageDigest
+    * once per partition, exactly where a real codec would open its
+    * native context. */
+  object StubCodec extends MediaCodec {
+    def open(): MediaCodec.Session = new MediaCodec.Session {
+      private val md = java.security.MessageDigest.getInstance("MD5")
+      def decode(id: Long, bytes: Array[Byte], w: Int, h: Int, f: Int): Decoded = {
+        md.reset()
+        val digest = md.digest(bytes).map("%02x".format(_)).mkString
+        Decoded(id, w, h, f, bytes.length, digest)
+      }
+    }
+  }
+
+  /** Decode / feature-extract over binary content through a pluggable
+    * [[MediaCodec]]: one `open()` per partition, `close()` when the
+    * partition drains. */
+  def decode(spark: SparkSession, assets: DataFrame,
+      codec: MediaCodec = StubCodec): DataFrame = {
     import spark.implicits._
     val flat = assets.select(col("asset_id"), col("content"),
         col("meta.width"), col("meta.height"), col("meta.n_frames"))
       .as[(Long, Array[Byte], Int, Int, Int)]
     flat.mapPartitions { it =>
-      // real impl: val codec = Codec.open() — once per partition
-      val md = java.security.MessageDigest.getInstance("MD5")
-      it.map { case (id, bytes, w, h, f) =>
-        md.reset()
-        val digest = md.digest(bytes).map("%02x".format(_)).mkString
-        Decoded(id, w, h, f, bytes.length, digest)
+      val session = codec.open()
+      new Iterator[Decoded] {
+        def hasNext: Boolean = {
+          val h = it.hasNext
+          if (!h) session.close()
+          h
+        }
+        def next(): Decoded = {
+          val (id, bytes, w, h, f) = it.next()
+          session.decode(id, bytes, w, h, f)
+        }
       }
     }.toDF()
   }
+
+  /** Back-compat alias for [[decode]] with the stub codec. */
+  def decodeStub(spark: SparkSession, assets: DataFrame): DataFrame =
+    decode(spark, assets, StubCodec)
 
   /** Frame sampling: every `step`-th frame of a frame array — the
     * video-pipeline "1 fps sample" pattern, as a pure array op. */

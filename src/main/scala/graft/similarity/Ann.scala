@@ -385,6 +385,129 @@ object Ann {
     rankCandidates(partial.toDF("query_id", "neighbor_id", "sim"), k)
   }
 
+  /** Sharded IVF — the composition that survives past `maxCells`² ≈
+    * 16M vectors (PLANS.md "IVF beyond 16M vectors", escape (b)).
+    *
+    * [[ivfTopK]]'s wall: its centroid table caps at `maxCells`, so for
+    * n ≫ maxCells² the per-cell membership grows linearly and the
+    * probe kernel re-inherits scan cost. Sharding breaks the coupling
+    * between TOTAL index size and the per-vector assignment cost:
+    *  - the corpus hash-shards on `xxhash64(vec_id) mod nShards`
+    *    (uniform, key-deterministic — a vector's shard never moves);
+    *  - each shard builds its own IVF index over √(n/nShards) cells
+    *    (same deterministic seed → one-mean-step recipe as
+    *    [[ivfTopK]], run for ALL shards in the same three distributed
+    *    passes — the loop is over array slices of one broadcast, not
+    *    per-shard Spark jobs);
+    *  - assignment scans only the OWN shard's `cellsPerShard`
+    *    centroids (an array slice), so total cells = nShards ×
+    *    cellsPerShard can exceed `maxCells` while per-vector work
+    *    stays O(cellsPerShard · d);
+    *  - every query probes its nProbe nearest cells IN EACH shard
+    *    (neighbors live anywhere), and the per-shard partial top-ks
+    *    union into one [[rankCandidates]] pass — per-shard cells are
+    *    disjoint by construction (global id = shard·cellsPerShard +
+    *    local), so no dedup is needed.
+    *
+    * Cost model at 100 TB: query fan-out is nShards·nProbe probe rows
+    * (the price of sharding — same shape as raising nProbe), build
+    * stays three linear passes, and the broadcast grows to nShards ×
+    * cellsPerShard × dim doubles — size shards so that product fits
+    * executor memory (e.g. 64 shards × 65k cells × 64 dims ≈ 2 GB;
+    * past that, per-shard REMOTE indexes with a scatter-gather query
+    * tier, which is an architecture change, not a parameter).
+    *
+    * Approximate ⇒ no SQL oracle; AnnSpec asserts recall vs
+    * [[cosineTopK]] at parity with the unsharded index on the same
+    * corpus. */
+  def ivfTopKSharded(embeddings: DataFrame, k: Int, nProbe: Int = 4,
+      maxCellsPerShard: Int = 4096, nShards: Int = 4): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val sc = spark.sparkContext
+    // shard is computed ONCE as a column (Spark's xxhash64) and carried
+    // alongside the vector — the JVM side never re-derives it.
+    val sharded = prepared(embeddings)
+      .withColumn("shard", pmod(xxhash64(col("vec_id")), lit(nShards)).cast("int"))
+      .select(col("shard"), col("vec_id"), col("v"), col("nrm"))
+      .as[(Int, Long, Array[Double], Double)]
+    val n = embeddings.count()
+    if (n == 0)
+      return rankCandidates(
+        spark.emptyDataset[(Long, Long, Double)].toDF("query_id", "neighbor_id", "sim"), k)
+    val cps = math.max(1, math.min(maxCellsPerShard,
+      math.round(math.sqrt(n.toDouble / nShards)).toInt))
+    val nCellsTotal = nShards * cps
+    // per-shard seeds: top-cps by key hash WITHIN each shard — one
+    // window over the shard key, never a corpus collect (the collect
+    // below is ≤ nCellsTotal rows, the same bounded centroid table
+    // ivfTopK collects).
+    val seedRows = prepared(embeddings)
+      .withColumn("shard", pmod(xxhash64(col("vec_id")), lit(nShards)).cast("int"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("shard"))
+          .orderBy(xxhash64(col("vec_id"), lit(17)), col("vec_id"))))
+      .filter(col("rn") <= cps)
+      .select(col("shard"), col("rn"), col("v"), col("nrm"))
+      .collect()
+    val dim = seedRows.head.getSeq[Double](2).length
+    // global centroid arrays indexed by shard*cps + local; slots of a
+    // shard with < cps vectors keep a zero vector (norm 1 ⇒ sim 0) and
+    // simply never win an assignment.
+    val centroids = Array.fill(nCellsTotal)(new Array[Double](dim))
+    seedRows.foreach { r =>
+      centroids(r.getInt(0) * cps + (r.getInt(1) - 1)) = r.getSeq[Double](2).toArray
+    }
+    def normsOf(cs: Array[Array[Double]]): Array[Double] = cs.map { v =>
+      var acc = 0.0; var i = 0
+      while (i < v.length) { acc += v(i) * v(i); i += 1 }
+      val s = math.sqrt(acc); if (s == 0.0) 1.0 else s
+    }
+    val bcSeeds = sc.broadcast((centroids, normsOf(centroids)))
+    // one mean-refinement pass across ALL shards at once: map-side
+    // assignment against the own-shard slice, decimal-exact means
+    // (bit-reproducible regardless of partitioning — same recipe and
+    // rationale as ivfTopK step 2).
+    val meanRows = sharded.map { case (sh, _, v, nrm) =>
+        val (cs, cns) = bcSeeds.value
+        (sh * cps + nearestCellIn(v, nrm, cs, cns, sh * cps, cps), v)
+      }.toDF("cell", "v")
+      .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("cell"), col("pos"))
+      .agg((sum(col("x").cast("decimal(28,15)")) / count(lit(1))).cast("double").as("m"))
+      .collect()
+    val refined = centroids.map(_.clone()) // empty cells keep their seed
+    meanRows.foreach { r =>
+      refined(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
+    }
+    val bcCent = sc.broadcast((refined, normsOf(refined)))
+    val members = sharded.map { case (sh, id, v, nrm) =>
+      val (cs, cns) = bcCent.value
+      CellVec(sh * cps + nearestCellIn(v, nrm, cs, cns, sh * cps, cps), id, v, nrm)
+    }
+    // queries fan out to nProbe cells in EVERY shard
+    val probes = sharded.flatMap { case (_, id, v, nrm) =>
+      val (cs, cns) = bcCent.value
+      (0 until nShards).flatMap { sh =>
+        nearestCellsIn(v, nrm, cs, cns, sh * cps, cps, nProbe)
+          .map(c => CellProbe(sh * cps + c, id, v, nrm))
+      }
+    }
+    val partial = probes.groupByKey(_.cell).cogroup(members.groupByKey(_.cell)) {
+      (_: Int, qs: Iterator[CellProbe], ms: Iterator[CellVec]) =>
+        val arr = ms.toArray
+        if (arr.isEmpty) Iterator.empty
+        else {
+          val cids = arr.map(_.vec_id)
+          val cvs = arr.map(_.v)
+          val cns = arr.map(_.nrm)
+          qs.flatMap(q => topKAgainst(q.query_id, q.qv, q.qn, cids, cvs, cns, k))
+        }
+    }
+    rankCandidates(partial.toDF("query_id", "neighbor_id", "sim"), k)
+  }
+
   /** Nearest centroid by cosine (sim desc, cell asc tiebreak via strict
     * `>` over ascending scan) — the map-side IVF assignment kernel. */
   private def nearestCell(v: Array[Double], vn: Double,
@@ -399,6 +522,30 @@ object Ann {
     }
     best
   }
+
+  /** [[nearestCell]] over a slice [off, off+len) of the centroid
+    * arrays — the per-shard assignment kernel of [[ivfTopKSharded]].
+    * Returns the LOCAL cell index within the slice. */
+  private def nearestCellIn(v: Array[Double], vn: Double,
+      cents: Array[Array[Double]], cnorms: Array[Double],
+      off: Int, len: Int): Int = {
+    var best = 0
+    var bestSim = Double.NegativeInfinity
+    var c = 0
+    while (c < len) {
+      val s = cosineTo(v, vn, cents(off + c), cnorms(off + c))
+      if (s > bestSim) { bestSim = s; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** [[nearestCells]] over a slice [off, off+len) — local indices. */
+  private def nearestCellsIn(v: Array[Double], vn: Double,
+      cents: Array[Array[Double]], cnorms: Array[Double],
+      off: Int, len: Int, nProbe: Int): Seq[Int] =
+    (0 until len).map(c => (cosineTo(v, vn, cents(off + c), cnorms(off + c)), c))
+      .sortBy { case (s, c) => (-s, c) }.take(nProbe).map(_._2)
 
   /** nProbe nearest cells (sim desc, cell asc tiebreak). */
   private def nearestCells(v: Array[Double], vn: Double,
@@ -519,17 +666,25 @@ object Ann {
     * Scale: centroids broadcast (k rows); assignment is map-side; the
     * within-cell self-join shuffles each cell once on centroid_id. With
     * k ≈ √n cells the expected pairwise term is n — linear overall; a
-    * skewed giant cell is the known failure mode, handled the same way
-    * as [[ivfTopK]]'s cells (AQE skew split, or sub-cluster cells past
-    * a size cap). The comparison uses the 6-decimal-rounded cosine so
-    * the keep/drop decision is stable across engines (same posture as
-    * [[centroidAssign]]'s output rounding).
+    * skewed giant cell is the known failure mode, and `maxCellCompare`
+    * bounds it (the d13 `maxDf` posture applied to cells): only the
+    * `maxCellCompare` MOST-SENIOR members of a cell (lowest vec_id)
+    * act as drop-authorities on the join's left side, so a cell's
+    * pairwise term is |cell| × min(|cell|, cap) — linear in |cell| —
+    * instead of |cell|². For any cell within the cap the result is
+    * IDENTICAL to the uncapped method (every potential senior is
+    * eligible); in a pathological giant cell, a junior pair whose only
+    * senior sits past the cap survives — bounded, documented recall
+    * degradation on exactly the input the uncapped method cannot
+    * finish at all. The comparison uses the 6-decimal-rounded cosine
+    * so the keep/drop decision is stable across engines (same posture
+    * as [[centroidAssign]]'s output rounding).
     *
     * The assigned table is localCheckpoint'ed: it feeds both sides of
     * the self-join and the final anti-join — without the barrier the
     * O(n·k) assignment would run three times. */
   def semDedup(embeddings: DataFrame, k: Int = 8,
-               threshold: Double = 0.8): DataFrame = {
+               threshold: Double = 0.8, maxCellCompare: Int = 4096): DataFrame = {
     val e = prepared(embeddings)
     val cents = e.filter(col("vec_id") < k)
       .select(col("vec_id").as("centroid_id"), col("v").as("cv"), col("nrm").as("cn"))
@@ -541,7 +696,14 @@ object Ann {
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("v"), col("nrm"), col("centroid_id"))
       .localCheckpoint(true)
-    val drops = assigned.as("a").join(assigned.as("b"),
+    // giant-cell cap: only the cap most-senior members per cell sit on
+    // the drop-authority side — |cell| × cap pairs, never |cell|²
+    val seniors = assigned
+      .withColumn("srn", row_number().over(
+        Window.partitionBy(col("centroid_id")).orderBy(col("vec_id"))))
+      .filter(col("srn") <= maxCellCompare)
+      .drop("srn")
+    val drops = seniors.as("a").join(assigned.as("b"),
         col("a.centroid_id") === col("b.centroid_id") &&
           col("a.vec_id") < col("b.vec_id"))
       .filter(round(dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")), 6)
@@ -570,6 +732,28 @@ object Ann {
         Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("centroid_id"))))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("centroid_id"), round(col("sim"), 6).as("sim"))
+  }
+
+  /** E11: the probe-set half of IVF candidate generation, oracle-exact:
+    * the `nProbe` nearest centroids each QUERY will search — [[ivfTopK]]
+    * step 4's fan-out, isolated over the same deterministic `vec_id < k`
+    * centroids as [[centroidAssign]] so a SQL oracle can replay it
+    * row-for-row (the end-to-end e4 stays approximate only because its
+    * centroids come from the hash-seeded mean step). Same broadcast
+    * shape and (sim desc, centroid asc) tiebreak as assignment;
+    * `probe_rank` 1..nProbe per query. */
+  def probeCells(embeddings: DataFrame, k: Int, nProbe: Int): DataFrame = {
+    val e = prepared(embeddings)
+    val cents = e.filter(col("vec_id") < k)
+      .select(col("vec_id").as("centroid_id"), col("v").as("cv"), col("nrm").as("cn"))
+    e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("centroid_id"),
+        (dot(col("v"), col("cv")) / (col("nrm") * col("cn"))).as("sim"))
+      .withColumn("probe_rank", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("centroid_id"))))
+      .filter(col("probe_rank") <= nProbe)
+      .select(col("vec_id"), col("probe_rank"), col("centroid_id"),
+        round(col("sim"), 6).as("sim"))
   }
 
   /** E9: one Lloyd update step — per-(centroid, dimension) member means

@@ -109,7 +109,11 @@ object StreamIngest {
     * shared verbatim by the streaming sink side and the batch twin.
     * LEFT join: a category the baseline has never seen surfaces with a
     * NULL psi_term (the strongest drift signal there is) instead of
-    * silently dropping out of the monitor. */
+    * silently dropping out of the monitor. A baseline row carrying a
+    * ZERO share is guarded to NULL explicitly — Spark's log(0) yields
+    * NULL silently but other engines (DuckDB) raise on ln(0), so the
+    * monitor stays engine-portable when its output is re-validated
+    * elsewhere. */
   def psiAgainstBaseline(dayCounts: DataFrame, baseline: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("day_start"))
     dayCounts
@@ -117,7 +121,9 @@ object StreamIngest {
       .join(broadcast(baseline), Seq("event_type"), "left")
       .select(col("day_start"), col("event_type"), col("n"),
         round(col("p"), 6).as("p"),
-        round((col("p") - col("base_p")) * log(col("p") / col("base_p")), 6)
+        when(col("base_p").isNull || col("base_p") === 0, lit(null))
+          .otherwise(
+            round((col("p") - col("base_p")) * log(col("p") / col("base_p")), 6))
           .as("psi_term"))
   }
 
@@ -231,10 +237,22 @@ object StreamIngest {
     *    refreshes the state silently.
     * Deletes don't arise from an append-only event stream — route
     * tombstone events to [[graft.ingest.Events.snapshotDiff]] semantics
-    * downstream if the source has them. Invoke from `foreachBatch`. */
+    * downstream if the source has them. Invoke from `foreachBatch`,
+    * passing Spark's epoch id as `batchId`.
+    *
+    * Replay safety: the delta feed is laid out `partitionBy(batch_id)`
+    * and written with DYNAMIC partition overwrite, so a foreachBatch
+    * retry (failure anywhere between the delta write and the
+    * checkpoint commit) REPLACES its own batch partition instead of
+    * appending a second copy of the same change rows. The two failure
+    * windows both resolve correctly: a retry before the snapshot
+    * rewrite recomputes identical deltas and overwrites them in place;
+    * a retry after it recomputes an EMPTY delta set, and an empty
+    * dynamic overwrite touches no partitions — the already-published
+    * rows stand. */
   def publishDeltas(batch: DataFrame, snapshotPath: String, deltaPath: String,
       key: String, tsCol: String, tiebreak: String, valueCols: Seq[String],
-      nBuckets: Int = 64): Unit = {
+      batchId: Long, nBuckets: Int = 64): Unit = {
     val spark = batch.sparkSession
     import org.apache.spark.sql.expressions.Window
     val cols = Seq(key, tsCol, tiebreak) ++ valueCols
@@ -273,7 +291,9 @@ object StreamIngest {
             .when(col("__src") === "new" && changed, lit("update")))
         .filter(col("change_type").isNotNull)
         .select((cols :+ "change_type").map(col): _*)
-      deltas.write.mode("append").parquet(deltaPath)
+      deltas.withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id").parquet(deltaPath)
       winners.select((cols :+ "bucket").map(col): _*)
         .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
         .partitionBy("bucket").parquet(snapshotPath)

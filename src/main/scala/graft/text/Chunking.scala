@@ -74,7 +74,9 @@ object Chunking {
     val model = counts.join(broadcast(total))
       .select(col("term"),
         (-log(col("c") * lit(1.0) / col("total"))).cast("decimal(20,12)").as("nll"))
-    tok.join(model, "term")
+    // broadcast the |vocab|-sized model so the exploded token stream is
+    // never exchanged on the term key (same rationale as bigramLogProb)
+    tok.join(broadcast(model), "term")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tok"),
         round(sum(col("nll")).cast("double") / count(lit(1)), 6).as("avg_nll"))
@@ -93,20 +95,29 @@ object Chunking {
     * no second corpus pass, and the conditional probabilities sum to 1
     * per context by construction. Docs with < 2 tokens have no bigrams
     * and drop out. One corpus bigram pass (checkpointed), a bigram-
-    * vocab shuffle, a |vocab|-sized rollup, and a keyed scoring join —
-    * nothing quadratic, model never on the driver. */
-  def bigramLogProb(docs: DataFrame): DataFrame = {
+    * vocab shuffle, a |vocab|-sized rollup, and a BROADCAST scoring
+    * join — nothing quadratic, and with `broadcastModel=true` the
+    * exploded corpus is never exchanged on the bigram key: the model
+    * (|bigram vocab| rows, orders of magnitude smaller than the token
+    * stream it summarizes) ships to the executors and scoring is a
+    * map-side hash lookup + the one doc_id aggregation. Past a vocab
+    * too large for executor memory (web-scale corpora), pass
+    * `broadcastModel=false` to fall back to the sort-merge plan. */
+  def bigramLogProb(docs: DataFrame, broadcastModel: Boolean = true): DataFrame = {
     val big = docs.select(col("doc_id"),
         explode(graft.text.TextAnalysis.bigrams(words(col("text")))).as("bg"))
       .localCheckpoint(true)
     val cb = big.groupBy(col("bg")).agg(count(lit(1)).as("cb"))
       .localCheckpoint(true) // feeds the context rollup AND the model join
+    // context counts c(w1 ·): a rollup of the (already small) bigram
+    // vocab — broadcast it back into the model join unconditionally,
+    // it is strictly smaller than cb.
     val cw = cb.groupBy(substring_index(col("bg"), " ", 1).as("w1"))
       .agg(sum(col("cb")).as("cw"))
-    val model = cb.join(cw, substring_index(col("bg"), " ", 1) === col("w1"))
+    val model = cb.join(broadcast(cw), substring_index(col("bg"), " ", 1) === col("w1"))
       .select(col("bg"),
         (-log(col("cb") * lit(1.0) / col("cw"))).cast("decimal(20,12)").as("nll"))
-    big.join(model, "bg")
+    big.join(if (broadcastModel) broadcast(model) else model, "bg")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"),
         round(sum(col("nll")).cast("double") / count(lit(1)), 6).as("avg_nll"))

@@ -191,4 +191,49 @@ class AnnSpec extends SparkSpec {
     assert(gotDropped === expectDropped)
     assert(gotDropped.nonEmpty, "corpus must contain semantic near-dups at 0.3")
   }
+
+  test("E8: giant-cell cap bounds the senior side; sub-cap cells stay exact") {
+    def unit(i: Int): Array[Float] = { val a = new Array[Float](6); a(i) = 1f; a }
+    // k=1 => ONE cell holds the whole corpus (the pathological skew the
+    // cap exists for). Vecs 0-3 mutually orthogonal; 4 and 5 are twins.
+    val df = Seq(
+      (0L, unit(0)), (1L, unit(1)), (2L, unit(2)), (3L, unit(3)),
+      (4L, unit(4)), (5L, unit(4))).toDF("vec_id", "embedding")
+    def dropped(cap: Int) =
+      Ann.semDedup(df, 1, 0.8, maxCellCompare = cap)
+        .filter(!col("kept")).select("vec_id").as[Long].collect().toSet
+    // cap >= |cell|: identical to the uncapped method — twin 5 drops
+    // (senior 4 justifies it)
+    assert(dropped(6) === Set(5L))
+    // cap below the twins' seniority rank: authorities are {0,1,2}, all
+    // orthogonal to 5 — the junior twin survives. Bounded, documented
+    // recall degradation in exchange for |cell|×cap instead of |cell|².
+    assert(dropped(3) === Set.empty[Long])
+  }
+
+  test("E4: sharded IVF composition — recall parity with unsharded, k filled") {
+    // clustered corpus (the regime IVF exists for)
+    val rnd = new scala.util.Random(7)
+    val centers = Array.fill(10, 64)(rnd.nextGaussian().toFloat)
+    val vecs = (0 until 200).map { i =>
+      val c = centers(i % 10)
+      (i.toLong, c.map(x => x + 0.15f * rnd.nextGaussian().toFloat))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val exact1 = Ann.cosineTopK(df, 1).select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    def recallOf(ann: org.apache.spark.sql.DataFrame) = {
+      val got = ann.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      (exact1 & got).size.toDouble / exact1.size
+    }
+    val unsharded = recallOf(Ann.ivfTopK(df, 1))
+    val sharded = recallOf(Ann.ivfTopKSharded(df, 1, nShards = 4))
+    assert(sharded >= unsharded - 0.05,
+      s"sharded recall $sharded fell below unsharded $unsharded")
+    assert(sharded >= 0.85, s"sharded clustered recall@1 too low: $sharded")
+    // harness corpus shape contract: every query fills exactly k ranks
+    val out = Ann.ivfTopKSharded(emb, 5, nShards = 3)
+    assert(out.groupBy("query_id").count()
+      .filter(col("count") =!= 5).count() === 0)
+  }
 }

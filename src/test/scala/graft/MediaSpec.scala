@@ -25,6 +25,26 @@ class MediaSpec extends SparkSpec {
       Set("asset_id", "width", "height", "n_frames", "n_bytes", "checksum"))
   }
 
+  test("MM: codec boundary is pluggable — a custom codec swaps in without schema changes") {
+    // a "decoder" that reports constant dimensions and a fake digest —
+    // stands in for a real TwelveMonkeys/JavaCV implementation
+    object FakePixelCodec extends Media.MediaCodec {
+      def open(): Media.MediaCodec.Session = new Media.MediaCodec.Session {
+        def decode(id: Long, bytes: Array[Byte], w: Int, h: Int, f: Int): Media.Decoded =
+          Media.Decoded(id, 2 * w, 2 * h, f, bytes.length, s"decoded-$id")
+      }
+    }
+    val ten = assets.limit(10)
+    val got = Media.decode(spark, ten, FakePixelCodec)
+    assert(got.columns.toSet ===
+      Set("asset_id", "width", "height", "n_frames", "n_bytes", "checksum"))
+    val metaW = ten.select(col("asset_id"), col("meta.width")).as[(Long, Int)].collect().toMap
+    got.select("asset_id", "width", "checksum").as[(Long, Int, String)].collect()
+      .foreach { case (id, w, ck) =>
+        assert(w === 2 * metaW(id) && ck === s"decoded-$id")
+      }
+  }
+
   test("MM: frame sampling takes every step-th element") {
     val df = Seq((1L, Seq("f0", "f1", "f2", "f3", "f4", "f5"))).toDF("id", "frames")
     val got = df.select(Media.sampleFrames(col("frames"), 3).as("s"))

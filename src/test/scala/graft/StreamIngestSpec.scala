@@ -424,9 +424,10 @@ class StreamIngestSpec extends SparkSpec {
     val in = MemoryStream[(Long, Timestamp, Long, String, Double)]
     val q = in.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
       .writeStream
-      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
         StreamIngest.publishDeltas(b, snap, delta,
-          "user_id", "ts", "event_id", Seq("event_type", "value"), nBuckets = 8)
+          "user_id", "ts", "event_id", Seq("event_type", "value"),
+          batchId = id, nBuckets = 8)
       }
       .option("checkpointLocation", base.resolve("chk").toString)
       .start()
@@ -460,6 +461,27 @@ class StreamIngestSpec extends SparkSpec {
       .collect().map(r => r._1 -> ((r._2, r._3))).toMap
     assert(state === Map(
       7L -> ((3L, "purchase")), 8L -> ((2L, "signup")), 9L -> ((7L, "signup"))))
+  }
+
+  test("ST12: a replayed batch replaces, not duplicates, its delta partition") {
+    val base = java.nio.file.Files.createTempDirectory("graft_cdc_replay")
+    val snap = base.resolve("snapshot").toString
+    val delta = base.resolve("deltas").toString
+    val b1 = Seq(Ev(1, ts("2024-01-01 10:00:00"), 7, "signup", 1.0)).toDF()
+    def run() = StreamIngest.publishDeltas(b1, snap, delta, "user_id", "ts",
+      "event_id", Seq("event_type", "value"), batchId = 0L, nBuckets = 4)
+    run()
+    // retry AFTER the snapshot rewrite (failure before checkpoint
+    // commit): recomputes empty deltas, must leave batch 0's rows alone
+    run()
+    def deltaRows() = spark.read.parquet(delta).select("user_id", "change_type")
+      .as[(Long, String)].collect().toSeq
+    assert(deltaRows() === Seq((7L, "insert")))
+    // retry BEFORE the snapshot rewrite landed: same epoch recomputes
+    // the same deltas and must REPLACE its partition, not append
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(snap))
+    run()
+    assert(deltaRows() === Seq((7L, "insert")))
   }
 
   test("ST13: drift PSI is ~zero on the baseline mix, positive when skewed, NULL on new types") {
