@@ -30,7 +30,14 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      // Fewer INITIAL shuffle partitions than cores: at bench SF almost
+      // every post-shuffle stage is dispatch-bound (AQE size-coalescing
+      // collapses them to ~1 reducer anyway — the map side's partition
+      // COUNT is what multiplies scheduler work). Measured −11% on the
+      // dispatch-bound subset at 8 vs 32; compute-dense operators that
+      // genuinely need width carry their own session conf (d13). A
+      // cluster deployment sets this to O(cores × executors) as usual.
+      .config("spark.sql.shuffle.partitions", math.min(8, cpus.toInt))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // Coalesce post-shuffle partitions by SIZE, not parallelism (the
@@ -39,7 +46,20 @@ object Bench {
       // measures scheduler dispatch, not query work; at real scale the
       // same setting packs reducers to the 64 MB advisory target.
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      // zero locality wait: local mode has exactly one locality level,
+      // so any wait is pure scheduler latency on every one of the
+      // suite's thousands of micro-tasks (cluster deployments tune
+      // this separately; 3s default exists for cross-rack HDFS reads)
+      .config("spark.locality.wait", "0")
       .getOrCreate()
+    // SPARK_GRAFT_CONF="k=v;k=v": optional extra confs for perf
+    // experiments (runtime-settable SQL confs only) — lets an A/B
+    // replay change one knob without editing the benchmark.
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").filter(_.contains("="))
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        spark.conf.set(k.trim, v.trim)
+      })
     spark.sparkContext.setLogLevel("WARN")
     // untimed warmup: touch every table (page cache + footer reads) and
     // exercise one query end-to-end so JIT/codegen warmup isn't billed

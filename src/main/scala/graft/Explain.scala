@@ -24,7 +24,11 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val tc0 = System.nanoTime()
     val df = SparkEntry.queries(name)(spark, sfDir)
+    // queries with eager localCheckpoints do real work at CONSTRUCTION
+    // time — surface it, or the run timings below under-report
+    println(f"[explain] construction: ${(System.nanoTime() - tc0) / 1e9}%.2fs")
     df.explain("formatted")
     (1 to runs).foreach { i =>
       val t0 = System.nanoTime()

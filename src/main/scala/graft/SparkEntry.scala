@@ -1733,9 +1733,22 @@ object SparkEntry {
     }),
     // D13: directed n-gram containment — the asymmetric (doc-inside-doc)
     // near-dup test, computed sparsely via an inverted shingle index.
-    "d13_containment_pairs" -> ((s, d) =>
-      graft.dedup.Dedup.containmentPairs(t(s, d, "documents"), 0.5)
-        .orderBy("d1", "d2"))
+    "d13_containment_pairs" -> ((s, d) => {
+      // CPU-dense per shuffled byte (the Σdf² pair expansion blows a
+      // compact string index up into in-memory join work): AQE's 64 MB
+      // size-based coalescing packs the window+join stages into one
+      // reducer at harness SF and serializes them (measured 5.6 s →
+      // 2.0 s with a 4 MB advisory target; the suite-wide default
+      // stays 64 MB because every dispatch-bound query prefers FEWER
+      // partitions — per-query A/B in PLANS.md round 7). `newSession`
+      // scopes the conf to this operator without leaking: same
+      // SparkContext, isolated SQLConf.
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
+      s2.conf.set("spark.sql.shuffle.partitions", "32")
+      graft.dedup.Dedup.containmentPairs(t(s2, d, "documents"), 0.5)
+        .orderBy("d1", "d2")
+    })
   )
 
   private val dedupOracles: Map[String, String] = {
@@ -2039,17 +2052,22 @@ object SparkEntry {
   )
 
   private val simOracles: Map[String, String] = Map(
-    // e10: plane signs are LCG-deterministic — inline them as SQL list
-    // literals (the d3 recipe: oracle built from the SAME Scala
-    // constants the operator uses). ±1 multiplies are exact and the
-    // fold order matches the strict left-fold dot, so the sign test —
-    // and hence every bucket id — is bit-identical.
+    // e10: plane signs are LCG-deterministic — inline them as SQL
+    // (the d3 recipe: oracle built from the SAME Scala constants the
+    // operator uses), as a LEFT-ASSOCIATED ±v[i] chain: x - y is
+    // bit-exactly x + (-1.0)*y, and the +-chain evaluates in the same
+    // order as the operator's strict left-fold dot, so the sign test —
+    // and hence every bucket id — is bit-identical. (The lambda form
+    // `list_reduce(list_apply(...))` computes the same thing 85×
+    // slower — interpreted per-element closures vs vectorized
+    // arithmetic — which would dominate the DuckDB suite baseline.)
     "e10_lsh_buckets" -> {
       val selects = (0 until 8).map { tbl =>
         val ps = graft.similarity.Ann.planes(8, 64, tbl)
         val bucket = (0 until 8).map { j =>
-          val lst = ps(j).map(x => if (x > 0) "1" else "-1").mkString("[", ",", "]")
-          s"(CASE WHEN list_reduce(list_apply(range(1, 65), i -> v[i] * ($lst)[i]), (a,b) -> a+b) > 0 THEN ${1 << j} ELSE 0 END)"
+          val dot = ps(j).zipWithIndex.map { case (s, i) =>
+            (if (s > 0) "+" else "-") + s"v[${i + 1}]" }.mkString
+          s"(CASE WHEN (0$dot) > 0 THEN ${1 << j} ELSE 0 END)"
         }.mkString(" + ")
         s"SELECT vec_id, $tbl AS tbl, $bucket AS bucket FROM e"
       }.mkString("\nUNION ALL\n")

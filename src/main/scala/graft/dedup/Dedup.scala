@@ -79,20 +79,27 @@ object Dedup {
     * 25). */
   def containmentPairs(docs: DataFrame, threshold: Double,
       maxDf: Int = 1000): DataFrame = {
-    val sets = shingleSets(docs).filter(size(col("g")) > 0)
-    // materialize once: referenced by the index (exploded) and the |A| side
-    val sized = sets.select(col("doc_id"), col("g"), size(col("g")).as("n_a"))
-      .localCheckpoint(true)
-    val ex0 = sized.select(col("doc_id"), explode(col("g")).as("sh"))
-    val rare = ex0.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    import org.apache.spark.sql.expressions.Window
+    // ONE shuffled intermediate: the exploded index rows, partitioned
+    // by shingle. df comes from a WINDOW over that partitioning (not a
+    // separate aggregate + semi-join back), |A| rides along from the
+    // pre-explode projection (not a final join back), and the
+    // self-join's two sides are the IDENTICAL subplan, so Catalyst
+    // executes the exchange once and reuses it (ReusedExchange, both
+    // sides already co-partitioned on the join key — the join adds no
+    // exchange of its own). Plan depth is what this operator pays for
+    // at harness SF; at 100 TB the same shape is optimal anyway: every
+    // stage is keyed by shingle or by pair, nothing global.
+    val ex = shingleSets(docs).filter(size(col("g")) > 0)
+      .select(col("doc_id"), size(col("g")).as("n_a"), explode(col("g")).as("sh"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("sh"))))
       .filter(col("df") <= maxDf)
-    val ex = ex0.join(rare.select(col("sh")), Seq("sh"), "left_semi")
-    val inter = ex.as("x")
+    ex.as("x")
       .join(ex.as("y"),
         col("x.sh") === col("y.sh") && col("x.doc_id") =!= col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      .groupBy(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
+        col("x.n_a").as("n_a"))
       .agg(count(lit(1)).as("inter"))
-    inter.join(sized.select(col("doc_id").as("d1"), col("n_a")), "d1")
       .select(col("d1"), col("d2"),
         round(col("inter").cast("double") / col("n_a"), 4).as("containment"))
       .filter(col("containment") >= threshold)

@@ -58,28 +58,33 @@ object Chunking {
     * a held-out LM's token probabilities — the pipeline shape is
     * identical. */
   def unigramLogProb(docs: DataFrame): DataFrame = {
-    // tokenize ONCE: the token table feeds both the vocab counts and
-    // the per-doc scoring join — without the checkpoint each reference
-    // re-scans and re-splits the corpus (PlanAudit's re-scan flag). At
-    // warehouse scale this is the tokenized-corpus intermediate a
-    // pipeline persists anyway.
-    val tok = docs.select(col("doc_id"), explode(words(col("text"))).as("term"))
+    // ONE corpus-sized operation: per-(doc, term) multiplicities, with
+    // map-side partial combine collapsing repeats before the exchange.
+    // Everything downstream — vocab counts, model, scoring — runs at
+    // (doc × distinct-term) granularity or smaller; the raw token
+    // OCCURRENCE stream is never materialized or shuffled (it
+    // previously was, twice, via checkpoint + model join). The
+    // checkpoint barrier stays because the table feeds both the model
+    // build and the scoring join (PlanAudit's re-scan flag).
+    val docTok = docs.select(col("doc_id"), explode(words(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("m"))
       .localCheckpoint(true)
-    val counts = tok.groupBy(col("term")).agg(count(lit(1)).as("c"))
+    val counts = docTok.groupBy(col("term")).agg(sum(col("m")).as("c"))
     val total = counts.agg(sum(col("c")).as("total"))
     // quantize each term's nll to DECIMAL once (per-VOCAB-term, not
     // per-token), so the per-doc aggregation is associative-exact —
     // averaging raw doubles would make the result depend on partition
-    // order.
+    // order. Σ m·nll over distinct terms ≡ Σ nll over occurrences,
+    // exactly (decimal × integer is exact).
     val model = counts.join(broadcast(total))
       .select(col("term"),
         (-log(col("c") * lit(1.0) / col("total"))).cast("decimal(20,12)").as("nll"))
-    // broadcast the |vocab|-sized model so the exploded token stream is
-    // never exchanged on the term key (same rationale as bigramLogProb)
-    tok.join(broadcast(model), "term")
+    // broadcast the |vocab|-sized model so the doc-term table is never
+    // exchanged on the term key (same rationale as bigramLogProb)
+    docTok.join(broadcast(model), "term")
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_tok"),
-        round(sum(col("nll")).cast("double") / count(lit(1)), 6).as("avg_nll"))
+      .agg(sum(col("m")).as("n_tok"),
+        round(sum(col("m") * col("nll")).cast("double") / sum(col("m")), 6).as("avg_nll"))
   }
 
   /** T12: bigram-LM document score — mean conditional NLL
@@ -104,23 +109,27 @@ object Chunking {
     * too large for executor memory (web-scale corpora), pass
     * `broadcastModel=false` to fall back to the sort-merge plan. */
   def bigramLogProb(docs: DataFrame, broadcastModel: Boolean = true): DataFrame = {
-    val big = docs.select(col("doc_id"),
-        explode(graft.text.TextAnalysis.bigrams(words(col("text")))).as("bg"))
-      .localCheckpoint(true)
-    val cb = big.groupBy(col("bg")).agg(count(lit(1)).as("cb"))
-      .localCheckpoint(true) // feeds the context rollup AND the model join
-    // context counts c(w1 ·): a rollup of the (already small) bigram
-    // vocab — broadcast it back into the model join unconditionally,
-    // it is strictly smaller than cb.
-    val cw = cb.groupBy(substring_index(col("bg"), " ", 1).as("w1"))
-      .agg(sum(col("cb")).as("cw"))
-    val model = cb.join(broadcast(cw), substring_index(col("bg"), " ", 1) === col("w1"))
+    // Same single-corpus-pass shape as [[unigramLogProb]]: collapse to
+    // per-(doc, bigram) multiplicities first (map-side combine), so the
+    // occurrence stream is never checkpointed or joined row-by-row.
+    val docBg = graft.text.TextAnalysis
+      .bigramRows(docs.select(col("doc_id"), col("text")), words(col("text")), "bg")
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("m"))
+      .localCheckpoint(true) // feeds the model build AND the scoring join
+    val cb = docBg.groupBy(col("bg")).agg(sum(col("m")).as("cb"))
+    // context counts c(w1 ·) as a WINDOW over the vocab table — the
+    // rollup-then-join-back formulation spends an aggregation, a
+    // broadcast, and a join on what one vocab-sized window sum
+    // expresses directly (integer sum ⇒ exact either way).
+    val model = cb
+      .withColumn("cw", sum(col("cb")).over(
+        Window.partitionBy(substring_index(col("bg"), " ", 1))))
       .select(col("bg"),
         (-log(col("cb") * lit(1.0) / col("cw"))).cast("decimal(20,12)").as("nll"))
-    big.join(if (broadcastModel) broadcast(model) else model, "bg")
+    docBg.join(if (broadcastModel) broadcast(model) else model, "bg")
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_bigrams"),
-        round(sum(col("nll")).cast("double") / count(lit(1)), 6).as("avg_nll"))
+      .agg(sum(col("m")).as("n_bigrams"),
+        round(sum(col("m") * col("nll")).cast("double") / sum(col("m")), 6).as("avg_nll"))
   }
 
   /** Per-document top-k TF-IDF terms: tf(d,t) * ln(N / df(t)), the

@@ -100,6 +100,28 @@ object TextAnalysis {
         i => concat_ws(" ", element_at(w, i), element_at(w, i + 1))))
       .otherwise(typedlit(Seq.empty[String]))
 
+  /** Exploded adjacent-pair rows — the row-generating twin of
+    * [[bigrams]], and the form every aggregation pipeline should use:
+    * higher-order `transform` is NOT codegen'd in Spark, and exploding
+    * the interpreted array measured 13× the cost of a plain explode at
+    * sf0.1 (2.3 s vs 0.18 s warm, ProfileT12). Here the generator runs
+    * over a primitive int `sequence` and the bigram string is
+    * assembled by codegen'd element_at/concat_ws OUTSIDE the
+    * generator, keeping the whole stage in WholeStageCodegen.
+    *
+    * Docs with < 2 tokens produce no rows (filtered BEFORE the
+    * sequence: `sequence(1, 0)` would generate a descending range, not
+    * an empty one). Output keeps `df`'s columns plus `bg`. */
+  def bigramRows(df: DataFrame, tokens: Column, bg: String): DataFrame = {
+    val t = df.withColumn("__w", tokens)
+      .filter(size(col("__w")) >= 2)
+      .withColumn("__i", explode(sequence(lit(1), size(col("__w")) - 1)))
+    t.withColumn(bg, concat_ws(" ",
+        element_at(col("__w"), col("__i")),
+        element_at(col("__w"), col("__i") + 1)))
+      .drop("__w", "__i")
+  }
+
   /** T8: repetition metrics in the style of the Gopher quality rules
     * (Rae et al. 2021 §A1.1): fraction of duplicate tokens/2-grams and
     * the share taken by the single most-frequent token/2-gram. High
@@ -118,8 +140,8 @@ object TextAnalysis {
       .groupBy(col("doc_id"))
       .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_distinct"),
         max(col("c")).as("top_cnt"))
-    val bigramAgg = tk.filter(size(col("tk")) >= 2)
-      .select(col("doc_id"), explode(bigrams(col("tk"))).as("g"))
+    val bigramAgg = bigramRows(tk, col("tk"), "g")
+      .select(col("doc_id"), col("g"))
       .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id"))
       .agg(sum(col("c")).as("n_bigrams"), count(lit(1)).as("n_distinct_g"),

@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** PLANS.md stress harness for the SemDedup giant-cell cap (test scope:
+  * a diagnostic, not library surface).
+  *
+  *   sbt "Test/runMain graft.StressE8 <embeddingsDir> <cap1,cap2,...>"
+  *
+  * Forces the PATHOLOGICAL shape the cap exists for — k=1, every vector
+  * in ONE cell — and times `Ann.semDedup` at each cap. Uncapped, a
+  * 20k-vector giant cell is |cell|² = 400M candidate pairs (the same
+  * order as the d13 quadratic that was killed in round 6); capped, the
+  * join is |cell| × cap and the timings below should scale ~linearly in
+  * the cap. Pair counts are printed from the same arithmetic the plan
+  * executes, so the bounded term is visible, not inferred. */
+object StressE8 {
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val caps = args(1).split(",").map(_.toInt).toSeq
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val emb = Tables.embeddings(spark, dir)
+    val n = emb.count()
+    caps.foreach { cap =>
+      val t0 = System.nanoTime()
+      val out = graft.similarity.Ann.semDedup(emb, 1, 0.8, maxCellCompare = cap)
+      val kept = out.filter(col("kept")).count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      val pairs = n.min(cap) * n - n.min(cap) * (n.min(cap) + 1) / 2
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      println("[e8-stress] n=%d cap=%d pairs~%dM kept=%d %.1fs".format(
+        n, cap, pairs / 1000000, kept, secs))
+    }
+    spark.stop()
+  }
+}
+
+/** Scratch profiler for the t12 pipeline pieces (test scope). */
+object ProfileT12 {
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.text.TextAnalysis.words
+    val docs = Tables.documents(spark, dir)
+    def time[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[t12prof] $label: ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      r
+    }
+    time("docs.count")(docs.count())
+    (1 to 3).foreach { i =>
+      time(s"explode words $i")(docs.select(col("doc_id"),
+        explode(words(col("text"))).as("w")).count())
+      time(s"bigrams no-explode $i")(docs.select(col("doc_id"),
+        graft.text.TextAnalysis.bigrams(words(col("text"))).as("bgs")).count())
+      val exploded = docs.select(col("doc_id"),
+        explode(graft.text.TextAnalysis.bigrams(words(col("text")))).as("bg"))
+      time(s"explode-only count $i")(exploded.count())
+      val agg = exploded.groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("m"))
+      time(s"agg count $i")(agg.count())
+      val ck = time(s"checkpoint $i")(agg.localCheckpoint(true))
+      time(s"full t12 $i")(Bench.force(
+        SparkEntry.queries("t12_bigram_nll")(spark, dir)))
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    }
+    spark.stop()
+  }
+}
+
+/** Scratch profiler for the d13 pipeline pieces (test scope). */
+object ProfileD13 {
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import org.apache.spark.sql.expressions.Window
+    import graft.text.TextAnalysis._
+    val docs = Tables.documents(spark, dir)
+    def time[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[d13prof] $label: ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      r
+    }
+    docs.count() // warm
+    (1 to 2).foreach { i =>
+      val sets = docs.select(col("doc_id"),
+        graft.functions.TextExpressions.wordShingles(words(col("text")), 3).as("g"))
+      time(s"shingle sets count $i")(sets.count())
+      val ex = sets.filter(size(col("g")) > 0)
+        .select(col("doc_id"), size(col("g")).as("n_a"), explode(col("g")).as("sh"))
+      time(s"exploded count $i")(ex.count())
+      val win = ex.withColumn("df", count(lit(1)).over(Window.partitionBy(col("sh"))))
+        .filter(col("df") <= 1000)
+      time(s"window count $i")(win.count())
+      val j = win.as("x").join(win.as("y"),
+        col("x.sh") === col("y.sh") && col("x.doc_id") =!= col("y.doc_id"))
+      time(s"join count $i")(j.count())
+      val full = SparkEntry.queries("d13_containment_pairs")(spark, dir)
+      time(s"full d13 $i")(Bench.force(full))
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    }
+    spark.stop()
+  }
+}
