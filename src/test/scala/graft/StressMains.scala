@@ -125,3 +125,40 @@ object ProfileD13 {
     spark.stop()
   }
 }
+
+/** PLANS.md stress harness for the sharded-IVF wall escape (test
+  * scope). At sandbox scale the real wall (n ≫ maxCells² ≈ 16M
+  * vectors) is unreachable, so it is SIMULATED by capping cells far
+  * below √n: an unsharded index then re-inherits linear per-cell
+  * growth, while the sharded composition multiplies total cells by
+  * nShards at the same per-vector assignment cost.
+  *
+  *   sbt "Test/runMain graft.StressIVF <embeddingsDir> <cap> <shards>"
+  */
+object StressIVF {
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val cap = args(1).toInt
+    val shards = args(2).toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val emb = Tables.embeddings(spark, dir)
+    def run(label: String)(f: => org.apache.spark.sql.DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      val n = Bench.force(f)
+      println("[ivf-stress] %s: %.1fs rows=%d".format(
+        label, (System.nanoTime() - t0) / 1e9, n))
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    }
+    run(s"unsharded maxCells=$cap")(
+      graft.similarity.Ann.ivfTopK(emb, 5, maxCells = cap))
+    run(s"sharded ${shards}x maxCellsPerShard=$cap")(
+      graft.similarity.Ann.ivfTopKSharded(emb, 5,
+        maxCellsPerShard = cap, nShards = shards))
+  }
+}
