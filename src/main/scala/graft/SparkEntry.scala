@@ -1582,6 +1582,25 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
       graft.streaming.StreamIngest.psiAgainstBaseline(days, base)
         .orderBy("day_start", "event_type")
+    }),
+    // ST14 (beyond reference): stream-stream correlation — each click
+    // matched to the same user's purchases within the following hour
+    // (attribution pairing). The registered twin runs the EXACT
+    // streaming code path on the stored table (watermarks no-op in
+    // batch); the stream form with cross-micro-batch state is asserted
+    // in StreamIngestSpec.
+    "st14_correlate_twin" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          col("ts").as("click_ts"))
+      val buys = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("ts").as("purchase_ts"))
+      graft.streaming.StreamIngest.correlateStreams(
+          clicks, buys, "user_id", "click_ts", "purchase_ts", "1 hour")
+        .select(col("user_id"), col("click_id"), col("purchase_id"))
+        .orderBy("user_id", "click_id", "purchase_id")
     })
   )
 
@@ -1635,7 +1654,17 @@ object SparkEntry {
         |  CASE WHEN base_p IS NULL OR base_p = 0 THEN NULL
         |       ELSE round((p - base_p) * ln(p / base_p), 6) END AS psi_term
         |FROM p LEFT JOIN base USING (event_type)
-        |ORDER BY day_start, event_type""".stripMargin
+        |ORDER BY day_start, event_type""".stripMargin,
+    "st14_correlate_twin" ->
+      """WITH c AS (SELECT user_id, event_id AS click_id, ts AS click_ts
+        |  FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, event_id AS purchase_id, ts AS purchase_ts
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT c.user_id, click_id, purchase_id
+        |FROM c JOIN p ON c.user_id = p.user_id
+        |  AND purchase_ts >= click_ts
+        |  AND purchase_ts <= click_ts + INTERVAL 1 HOUR
+        |ORDER BY c.user_id, click_id, purchase_id""".stripMargin
   )
 
   // ---- D: dedup suite (training-data pipeline) ---------------------------

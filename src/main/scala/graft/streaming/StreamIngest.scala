@@ -127,6 +127,40 @@ object StreamIngest {
           .as("psi_term"))
   }
 
+  /** ST14: stream-stream correlation join — match each LEFT event to
+    * the RIGHT events of the same key within a forward time tolerance
+    * (click→purchase attribution, request→response pairing, CDC
+    * enrichment against a second feed). This is the capability the
+    * reference's architecture delegates entirely to batch (SURVEY.md
+    * §2.10 "absent: stream-stream joins"); Spark expresses it natively.
+    *
+    * Both sides carry a watermark equal to the tolerance, and the join
+    * condition bounds `rightTs` to [leftTs, leftTs + tolerance] — the
+    * two facts Spark needs to EVICT join state: a left row older than
+    * the watermark can never match a future right row, so per-key
+    * buffered state is bounded by tolerance × arrival rate, never by
+    * stream age. Inner join ⇒ append-mode emission as matches arrive;
+    * a match whose sides land in different micro-batches is produced
+    * by the state store when the second side shows up
+    * (StreamIngestSpec asserts exactly that).
+    *
+    * The SAME code path runs in batch (`withWatermark` is a no-op
+    * there), so the oracled twin `st14_correlate_twin` IS this
+    * function on the stored table — not a reimplementation.
+    *
+    * Inputs must be pre-projected so column names don't collide apart
+    * from `key` (the standard enrichment shape: narrow key + payload). */
+  def correlateStreams(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, tolerance: String): DataFrame = {
+    val l = left.withWatermark(leftTs, tolerance)
+    val r = right.withWatermark(rightTs, tolerance)
+    l.join(r,
+      l(key) === r(key) &&
+        col(rightTs) >= col(leftTs) &&
+        col(rightTs) <= col(leftTs) + expr(s"INTERVAL $tolerance"))
+      .drop(r(key))
+  }
+
   /** ST10: streaming session windows — gap-merged activity bursts per
     * user via the native `session_window`. State per key is the set of
     * OPEN sessions only: a session closes (and emits, in append mode)

@@ -532,4 +532,30 @@ class StreamIngestSpec extends SparkSpec {
     val idxIds = spark.read.parquet(idx).select("doc_id").as[Long].collect().sorted
     assert(idxIds.toSeq === got.toSeq)
   }
+
+  test("ST14: stream-stream correlate matches across micro-batches, bounds by tolerance") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Long, Timestamp)]
+    val buys = MemoryStream[(Long, Long, Timestamp)]
+    val joined = StreamIngest.correlateStreams(
+      clicks.toDF().toDF("user_id", "click_id", "click_ts"),
+      buys.toDF().toDF("user_id", "purchase_id", "purchase_ts"),
+      "user_id", "click_ts", "purchase_ts", "30 minutes")
+    val q = joined.select("user_id", "click_id", "purchase_id")
+      .writeStream.format("memory").queryName("st14_out")
+      .outputMode("append").start()
+    // micro-batch 1: a click, no purchase yet — nothing emits, the
+    // click waits in the join state store
+    clicks.addData((7L, 1L, ts("2024-01-01 10:00:00")))
+    q.processAllAvailable()
+    // micro-batch 2: one purchase inside the 30-minute tolerance (must
+    // match the BUFFERED click from batch 1), one outside it (must not)
+    buys.addData((7L, 2L, ts("2024-01-01 10:20:00")),
+      (7L, 3L, ts("2024-01-01 11:30:00")))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.sql("SELECT user_id, click_id, purchase_id FROM st14_out")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === Set((7L, 1L, 2L)))
+  }
 }
