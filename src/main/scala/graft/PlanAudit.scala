@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.optimizer.BuildLeft
-import org.apache.spark.sql.execution.{FileSourceScanExec, GlobalLimitExec, SparkPlan, TakeOrderedAndProjectExec}
+import org.apache.spark.sql.execution.{FileSourceScanExec, GlobalLimitExec, LocalTableScanExec, SparkPlan, TakeOrderedAndProjectExec}
 import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
 import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec, SortMergeJoinExec}
@@ -55,8 +55,10 @@ object PlanAudit {
   /** A nested-loop join is the legitimate scale pattern when its
     * broadcast side is provably bounded: a global aggregate (exactly
     * one row — scalar frames like the top-k cutoff, corpus size, or
-    * quantile bounds) or an explicit limit (e.g. the ≤√n centroid
-    * table). Anything else is an accidental cross product. */
+    * quantile bounds), an explicit limit (e.g. the ≤√n centroid
+    * table), or a literal VALUES relation (e.g. dq6's 5-row quantile
+    * spec) — all fixed-size regardless of input scale. Anything else
+    * is an accidental cross product. */
   private def boundedBuild(j: BroadcastNestedLoopJoinExec): Boolean = {
     val build: SparkPlan = if (j.buildSide == BuildLeft) j.left else j.right
     build.collectFirst {
@@ -65,6 +67,7 @@ object PlanAudit {
       case a: ObjectHashAggregateExec if a.groupingExpressions.isEmpty => ()
       case _: TakeOrderedAndProjectExec                                => ()
       case _: GlobalLimitExec                                          => ()
+      case _: LocalTableScanExec                                       => ()
     }.isDefined
   }
 

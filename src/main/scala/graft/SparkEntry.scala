@@ -307,6 +307,46 @@ object SparkEntry {
         .withColumn("generation",
           when(col("n_regionkey").isNull, 1).otherwise(2).cast("int"))
         .orderBy("generation", "n_nationkey")
+    }),
+    // DQ6 (beyond reference): quantiles from a fixed-bin histogram
+    // sketch — the bounded-state scale twin of a15's exact
+    // percentiles. One linear scan into ≤64 map-side-combined
+    // counters, no sort; integer crossing ranks + one documented
+    // float interpolation make the estimate bit-reproducible, so —
+    // unlike the HLL-based w7_ntile_approx — this approximate path
+    // IS hash-oracled. Domain [0,512) covers events.value (≤490.02);
+    // out-of-domain values clamp to the edge bins by construction.
+    "dq6_hist_quantiles" -> ((s, d) =>
+      graft.sketch.Sketches.histQuantiles(
+          t(s, d, "events"), col("value"), lo = 0.0, width = 8.0, bins = 64,
+          quantiles = Seq(1 -> 4, 1 -> 2, 3 -> 4, 9 -> 10, 99 -> 100))
+        .orderBy("q")),
+    // S12 (beyond reference): Z-order-clustered layout — write the
+    // events replica sorted by the Morton interleave of (user bucket,
+    // day), then serve a 2-D range predicate from it. The query result
+    // is layout-independent (oracle = plain filter); the LAYOUT is the
+    // operator: interleaved sort makes parquet row-group min/max stats
+    // tight in BOTH dimensions, so the reader prunes stripes on the
+    // intersection instead of one dimension (ZOrderSpec measures
+    // scan-output rows z-order vs time-order on the same predicate).
+    // Scratch handling and local-mode caveat as s11.
+    "s12_zorder_scan" -> ((s, d) => {
+      val tmp = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"), "graft_s12_scratch").toString
+      val ev = t(s, d, "events")
+        .withColumn("user_bucket", pmod(col("user_id"), lit(64)))
+        .withColumn("day", dayofmonth(col("ts")))
+      ev.withColumn("z",
+          graft.functions.ZOrder.interleave2(col("user_bucket"), col("day"), 6))
+        .repartitionByRange(8, col("z")).sortWithinPartitions("z")
+        .drop("z")
+        .write.mode("overwrite").option("parquet.block.size", "65536")
+        .parquet(tmp)
+      s.read.parquet(tmp)
+        .filter(col("user_bucket").between(16, 23) && col("day").between(8, 15))
+        .select(col("event_id"), col("user_id"), col("user_bucket"),
+          col("day"), col("event_type"), col("value"))
+        .orderBy("event_id")
     })
   )
 
@@ -373,6 +413,16 @@ object SparkEntry {
         |UNION ALL
         |SELECT n_nationkey, n_name, n_regionkey, 2 FROM nation
         |ORDER BY generation, n_nationkey""".stripMargin,
+    "s12_zorder_scan" ->
+      """SELECT event_id, user_id, user_id % 64 AS user_bucket,
+        |  CAST(date_part('day', ts) AS INT) AS day, event_type, value
+        |FROM events
+        |WHERE (user_id % 64) BETWEEN 16 AND 23 AND date_part('day', ts) BETWEEN 8 AND 15
+        |ORDER BY event_id""".stripMargin,
+    "dq6_hist_quantiles" ->
+      graft.sketch.Sketches.histQuantilesSql(
+        "SELECT value AS v FROM events", lo = 0.0, width = 8.0, bins = 64,
+        quantiles = Seq(1 -> 4, 1 -> 2, 3 -> 4, 9 -> 10, 99 -> 100)),
     "dq5_drift_psi" ->
       """WITH a AS (SELECT event_type,
         |    count(*) FILTER (WHERE ts < TIMESTAMP '2024-01-15 00:00:00') AS n1,
@@ -916,7 +966,63 @@ object SparkEntry {
       Measures.cohortRetention(t(s, d, "events"), col("user_id"), col("ts"),
           "month")
         .withColumnRenamed("offset", "month_offset")
-        .orderBy("cohort_start", "month_offset"))
+        .orderBy("cohort_start", "month_offset")),
+    // A24 (beyond reference): exact heavy hitters — top-20 most active
+    // users. TakeOrderedAndProject after a map-side-combined count:
+    // correct at any scale but the groupBy state is the full key
+    // cardinality; a25 is its bounded-state sketch twin.
+    "a24_heavy_hitters" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("user_id")).limit(20)
+        .withColumn("rnk", row_number().over(
+          Window.orderBy(col("n").desc, col("user_id"))))
+        .orderBy("rnk")),
+    // A25 (beyond reference): count-min-sketch frequency estimates for
+    // the same leaderboard — depth×width (4×256) counters of state
+    // regardless of key cardinality, mergeable by addition across
+    // executors and micro-batches. md5-deterministic hashing ⇒ the
+    // sketch itself is hash-oracled (vs the spec-only HLL paths);
+    // SketchSpec additionally asserts the one-sided CMS error bound
+    // (est ≥ exact always).
+    "a25_cms_top_users" -> ((s, d) => {
+      // the leaderboard needs exact counts anyway, so the sketch is
+      // derived from the per-key count table (definitionally the same
+      // counters — SketchSpec): ONE scan of events, checkpointed so
+      // the counter build and the estimate join read memory.
+      val perKey = t(s, d, "events")
+        .groupBy(col("user_id")).agg(count(lit(1)).as("exact"))
+        .localCheckpoint()
+      graft.sketch.Sketches.cmsFromCounts(perKey, col("user_id"), col("exact"))
+        .withColumnRenamed("k", "user_id")
+        .join(perKey, "user_id")
+        .orderBy(col("est").desc, col("user_id")).limit(20)
+        .select(col("user_id"), col("est"), col("exact"))
+        .orderBy(col("est").desc, col("user_id"))
+    }),
+    // A26 (beyond reference): incremental materialized-view
+    // maintenance — the standing rollup (events before the cut) is
+    // merged with the delta batch's aggregate state instead of
+    // rescanning history; refresh cost is O(delta). The mid-week cut
+    // (Thu Jan 18) makes the boundary week present on BOTH sides, so
+    // the oracle (a plain full recompute) proves merged state ==
+    // recomputed state exactly — counts and decimal sums are
+    // commutative monoids, which is the whole trick.
+    "a26_incremental_rollup" -> ((s, d) => {
+      val cut = to_timestamp(lit("2024-01-18 00:00:00"))
+      def state(df: DataFrame) = df
+        .groupBy(col("event_type"),
+          date_trunc("week", col("ts")).as("week_start"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,2)")).as("sv"))
+      val ev = t(s, d, "events")
+      graft.analytics.Incremental.mergeState(
+          state(ev.filter(col("ts") < cut)), state(ev.filter(col("ts") >= cut)),
+          Seq("event_type", "week_start"), "n_events", Seq("sv"))
+        .select(col("event_type"), col("week_start"), col("n_events"),
+          col("sv").cast("double").as("total_value"))
+        .orderBy("event_type", "week_start")
+    })
   )
 
   private val aggOracles: Map[String, String] = Map(
@@ -1058,6 +1164,19 @@ object SparkEntry {
         |  count(DISTINCT u) AS n_active
         |FROM act JOIN coh USING (u)
         |GROUP BY 1, 2 ORDER BY cohort_start, month_offset""".stripMargin,
+    "a24_heavy_hitters" ->
+      """SELECT user_id, n, rnk FROM (
+        |  SELECT user_id, n, CAST(row_number() OVER (ORDER BY n DESC, user_id) AS INT) AS rnk
+        |  FROM (SELECT user_id, count(*) AS n FROM events GROUP BY user_id))
+        |WHERE rnk <= 20 ORDER BY rnk""".stripMargin,
+    "a25_cms_top_users" ->
+      graft.sketch.Sketches.cmsTopSql(
+        "SELECT user_id AS k FROM events", "user_id", 20),
+    "a26_incremental_rollup" ->
+      """SELECT event_type, CAST(date_trunc('week', ts) AS TIMESTAMP) AS week_start,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY event_type, week_start""".stripMargin,
     "a19_salted_agg" ->
       """SELECT user_id, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
         |  count(*) AS n
@@ -2864,6 +2983,30 @@ object SparkEntry {
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("order_count"))
         .orderBy("o_orderpriority")
+    }),
+    // X10: runtime Bloom-filter join pruning — the 100 TB shape where
+    // NEITHER side broadcasts: Catalyst's InjectRuntimeFilter builds a
+    // Bloom filter from the selective (filtered-orders) side and pushes
+    // `might_contain` onto the lineitem scan, so non-matching fact rows
+    // die at the reader instead of crossing the shuffle. Result is
+    // EXACT (the join still verifies; the filter only prunes), so the
+    // oracle is the plain join. Session-scoped confs force the
+    // shuffle-join + injection path at sandbox SF where broadcast would
+    // otherwise hide it; PlansSpec asserts `might_contain` is actually
+    // in the executed plan, not assumed.
+    "x10_bloom_prune_join" -> ((s, d) => {
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      val o = t(s2, d, "orders").filter(col("o_orderpriority") === "1-URGENT")
+      t(s2, d, "lineitem")
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(date_trunc("month", col("o_orderdate")).as("month_start"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1) - col("l_discount").cast("decimal(4,2)"))).cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("month_start")
     })
   )
 
@@ -2954,6 +3097,13 @@ object SparkEntry {
         |WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
         |  AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
         |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+    "x10_bloom_prune_join" ->
+      """SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY 1 ORDER BY month_start""".stripMargin,
     "x9_priority_check" ->
       """SELECT o_orderpriority, count(*) AS order_count
         |FROM orders

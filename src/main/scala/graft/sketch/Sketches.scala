@@ -1,0 +1,184 @@
+package graft.sketch
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Bounded-state summary sketches — the aggregation shapes that replace
+  * full-keyspace shuffles when the keyspace (or the sort) is the thing
+  * that doesn't fit at 100 TB.
+  *
+  * Unlike the HLL-based paths (`a13_approx_distinct`,
+  * `w7_ntile_approx`), every sketch here is built from the repo's
+  * deterministic 60-bit md5 hash, so the estimates are bit-reproducible
+  * under any partitioning AND expressible in ANSI SQL — each gets a
+  * DuckDB hash-compare oracle, not just a recall spec.
+  *
+  * Scale posture (the reason these exist):
+  *  - the histogram sketch reduces a full sort (exact percentiles) to
+  *    ONE linear scan with `bins` counters of state — a map-side
+  *    partial aggregation over a fixed-size key domain, mergeable by
+  *    addition across executors/batches;
+  *  - the count-min sketch answers per-key frequency queries with
+  *    `depth × width` counters regardless of key cardinality — the
+  *    building block for heavy-hitter detection over keyspaces too
+  *    large to group-by (URLs, n-grams, user agents at 100 TB);
+  *  - both are one-pass and commutative, so they compose with
+  *    Structured Streaming micro-batches (merge = elementwise sum).
+  *
+  * Reference anchor: the reference's dashboards compute exact
+  * percentile/top-n summaries in the warehouse (README KPI list);
+  * these are the scale-path twins of those summaries.
+  */
+object Sketches {
+
+  /** Deterministic 60-bit salted hash (TextAnalysis.hash60 twin kept
+    * local so the sketch module is self-contained). */
+  private def hash60(c: Column, salt: String): Column =
+    conv(substring(md5(concat(lit(salt + ":"), c).cast("binary")), 1, 15), 16, 10)
+      .cast("long")
+
+  // ---- fixed-bin histogram quantiles --------------------------------------
+
+  /** Bin occupancy histogram over a declared [lo, lo + bins*width)
+    * domain: one `groupBy` over at most `bins` keys (map-side combined,
+    * so the shuffle moves ≤ bins rows per task regardless of input
+    * size). Values outside the domain clamp to the edge bins. */
+  def histogram(df: DataFrame, value: Column, lo: Double, width: Double, bins: Int): DataFrame =
+    df.select(
+        least(lit(bins - 1),
+          greatest(lit(0), floor((value - lo) / width))).cast("int").as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("cnt"))
+
+  /** Quantile estimates from the histogram by cumulative walk + linear
+    * interpolation inside the crossing bin.
+    *
+    * Quantiles are passed as exact integer fractions (qnum/qden) and
+    * the crossing rank is computed in integer arithmetic
+    * (`ceil(q*n)` = `(qnum*n + qden - 1) div qden`), so the only
+    * floating-point steps are the final interpolation divide/multiply —
+    * written identically in the SQL oracle, hence bit-equal. The
+    * post-histogram walk runs over ≤ bins rows (a single light
+    * partition), which is the point: the heavy input never sorts. */
+  def histQuantiles(df: DataFrame, value: Column, lo: Double, width: Double, bins: Int,
+                    quantiles: Seq[(Int, Int)]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val hist = histogram(df, value, lo, width, bins)
+    val cum = hist
+      .withColumn("cum", sum(col("cnt")).over(Window.orderBy(col("bin"))))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy()))
+    val qs = quantiles.toDF("qnum", "qden")
+    qs.crossJoin(cum)
+      // rank of the q-th value (1-based): ceil(q * n) in integer math.
+      .withColumn("target", expr("(qnum * n + qden - 1) div qden"))
+      .filter(col("cum") >= col("target"))
+      .withColumn("pick", row_number().over(
+        Window.partitionBy(col("qnum"), col("qden")).orderBy(col("bin"))))
+      .filter(col("pick") === 1)
+      .select(
+        round(col("qnum").cast("double") / col("qden"), 4).as("q"),
+        col("n"),
+        round(lit(lo) + lit(width) * col("bin") +
+          lit(width) * ((col("target") - (col("cum") - col("cnt"))).cast("double") /
+            col("cnt").cast("double")), 6).as("est"))
+  }
+
+  /** Oracle SQL for [[histQuantiles]] over a one-column relation
+    * `FROM (...) src(v)`; arithmetic mirrors the Scala exactly. */
+  def histQuantilesSql(srcSql: String, lo: Double, width: Double, bins: Int,
+                       quantiles: Seq[(Int, Int)]): String = {
+    val qRows = quantiles.map { case (a, b) => s"($a, $b)" }.mkString(", ")
+    s"""WITH src AS ($srcSql),
+       |hist AS (
+       |  SELECT CAST(least(${bins - 1}, greatest(0, floor((v - $lo) / $width))) AS INT) AS bin,
+       |         count(*) AS cnt
+       |  FROM src GROUP BY 1),
+       |cum AS (
+       |  SELECT bin, cnt, CAST(sum(cnt) OVER (ORDER BY bin) AS BIGINT) AS cum,
+       |         CAST(sum(cnt) OVER () AS BIGINT) AS n
+       |  FROM hist),
+       |qs AS (SELECT * FROM (VALUES $qRows) q(qnum, qden)),
+       |hit AS (
+       |  SELECT qnum, qden, n, bin, cnt, cum,
+       |         (qnum * n + qden - 1) // qden AS target,
+       |         row_number() OVER (PARTITION BY qnum, qden ORDER BY bin) AS pick
+       |  FROM qs, cum
+       |  WHERE cum >= (qnum * n + qden - 1) // qden)
+       |SELECT round(CAST(qnum AS DOUBLE) / qden, 4) AS q, n,
+       |       round($lo + $width * bin +
+       |             $width * (CAST(target - (cum - cnt) AS DOUBLE) / CAST(cnt AS DOUBLE)), 6) AS est
+       |FROM hit WHERE pick = 1 ORDER BY q""".stripMargin
+  }
+
+  // ---- count-min sketch ---------------------------------------------------
+
+  val CMS_DEPTH = 4
+  val CMS_WIDTH = 256
+
+  /** CMS counter table: `depth × width` cells, cell (r,c) = number of
+    * rows whose r-th hash lands in column c. Built as ONE groupBy over
+    * a ≤ depth*width key domain (each input row contributes `depth`
+    * (r,c) pairs via posexplode) — partial aggregation collapses the
+    * shuffle to ≤ depth*width rows per task. Merging two sketches is
+    * elementwise addition, which is how a streaming deployment folds
+    * micro-batches into a standing sketch. */
+  def cmsCounters(df: DataFrame, key: Column): DataFrame = {
+    val cells = array((0 until CMS_DEPTH).map(r => pmod(hash60(key, s"cms$r"), lit(CMS_WIDTH))): _*)
+    df.select(posexplode(cells).as(Seq("r", "c")))
+      .groupBy("r", "c").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point-estimate the frequency of every distinct key: min over the
+    * key's depth cells. The counter table broadcasts (≤ depth*width
+    * rows — a few KB at any corpus size), so estimation is a scan of
+    * the DISTINCT keys with a broadcast join, never a re-shuffle of
+    * the raw rows. Estimates are biased high (collisions only add),
+    * never low — the CMS guarantee the spec asserts. */
+  def cmsEstimates(df: DataFrame, key: Column): DataFrame = {
+    val counters = cmsCounters(df, key)
+    val keyed = df.select(key.as("k")).distinct()
+      .select(col("k"), posexplode(
+        array((0 until CMS_DEPTH).map(r => pmod(hash60(col("k"), s"cms$r"), lit(CMS_WIDTH))): _*))
+        .as(Seq("r", "c")))
+    keyed.join(broadcast(counters), Seq("r", "c"))
+      .groupBy("k").agg(min(col("cnt")).as("est"))
+  }
+
+  /** [[cmsEstimates]] built from an already-aggregated (key, count)
+    * table instead of the raw rows. Definitionally identical — cell
+    * (r,c) = Σ_{k: h_r(k)=c} count(k) whether the rows stream through
+    * the hash or their counts do (SketchSpec pins the equivalence) —
+    * but ONE scan of the raw input instead of three when the exact
+    * counts are needed anyway (the a25 leaderboard joins them). The
+    * raw-row [[cmsEstimates]] stays the deployment shape for keyspaces
+    * too large to group exactly — which is the sketch's reason to
+    * exist. Pass the per-key frame pre-checkpointed so its two uses
+    * (counters + estimates) read memory, not the source. */
+  def cmsFromCounts(perKey: DataFrame, key: Column, cnt: Column): DataFrame = {
+    val cells = perKey.select(key.as("k"), cnt.as("w"), posexplode(
+        array((0 until CMS_DEPTH).map(r => pmod(hash60(key, s"cms$r"), lit(CMS_WIDTH))): _*))
+      .as(Seq("r", "c")))
+    val counters = cells.groupBy("r", "c").agg(sum(col("w")).as("cnt"))
+    cells.select("k", "r", "c").join(broadcast(counters), Seq("r", "c"))
+      .groupBy("k").agg(min(col("cnt")).as("est"))
+  }
+
+  /** Oracle SQL for [[cmsEstimates]] joined with exact counts, over a
+    * one-column relation `FROM (...) src(k)`; the key is emitted as
+    * `outName` so the driver's by-name column compare lines up. */
+  def cmsTopSql(srcSql: String, outName: String, limit: Int): String = {
+    val hashes = (0 until CMS_DEPTH).map { r =>
+      s"SELECT $r AS r, ('0x' || substr(md5('cms$r:' || k), 1, 15))::BIGINT % $CMS_WIDTH AS c, k FROM src"
+    }.mkString(" UNION ALL ")
+    s"""WITH src AS ($srcSql),
+       |cells AS ($hashes),
+       |counters AS (SELECT r, c, count(*) AS cnt FROM cells GROUP BY r, c),
+       |keys AS (SELECT DISTINCT r, c, k FROM cells),
+       |est AS (
+       |  SELECT k, min(cnt) AS est FROM keys JOIN counters USING (r, c) GROUP BY k),
+       |exact AS (SELECT k, count(*) AS exact FROM src GROUP BY k)
+       |SELECT k AS $outName, est, exact FROM est JOIN exact USING (k)
+       |ORDER BY est DESC, k LIMIT $limit""".stripMargin
+  }
+}

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sketch.Sketches
+
+/** Bounded-state sketches: estimator guarantees (CMS one-sided error,
+  * histogram-quantile error ≤ one bin width vs the exact percentile)
+  * and partitioning-independence of the estimates. */
+class SketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val events = Tables.events(spark, sfDir)
+
+  test("histogram quantile estimate is within one bin width of the exact percentile") {
+    val qs = Seq(1 -> 4, 1 -> 2, 3 -> 4, 9 -> 10)
+    val est = Sketches.histQuantiles(events, col("value"), 0.0, 8.0, 64, qs)
+      .select("q", "est").as[(Double, Double)].collect().toMap
+    val exact = events
+      .agg(expr("percentile(value, 0.25)"), expr("percentile(value, 0.5)"),
+        expr("percentile(value, 0.75)"), expr("percentile(value, 0.9)"))
+      .as[(Double, Double, Double, Double)].head()
+    val pairs = Seq(0.25 -> exact._1, 0.5 -> exact._2, 0.75 -> exact._3, 0.9 -> exact._4)
+    pairs.foreach { case (q, ex) =>
+      assert(math.abs(est(q) - ex) <= 8.0, s"q=$q est=${est(q)} exact=$ex")
+    }
+  }
+
+  test("histogram quantiles are partitioning-independent") {
+    val qs = Seq(1 -> 4, 1 -> 2, 9 -> 10, 99 -> 100)
+    val a = Sketches.histQuantiles(events, col("value"), 0.0, 8.0, 64, qs)
+      .select("q", "n", "est").as[(Double, Long, Double)].collect().sortBy(_._1)
+    val b = Sketches.histQuantiles(events.repartition(13), col("value"), 0.0, 8.0, 64, qs)
+      .select("q", "n", "est").as[(Double, Long, Double)].collect().sortBy(_._1)
+    assert(a.toSeq === b.toSeq)
+  }
+
+  test("CMS estimates are one-sided: est >= exact for every key") {
+    val exact = events.groupBy(col("user_id").as("k")).agg(count(lit(1)).as("exact"))
+    val bad = Sketches.cmsEstimates(events, col("user_id"))
+      .join(exact, "k")
+      .filter(col("est") < col("exact"))
+      .count()
+    assert(bad === 0L)
+  }
+
+  test("CMS counter table is bounded by depth x width and sums to depth x n") {
+    val counters = Sketches.cmsCounters(events, col("user_id"))
+    assert(counters.count() <= Sketches.CMS_DEPTH.toLong * Sketches.CMS_WIDTH)
+    val total = counters.agg(sum("cnt")).as[Long].head()
+    assert(total === Sketches.CMS_DEPTH * events.count())
+  }
+
+  test("CMS from per-key counts equals CMS from raw rows (weighted-cell identity)") {
+    val fromRows = Sketches.cmsEstimates(events, col("user_id"))
+      .as[(Long, Long)].collect().sortBy(_._1)
+    val perKey = events.groupBy(col("user_id")).agg(count(lit(1)).as("exact"))
+    val fromCounts = Sketches.cmsFromCounts(perKey, col("user_id"), col("exact"))
+      .as[(Long, Long)].collect().sortBy(_._1)
+    assert(fromRows.toSeq === fromCounts.toSeq)
+  }
+
+  test("CMS estimates are partitioning-independent (sketch merge is commutative)") {
+    val a = Sketches.cmsEstimates(events, col("user_id"))
+      .as[(Long, Long)].collect().sortBy(_._1)
+    val b = Sketches.cmsEstimates(events.repartition(7), col("user_id"))
+      .as[(Long, Long)].collect().sortBy(_._1)
+    assert(a.toSeq === b.toSeq)
+  }
+}
