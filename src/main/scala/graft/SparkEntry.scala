@@ -1022,7 +1022,18 @@ object SparkEntry {
         .select(col("event_type"), col("week_start"), col("n_events"),
           col("sv").cast("double").as("total_value"))
         .orderBy("event_type", "week_start")
-    })
+    }),
+    // A27 (beyond reference): unpivot/melt — a10's wide status×month
+    // pivot folded back to long form with the native `unpivot`
+    // operator (single projection+generate, no shuffle). Absent
+    // combinations pivoted to 0 are dropped, so the roundtrip equals
+    // the plain long-form GROUP BY — which is exactly the oracle.
+    "a27_unpivot_melt" -> ((s, d) =>
+      aggQueries("a10_pivot_status_month")(s, d)
+        .unpivot(Array(col("month_start")),
+          Array(col("O"), col("F"), col("P")), "status", "n_orders")
+        .filter(col("n_orders") > 0)
+        .orderBy("month_start", "status"))
   )
 
   private val aggOracles: Map[String, String] = Map(
@@ -1177,6 +1188,10 @@ object SparkEntry {
         |  count(*) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY event_type, week_start""".stripMargin,
+    "a27_unpivot_melt" ->
+      """SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+        |  o_orderstatus AS status, count(*) AS n_orders
+        |FROM orders GROUP BY 1, 2 ORDER BY month_start, status""".stripMargin,
     "a19_salted_agg" ->
       """SELECT user_id, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
         |  count(*) AS n
@@ -1354,7 +1369,26 @@ object SparkEntry {
         .withColumn("pct_rank", round(percent_rank().over(w), 6))
         .withColumn("cume", round(cume_dist().over(w), 6))
         .orderBy("event_id")
-    })
+    }),
+    // W11 (beyond reference): first-order Markov transition matrix of
+    // each user's event sequence — counts and row-normalized
+    // probabilities for every observed (prev → next) pair. One per-key
+    // window pass; the probability is one double division of exact
+    // longs (engine-portable IEEE).
+    "w11_transition_matrix" -> ((s, d) =>
+      graft.analytics.TimeSeries.transitionMatrix(
+          t(s, d, "events"), col("user_id"),
+          Seq(col("ts"), col("event_id")), col("event_type"))
+        .orderBy("prev_state", "next_state")),
+    // TS1 (beyond reference): dense daily panel with forward fill —
+    // each user's [min, max] day range expanded to a gap-free spine
+    // (distributed sequence+explode, no driver calendar) and missing
+    // days filled with the last observed value (LOCF).
+    "ts1_gap_fill" -> ((s, d) =>
+      graft.analytics.TimeSeries.gapFillDaily(
+          t(s, d, "events"), col("user_id"), col("ts"), col("value"))
+        .withColumnRenamed("k", "user_id")
+        .orderBy("user_id", "day"))
   )
 
   private val windowOracles: Map[String, String] = Map(
@@ -1430,7 +1464,29 @@ object SparkEntry {
         |  round(percent_rank() OVER w, 6) AS pct_rank,
         |  round(cume_dist() OVER w, 6) AS cume
         |FROM events WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
-        |ORDER BY event_id""".stripMargin
+        |ORDER BY event_id""".stripMargin,
+    "w11_transition_matrix" ->
+      """WITH seq AS (SELECT event_type AS next_state,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_state
+        |  FROM events),
+        |tr AS (SELECT prev_state, next_state, count(*) AS n
+        |  FROM seq WHERE prev_state IS NOT NULL GROUP BY 1, 2)
+        |SELECT prev_state, next_state, n,
+        |  CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY prev_state) AS DOUBLE) AS p
+        |FROM tr ORDER BY prev_state, next_state""".stripMargin,
+    "ts1_gap_fill" ->
+      """WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS day,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS day_value
+        |  FROM events GROUP BY 1, 2),
+        |bounds AS (SELECT user_id, min(day) AS mn, max(day) AS mx FROM daily GROUP BY 1),
+        |spine AS (SELECT user_id, CAST(unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS DATE) AS day FROM bounds),
+        |j AS (SELECT s.user_id, s.day, d.day_value FROM spine s
+        |      LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day)
+        |SELECT user_id, day, day_value,
+        |  last_value(day_value IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value,
+        |  CAST(day_value IS NULL AS INT) AS was_gap
+        |FROM j ORDER BY user_id, day""".stripMargin
   )
 
   // ---- O: sort / limit / offset ------------------------------------------
@@ -1440,13 +1496,29 @@ object SparkEntry {
       t(s, d, "orders")
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
         .select(col("o_orderkey"), col("o_totalprice"))
-        .offset(10).limit(100))
+        .offset(10).limit(100)),
+    // O2 (beyond reference): 2-D skyline — parts no other part beats
+    // on BOTH price (lower) and size (larger). The banded prefix-max
+    // formulation is linear (operators.Skyline); the oracle is the
+    // quadratic NOT EXISTS definition, so the hash match proves the
+    // linear rewrite exact.
+    "o2_skyline" -> ((s, d) =>
+      graft.operators.Skyline.skyline2d(
+          t(s, d, "part"), minimize = "p_retailprice", maximize = "p_size")
+        .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+        .orderBy("p_partkey"))
   )
 
   private val sortOracles: Map[String, String] = Map(
     "o1_sort_limit_offset" ->
       """SELECT o_orderkey, o_totalprice FROM orders
-        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100 OFFSET 10""".stripMargin
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100 OFFSET 10""".stripMargin,
+    "o2_skyline" ->
+      """SELECT p_partkey, p_retailprice, p_size FROM part p
+        |WHERE NOT EXISTS (SELECT 1 FROM part q
+        |  WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+        |    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
+        |ORDER BY p_partkey""".stripMargin
   )
 
   // ---- U: set operations --------------------------------------------------
@@ -3115,6 +3187,43 @@ object SparkEntry {
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
   )
 
+  // ---- G: graph analytics (beyond reference) ------------------------------
+
+  private val graphQueries: Map[String, Q] = Map(
+    // G1: fixed-point PageRank over the customer↔supplier trade graph
+    // (edges = distinct (custkey, suppkey) pairs that share an order;
+    // parity-encoded into one id space). All rank arithmetic is scaled
+    // 64-bit integer, so the iterative result is bit-reproducible and
+    // the oracle replays the identical 3-round recurrence in SQL —
+    // hash-matching an ITERATIVE computation, like d7 but numeric.
+    "g1_pagerank" -> ((s, d) => {
+      val edges = t(s, d, "lineitem")
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("u"), (col("l_suppkey") * 2 + 1).as("v"))
+      graft.graph.PageRank.fixedPoint(edges, iterations = 3)
+        .orderBy(col("rank_fp").desc, col("node_id"))
+    })
+  )
+
+  private val graphOracles: Map[String, String] = Map(
+    "g1_pagerank" ->
+      """WITH e0 AS (SELECT DISTINCT o_custkey*2 AS u, l_suppkey*2+1 AS v
+        |            FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |edges AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+        |deg AS (SELECT u, count(*) AS d FROM edges GROUP BY u),
+        |nn AS (SELECT count(*) AS n FROM deg),
+        |base AS (SELECT (15 * (1000000000000 // n)) // 100 AS b FROM nn),
+        |r0 AS (SELECT deg.u, 1000000000000 // nn.n AS r FROM deg, nn),
+        |r1 AS (SELECT e.v AS u, (SELECT b FROM base) + (85 * sum(r0.r // deg.d)) // 100 AS r
+        |       FROM edges e JOIN r0 ON e.u = r0.u JOIN deg ON e.u = deg.u GROUP BY e.v),
+        |r2 AS (SELECT e.v AS u, (SELECT b FROM base) + (85 * sum(r1.r // deg.d)) // 100 AS r
+        |       FROM edges e JOIN r1 ON e.u = r1.u JOIN deg ON e.u = deg.u GROUP BY e.v),
+        |r3 AS (SELECT e.v AS u, (SELECT b FROM base) + (85 * sum(r2.r // deg.d)) // 100 AS r
+        |       FROM edges e JOIN r2 ON e.u = r2.u JOIN deg ON e.u = deg.u GROUP BY e.v)
+        |SELECT u AS node_id, r AS rank_fp FROM r3
+        |ORDER BY rank_fp DESC, node_id""".stripMargin
+  )
+
   // ---- assembled contract -------------------------------------------------
 
   def queries: Map[String, Q] =
@@ -3122,12 +3231,12 @@ object SparkEntry {
       sourceQueries ++ projQueries ++ joinQueries ++ aggQueries ++
       windowQueries ++ sortQueries ++ setQueries ++ fnQueries ++
       streamTwinQueries ++ dedupQueries ++ simQueries ++ textQueries ++
-      mmQueries ++ whQueries ++ pipeQueries ++ shapeQueries
+      mmQueries ++ whQueries ++ pipeQueries ++ shapeQueries ++ graphQueries
 
   def oracleSql: Map[String, String] =
     Map("flagship_manager_dashboard" -> flagshipSql) ++
       sourceOracles ++ projOracles ++ joinOracles ++ aggOracles ++
       windowOracles ++ sortOracles ++ setOracles ++ fnOracles ++
       streamTwinOracles ++ dedupOracles ++ simOracles ++ textOracles ++
-      mmOracles ++ whOracles ++ pipeOracles ++ shapeOracles
+      mmOracles ++ whOracles ++ pipeOracles ++ shapeOracles ++ graphOracles
 }

@@ -44,13 +44,18 @@ object Clusters {
       .toDF("src", "dst").localCheckpoint(true)
     val init = edges.select(col("src").as("node")).distinct()
       .withColumn("lbl", col("node"))
-    val labels = (1 to iterations).foldLeft(init) { (l, _) =>
+    val labels = (1 to iterations).foldLeft(init) { (l, i) =>
       val nbrMin = edges
         .join(l.select(col("node").as("dst"), col("lbl").as("nlbl")), "dst")
         .groupBy(col("src")).agg(min(col("nlbl")).as("nbr_min"))
-      l.join(nbrMin.select(col("src").as("node"), col("nbr_min")), "node")
+      val next = l.join(nbrMin.select(col("src").as("node"), col("nbr_min")), "node")
         .select(col("node"), least(col("lbl"), col("nbr_min")).as("lbl"))
-        .localCheckpoint(true)
+      // Checkpoint every OTHER round: one uncheckpointed round references
+      // its predecessor only 4× (l twice, and ReuseExchange dedupes the
+      // identical shuffle subtrees), and each eager checkpoint is a full
+      // Spark job — halving them halves the fixed dispatch cost of the
+      // iteration, which dominates when the label table is tiny.
+      if (i % 2 == 0 && i < iterations) next.localCheckpoint(true) else next
     }
     labels.select(col("node").as("doc_id"), col("lbl").as("cluster_id"),
       count(lit(1)).over(Window.partitionBy(col("lbl"))).as("n_members"))

@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.graph.PageRank
+
+/** Fixed-point PageRank: the properties that make an iterative graph
+  * computation trustworthy at scale — determinism under repartitioning
+  * (the whole point of integer arithmetic), bounded mass, and the
+  * structural sanity of the ranking itself. */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  // path a-b-c-d plus a hub e connected to everything: e must rank top.
+  private def toyPairs = Seq(
+    (1L, 2L), (2L, 3L), (3L, 4L),
+    (5L, 1L), (5L, 2L), (5L, 3L), (5L, 4L)).toDF("a", "b")
+
+  test("hub node ranks first; every incident node appears exactly once") {
+    val r = PageRank.fixedPoint(toyPairs, iterations = 3)
+      .orderBy(col("rank_fp").desc, col("node_id"))
+      .as[(Long, Long)].collect()
+    assert(r.length === 5)
+    assert(r.map(_._1).toSet === Set(1L, 2L, 3L, 4L, 5L))
+    assert(r.head._1 === 5L) // the hub
+    // symmetric positions rank identically: 1~4 and 2~3 by graph symmetry
+    val m = r.toMap
+    assert(m(1L) === m(4L))
+    assert(m(2L) === m(3L))
+  }
+
+  test("bit-identical under repartitioning and input row order") {
+    def run(df: org.apache.spark.sql.DataFrame) =
+      PageRank.fixedPoint(df, iterations = 3)
+        .orderBy("node_id").as[(Long, Long)].collect().toSeq
+    val base = run(toyPairs)
+    assert(run(toyPairs.repartition(7)) === base)
+    assert(run(toyPairs.orderBy(col("b"))) === base)
+    // duplicate edges must not change the graph (distinct inside)
+    assert(run(toyPairs.union(toyPairs)) === base)
+  }
+
+  test("total mass stays within floor-loss of SCALE and every rank is positive") {
+    val r = PageRank.fixedPoint(toyPairs, iterations = 3)
+      .agg(sum(col("rank_fp")), min(col("rank_fp"))).as[(Long, Long)].head()
+    assert(r._1 <= PageRank.Scale)
+    // floor loss per iteration is < |E|+|V| units of 10^-12
+    assert(r._1 > PageRank.Scale - 1000L)
+    assert(r._2 > 0L)
+  }
+}

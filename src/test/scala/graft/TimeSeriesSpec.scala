@@ -1,0 +1,54 @@
+package graft
+
+import java.sql.Date
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.analytics.TimeSeries
+
+class TimeSeriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("gap fill produces a dense spine with LOCF values") {
+    val df = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 10.0),
+      (1L, ts("2024-01-01 12:00:00"), 5.0),  // same day: sums to 15
+      (1L, ts("2024-01-04 09:00:00"), 7.0),  // two-day gap before this
+      (2L, ts("2024-01-02 00:00:00"), 1.0)).toDF("k", "ts", "v")
+    val got = TimeSeries.gapFillDaily(df, col("k"), col("ts"), col("v"))
+      .orderBy("k", "day")
+      .as[(Long, Date, Option[Double], Double, Int)].collect().toSeq
+    assert(got === Seq(
+      (1L, Date.valueOf("2024-01-01"), Some(15.0), 15.0, 0),
+      (1L, Date.valueOf("2024-01-02"), None, 15.0, 1),
+      (1L, Date.valueOf("2024-01-03"), None, 15.0, 1),
+      (1L, Date.valueOf("2024-01-04"), Some(7.0), 7.0, 0),
+      (2L, Date.valueOf("2024-01-02"), Some(1.0), 1.0, 0)))
+  }
+
+  test("transition matrix rows are counts of adjacent pairs and probabilities sum to 1") {
+    val df = Seq(
+      (1L, 1L, "a"), (1L, 2L, "b"), (1L, 3L, "a"), (1L, 4L, "b"),
+      (2L, 5L, "a"), (2L, 6L, "a")).toDF("k", "seq", "s")
+    val got = TimeSeries.transitionMatrix(
+        df, col("k"), Seq(col("seq")), col("s"))
+      .orderBy("prev_state", "next_state")
+      .as[(String, String, Long, Double)].collect().toSeq
+    // user 1: a→b, b→a, a→b; user 2: a→a
+    assert(got === Seq(
+      ("a", "a", 1L, 1.0 / 3.0), ("a", "b", 2L, 2.0 / 3.0),
+      ("b", "a", 1L, 1.0)))
+    // probabilities per prev row sum to 1 exactly on these fractions
+    val byPrev = got.groupBy(_._1).view.mapValues(_.map(_._4).sum)
+    byPrev.foreach { case (_, p) => assert(math.abs(p - 1.0) < 1e-12) }
+  }
+
+  test("sequences never cross keys: single-event keys emit no transitions") {
+    val df = Seq((1L, 1L, "a"), (2L, 2L, "b")).toDF("k", "seq", "s")
+    assert(TimeSeries.transitionMatrix(df, col("k"), Seq(col("seq")), col("s"))
+      .count() === 0L)
+  }
+}
