@@ -1792,7 +1792,15 @@ object SparkEntry {
           clicks, buys, "user_id", "click_ts", "purchase_ts", "1 hour")
         .select(col("user_id"), col("click_id"), col("purchase_id"))
         .orderBy("user_id", "click_id", "purchase_id")
-    })
+    }),
+    // ST15 (beyond reference): the standing count-min sketch a
+    // streaming deployment maintains — the counter table IS the
+    // mergeable state (micro-batch fold = elementwise addition), so
+    // the twin verifies the counters themselves; StreamIngestSpec
+    // proves the 3-micro-batch fold equals this batch build.
+    "st15_cms_twin" -> ((s, d) =>
+      graft.sketch.Sketches.cmsCounters(t(s, d, "events"), col("user_id"))
+        .orderBy("r", "c"))
   )
 
   private val streamTwinOracles: Map[String, String] = Map(
@@ -1855,7 +1863,9 @@ object SparkEntry {
         |FROM c JOIN p ON c.user_id = p.user_id
         |  AND purchase_ts >= click_ts
         |  AND purchase_ts <= click_ts + INTERVAL 1 HOUR
-        |ORDER BY c.user_id, click_id, purchase_id""".stripMargin
+        |ORDER BY c.user_id, click_id, purchase_id""".stripMargin,
+    "st15_cms_twin" ->
+      graft.sketch.Sketches.cmsCountersSql("SELECT user_id AS k FROM events")
   )
 
   // ---- D: dedup suite (training-data pipeline) ---------------------------
@@ -2471,7 +2481,14 @@ object SparkEntry {
             (col("n") * col("sxx").cast("double") -
               col("sx").cast("double") * col("sx").cast("double")), 6)
             .as("zipf_slope"))
-    })
+    }),
+    // T14 (beyond reference): intra-document segment dedup — C4-style
+    // repeated-line removal over 2-word windows (the corpus has no
+    // newlines). Pure array projection, zero shuffles — d11's
+    // within-document complement.
+    "t14_intradoc_dedup" -> ((s, d) =>
+      graft.text.TextAnalysis.intraDocDedup(t(s, d, "documents"), width = 2)
+        .orderBy("doc_id"))
   )
 
   private val textOracles: Map[String, String] = {
@@ -2590,7 +2607,21 @@ object SparkEntry {
           |  (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
           |  (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
           |  AS zipf_slope
-          |FROM s""".stripMargin)
+          |FROM s""".stripMargin,
+      // t14: dual-unnest zips words with positions (DuckDB has no WITH
+      // ORDINALITY); first-occurrence order via min(seg_id).
+      "t14_intradoc_dedup" ->
+        """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+          |    CAST(unnest(generate_series(1, len(string_split(text, ' ')))) - 1 AS BIGINT) AS i
+          |  FROM documents),
+          |seg AS (SELECT doc_id, i // 2 AS seg_id, string_agg(w, ' ' ORDER BY i) AS seg
+          |  FROM w GROUP BY 1, 2),
+          |firsts AS (SELECT doc_id, seg, min(seg_id) AS first_idx FROM seg GROUP BY 1, 2),
+          |tot AS (SELECT doc_id, count(*) AS n_segments FROM seg GROUP BY 1)
+          |SELECT f.doc_id, string_agg(f.seg, ' ' ORDER BY f.first_idx) AS clean_text,
+          |  CAST(count(*) AS INT) AS n_kept, CAST(max(tot.n_segments) AS INT) AS n_segments
+          |FROM firsts f JOIN tot ON f.doc_id = tot.doc_id
+          |GROUP BY f.doc_id ORDER BY f.doc_id""".stripMargin)
   }
 
   // ---- MM: multimodal column plumbing -------------------------------------
@@ -3202,8 +3233,33 @@ object SparkEntry {
         .select((col("o_custkey") * 2).as("u"), (col("l_suppkey") * 2 + 1).as("v"))
       graft.graph.PageRank.fixedPoint(edges, iterations = 3)
         .orderBy(col("rank_fp").desc, col("node_id"))
-    })
+    }),
+    // MB1 (beyond reference): market-basket co-occurrence — part pairs
+    // ordered together with support ≥ 2. One self-equi-join on the
+    // order key (co-partitioned shuffle) + count; per-basket pair
+    // expansion is Σk² over basket size k (bounded — TPC-H baskets are
+    // ≤7 lines; real deployments cap k).
+    "mb1_copurchase_pairs" -> ((s, d) =>
+      copurchase(s, d).orderBy("u", "v")),
+    // G2: triangle count on the co-purchase graph via degree-ordered
+    // wedge enumeration (O(m^1.5) candidates instead of Σdeg² — the
+    // celebrity-node guard). Oracle is the canonical a<b<c triple
+    // join, so the hash match proves the oriented rewrite exact.
+    "g2_triangle_count" -> ((s, d) =>
+      graft.graph.Triangles.stats(copurchase(s, d).select(col("u"), col("v"))))
   )
+
+  /** Support-thresholded co-purchase pairs (u < v, support ≥ 2) —
+    * shared by mb1 (the pairs themselves) and g2 (the graph). */
+  private def copurchase(s: SparkSession, d: String): DataFrame = {
+    val li = t(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+    li.as("a")
+      .join(li.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
+        col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+      .groupBy("u", "v").agg(count(lit(1)).as("support"))
+      .filter(col("support") >= 2)
+  }
 
   private val graphOracles: Map[String, String] = Map(
     "g1_pagerank" ->
@@ -3221,7 +3277,25 @@ object SparkEntry {
         |r3 AS (SELECT e.v AS u, (SELECT b FROM base) + (85 * sum(r2.r // deg.d)) // 100 AS r
         |       FROM edges e JOIN r2 ON e.u = r2.u JOIN deg ON e.u = deg.u GROUP BY e.v)
         |SELECT u AS node_id, r AS rank_fp FROM r3
-        |ORDER BY rank_fp DESC, node_id""".stripMargin
+        |ORDER BY rank_fp DESC, node_id""".stripMargin,
+    "mb1_copurchase_pairs" ->
+      """SELECT a.l_partkey AS u, b.l_partkey AS v, count(*) AS support
+        |FROM lineitem a JOIN lineitem b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |GROUP BY 1, 2 HAVING count(*) >= 2 ORDER BY u, v""".stripMargin,
+    "g2_triangle_count" ->
+      """WITH pairs AS (
+        |  SELECT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT
+        |  (SELECT count(*) FROM (SELECT DISTINCT u FROM
+        |     (SELECT u FROM pairs UNION ALL SELECT v FROM pairs))) AS n_nodes,
+        |  (SELECT count(*) FROM pairs) AS n_edges,
+        |  (SELECT count(*) FROM pairs ab
+        |     JOIN pairs bc ON ab.v = bc.u
+        |     JOIN pairs ac ON ac.u = ab.u AND ac.v = bc.v) AS n_triangles""".stripMargin
   )
 
   // ---- assembled contract -------------------------------------------------

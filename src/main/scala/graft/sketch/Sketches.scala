@@ -164,6 +164,19 @@ object Sketches {
       .groupBy("k").agg(min(col("cnt")).as("est"))
   }
 
+  /** Oracle SQL for the raw [[cmsCounters]] cell table over a
+    * one-column relation `FROM (...) src(k)` — the st15 streaming
+    * twin's oracle (the counters ARE the mergeable state, so the twin
+    * verifies them directly). */
+  def cmsCountersSql(srcSql: String): String = {
+    val hashes = (0 until CMS_DEPTH).map { r =>
+      s"SELECT $r AS r, ('0x' || substr(md5('cms$r:' || k), 1, 15))::BIGINT % $CMS_WIDTH AS c FROM src"
+    }.mkString(" UNION ALL ")
+    s"""WITH src AS ($srcSql),
+       |cells AS ($hashes)
+       |SELECT r, c, count(*) AS cnt FROM cells GROUP BY r, c ORDER BY r, c""".stripMargin
+  }
+
   /** Oracle SQL for [[cmsEstimates]] joined with exact counts, over a
     * one-column relation `FROM (...) src(k)`; the key is emitted as
     * `outName` so the driver's by-name column compare lines up. */

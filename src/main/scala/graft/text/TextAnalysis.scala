@@ -247,4 +247,31 @@ object TextAnalysis {
         (hash60(col("w"), "fp") + col("pos") * lit(2654435761L)).as("term"))
       .groupBy("doc_id")
       .agg(expr("bit_xor(term)").as("fingerprint"))
+
+  /** Intra-document segment dedup — the C4-style "remove repeated
+    * lines" cleanup, adapted to the corpus's line-less text by treating
+    * fixed `width`-word windows as segments: repeated segments are
+    * dropped, first occurrence kept, document reassembled in order.
+    * (Cross-document passage dedup is d11; this is its within-document
+    * complement — boilerplate that repeats INSIDE a page.)
+    *
+    * Scale: a pure projection — segmentation is array `slice`/
+    * `transform` on the already-split token array and first-occurrence
+    * dedup is `array_distinct` (which preserves first-occurrence
+    * order), so there is NO shuffle and no explode; the operator runs
+    * at scan speed on any corpus size. The higher-order lambdas are
+    * interpreted (PLANS.md round-7 note) but per-row over short
+    * arrays — linear, not the t12-class generator hot path.
+    */
+  def intraDocDedup(docs: DataFrame, width: Int = 2): DataFrame = {
+    val arr = words(col("text"))
+    val nSeg = ceil(size(arr) / lit(width.toDouble)).cast("int")
+    val segs = transform(sequence(lit(0), nSeg - 1),
+      i => array_join(slice(arr, i * width + 1, lit(width)), " "))
+    val kept = array_distinct(segs)
+    docs.select(col("doc_id"),
+      array_join(kept, " ").as("clean_text"),
+      size(kept).as("n_kept"),
+      size(segs).as("n_segments"))
+  }
 }

@@ -40,6 +40,23 @@ class GraphSpec extends SparkSpec {
     assert(run(toyPairs.union(toyPairs)) === base)
   }
 
+  test("triangle stats: known graph, celebrity hub, duplicate/reversed edges") {
+    import graft.graph.Triangles
+    // K4 has 4 triangles; an extra pendant edge adds none.
+    val k4 = (for { a <- 1L to 4L; b <- 1L to 4L if a < b } yield (a, b)) :+ (4L, 9L)
+    val r = Triangles.stats(k4.toDF("a", "b"))
+      .as[(Long, Long, Long)].head()
+    assert(r === ((5L, 7L, 4L)))
+    // duplicate + reversed edges must not change counts
+    val noisy = k4 ++ k4.map(_.swap)
+    assert(Triangles.stats(noisy.toDF("a", "b"))
+      .as[(Long, Long, Long)].head() === ((5L, 7L, 4L)))
+    // star graph (celebrity node): many wedges, zero triangles
+    val star = (2L to 30L).map(i => (1L, i))
+    assert(Triangles.stats(star.toDF("a", "b"))
+      .as[(Long, Long, Long)].head() === ((30L, 29L, 0L)))
+  }
+
   test("total mass stays within floor-loss of SCALE and every rank is positive") {
     val r = PageRank.fixedPoint(toyPairs, iterations = 3)
       .agg(sum(col("rank_fp")), min(col("rank_fp"))).as[(Long, Long)].head()

@@ -107,6 +107,29 @@ class StreamIngestSpec extends SparkSpec {
     assert(got((ts("2024-01-02 00:00:00"), "view")) === 1L)
   }
 
+  test("ST15: CMS counters folded over micro-batches equal the batch sketch") {
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val evs = (1L to 60L).map(i =>
+      Ev(i, ts("2024-01-01 10:00:00"), i % 7, if (i % 3 == 0) "view" else "click", 1.0))
+    val in = MemoryStream[Ev]
+    // the counter table IS the streaming state: a plain streaming
+    // groupBy-count in complete mode — merge across batches is the
+    // aggregation itself (elementwise addition), nothing bespoke.
+    val q = graft.sketch.Sketches.cmsCounters(in.toDF(), col("user_id"))
+      .writeStream.format("memory").queryName("st15_out")
+      .outputMode("complete").start()
+    evs.grouped(20).foreach { b => in.addData(b); q.processAllAvailable() }
+    val streamed = spark.table("st15_out")
+      .as[(Int, Long, Long)].collect().toSeq.sorted
+    q.stop()
+    val batch = graft.sketch.Sketches.cmsCounters(evs.toDF(), col("user_id"))
+      .as[(Int, Long, Long)].collect().toSeq.sorted
+    assert(streamed === batch,
+      "3-micro-batch fold must be bit-identical to the one-shot sketch")
+    assert(streamed.map(_._3).sum === 60L * graft.sketch.Sketches.CMS_DEPTH)
+  }
+
   test("ST1/ST2: restart from checkpoint processes only new files, exactly once") {
     val dir = java.nio.file.Files.createTempDirectory("graft_restart")
     val src = dir.resolve("in").toString

@@ -162,3 +162,45 @@ object StressIVF {
         maxCellsPerShard = cap, nShards = shards))
   }
 }
+
+/** A/B: mb1 co-purchase pair generation — self-join vs per-basket
+  * array expansion (test scope; findings in PLANS.md). */
+object ProfileMb {
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val li = Tables.table(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"))
+    def time[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[mbprof] $label: ${(System.nanoTime() - t0) / 1e9}%.2fs"); r
+    }
+    time("warm")(li.count())
+    (1 to 2).foreach { i =>
+      time(s"join $i") {
+        li.as("a").join(li.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+          .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+          .groupBy("u", "v").agg(count(lit(1)).as("support"))
+          .filter(col("support") >= 2).count()
+      }
+      time(s"array $i") {
+        li.groupBy("l_orderkey")
+          .agg(sort_array(collect_list(col("l_partkey"))).as("parts"))
+          .select(explode(expr(
+            "flatten(transform(parts, (x, i) -> transform(slice(parts, i + 1, size(parts)), y -> struct(x AS u, y AS v))))")).as("p"))
+          .select(col("p.u"), col("p.v")).filter(col("u") < col("v"))
+          .groupBy("u", "v").agg(count(lit(1)).as("support"))
+          .filter(col("support") >= 2).count()
+      }
+    }
+    spark.stop()
+  }
+}

@@ -115,4 +115,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(3L).getInt(3) === 2)
     assert(got(3L).getString(4) === "<NAME> <NAME> and uncustomary words")
   }
+
+  test("T14: intra-doc segment dedup keeps first occurrence in order") {
+    val df = Seq(
+      (1L, "a b c d a b e f"),      // "a b" repeats at segments 0 and 2
+      (2L, "x y x y x y"),          // one segment survives of three
+      (3L, "p q r"),                // odd length: trailing partial segment
+      (4L, "solo")).toDF("doc_id", "text")
+    val got = TextAnalysis.intraDocDedup(df, width = 2)
+      .orderBy("doc_id")
+      .as[(Long, String, Int, Int)].collect().toSeq
+    assert(got === Seq(
+      (1L, "a b c d e f", 3, 4),
+      (2L, "x y", 1, 3),
+      (3L, "p q r", 2, 2),          // "p q" and "r" both kept
+      (4L, "solo", 1, 1)))
+  }
 }
