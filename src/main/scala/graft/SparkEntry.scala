@@ -321,6 +321,52 @@ object SparkEntry {
           t(s, d, "events"), col("value"), lo = 0.0, width = 8.0, bins = 64,
           quantiles = Seq(1 -> 4, 1 -> 2, 3 -> 4, 9 -> 10, 99 -> 100))
         .orderBy("q")),
+    // DQ7 (beyond reference): per-key robust outlier flags — |v − med|
+    // > 3·MAD per user, the anomaly monitor that survives the outliers
+    // it hunts (a20's global stats, taken per key). Two aggregation
+    // passes; the med/MAD table is |keys| rows and broadcasts. Flags
+    // compare UNROUNDED values (identical interpolation arithmetic in
+    // both engines — the a15/a20 recipe); display columns round.
+    "dq7_robust_outliers" -> ((s, d) => {
+      // projected + checkpointed once: med, MAD, and the flag pass all
+      // read this frame (unbroken lineage = 4 scans of the source).
+      val ev = t(s, d, "events")
+        .select(col("event_id"), col("user_id"), col("value"))
+        .localCheckpoint()
+      val med = ev.groupBy(col("user_id"))
+        .agg(expr("percentile(value, 0.5)").as("med"))
+      val mad = ev.join(broadcast(med), "user_id")
+        .select(col("user_id"), abs(col("value") - col("med")).as("dev"))
+        .groupBy(col("user_id")).agg(expr("percentile(dev, 0.5)").as("mad"))
+      ev.join(broadcast(med), "user_id").join(broadcast(mad), "user_id")
+        .select(col("event_id"), col("user_id"), col("value"),
+          round(col("med"), 6).as("med"), round(col("mad"), 6).as("mad"),
+          (abs(col("value") - col("med")) > lit(3) * col("mad")).cast("int")
+            .as("is_outlier"))
+        .orderBy("event_id")
+    }),
+    // DQ8 (beyond reference): chi-square independence of event_type ×
+    // day-of-week — the drift test behind "did weekday mix change".
+    // Terms go through DECIMAL so the sum is partition-order exact;
+    // Spark dayofweek is 1-based (Sunday=1), DuckDB 0-based — aligned
+    // with −1 here.
+    "dq8_chi_square" -> ((s, d) => {
+      val obs = t(s, d, "events")
+        .groupBy(col("event_type"), (dayofweek(col("ts")) - 1).as("dow"))
+        .agg(count(lit(1)).as("o"))
+        .localCheckpoint()
+      val rt = obs.groupBy("event_type").agg(sum(col("o")).as("r"))
+      val ct = obs.groupBy("dow").agg(sum(col("o")).as("c"))
+      val n = obs.agg(sum(col("o")).as("n"))
+      obs.join(broadcast(rt), "event_type").join(broadcast(ct), "dow")
+        .crossJoin(broadcast(n))
+        .select(((col("o") - col("r") * col("c") / col("n").cast("double")) *
+          (col("o") - col("r") * col("c") / col("n").cast("double")) /
+          (col("r") * col("c") / col("n").cast("double")))
+          .cast("decimal(28,12)").as("term"))
+        .agg(count(lit(1)).cast("long").as("n_cells"),
+          round(sum(col("term")).cast("double"), 6).as("chi2"))
+    }),
     // S12 (beyond reference): Z-order-clustered layout — write the
     // events replica sorted by the Morton interleave of (user bucket,
     // day), then serve a 2-D range predicate from it. The query result
@@ -423,6 +469,28 @@ object SparkEntry {
       graft.sketch.Sketches.histQuantilesSql(
         "SELECT value AS v FROM events", lo = 0.0, width = 8.0, bins = 64,
         quantiles = Seq(1 -> 4, 1 -> 2, 3 -> 4, 9 -> 10, 99 -> 100)),
+    "dq7_robust_outliers" ->
+      """WITH med AS (SELECT user_id, median(value) AS med FROM events GROUP BY 1),
+        |mad AS (SELECT e.user_id, median(abs(e.value - m.med)) AS mad
+        |  FROM events e JOIN med m ON e.user_id = m.user_id GROUP BY 1)
+        |SELECT e.event_id, e.user_id, e.value,
+        |  round(m.med, 6) AS med, round(d.mad, 6) AS mad,
+        |  CAST(abs(e.value - m.med) > 3 * d.mad AS INT) AS is_outlier
+        |FROM events e JOIN med m ON e.user_id = m.user_id
+        |  JOIN mad d ON e.user_id = d.user_id
+        |ORDER BY e.event_id""".stripMargin,
+    "dq8_chi_square" ->
+      """WITH obs AS (SELECT event_type, CAST(dayofweek(ts) AS INT) AS dow, count(*) AS o
+        |  FROM events GROUP BY 1, 2),
+        |tot AS (SELECT sum(o) AS n FROM obs),
+        |rt AS (SELECT event_type, sum(o) AS r FROM obs GROUP BY 1),
+        |ct AS (SELECT dow, sum(o) AS c FROM obs GROUP BY 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_cells,
+        |  round(CAST(sum(CAST(
+        |    (obs.o - rt.r * ct.c / CAST(tot.n AS DOUBLE)) *
+        |    (obs.o - rt.r * ct.c / CAST(tot.n AS DOUBLE)) /
+        |    (rt.r * ct.c / CAST(tot.n AS DOUBLE)) AS DECIMAL(28,12))) AS DOUBLE), 6) AS chi2
+        |FROM obs JOIN rt USING (event_type) JOIN ct USING (dow) CROSS JOIN tot""".stripMargin,
     "dq5_drift_psi" ->
       """WITH a AS (SELECT event_type,
         |    count(*) FILTER (WHERE ts < TIMESTAMP '2024-01-15 00:00:00') AS n1,
