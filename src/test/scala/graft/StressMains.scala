@@ -204,3 +204,45 @@ object ProfileMb {
     spark.stop()
   }
 }
+
+/** Builds the 10×-replica stress corpus for the round-7 operators:
+  * every source row duplicated 10× under disjoint id spaces (shifted
+  * keys), so each replica keeps its join/graph structure intact — the
+  * stress is 10× volume with 10× keys, the "more of everything" axis a
+  * production month brings. Usage:
+  *   Test/runMain graft.MakeReplica10 /tmp/graft10x_r7 [srcDir]
+  */
+object MakeReplica10 {
+  def main(args: Array[String]): Unit = {
+    val out = if (args.nonEmpty) args(0) else "/tmp/graft10x_r7"
+    val src = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def rep(df: org.apache.spark.sql.DataFrame, shifts: Map[String, Long]) =
+      (0 until 10).map { i =>
+        shifts.foldLeft(df) { case (acc, (c, m)) =>
+          acc.withColumn(c, col(c) + lit(i * m)) }
+      }.reduce(_ union _)
+    rep(Tables.events(spark, src),
+        Map("event_id" -> 100000000L, "user_id" -> 1000000L))
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
+    rep(Tables.orders(spark, src),
+        Map("o_orderkey" -> 10000000L, "o_custkey" -> 1000000L))
+      .write.mode("overwrite").parquet(s"$out/orders.parquet")
+    rep(Tables.lineitem(spark, src),
+        Map("l_orderkey" -> 10000000L, "l_partkey" -> 1000000L,
+          "l_suppkey" -> 100000L))
+      .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+    rep(Tables.part(spark, src), Map("p_partkey" -> 1000000L))
+      .write.mode("overwrite").parquet(s"$out/part.parquet")
+    rep(Tables.documents(spark, src), Map("doc_id" -> 100000000L))
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    println(s"[replica] wrote 10x corpus to $out")
+    spark.stop()
+  }
+}
