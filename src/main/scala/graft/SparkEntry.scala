@@ -731,6 +731,29 @@ object SparkEntry {
         .withColumn("us_to_purchase",
           unix_micros(col("purchase_ts")) - unix_micros(col("ts")))
         .orderBy("event_id")
+    }),
+    // J10 (beyond reference): SCD2 temporal dim join — the Kimball
+    // type-2 pattern end-to-end: build validity intervals from the
+    // user's non-purchase activity (the w9 operator) and join each
+    // purchase to the interval containing its timestamp, i.e. "what
+    // state was the user in when they bought". Intervals are half-open
+    // and non-overlapping per key by construction, so each fact row
+    // matches at most once; the equi-key keeps it a hash/merge join
+    // with the range as a post-filter, never a nested loop.
+    "j10_scd2_join" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val dim = ev.filter(col("event_type") =!= "purchase")
+        .select(col("user_id"), col("event_type").as("state"),
+          col("ts").as("eff_from"), lead(col("ts"), 1).over(w).as("eff_to"))
+      val fact = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("ts"), col("value"))
+      fact.join(dim, Seq("user_id"))
+        .filter(col("ts") >= col("eff_from") &&
+          (col("eff_to").isNull || col("ts") < col("eff_to")))
+        .select(col("purchase_id"), col("user_id"), col("state"), col("value"))
+        .orderBy("purchase_id")
     })
   )
 
@@ -798,7 +821,18 @@ object SparkEntry {
         |FROM si LEFT JOIN pu ON pu.user_id = si.user_id AND pu.purchase_ts >= si.ts
         |QUALIFY row_number() OVER (PARTITION BY si.event_id
         |  ORDER BY pu.purchase_ts ASC NULLS LAST, pu.purchase_event_id ASC NULLS LAST) = 1
-        |ORDER BY si.event_id""".stripMargin
+        |ORDER BY si.event_id""".stripMargin,
+    "j10_scd2_join" ->
+      """WITH dim AS (
+        |  SELECT user_id, event_type AS state, ts AS eff_from,
+        |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS eff_to
+        |  FROM events WHERE event_type <> 'purchase'),
+        |fact AS (SELECT user_id, event_id AS purchase_id, ts, value
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT f.purchase_id, f.user_id, d.state, f.value
+        |FROM fact f JOIN dim d ON f.user_id = d.user_id
+        |  AND f.ts >= d.eff_from AND (d.eff_to IS NULL OR f.ts < d.eff_to)
+        |ORDER BY f.purchase_id""".stripMargin
   )
 
   // ---- A: aggregations ----------------------------------------------------
@@ -1456,7 +1490,28 @@ object SparkEntry {
       graft.analytics.TimeSeries.gapFillDaily(
           t(s, d, "events"), col("user_id"), col("ts"), col("value"))
         .withColumnRenamed("k", "user_id")
-        .orderBy("user_id", "day"))
+        .orderBy("user_id", "day")),
+    // W12 (beyond reference): rolling 7-day distinct actives per day —
+    // the rolling-MAU/WAU metric. Spark windows don't support
+    // COUNT(DISTINCT) frames, and a range-join against the day spine
+    // would be a nested loop, so each (user, day) presence row FANS OUT
+    // to the ≤7 window days it contributes to (explode of a 7-element
+    // sequence) and a plain equi-join + countDistinct does the rest —
+    // shuffle work is 7× the presence table (≪ raw events), no BNLJ,
+    // no per-frame set state.
+    "w12_rolling_active" -> ((s, d) => {
+      val presence = t(s, d, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+        .localCheckpoint()
+      val days = presence.select(col("day")).distinct()
+      presence
+        .select(col("user_id"),
+          explode(sequence(col("day"), date_add(col("day"), 6))).as("day"))
+        .join(broadcast(days), "day")
+        .groupBy(col("day"))
+        .agg(countDistinct(col("user_id")).as("active_7d"))
+        .orderBy("day")
+    })
   )
 
   private val windowOracles: Map[String, String] = Map(
@@ -1554,7 +1609,13 @@ object SparkEntry {
         |  last_value(day_value IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value,
         |  CAST(day_value IS NULL AS INT) AS was_gap
-        |FROM j ORDER BY user_id, day""".stripMargin
+        |FROM j ORDER BY user_id, day""".stripMargin,
+    "w12_rolling_active" ->
+      """WITH presence AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |days AS (SELECT DISTINCT day FROM presence)
+        |SELECT d.day, count(DISTINCT p.user_id) AS active_7d
+        |FROM days d JOIN presence p ON p.day BETWEEN d.day - 6 AND d.day
+        |GROUP BY d.day ORDER BY d.day""".stripMargin
   )
 
   // ---- O: sort / limit / offset ------------------------------------------
