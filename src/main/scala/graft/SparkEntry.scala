@@ -2382,6 +2382,17 @@ object SparkEntry {
     // (deterministic seeds + rounded-cosine decision ⇒ exact oracle).
     "e8_semdedup" -> ((s, d) =>
       graft.similarity.Ann.semDedup(t(s, d, "embeddings"), 8, 0.3).orderBy("vec_id")),
+    // E8 production posture: k ≈ √n, the configuration the PLANS.md
+    // stress analysis prescribes (fixed k makes the within-cell
+    // pairwise term grow quadratically with the corpus; k = ⌈√n⌉
+    // holds E[|cell|] ≈ √n so cell work stays ~n total). k is ONE
+    // driver-side integer both engines derive with the same
+    // ceil(sqrt(count)) arithmetic.
+    "e8_semdedup_sqrtk" -> ((s, d) => {
+      val n = t(s, d, "embeddings").count()
+      val k = math.ceil(math.sqrt(n.toDouble)).toInt
+      graft.similarity.Ann.semDedup(t(s, d, "embeddings"), k, 0.3).orderBy("vec_id")
+    }),
     // E9: one k-means Lloyd update step — per-(centroid, dim) member
     // means, decimal-exact (completes the e6 assign step into a
     // testable train iteration).
@@ -2496,6 +2507,27 @@ object SparkEntry {
     "e8_semdedup" ->
       s"""$cosineCte,
          |c AS (SELECT vec_id AS centroid_id, v AS cv, nrm AS cn FROM n WHERE vec_id < 8),
+         |p AS (SELECT n.vec_id, n.v, n.nrm, c.centroid_id,
+         |  list_reduce(list_apply(range(1, 65), i -> n.v[i] * c.cv[i]), (a,b) -> a+b) / (n.nrm * c.cn) AS sim
+         |  FROM n CROSS JOIN c),
+         |a AS (SELECT vec_id, v, nrm, centroid_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) AS rn FROM p)
+         |  WHERE rn = 1),
+         |sen AS (SELECT vec_id, v, nrm, centroid_id FROM (
+         |  SELECT a.*, row_number() OVER (PARTITION BY centroid_id ORDER BY vec_id) AS srn FROM a)
+         |  WHERE srn <= 4096),
+         |drops AS (SELECT DISTINCT y.vec_id FROM sen x JOIN a y
+         |  ON x.centroid_id = y.centroid_id AND x.vec_id < y.vec_id
+         |  WHERE round(list_reduce(list_apply(range(1, 65), i -> x.v[i] * y.v[i]), (a,b) -> a+b)
+         |    / (x.nrm * y.nrm), 6) >= 0.3)
+         |SELECT a.vec_id, a.centroid_id,
+         |  a.vec_id NOT IN (SELECT vec_id FROM drops) AS kept
+         |FROM a ORDER BY vec_id""".stripMargin,
+    "e8_semdedup_sqrtk" ->
+      s"""$cosineCte,
+         |kk AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS k FROM embeddings),
+         |c AS (SELECT vec_id AS centroid_id, v AS cv, nrm AS cn FROM n
+         |  WHERE vec_id < (SELECT k FROM kk)),
          |p AS (SELECT n.vec_id, n.v, n.nrm, c.centroid_id,
          |  list_reduce(list_apply(range(1, 65), i -> n.v[i] * c.cv[i]), (a,b) -> a+b) / (n.nrm * c.cn) AS sim
          |  FROM n CROSS JOIN c),
