@@ -2107,6 +2107,17 @@ object SparkEntry {
       s2.conf.set("spark.sql.shuffle.partitions", "32")
       graft.dedup.Dedup.containmentPairs(t(s2, d, "documents"), 0.5)
         .orderBy("d1", "d2")
+    }),
+    // D14: tf-idf-weighted sparse cosine — the lexical sibling of the
+    // dense e-family (rare shared shingles dominate; boilerplate
+    // contributes ~nothing). Same Σdf² shape as d13, same
+    // compute-dense session conf.
+    "d14_sparse_cosine" -> ((s, d) => {
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
+      s2.conf.set("spark.sql.shuffle.partitions", "32")
+      graft.dedup.Dedup.sparseCosinePairs(t(s2, d, "documents"), 0.6)
+        .orderBy("d1", "d2")
     })
   )
 
@@ -2340,7 +2351,25 @@ object SparkEntry {
            |SELECT d1, d2, containment FROM (
            |  SELECT d1, d2, round(i.inter * 1.0 / ds.n_a, 4) AS containment
            |  FROM i JOIN ds ON ds.doc_id = i.d1)
-           |WHERE containment >= 0.5 ORDER BY d1, d2""".stripMargin)
+           |WHERE containment >= 0.5 ORDER BY d1, d2""".stripMargin,
+      "d14_sparse_cosine" ->
+        s"""$shingleCte,
+           |ex0 AS (SELECT doc_id, unnest(g) AS s FROM sh WHERE len(g) > 0),
+           |nn AS (SELECT count(*) AS n FROM documents),
+           |exd AS (SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df FROM ex0),
+           |exf AS (SELECT doc_id, s,
+           |  ln(CAST((SELECT n FROM nn) AS DOUBLE) / df) AS w
+           |  FROM exd WHERE df <= 1000),
+           |nrm AS (SELECT doc_id, s, w,
+           |  sqrt(CAST(sum(CAST(w * w AS DECIMAL(28,12))) OVER (PARTITION BY doc_id) AS DOUBLE)) AS nrm
+           |  FROM exf),
+           |pairs AS (SELECT x.doc_id AS d1, y.doc_id AS d2, x.nrm AS nrm1, y.nrm AS nrm2,
+           |    CAST(sum(CAST(x.w * y.w AS DECIMAL(28,12))) AS DOUBLE) AS dot
+           |  FROM nrm x JOIN nrm y ON x.s = y.s AND x.doc_id < y.doc_id
+           |  GROUP BY 1, 2, 3, 4)
+           |SELECT d1, d2, round(dot / (nrm1 * nrm2), 6) AS cos
+           |FROM pairs WHERE round(dot / (nrm1 * nrm2), 6) >= 0.6
+           |ORDER BY d1, d2""".stripMargin)
   }
 
   // ---- E: embedding similarity search -------------------------------------

@@ -105,6 +105,57 @@ object Dedup {
       .filter(col("containment") >= threshold)
   }
 
+  /** D14: tf-idf-weighted sparse cosine pairs — the LEXICAL sibling of
+    * the dense-embedding e-family: documents as sparse idf-weighted
+    * shingle vectors, pair similarity = cosine via an inverted shingle
+    * index (term-at-a-time), never an all-pairs scan. Where
+    * [[containmentPairs]] counts shared shingles, this WEIGHTS them —
+    * rare shared shingles dominate, shared boilerplate (high df, low
+    * idf) contributes ~nothing, which is the practical difference on
+    * crawl data.
+    *
+    * Same Σdf² cost model and `maxDf` containment as d13 (capped terms
+    * leave the vector space entirely — stopword removal, so the
+    * cosine is exact IN that space and the oracle applies the same
+    * cap). Dot products and norms accumulate in DECIMAL
+    * (partition-order exact); idf/sqrt/divide are the engine-portable
+    * double steps, rounded at the end. */
+  def sparseCosinePairs(docs: DataFrame, threshold: Double,
+      maxDf: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // corpus size is ONE driver-side long (bounded by construction) —
+    // inlining it as a literal keeps the self-join's two sides
+    // byte-identical subplans, so the exchange is built once and
+    // reused rather than re-scanning the corpus per side.
+    val n = docs.count()
+    // weighted inverted index, materialized ONCE for its three
+    // consumers (norms + both join sides). Kept SLIM — (doc_id, sh, w)
+    // only; carrying the per-doc norm on every exploded row (a window
+    // over doc_id) measured 2× slower: it adds an exchange AND widens
+    // every row the Σdf² self-join multiplies. Norms are a |docs|-row
+    // aggregate joined back AFTER the pair reduction instead.
+    val ex = shingleSets(docs).filter(size(col("g")) > 0)
+      .select(col("doc_id"), explode(col("g")).as("sh"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("sh"))))
+      .filter(col("df") <= maxDf)
+      .select(col("doc_id"), col("sh"),
+        log(lit(n.toDouble) / col("df")).as("w"))
+      .localCheckpoint(true)
+    val norms = ex.groupBy(col("doc_id"))
+      .agg(sqrt(sum((col("w") * col("w")).cast("decimal(28,12)"))
+        .cast("double")).as("nrm"))
+    ex.as("x").join(ex.as("y"),
+        col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      .agg(sum((col("x.w") * col("y.w")).cast("decimal(28,12)")).as("dotq"))
+      .join(broadcast(norms.select(col("doc_id").as("d1"), col("nrm").as("nrm1"))), "d1")
+      .join(broadcast(norms.select(col("doc_id").as("d2"), col("nrm").as("nrm2"))), "d2")
+      .select(col("d1"), col("d2"),
+        round(col("dotq").cast("double") / (col("nrm1") * col("nrm2")), 6)
+          .as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
   val MINHASH_K = 12  // hash functions
   val LSH_BANDS = 4   // bands of K/BANDS rows each
   val MINHASH_P = 536870909L // prime < 2^29

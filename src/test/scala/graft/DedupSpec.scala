@@ -242,4 +242,28 @@ class DedupSpec extends SparkSpec {
     assert(total.getLong(1) <= total.getLong(0))
     assert(out.filter(col("n_kept") > col("n_passages")).count() === 0)
   }
+
+  test("D14: sparse cosine weights rare shared shingles above boilerplate") {
+    // docs 1/2: identical → cos 1.0. docs 3/4 share ONE rare shingle
+    // ("u v w") plus nothing else; docs 5/6/7/8 all share a ubiquitous
+    // header ("the real estate") that idf should drive toward zero.
+    val df = Seq(
+      (1L, "p q r s t"), (2L, "p q r s t"),
+      (3L, "u v w a1 b1 c1"), (4L, "u v w d1 e1 f1"),
+      (5L, "the real estate x1 y1 z1"), (6L, "the real estate x2 y2 z2"),
+      (7L, "the real estate x3 y3 z3"), (8L, "the real estate x4 y4 z4")
+    ).toDF("doc_id", "text")
+    val all = Dedup.sparseCosinePairs(df, threshold = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(math.abs(all((1L, 2L)) - 1.0) < 1e-9, "identical docs must score 1")
+    // the rare-shingle pair must beat every boilerplate-only pair
+    val boiler = Seq((5L, 6L), (5L, 7L), (5L, 8L), (6L, 7L), (6L, 8L), (7L, 8L))
+      .map(all)
+    assert(boiler.forall(all((3L, 4L)) > _),
+      "one rare shared shingle must outweigh shared boilerplate")
+    // thresholding keeps only the exact pair at tau = 0.9
+    val kept = Dedup.sparseCosinePairs(df, threshold = 0.9)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert(kept === Set((1L, 2L)))
+  }
 }
