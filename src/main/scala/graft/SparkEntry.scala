@@ -321,6 +321,17 @@ object SparkEntry {
           t(s, d, "events"), col("value"), lo = 0.0, width = 8.0, bins = 64,
           quantiles = Seq(1 -> 4, 1 -> 2, 3 -> 4, 9 -> 10, 99 -> 100))
         .orderBy("q")),
+    // DQ9 (beyond reference): dq6's histogram-sketch quantiles PER
+    // GROUP — groups × ≤64 counters of state, the grouped twin of
+    // a15's exact percentiles at any group cardinality (a15 sorts
+    // each group's raw values; this never does).
+    "dq9_group_quantiles" -> ((s, d) =>
+      graft.sketch.Sketches.histQuantilesBy(
+          t(s, d, "events"), col("event_type"), col("value"),
+          lo = 0.0, width = 8.0, bins = 64,
+          quantiles = Seq(1 -> 4, 1 -> 2, 3 -> 4, 9 -> 10))
+        .withColumnRenamed("grp", "event_type")
+        .orderBy("event_type", "q")),
     // DQ7 (beyond reference): per-key robust outlier flags — |v − med|
     // > 3·MAD per user, the anomaly monitor that survives the outliers
     // it hunts (a20's global stats, taken per key). Two aggregation
@@ -469,6 +480,11 @@ object SparkEntry {
       graft.sketch.Sketches.histQuantilesSql(
         "SELECT value AS v FROM events", lo = 0.0, width = 8.0, bins = 64,
         quantiles = Seq(1 -> 4, 1 -> 2, 3 -> 4, 9 -> 10, 99 -> 100)),
+    "dq9_group_quantiles" ->
+      graft.sketch.Sketches.histQuantilesBySql(
+        "SELECT event_type AS g, value AS v FROM events", "event_type",
+        lo = 0.0, width = 8.0, bins = 64,
+        quantiles = Seq(1 -> 4, 1 -> 2, 3 -> 4, 9 -> 10)),
     "dq7_robust_outliers" ->
       """WITH med AS (SELECT user_id, median(value) AS med FROM events GROUP BY 1),
         |mad AS (SELECT e.user_id, median(abs(e.value - m.med)) AS mad

@@ -111,6 +111,70 @@ object Sketches {
        |FROM hit WHERE pick = 1 ORDER BY q""".stripMargin
   }
 
+  /** [[histQuantiles]] per group — the sketch composed with grouping:
+    * state is ≤ groups × bins counters (map-side combined), the
+    * quantile walk runs inside each group's ≤bins-row partition, and
+    * no group ever sorts its raw values. The per-group twin of a15's
+    * exact grouped percentiles at any group cardinality. */
+  def histQuantilesBy(df: DataFrame, group: Column, value: Column,
+                      lo: Double, width: Double, bins: Int,
+                      quantiles: Seq[(Int, Int)]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val hist = df
+      .select(group.as("grp"),
+        least(lit(bins - 1),
+          greatest(lit(0), floor((value - lo) / width))).cast("int").as("bin"))
+      .groupBy("grp", "bin").agg(count(lit(1)).as("cnt"))
+    val cum = hist
+      .withColumn("cum",
+        sum(col("cnt")).over(Window.partitionBy(col("grp")).orderBy(col("bin"))))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col("grp"))))
+    val qs = quantiles.toDF("qnum", "qden")
+    qs.crossJoin(cum)
+      .withColumn("target", expr("(qnum * n + qden - 1) div qden"))
+      .filter(col("cum") >= col("target"))
+      .withColumn("pick", row_number().over(
+        Window.partitionBy(col("grp"), col("qnum"), col("qden"))
+          .orderBy(col("bin"))))
+      .filter(col("pick") === 1)
+      .select(col("grp"),
+        round(col("qnum").cast("double") / col("qden"), 4).as("q"),
+        col("n"),
+        round(lit(lo) + lit(width) * col("bin") +
+          lit(width) * ((col("target") - (col("cum") - col("cnt"))).cast("double") /
+            col("cnt").cast("double")), 6).as("est"))
+  }
+
+  /** Oracle SQL for [[histQuantilesBy]] over a two-column relation
+    * `FROM (...) src(g, v)`; arithmetic mirrors the Scala exactly. */
+  def histQuantilesBySql(srcSql: String, outName: String,
+                         lo: Double, width: Double, bins: Int,
+                         quantiles: Seq[(Int, Int)]): String = {
+    val qRows = quantiles.map { case (a, b) => s"($a, $b)" }.mkString(", ")
+    s"""WITH src AS ($srcSql),
+       |hist AS (
+       |  SELECT g, CAST(least(${bins - 1}, greatest(0, floor((v - $lo) / $width))) AS INT) AS bin,
+       |         count(*) AS cnt
+       |  FROM src GROUP BY 1, 2),
+       |cum AS (
+       |  SELECT g, bin, cnt,
+       |         CAST(sum(cnt) OVER (PARTITION BY g ORDER BY bin) AS BIGINT) AS cum,
+       |         CAST(sum(cnt) OVER (PARTITION BY g) AS BIGINT) AS n
+       |  FROM hist),
+       |qs AS (SELECT * FROM (VALUES $qRows) q(qnum, qden)),
+       |hit AS (
+       |  SELECT g, qnum, qden, n, bin, cnt, cum,
+       |         (qnum * n + qden - 1) // qden AS target,
+       |         row_number() OVER (PARTITION BY g, qnum, qden ORDER BY bin) AS pick
+       |  FROM qs, cum
+       |  WHERE cum >= (qnum * n + qden - 1) // qden)
+       |SELECT g AS $outName, round(CAST(qnum AS DOUBLE) / qden, 4) AS q, n,
+       |       round($lo + $width * bin +
+       |             $width * (CAST(target - (cum - cnt) AS DOUBLE) / CAST(cnt AS DOUBLE)), 6) AS est
+       |FROM hit WHERE pick = 1 ORDER BY $outName, q""".stripMargin
+  }
+
   // ---- count-min sketch ---------------------------------------------------
 
   val CMS_DEPTH = 4

@@ -35,6 +35,30 @@ class SketchSpec extends SparkSpec {
     assert(a.toSeq === b.toSeq)
   }
 
+  test("grouped histogram quantiles: per-group bin-width bound, single-group ≡ global") {
+    val qs = Seq(1 -> 4, 1 -> 2, 3 -> 4, 9 -> 10)
+    // per-group estimates within one bin width of each group's exact percentile
+    val est = Sketches.histQuantilesBy(events, col("event_type"), col("value"),
+        0.0, 8.0, 64, qs)
+      .select("grp", "q", "est").as[(String, Double, Double)].collect()
+      .map { case (g, q, e) => (g, q) -> e }.toMap
+    val exact = events.groupBy("event_type")
+      .agg(expr("percentile(value, 0.25)"), expr("percentile(value, 0.5)"),
+        expr("percentile(value, 0.75)"), expr("percentile(value, 0.9)"))
+      .as[(String, Double, Double, Double, Double)].collect()
+    exact.foreach { case (g, p25, p50, p75, p90) =>
+      Seq(0.25 -> p25, 0.5 -> p50, 0.75 -> p75, 0.9 -> p90).foreach { case (q, ex) =>
+        assert(math.abs(est((g, q)) - ex) <= 8.0, s"g=$g q=$q")
+      }
+    }
+    // degenerate single group reproduces the global sketch exactly
+    val one = Sketches.histQuantilesBy(events, lit("all"), col("value"), 0.0, 8.0, 64, qs)
+      .select("q", "est").as[(Double, Double)].collect().toMap
+    val glob = Sketches.histQuantiles(events, col("value"), 0.0, 8.0, 64, qs)
+      .select("q", "est").as[(Double, Double)].collect().toMap
+    assert(one === glob)
+  }
+
   test("CMS estimates are one-sided: est >= exact for every key") {
     val exact = events.groupBy(col("user_id").as("k")).agg(count(lit(1)).as("exact"))
     val bad = Sketches.cmsEstimates(events, col("user_id"))
