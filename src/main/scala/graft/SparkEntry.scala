@@ -1141,6 +1141,27 @@ object SparkEntry {
           col("sv").cast("double").as("total_value"))
         .orderBy("event_type", "week_start")
     }),
+    // A28 (beyond reference): time-to-convert percentiles — median/p90
+    // hours from a user's FIRST signup to their first purchase at or
+    // after it. The funnel's latency complement (a14 counts who
+    // converts; this measures how fast). Broadcast |users|-row signup
+    // table; percentiles over exact integer microsecond gaps, one
+    // double divide at the end.
+    "a28_time_to_convert" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val su = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("signup_ts"))
+      val conv = ev.filter(col("event_type") === "purchase")
+        .join(broadcast(su), "user_id")
+        .filter(col("ts") >= col("signup_ts"))
+        .groupBy(col("user_id"), col("signup_ts"))
+        .agg(min(col("ts")).as("purchase_ts"))
+        .withColumn("us",
+          unix_micros(col("purchase_ts")) - unix_micros(col("signup_ts")))
+      conv.agg(count(lit(1)).as("n_converted"),
+        round(expr("percentile(us, 0.5)") / lit(3600e6), 6).as("p50_hours"),
+        round(expr("percentile(us, 0.9)") / lit(3600e6), 6).as("p90_hours"))
+    }),
     // A27 (beyond reference): unpivot/melt — a10's wide status×month
     // pivot folded back to long form with the native `unpivot`
     // operator (single projection+generate, no shuffle). Absent
@@ -1310,6 +1331,17 @@ object SparkEntry {
       """SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
         |  o_orderstatus AS status, count(*) AS n_orders
         |FROM orders GROUP BY 1, 2 ORDER BY month_start, status""".stripMargin,
+    "a28_time_to_convert" ->
+      """WITH s AS (SELECT user_id, min(ts) AS signup_ts FROM events
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |p AS (SELECT s.user_id, s.signup_ts, min(e.ts) AS purchase_ts
+        |  FROM s JOIN events e ON e.user_id = s.user_id
+        |    AND e.event_type = 'purchase' AND e.ts >= s.signup_ts
+        |  GROUP BY 1, 2)
+        |SELECT count(*) AS n_converted,
+        |  round(quantile_cont(epoch_us(purchase_ts) - epoch_us(signup_ts), 0.5) / 3600e6, 6) AS p50_hours,
+        |  round(quantile_cont(epoch_us(purchase_ts) - epoch_us(signup_ts), 0.9) / 3600e6, 6) AS p90_hours
+        |FROM p""".stripMargin,
     "a19_salted_agg" ->
       """SELECT user_id, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
         |  count(*) AS n
@@ -1946,6 +1978,15 @@ object SparkEntry {
     "st15_cms_twin" -> ((s, d) =>
       graft.sketch.Sketches.cmsCounters(t(s, d, "events"), col("user_id"))
         .orderBy("r", "c"))
+,
+    // ST16 (beyond reference): hopping windows — st8's tumbling-day
+    // counts at a 12 h slide (every event in exactly two windows).
+    // Twin runs the EXACT streaming code path in batch; the oracle
+    // replays Spark's epoch-aligned window arithmetic in integer
+    // microseconds.
+    "st16_hopping_twin" -> ((s, d) =>
+      graft.streaming.StreamIngest.hoppingCounts(t(s, d, "events"))
+        .orderBy("win_start", "event_type"))
   )
 
   private val streamTwinOracles: Map[String, String] = Map(
@@ -2010,7 +2051,13 @@ object SparkEntry {
         |  AND purchase_ts <= click_ts + INTERVAL 1 HOUR
         |ORDER BY c.user_id, click_id, purchase_id""".stripMargin,
     "st15_cms_twin" ->
-      graft.sketch.Sketches.cmsCountersSql("SELECT user_id AS k FROM events")
+      graft.sketch.Sketches.cmsCountersSql("SELECT user_id AS k FROM events"),
+    "st16_hopping_twin" ->
+      """WITH e AS (SELECT epoch_us(ts) AS us, event_type FROM events),
+        |h AS (SELECT make_timestamp(us - (us % 43200000000) - off) AS win_start, event_type
+        |  FROM e, (SELECT unnest([0, 43200000000]) AS off) o)
+        |SELECT win_start, event_type, count(*) AS n
+        |FROM h GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin
   )
 
   // ---- D: dedup suite (training-data pipeline) ---------------------------

@@ -86,6 +86,19 @@ object StreamIngest {
       .select(col("w.start").as("day_start"), col("event_type"),
         col("count").as("n"))
 
+  /** ST16: HOPPING (sliding) windows — 1-day windows advancing every
+    * 12 h, so every event lands in exactly two overlapping windows and a
+    * dashboard reads a smoothed daily trend twice per day instead of
+    * once. Same watermark/state mechanics as [[windowedCounts]]; state
+    * is (windows × types), i.e. 2× the tumbling variant — the
+    * overlap factor is the knob. Batch twin `st16_hopping_twin`. */
+  def hoppingCounts(events: DataFrame, horizon: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", horizon)
+      .groupBy(window(col("ts"), "1 day", "12 hours").as("w"), col("event_type"))
+      .count()
+      .select(col("w.start").as("win_start"), col("event_type"),
+        col("count").as("n"))
+
   /** ST13: streaming drift monitor — per-day event-type mix scored
     * against a fixed BASELINE distribution with PSI terms (batch twin
     * `st13_drift_twin`; one-shot form `dq5_drift_psi`). The baseline is

@@ -107,6 +107,27 @@ class StreamIngestSpec extends SparkSpec {
     assert(got((ts("2024-01-02 00:00:00"), "view")) === 1L)
   }
 
+  test("ST16: hopping windows put every event in exactly two overlapping windows") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = StreamIngest.hoppingCounts(in.toDF(), horizon = "1 day")
+      .writeStream.format("memory").queryName("st16_out").outputMode("update").start()
+    in.addData(Ev(1, ts("2024-01-01 10:00:00"), 7, "view", 1.0))
+    q.processAllAvailable()
+    in.addData(Ev(2, ts("2024-01-01 13:00:00"), 8, "view", 1.0))
+    q.processAllAvailable()
+    val got = spark.table("st16_out").as[(Timestamp, String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._3).max).toMap
+    q.stop()
+    // event 1 (10:00) → windows starting Dec-31 12:00 and Jan-1 00:00;
+    // event 2 (13:00) → Jan-1 00:00 and Jan-1 12:00. Overlap bucket
+    // (Jan-1 00:00) holds both.
+    assert(got(ts("2023-12-31 12:00:00")) === 1L)
+    assert(got(ts("2024-01-01 00:00:00")) === 2L)
+    assert(got(ts("2024-01-01 12:00:00")) === 1L)
+    assert(got.values.sum === 4L, "2 events x 2 windows each")
+  }
+
   test("ST15: CMS counters folded over micro-batches equal the batch sketch") {
     import org.apache.spark.sql.functions.col
     implicit val sqlCtx = spark.sqlContext
