@@ -3499,7 +3499,16 @@ object SparkEntry {
     // celebrity-node guard). Oracle is the canonical a<b<c triple
     // join, so the hash match proves the oriented rewrite exact.
     "g2_triangle_count" -> ((s, d) =>
-      graft.graph.Triangles.stats(copurchase(s, d).select(col("u"), col("v"))))
+      graft.graph.Triangles.stats(copurchase(s, d).select(col("u"), col("v")))),
+    // G3: weighted PageRank on the same graph — rank mass flows in
+    // proportion to co-purchase support, so a part ordered with
+    // another FIVE times pulls 5× the mass of a one-off pairing. Same
+    // integer fixed-point reproducibility as g1.
+    "g3_weighted_pagerank" -> ((s, d) =>
+      graft.graph.PageRank.fixedPointWeighted(
+          copurchase(s, d).select(col("u"), col("v"), col("support")),
+          iterations = 3)
+        .orderBy(col("rank_fp").desc, col("node_id")))
   )
 
   /** Support-thresholded co-purchase pairs (u < v, support ≥ 2) —
@@ -3548,7 +3557,25 @@ object SparkEntry {
         |  (SELECT count(*) FROM pairs) AS n_edges,
         |  (SELECT count(*) FROM pairs ab
         |     JOIN pairs bc ON ab.v = bc.u
-        |     JOIN pairs ac ON ac.u = ab.u AND ac.v = bc.v) AS n_triangles""".stripMargin
+        |     JOIN pairs ac ON ac.u = ab.u AND ac.v = bc.v) AS n_triangles""".stripMargin,
+    "g3_weighted_pagerank" ->
+      """WITH e0 AS (SELECT a.l_partkey AS u, b.l_partkey AS v, count(*) AS w
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |edges AS (SELECT u, v, w FROM e0 UNION ALL SELECT v, u, w FROM e0),
+        |st AS (SELECT u, sum(w) AS str FROM edges GROUP BY u),
+        |nn AS (SELECT count(*) AS n FROM st),
+        |base AS (SELECT (15 * (1000000000000 // n)) // 100 AS b FROM nn),
+        |r0 AS (SELECT st.u, 1000000000000 // nn.n AS r FROM st, nn),
+        |r1 AS (SELECT e.v AS u, (SELECT b FROM base) + (85 * sum((r0.r * e.w) // st.str)) // 100 AS r
+        |       FROM edges e JOIN r0 ON e.u = r0.u JOIN st ON e.u = st.u GROUP BY e.v),
+        |r2 AS (SELECT e.v AS u, (SELECT b FROM base) + (85 * sum((r1.r * e.w) // st.str)) // 100 AS r
+        |       FROM edges e JOIN r1 ON e.u = r1.u JOIN st ON e.u = st.u GROUP BY e.v),
+        |r3 AS (SELECT e.v AS u, (SELECT b FROM base) + (85 * sum((r2.r * e.w) // st.str)) // 100 AS r
+        |       FROM edges e JOIN r2 ON e.u = r2.u JOIN st ON e.u = st.u GROUP BY e.v)
+        |SELECT u AS node_id, r AS rank_fp FROM r3
+        |ORDER BY rank_fp DESC, node_id""".stripMargin
   )
 
   // ---- assembled contract -------------------------------------------------

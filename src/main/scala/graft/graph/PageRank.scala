@@ -75,4 +75,41 @@ object PageRank {
       }
       .select(col("u").as("node_id"), col("r").as("rank_fp"))
   }
+
+  /** Weighted [[fixedPoint]]: rank mass flows in proportion to integer
+    * edge weights (e.g. co-purchase support) — node u sends
+    * `(r(u) * w(u,v)) div strength(u)` along each edge, where strength
+    * is u's total weight. Same fixed-point determinism argument; the
+    * multiply-before-divide order preserves weight resolution and is
+    * overflow-safe for weights up to ~10^6 (SCALE · w < 2^63).
+    *
+    * @param pairs undirected weighted edges: (node, node, weight ≥ 1);
+    *              duplicate pairs are summed.
+    */
+  def fixedPointWeighted(pairs: DataFrame, iterations: Int = 3): DataFrame = {
+    val c = pairs.columns
+    val e0 = pairs
+      .select(col(c(0)).cast("long").as("u"), col(c(1)).cast("long").as("v"),
+        col(c(2)).cast("long").as("w"))
+      .filter(col("u") =!= col("v"))
+      .groupBy("u", "v").agg(sum(col("w")).as("w"))
+    val sym = e0.union(e0.select(col("v").as("u"), col("u").as("v"), col("w")))
+    val edges = sym
+      .join(sym.groupBy("u").agg(sum(col("w")).as("str")), "u")
+      .localCheckpoint(true)
+    val n = edges.select(countDistinct(col("u")).as("n")).head().getLong(0)
+    val r0 = Scale / n
+    val base = 15L * r0 / 100L
+    val init = edges.select(col("u")).distinct().withColumn("r", lit(r0))
+    (1 to iterations)
+      .foldLeft(init) { (rk, _) =>
+        edges.join(rk, "u")
+          .select(col("v"), expr("(r * w) DIV str").as("contrib"))
+          .groupBy(col("v"))
+          .agg(sum(col("contrib")).as("m"))
+          .select(col("v").as("u"),
+            (lit(base) + expr("(85 * m) DIV 100")).as("r"))
+      }
+      .select(col("u").as("node_id"), col("r").as("rank_fp"))
+  }
 }

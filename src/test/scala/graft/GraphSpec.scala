@@ -57,6 +57,24 @@ class GraphSpec extends SparkSpec {
       .as[(Long, Long, Long)].head() === ((30L, 29L, 0L)))
   }
 
+  test("weighted PageRank: heavy edges pull rank; unit weights reduce to unweighted") {
+    // star: node 9 heavily tied to the hub, others lightly
+    val wPairs = Seq((1L, 9L, 10L), (1L, 2L, 1L), (1L, 3L, 1L)).toDF("a", "b", "w")
+    val r = PageRank.fixedPointWeighted(wPairs, iterations = 3)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r(9L) > r(2L) && r(9L) > r(3L),
+      "the heavy neighbor must outrank the light ones")
+    assert(r(2L) === r(3L), "symmetric light neighbors rank identically")
+    // all-unit weights must reproduce the unweighted recurrence exactly
+    val pairs = toyPairs
+    val unit = PageRank.fixedPointWeighted(
+        pairs.withColumn("w", lit(1L)), iterations = 3)
+      .orderBy("node_id").as[(Long, Long)].collect().toSeq
+    val plain = PageRank.fixedPoint(pairs, iterations = 3)
+      .orderBy("node_id").as[(Long, Long)].collect().toSeq
+    assert(unit === plain)
+  }
+
   test("total mass stays within floor-loss of SCALE and every rank is positive") {
     val r = PageRank.fixedPoint(toyPairs, iterations = 3)
       .agg(sum(col("rank_fp")), min(col("rank_fp"))).as[(Long, Long)].head()
