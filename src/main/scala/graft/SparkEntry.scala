@@ -332,6 +332,41 @@ object SparkEntry {
           quantiles = Seq(1 -> 4, 1 -> 2, 3 -> 4, 9 -> 10))
         .withColumnRenamed("grp", "event_type")
         .orderBy("event_type", "q")),
+    // DQ10 (beyond reference): Benford first-digit audit — the
+    // fabricated-data smell test an auditor runs on any money column.
+    // One narrow aggregation on a derived digit (9 groups); expected
+    // shares are the Benford constants log10(1+1/d) computed as the
+    // SAME scalar expression in both engines and rounded to absorb
+    // libm ulp differences. obs_pct is an exact double division of
+    // two longs — unrounded, bit-identical.
+    "dq10_benford" -> ((s, d) => {
+      val w = Window.partitionBy()
+      t(s, d, "orders")
+        .select(substring(floor(col("o_totalprice")).cast("long")
+          .cast("string"), 1, 1).cast("int").as("digit"))
+        .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+        .withColumn("obs_pct", col("n").cast("double") / sum(col("n")).over(w))
+        .withColumn("exp_pct",
+          round(log(lit(1.0) + lit(1.0) / col("digit")) / log(lit(10.0)), 6))
+        .withColumn("dev", round(col("obs_pct") - col("exp_pct"), 6))
+        .orderBy("digit")
+    }),
+    // DQ11 (beyond reference): Shannon entropy of a categorical mix —
+    // the "did this column collapse to one value" monitor. Per-category
+    // terms −p·ln p are quantized to DECIMAL(18,6) BEFORE the total
+    // entropy sum, so the cross-category reduction is order-independent
+    // (the t7 nll recipe applied to a window total).
+    "dq11_entropy" -> ((s, d) => {
+      val w = Window.partitionBy()
+      t(s, d, "events")
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+        .withColumn("p", col("n").cast("double") / sum(col("n")).over(w))
+        .withColumn("nats",
+          round(-col("p") * log(col("p")), 6).cast("decimal(18,6)"))
+        .withColumn("entropy", sum(col("nats")).over(w).cast("double"))
+        .withColumn("nats", col("nats").cast("double"))
+        .orderBy("event_type")
+    }),
     // DQ7 (beyond reference): per-key robust outlier flags — |v − med|
     // > 3·MAD per user, the anomaly monitor that survives the outliers
     // it hunts (a20's global stats, taken per key). Two aggregation
@@ -485,6 +520,24 @@ object SparkEntry {
         "SELECT event_type AS g, value AS v FROM events", "event_type",
         lo = 0.0, width = 8.0, bins = 64,
         quantiles = Seq(1 -> 4, 1 -> 2, 3 -> 4, 9 -> 10)),
+    "dq10_benford" ->
+      """WITH dig AS (SELECT CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+        |  FROM orders),
+        |cnt AS (SELECT digit, count(*) AS n FROM dig GROUP BY 1)
+        |SELECT digit, n,
+        |  CAST(n AS DOUBLE) / sum(n) OVER () AS obs_pct,
+        |  round(ln(1.0 + 1.0 / digit) / ln(10.0), 6) AS exp_pct,
+        |  round(CAST(n AS DOUBLE) / sum(n) OVER ()
+        |        - round(ln(1.0 + 1.0 / digit) / ln(10.0), 6), 6) AS dev
+        |FROM cnt ORDER BY digit""".stripMargin,
+    "dq11_entropy" ->
+      """WITH cnt AS (SELECT event_type, count(*) AS n FROM events GROUP BY 1),
+        |p AS (SELECT event_type, n, CAST(n AS DOUBLE) / sum(n) OVER () AS p FROM cnt),
+        |t AS (SELECT event_type, n, p,
+        |        CAST(round(-p * ln(p), 6) AS DECIMAL(18,6)) AS nats_d FROM p)
+        |SELECT event_type, n, p, CAST(nats_d AS DOUBLE) AS nats,
+        |  CAST(sum(nats_d) OVER () AS DOUBLE) AS entropy
+        |FROM t ORDER BY event_type""".stripMargin,
     "dq7_robust_outliers" ->
       """WITH med AS (SELECT user_id, median(value) AS med FROM events GROUP BY 1),
         |mad AS (SELECT e.user_id, median(abs(e.value - m.med)) AS mad
@@ -1559,10 +1612,75 @@ object SparkEntry {
         .groupBy(col("day"))
         .agg(countDistinct(col("user_id")).as("active_7d"))
         .orderBy("day")
+    }),
+    // TS2 (beyond reference): seasonal-naive forecast error — predict
+    // each day's per-type event count with the count 7 days earlier
+    // and report the MAE. The accuracy floor every real forecaster is
+    // judged against. One daily rollup + an equi-join on (type, day−7)
+    // — never a window over a dense spine — so it's two narrow
+    // shuffles at any history length. Integer |diff| sums → exact.
+    "ts2_seasonal_mae" -> ((s, d) => {
+      val daily = t(s, d, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+        .localCheckpoint(true)
+      daily.as("a")
+        .join(daily.as("b"),
+          col("a.event_type") === col("b.event_type") &&
+            col("a.day") === date_add(col("b.day"), 7))
+        .groupBy(col("a.event_type").as("event_type"))
+        .agg(count(lit(1)).as("n_days"),
+          (sum(abs(col("a.n") - col("b.n"))).cast("double") /
+            count(lit(1))).as("mae"))
+        .orderBy("event_type")
+    }),
+    // TS3 (beyond reference): lag-1 autocorrelation of the daily event
+    // volume — the "is today like yesterday" memory coefficient. All
+    // moment sums (Σx, Σy, Σxy, Σx², Σy²) are exact BIGINTs over
+    // consecutive-day pairs; the Pearson formula then runs ONCE on
+    // those scalars, so the double math is bit-identical cross-engine
+    // with no rounding. sqrt(d1)·sqrt(d2) (not sqrt(d1·d2)) keeps the
+    // denominator product out of BIGINT overflow at any volume.
+    "ts3_autocorr" -> ((s, d) => {
+      val daily = t(s, d, "events")
+        .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("n"))
+        .localCheckpoint(true)
+      daily.as("a")
+        .join(daily.as("b"), col("a.day") === date_add(col("b.day"), 1))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("a.n")).as("sx"), sum(col("b.n")).as("sy"),
+          sum(col("a.n") * col("b.n")).as("sxy"),
+          sum(col("a.n") * col("a.n")).as("sxx"),
+          sum(col("b.n") * col("b.n")).as("syy"))
+        .select(col("n_pairs"), col("sx"), col("sy"), col("sxy"),
+          ((col("n_pairs") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (sqrt((col("n_pairs") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+             sqrt((col("n_pairs") * col("syy") - col("sy") * col("sy")).cast("double"))))
+            .as("corr_lag1"))
     })
   )
 
   private val windowOracles: Map[String, String] = Map(
+    "ts2_seasonal_mae" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT a.event_type, count(*) AS n_days,
+        |  CAST(sum(abs(a.n - b.n)) AS DOUBLE) / count(*) AS mae
+        |FROM daily a JOIN daily b
+        |  ON a.event_type = b.event_type AND a.day = b.day + 7
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "ts3_autocorr" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS day, count(*) AS n
+        |  FROM events GROUP BY 1),
+        |m AS (SELECT count(*) AS n_pairs,
+        |    sum(a.n) AS sx, sum(b.n) AS sy, sum(a.n * b.n) AS sxy,
+        |    sum(a.n * a.n) AS sxx, sum(b.n * b.n) AS syy
+        |  FROM daily a JOIN daily b ON a.day = b.day + 1)
+        |SELECT n_pairs, sx, sy, sxy,
+        |  CAST(n_pairs * sxy - sx * sy AS DOUBLE) /
+        |    (sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE)) *
+        |     sqrt(CAST(n_pairs * syy - sy * sy AS DOUBLE))) AS corr_lag1
+        |FROM m""".stripMargin,
     "w1_latest_per_key" ->
       """SELECT user_id, event_type, event_id, value FROM (
         |  SELECT *, row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn
@@ -3063,6 +3181,13 @@ object SparkEntry {
     // T12: bigram-LM conditional NLL — word-order-sensitive fluency.
     "t12_bigram_nll" -> ((s, d) =>
       graft.text.Chunking.bigramLogProb(t(s, d, "documents"))
+        .orderBy("doc_id")),
+    // T15: BM25 scoring against a fixed query — sparse retrieval /
+    // eval-anchored data selection over the same tokenization as
+    // t5–t7.
+    "t15_bm25" -> ((s, d) =>
+      graft.text.Chunking.bm25(t(s, d, "documents"),
+          Seq("spark", "hash", "window"))
         .orderBy("doc_id"))
   )
 
@@ -3169,7 +3294,21 @@ object SparkEntry {
         |SELECT doc_id, count(*) AS n_bigrams,
         |  round(CAST(sum(nll) AS DOUBLE) / count(*), 6) AS avg_nll
         |FROM bg JOIN model USING (b)
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "t15_bm25" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+        |st AS (SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+        |qt AS (SELECT doc_id, term FROM tok WHERE term IN ('spark', 'hash', 'window')),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM qt GROUP BY 1, 2),
+        |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM qt GROUP BY 1),
+        |sc AS (SELECT tf.doc_id,
+        |    CAST(ln((st.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+        |      * (tf.tf * 2.2)
+        |      / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)) AS DECIMAL(20,12)) AS score_t
+        |  FROM tf JOIN df USING (term) CROSS JOIN st JOIN dl ON tf.doc_id = dl.doc_id)
+        |SELECT doc_id, count(*) AS n_q_terms, CAST(sum(score_t) AS DOUBLE) AS bm25
+        |FROM sc GROUP BY 1 ORDER BY doc_id""".stripMargin
   )
 
   // ---- X: scan-heavy warehouse workload (lineitem/part/supplier) ----------
@@ -3363,10 +3502,197 @@ object SparkEntry {
           (lit(1) - col("l_discount").cast("decimal(4,2)"))).cast("double").as("revenue"),
           count(lit(1)).as("n_items"))
         .orderBy("month_start")
+    }),
+    // X11 (TPC-H Q13 shape): customer order-count distribution. The
+    // fact is aggregated to per-customer counts FIRST (one narrow
+    // shuffle of the 15k-key count table, never the raw orders rows
+    // through the join), then left-joined under the dimension so
+    // zero-order customers land in the c_count=0 bucket. The second
+    // aggregation is over |customers| rows — trivial at any fact size.
+    "x11_order_count_dist" -> ((s, d) => {
+      val perCust = t(s, d, "orders")
+        .filter(col("o_orderpriority") =!= "4-NOT SPECIFIED")
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+      t(s, d, "customer")
+        .join(perCust, col("c_custkey") === col("o_custkey"), "left")
+        .select(coalesce(col("n_orders"), lit(0L)).as("c_count"))
+        .groupBy(col("c_count")).agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+    // X12 (TPC-H Q14 shape): promo revenue share in one month — a
+    // pushed-down range scan joined to a broadcast dim, with BOTH
+    // conditional and total sums in ONE aggregation pass. Money stays
+    // DECIMAL until the final ratio, which is a single double division
+    // of two exact values.
+    "x12_promo_effect" -> ((s, d) => {
+      val rev = col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1) - col("l_discount").cast("decimal(4,2)"))
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= to_timestamp(lit("1995-09-01 00:00:00")) &&
+          col("l_shipdate") < to_timestamp(lit("1995-10-01 00:00:00")))
+        .join(broadcast(t(s, d, "part").select(col("p_partkey"), col("p_type"))),
+          col("l_partkey") === col("p_partkey"))
+        .agg(
+          sum(when(col("p_type") === "PROMO", rev)
+            .otherwise(lit(0).cast("decimal(18,2)"))).cast("double").as("promo_revenue"),
+          sum(rev).cast("double").as("total_revenue"))
+        .select(col("promo_revenue"), col("total_revenue"),
+          (lit(100.0) * col("promo_revenue") / col("total_revenue")).as("promo_pct"))
+    }),
+    // X13 (TPC-H Q18 shape): large-volume orders — HAVING on a
+    // pre-aggregated fact, then the qualifying ≤k keys join BACK to
+    // the dims. The having-filter runs map-side-combined on the fact's
+    // natural key; only survivors (a few % of orders) ever touch the
+    // join, and the final top-100 is a TakeOrdered, not a global sort.
+    "x13_large_volume_orders" -> ((s, d) => {
+      val bigOrders = t(s, d, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty_d"))
+        .filter(col("sum_qty_d") > 120)
+      bigOrders
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, d, "customer").select(col("c_custkey"), col("c_name"))),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"),
+          col("sum_qty_d").cast("double").as("sum_qty"))
+        .orderBy(col("sum_qty").desc, col("o_orderkey")).limit(100)
+    }),
+    // X14 (TPC-H Q19 shape): disjunctive multi-attribute predicate —
+    // an OR of three (brand × quantity-band × size-band) branches that
+    // must evaluate AFTER the broadcast join (it mixes fact and dim
+    // columns) while the per-side conjuncts (quantity bounds, size
+    // bounds) still push into the scans. Exercises the optimizer's
+    // CNF extraction on exactly the pattern BI tools emit.
+    "x14_disjunctive_pred" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+        .filter(col("l_quantity") >= 1 && col("l_quantity") <= 30)
+      val p = t(s, d, "part").filter(col("p_size") >= 1 && col("p_size") <= 15)
+      li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#12" &&
+            col("l_quantity").between(1, 11) && col("p_size").between(1, 5)) ||
+          (col("p_brand") === "Brand#23" &&
+            col("l_quantity").between(10, 20) && col("p_size").between(1, 10)) ||
+          (col("p_brand") === "Brand#34" &&
+            col("l_quantity").between(20, 30) && col("p_size").between(1, 15)))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1) - col("l_discount").cast("decimal(4,2)"))).cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+    // X15 (TPC-H Q21 shape): the blocking supplier — for multi-supplier
+    // orders, the supplier whose max ship date IS the order's latest
+    // (uniquely) and ran >60 days past the order date. Two stacked
+    // aggregations on the same orderkey partitioning (supplier-level,
+    // then order-level re-join) — the shuffle key never changes, so
+    // AQE plans one exchange; no correlated EXISTS subqueries survive
+    // into the physical plan.
+    "x15_blocking_supplier" -> ((s, d) => {
+      // order-level stats via a WINDOW over the supplier rollup — the
+      // rollup→window→re-rollup chain stays on the l_orderkey shuffle
+      // family (no self-join, lineitem scans once)
+      val perSupp = t(s, d, "lineitem")
+        .groupBy(col("l_orderkey"), col("l_suppkey"))
+        .agg(max(col("l_shipdate")).as("s_max"))
+      val w = Window.partitionBy(col("l_orderkey"))
+      val atMax = perSupp
+        .withColumn("o_max", max(col("s_max")).over(w))
+        .withColumn("n_supp", count(lit(1)).over(w))
+        .filter(col("s_max") === col("o_max") && col("n_supp") >= 2)
+        .groupBy(col("l_orderkey"), col("o_max"))
+        .agg(min(col("l_suppkey")).as("l_suppkey"), count(lit(1)).as("n_at_max"))
+        .filter(col("n_at_max") === 1)
+      atMax
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .filter(col("o_max") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("l_suppkey")).limit(10)
+    }),
+    // X16 (TPC-H Q22 shape): dormant rich customers — acctbal above
+    // the positive-balance average (a broadcast scalar, decimal-exact)
+    // AND no recent orders (anti join against a pushed-down date
+    // filter). Grouped by a derived "country code" bucket. The anti
+    // side streams only the filtered orders keys through one shuffle;
+    // the average is one tiny broadcast row.
+    "x16_global_balance" -> ((s, d) => {
+      val avgBal = t(s, d, "customer")
+        .filter(col("c_acctbal") > 0.0)
+        .agg((sum(col("c_acctbal").cast("decimal(18,2)")).cast("double") /
+          count(lit(1))).as("avg_bal"))
+      t(s, d, "customer")
+        .join(broadcast(avgBal))
+        .filter(col("c_acctbal") > col("avg_bal"))
+        .join(t(s, d, "orders")
+            .filter(col("o_orderdate") >= to_timestamp(lit("1999-01-01 00:00:00")))
+            .select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy((col("c_custkey") % 10).as("cntrycode"))
+        .agg(count(lit(1)).as("numcust"),
+          sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("totacctbal"))
+        .orderBy("cntrycode")
     })
   )
 
   private val whOracles: Map[String, String] = Map(
+    "x11_order_count_dist" ->
+      """WITH pc AS (SELECT o_custkey, count(*) AS n_orders FROM orders
+        |  WHERE o_orderpriority <> '4-NOT SPECIFIED' GROUP BY 1)
+        |SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT coalesce(pc.n_orders, 0) AS c_count
+        |  FROM customer LEFT JOIN pc ON c_custkey = o_custkey)
+        |GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "x12_promo_effect" ->
+      """WITH s AS (SELECT
+        |  CAST(sum(CASE WHEN p_type = 'PROMO'
+        |    THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))
+        |    ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS promo_revenue,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS total_revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1995-09-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1995-10-01 00:00:00')
+        |SELECT promo_revenue, total_revenue,
+        |  100.0 * promo_revenue / total_revenue AS promo_pct FROM s""".stripMargin,
+    "x13_large_volume_orders" ->
+      """WITH big AS (SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty_d
+        |  FROM lineitem GROUP BY 1 HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 120)
+        |SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |  CAST(sum_qty_d AS DOUBLE) AS sum_qty
+        |FROM big JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY sum_qty DESC, o_orderkey LIMIT 100""".stripMargin,
+    "x14_disjunctive_pred" ->
+      """SELECT
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND l_quantity BETWEEN 1 AND 11 AND p_size BETWEEN 1 AND 5)
+        |   OR (p_brand = 'Brand#23' AND l_quantity BETWEEN 10 AND 20 AND p_size BETWEEN 1 AND 10)
+        |   OR (p_brand = 'Brand#34' AND l_quantity BETWEEN 20 AND 30 AND p_size BETWEEN 1 AND 15)""".stripMargin,
+    "x15_blocking_supplier" ->
+      """WITH ps AS (SELECT l_orderkey, l_suppkey, max(l_shipdate) AS s_max
+        |  FROM lineitem GROUP BY 1, 2),
+        |po AS (SELECT l_orderkey, max(s_max) AS o_max, count(*) AS n_supp
+        |  FROM ps GROUP BY 1),
+        |am AS (SELECT ps.l_orderkey, po.o_max, min(ps.l_suppkey) AS l_suppkey,
+        |    count(*) AS n_at_max
+        |  FROM ps JOIN po ON ps.l_orderkey = po.l_orderkey
+        |  WHERE ps.s_max = po.o_max AND po.n_supp >= 2
+        |  GROUP BY 1, 2 HAVING count(*) = 1)
+        |SELECT am.l_suppkey, count(*) AS numwait
+        |FROM am JOIN orders ON am.l_orderkey = o_orderkey
+        |WHERE am.o_max > o_orderdate + INTERVAL 60 DAY
+        |GROUP BY 1 ORDER BY numwait DESC, l_suppkey LIMIT 10""".stripMargin,
+    "x16_global_balance" ->
+      """WITH ab AS (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_bal
+        |  FROM customer WHERE c_acctbal > 0.0)
+        |SELECT c_custkey % 10 AS cntrycode, count(*) AS numcust,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+        |FROM customer, ab
+        |WHERE c_acctbal > ab.avg_bal
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "x1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -153,4 +153,44 @@ object Chunking {
       .filter(col("rn") <= k)
       .drop("rn")
   }
+
+  /** BM25 relevance of every document against a fixed query term set —
+    * the classical sparse-retrieval baseline (Robertson/Spärck Jones),
+    * used both as a RAG retriever and for quality-targeted data
+    * selection ("keep documents that look like the eval set").
+    *
+    * score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b + b·dl/avgdl)),
+    * idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1).
+    *
+    * Scale: the corpus tokenizes once; non-query terms drop BEFORE any
+    * shuffle, so tf is an aggregation over only the matching postings.
+    * df and the (N, avgdl) row are tiny broadcasts. Per-(doc, term)
+    * partial scores quantize to DECIMAL(20,12) before the per-doc sum,
+    * so the ≤|query| -term reduction is order-independent and the
+    * result engine-portable (the t7/t12 recipe).
+    */
+  def bm25(docs: DataFrame, queryTerms: Seq[String],
+           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    // tokenize ONCE: dl/avgdl and the query postings share this frame
+    val tok = docs.select(col("doc_id"), explode(words(col("text"))).as("term"))
+      .localCheckpoint(true)
+    val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val stats = dl
+      .agg(count(lit(1)).as("n"), sum(col("dl")).as("tot"))
+      .select(col("n"), (col("tot").cast("double") / col("n")).as("avgdl"))
+    val qtok = tok.filter(col("term").isin(queryTerms: _*))
+    val tf = qtok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = qtok.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
+    tf.join(broadcast(df), "term")
+      .join(broadcast(stats))
+      .join(dl, "doc_id")
+      .select(col("doc_id"),
+        (log((col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)) *
+          (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+          .cast("decimal(20,12)").as("score_t"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_q_terms"),
+        sum(col("score_t")).cast("double").as("bm25"))
+  }
 }

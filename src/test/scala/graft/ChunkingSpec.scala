@@ -100,4 +100,20 @@ class ChunkingSpec extends SparkSpec {
     assert(bi(6L) > bi(1L),
       "the improbable transitions must surface in the bigram score")
   }
+
+  test("T15: BM25 matches a hand computation; non-matching docs drop out") {
+    // N=3, df(q)=2, every dl=4 so avgdl=4 and the length norm is 1:
+    // idf = ln((3-2+0.5)/(2+0.5)+1) = ln(1.6); denom = tf + k1.
+    val df = Seq(
+      (1L, "a a q b"), (2L, "q q b c"), (3L, "b c d e")).toDF("doc_id", "text")
+    val out = Chunking.bm25(df, Seq("q"))
+      .select("doc_id", "n_q_terms", "bm25")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out.keySet === Set(1L, 2L), "docs without query terms emit no row")
+    val idf = math.log(1.6)
+    assert(out(1L)._1 === 1L)
+    assert(math.abs(out(1L)._2 - idf * 2.2 / 2.2) < 1e-9)
+    assert(math.abs(out(2L)._2 - idf * 4.4 / 3.2) < 1e-9)
+    assert(out(2L)._2 > out(1L)._2, "higher tf at equal length scores higher")
+  }
 }
