@@ -2609,6 +2609,18 @@ object SparkEntry {
     "e9_kmeans_update" -> ((s, d) =>
       graft.similarity.Ann.centroidUpdate(t(s, d, "embeddings"), 8)
         .orderBy("centroid_id", "dim")),
+    // E12: PQ asymmetric-distance (ADC) top-k — the query half of e7's
+    // codebook index: broadcast per-query lookup tables, code-only
+    // corpus scan.
+    "e12_pq_adc_topk" -> ((s, d) =>
+      graft.similarity.Ann.pqAdcTopK(t(s, d, "embeddings"))
+        .orderBy("query_id", "rank")),
+    // E13: Matryoshka truncated-dim cosine — e1's exact pipeline on
+    // the first 8 of 64 dims (the cheap first stage of a two-stage
+    // retriever).
+    "e13_matryoshka_topk" -> ((s, d) =>
+      graft.similarity.Ann.matryoshkaTopK(t(s, d, "embeddings"))
+        .orderBy("query_id", "rank")),
     // E10: the bucket-assignment half of e2's LSH candidate generation,
     // oracle-exact — the ±1 plane matrix is LCG-deterministic, so the
     // (table, bucket) cells every vector lands in replay in SQL with
@@ -2632,6 +2644,41 @@ object SparkEntry {
   )
 
   private val simOracles: Map[String, String] = Map(
+    "e12_pq_adc_topk" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |sub AS (SELECT vec_id, j AS sub, v[j*8+1 : j*8+8] AS sv
+        |  FROM e, (SELECT unnest(range(8)) AS j)),
+        |cb AS (SELECT sub, vec_id AS centroid_id, sv AS cv FROM sub WHERE vec_id < 16),
+        |d AS (SELECT s.vec_id, s.sub, c.centroid_id,
+        |    list_reduce(list_apply(range(1, 9),
+        |      i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i])), (a,b) -> a+b) AS d2
+        |  FROM sub s JOIN cb c USING (sub)),
+        |codes AS (SELECT vec_id, sub, centroid_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, centroid_id) AS rn FROM d)
+        |  WHERE rn = 1),
+        |dt AS (SELECT vec_id AS query_id, sub, centroid_id, CAST(d2 AS DECIMAL(20,12)) AS qd2
+        |  FROM d WHERE vec_id < 50),
+        |adc AS (SELECT dt.query_id, codes.vec_id, sum(dt.qd2) AS adc_d
+        |  FROM codes JOIN dt USING (sub, centroid_id)
+        |  WHERE codes.vec_id <> dt.query_id
+        |  GROUP BY 1, 2),
+        |r AS (SELECT query_id, vec_id AS neighbor_id, adc_d,
+        |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY adc_d, vec_id) AS INT) AS rank
+        |  FROM adc)
+        |SELECT query_id, neighbor_id, round(CAST(adc_d AS DOUBLE), 6) AS adc_dist2, rank
+        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "e13_matryoshka_topk" ->
+      """WITH e AS (SELECT vec_id, (embedding::DOUBLE[])[1:8] AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_reduce(list_apply(v, x -> x*x), (a,b) -> a+b)) AS nrm FROM e),
+        |p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_reduce(list_apply(range(1, 9), i -> q.v[i] * c.v[i]), (a,b) -> a+b)
+        |      / (q.nrm * c.nrm) AS sim
+        |  FROM n q JOIN n c ON q.vec_id <> c.vec_id),
+        |r AS (SELECT query_id, neighbor_id, sim,
+        |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS INT) AS rank
+        |  FROM p)
+        |SELECT query_id, neighbor_id, round(sim, 6) AS sim, rank FROM r
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     // e10: plane signs are LCG-deterministic — inline them as SQL
     // (the d3 recipe: oracle built from the SAME Scala constants the
     // operator uses), as a LEFT-ASSOCIATED ±v[i] chain: x - y is

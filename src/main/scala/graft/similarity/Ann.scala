@@ -625,18 +625,29 @@ object Ann {
     * assemble codes. Per-cell distances are strict left folds and the
     * summed MSE terms are decimal-quantized, so the DuckDB twin
     * reproduces codes AND error bit-for-bit. */
-  def pqEncode(embeddings: DataFrame, m: Int = 8, k: Int = 16): DataFrame = {
-    val e = prepared(embeddings)
+  /** (vector, subspace) slices — shared by [[pqEncode]] and
+    * [[pqAdcTopK]]: one row per vector per subspace, `sv` = the
+    * dim/m-wide sub-vector. */
+  private def subSlices(e: DataFrame, m: Int): DataFrame = {
     val dim = 64 / m
     val subCols = (0 until m).map(j =>
       struct(lit(j).as("sub"), slice(col("v"), j * dim + 1, dim).as("sv")))
-    val sub = e.select(col("vec_id"), explode(array(subCols: _*)).as("s"))
+    e.select(col("vec_id"), explode(array(subCols: _*)).as("s"))
       .select(col("vec_id"), col("s.sub").as("sub"), col("s.sv").as("sv"))
+  }
+
+  /** Squared L2 between the `sv` and `cv` sub-vector columns — strict
+    * left fold, the engine-portable semantics of the e7/e12 oracles. */
+  private val subDist2 = aggregate(
+    zip_with(col("sv"), col("cv"), (a, b) => (a - b) * (a - b)),
+    lit(0.0), (acc, x) => acc + x)
+
+  def pqEncode(embeddings: DataFrame, m: Int = 8, k: Int = 16): DataFrame = {
+    val e = prepared(embeddings)
+    val sub = subSlices(e, m)
     val codebook = sub.filter(col("vec_id") < k)
       .select(col("sub"), col("vec_id").as("centroid_id"), col("sv").as("cv"))
-    val dist2 = aggregate(
-      zip_with(col("sv"), col("cv"), (a, b) => (a - b) * (a - b)),
-      lit(0.0), (acc, x) => acc + x)
+    val dist2 = subDist2
     val best = sub.join(broadcast(codebook), "sub")
       .select(col("vec_id"), col("sub"), col("centroid_id"), dist2.as("d2"))
       .withColumn("rn", row_number().over(
@@ -650,6 +661,64 @@ object Ann {
           x => x.getField("code").cast("string")), ",").as("codes"),
         round(sum(col("d2").cast("decimal(20,12)")).cast("double") / 64, 6).as("mse"))
   }
+
+  /** E12: PQ asymmetric-distance (ADC) search — the lookup step that
+    * makes [[pqEncode]] a usable index (Jégou et al. 2011, "Product
+    * Quantization for Nearest Neighbor Search"): the corpus is stored
+    * only as m-byte codes; each query precomputes its exact squared
+    * distance to every sub-centroid (an m×k lookup table) and a
+    * corpus vector's approximate distance is the sum of m table
+    * lookups — no corpus floats are ever read at query time.
+    *
+    * Scale: the distance tables are nQueries·m·k rows and BROADCAST;
+    * the corpus side streams its (vec_id, sub, code) triples through
+    * one map-side-combined aggregation keyed (query, vec_id) — per
+    * query the work is linear in corpus size with an m-lookup constant,
+    * and at 100 TB the same plan shards by corpus partition with a
+    * union of per-shard top-k (the e4 IVF posture). Per-sub distances
+    * quantize to DECIMAL(20,12) before the m-term sum, so ranking is
+    * order-independent and the DuckDB twin exact. */
+  def pqAdcTopK(embeddings: DataFrame, nQueries: Int = 50, m: Int = 8,
+                k: Int = 16, topK: Int = 5): DataFrame = {
+    val e = prepared(embeddings)
+    // slices feed the codebook, the corpus codes, AND the query tables
+    val sub = subSlices(e, m).localCheckpoint(true)
+    val codebook = sub.filter(col("vec_id") < k)
+      .select(col("sub"), col("vec_id").as("centroid_id"), col("sv").as("cv"))
+    val codes = sub.join(broadcast(codebook), "sub")
+      .select(col("vec_id"), col("sub"), col("centroid_id"), subDist2.as("d2"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id"), col("sub"))
+          .orderBy(col("d2"), col("centroid_id"))))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("sub"), col("centroid_id"))
+    val dtable = sub.filter(col("vec_id") < nQueries)
+      .join(broadcast(codebook), "sub")
+      .select(col("vec_id").as("query_id"), col("sub"), col("centroid_id"),
+        subDist2.cast("decimal(20,12)").as("qd2"))
+    codes.join(broadcast(dtable), Seq("sub", "centroid_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("qd2")).as("adc_d"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("adc_d"), col("vec_id"))))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(col("adc_d").cast("double"), 6).as("adc_dist2"), col("rank"))
+  }
+
+  /** E13: Matryoshka truncated-dimension cosine top-k — run the exact
+    * [[cosineTopKBlocked]] pipeline on only the FIRST `dims` of each
+    * embedding (Kusupati et al. 2022: MRL embeddings front-load
+    * information, so a prefix is a valid low-cost representation).
+    * The standard cheap first pass of a two-stage retriever: 8 of 64
+    * dims = 8× less compute and memory at the same plan shape; rerank
+    * survivors with the full vector (e1) if needed. */
+  def matryoshkaTopK(embeddings: DataFrame, dims: Int = 8, k: Int = 5): DataFrame =
+    cosineTopKBlocked(
+      embeddings.select(col("vec_id"),
+        slice(col("embedding").cast("array<double>"), 1, dims).as("embedding")),
+      k)
 
   /** E8: SemDedup (Abbas et al. 2023, arXiv:2303.09540) — semantic
     * near-duplicate removal via centroid clustering: assign every

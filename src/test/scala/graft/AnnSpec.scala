@@ -236,4 +236,54 @@ class AnnSpec extends SparkSpec {
     assert(out.groupBy("query_id").count()
       .filter(col("count") =!= 5).count() === 0)
   }
+
+  test("E12: ADC retrieves same-cluster neighbors when codebook covers the centers") {
+    // 16 clusters whose centers ARE vectors 0..15 (the seeded codebook),
+    // so every member quantizes onto its own cluster's sub-centroids and
+    // the ADC distance within a cluster is far below cross-cluster.
+    val rnd = new scala.util.Random(12)
+    val centers = Array.fill(16, 64)(rnd.nextGaussian().toFloat)
+    val vecs = (0 until 200).map { i =>
+      val c = centers(i % 16)
+      (i.toLong, c.map(x => x + 0.05f * rnd.nextGaussian().toFloat))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val adc = Ann.pqAdcTopK(df, nQueries = 50, topK = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    // shape: every query fills exactly 5 ranks, never itself
+    assert(adc.groupBy(_._1).forall(_._2.length === 5))
+    assert(adc.forall { case (q, n) => q != n })
+    // ≥90% of all retrieved neighbors share the query's cluster
+    val pure = adc.count { case (q, n) => q % 16 == n % 16 }
+    assert(pure.toDouble / adc.length >= 0.9,
+      s"ADC cluster purity too low: ${pure.toDouble / adc.length}")
+  }
+
+  test("E13: matryoshka routes to the same clusters as full cosine") {
+    // centers differ only in the first 8 dims (MRL-style front-loaded
+    // information); the 56-dim tail is small noise, so the truncated
+    // and full rankings should agree.
+    val rnd = new scala.util.Random(23)
+    val heads = Array.fill(10, 8)(rnd.nextGaussian().toFloat)
+    val vecs = (0 until 200).map { i =>
+      val h = heads(i % 10).map(x => x + 0.1f * rnd.nextGaussian().toFloat)
+      (i.toLong, h ++ Array.fill(56)(0.05f * rnd.nextGaussian().toFloat))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    // the decisive property is CLUSTER agreement, not exact-rank
+    // agreement: within a cluster the orderings may legitimately differ
+    // (the tail noise the truncation discards versus keeps), but the
+    // truncated view must still route queries to the right cluster.
+    val mat = Ann.matryoshkaTopK(df, dims = 8, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    assert(mat.groupBy(_._1).forall(_._2.length === 5))
+    val pure = mat.count { case (q, n) => q % 10 == n % 10 }
+    assert(pure.toDouble / mat.length >= 0.9,
+      s"matryoshka cluster purity too low: ${pure.toDouble / mat.length}")
+    // and the full-dim pipeline agrees on those clusters
+    val full = Ann.cosineTopK(df, 5).select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect()
+    val fullPure = full.count { case (q, n) => q % 10 == n % 10 }
+    assert(fullPure.toDouble / full.length >= 0.9)
+  }
 }
