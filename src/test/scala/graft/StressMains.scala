@@ -242,6 +242,10 @@ object MakeReplica10 {
       .write.mode("overwrite").parquet(s"$out/part.parquet")
     rep(Tables.documents(spark, src), Map("doc_id" -> 100000000L))
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    rep(Tables.table(spark, src, "customer"), Map("c_custkey" -> 1000000L))
+      .write.mode("overwrite").parquet(s"$out/customer.parquet")
+    rep(Tables.table(spark, src, "embeddings"), Map("vec_id" -> 1000000L))
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
     println(s"[replica] wrote 10x corpus to $out")
     spark.stop()
   }
