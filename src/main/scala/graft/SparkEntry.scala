@@ -367,6 +367,28 @@ object SparkEntry {
         .withColumn("nats", col("nats").cast("double"))
         .orderBy("event_type")
     }),
+    // DQ12 (beyond reference): candidate-key uniqueness audit — the
+    // precondition check for every upsert/dedup/checksum in the
+    // pipeline (dq4's scaladoc names it; this measures it). One
+    // narrow two-level aggregation per table (distinct-count via
+    // key-grouping), unioned into a 5-row report.
+    "dq12_key_uniqueness" -> ((s, d) => {
+      def audit(tbl: String, keys: Seq[String]) = {
+        val df = t(s, d, tbl)
+        df.agg(count(lit(1)).as("n_rows"))
+          .crossJoin(df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("c"))
+            .agg(count(lit(1)).as("n_keys")))
+          .select(lit(tbl).as("table_name"), lit(keys.mkString(",")).as("key_cols"),
+            col("n_rows"), col("n_keys"),
+            (col("n_rows") === col("n_keys")).cast("int").as("is_unique"))
+      }
+      audit("events", Seq("event_id"))
+        .union(audit("orders", Seq("o_orderkey")))
+        .union(audit("lineitem", Seq("l_orderkey", "l_linenumber")))
+        .union(audit("customer", Seq("c_custkey")))
+        .union(audit("documents", Seq("doc_id")))
+        .orderBy("table_name")
+    }),
     // DQ7 (beyond reference): per-key robust outlier flags — |v − med|
     // > 3·MAD per user, the anomaly monitor that survives the outliers
     // it hunts (a20's global stats, taken per key). Two aggregation
@@ -538,6 +560,26 @@ object SparkEntry {
         |SELECT event_type, n, p, CAST(nats_d AS DOUBLE) AS nats,
         |  CAST(sum(nats_d) OVER () AS DOUBLE) AS entropy
         |FROM t ORDER BY event_type""".stripMargin,
+    "dq12_key_uniqueness" ->
+      """SELECT * FROM (
+        |  SELECT 'events' AS table_name, 'event_id' AS key_cols,
+        |    count(*) AS n_rows, count(DISTINCT event_id) AS n_keys,
+        |    CAST(count(*) = count(DISTINCT event_id) AS INT) AS is_unique FROM events
+        |  UNION ALL
+        |  SELECT 'orders', 'o_orderkey', count(*), count(DISTINCT o_orderkey),
+        |    CAST(count(*) = count(DISTINCT o_orderkey) AS INT) FROM orders
+        |  UNION ALL
+        |  SELECT 'lineitem', 'l_orderkey,l_linenumber', count(*),
+        |    (SELECT count(*) FROM (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem)),
+        |    CAST(count(*) = (SELECT count(*) FROM (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem)) AS INT)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'customer', 'c_custkey', count(*), count(DISTINCT c_custkey),
+        |    CAST(count(*) = count(DISTINCT c_custkey) AS INT) FROM customer
+        |  UNION ALL
+        |  SELECT 'documents', 'doc_id', count(*), count(DISTINCT doc_id),
+        |    CAST(count(*) = count(DISTINCT doc_id) AS INT) FROM documents
+        |) ORDER BY table_name""".stripMargin,
     "dq7_robust_outliers" ->
       """WITH med AS (SELECT user_id, median(value) AS med FROM events GROUP BY 1),
         |mad AS (SELECT e.user_id, median(abs(e.value - m.med)) AS mad
@@ -1226,9 +1268,43 @@ object SparkEntry {
           Array(col("O"), col("F"), col("P")), "status", "n_orders")
         .filter(col("n_orders") > 0)
         .orderBy("month_start", "status"))
+    ,
+    // A29 (beyond reference): Pareto revenue concentration — how many
+    // customers cover 50/80/90% of revenue (the "whale curve" every
+    // account team asks for). One fact aggregation, one |customers|-row
+    // cumulative window, and an ALL-INTEGER threshold predicate
+    // (100·cum < thr·total in DECIMAL — no ratio ever floats), so the
+    // three counts are engine-exact.
+    "a29_pareto_concentration" -> ((s, d) => {
+      val perCust = t(s, d, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+      val wCum = Window.orderBy(col("rev").desc, col("o_custkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val c = perCust
+        .withColumn("cum", sum(col("rev")).over(wCum))
+        .withColumn("total", sum(col("rev")).over(Window.partitionBy()))
+      c.select(explode(array(lit(50), lit(80), lit(90))).as("threshold"),
+          col("cum"), col("total"))
+        .groupBy(col("threshold"))
+        .agg((sum(when(col("cum") * 100 < col("threshold") * col("total"), 1L)
+          .otherwise(0L)) + 1L).as("n_customers"))
+        .orderBy("threshold")
+    })
   )
 
   private val aggOracles: Map[String, String] = Map(
+    "a29_pareto_concentration" ->
+      """WITH pc AS (SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        |  FROM orders GROUP BY 1),
+        |c AS (SELECT rev,
+        |    sum(rev) OVER (ORDER BY rev DESC, o_custkey ROWS UNBOUNDED PRECEDING) AS cum,
+        |    sum(rev) OVER () AS total
+        |  FROM pc),
+        |t AS (SELECT unnest([50, 80, 90]) AS threshold)
+        |SELECT threshold,
+        |  CAST(count(*) FILTER (WHERE cum * 100 < threshold * total) + 1 AS BIGINT) AS n_customers
+        |FROM c CROSS JOIN t GROUP BY 1 ORDER BY 1""".stripMargin,
     "a1_funnel_counts" ->
       """SELECT count(*) FILTER (WHERE event_type = 'view') AS referidos,
         |  count(*) FILTER (WHERE event_type = 'click') AS asesorados,
@@ -1657,6 +1733,50 @@ object SparkEntry {
             (sqrt((col("n_pairs") * col("sxx") - col("sx") * col("sx")).cast("double")) *
              sqrt((col("n_pairs") * col("syy") - col("sy") * col("sy")).cast("double"))))
             .as("corr_lag1"))
+    }),
+    // TS4 (beyond reference): cross-correlation matrix of the daily
+    // volumes of every event-type pair — "do signups move with
+    // payments". ts3's exact-integer-moments recipe per pair: one
+    // daily rollup, a day-equality self-join (|types|² × days rows),
+    // Pearson on exact BIGINT sums — no rounding anywhere.
+    "ts4_xcorr_matrix" -> ((s, d) => {
+      val daily = t(s, d, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+        .localCheckpoint(true)
+      daily.as("a")
+        .join(daily.as("b"),
+          col("a.day") === col("b.day") &&
+            col("a.event_type") < col("b.event_type"))
+        .groupBy(col("a.event_type").as("type_a"),
+          col("b.event_type").as("type_b"))
+        .agg(count(lit(1)).as("n_days"),
+          sum(col("a.n")).as("sx"), sum(col("b.n")).as("sy"),
+          sum(col("a.n") * col("b.n")).as("sxy"),
+          sum(col("a.n") * col("a.n")).as("sxx"),
+          sum(col("b.n") * col("b.n")).as("syy"))
+        .select(col("type_a"), col("type_b"), col("n_days"),
+          ((col("n_days") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (sqrt((col("n_days") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+             sqrt((col("n_days") * col("syy") - col("sy") * col("sy")).cast("double"))))
+            .as("xcorr"))
+        .orderBy("type_a", "type_b")
+    }),
+    // W13 (beyond reference): month-over-month growth — the header
+    // metric of every revenue dashboard. Monthly sums stay DECIMAL;
+    // the growth ratio is one double division of two exact values
+    // (lag over the ~|months|-row rollup, not the fact), NULL on the
+    // first month by construction.
+    "w13_mom_growth" -> ((s, d) => {
+      val monthly = t(s, d, "orders")
+        .groupBy(date_trunc("month", col("o_orderdate")).as("month_start"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+      monthly
+        .withColumn("prev", lag(col("rev"), 1).over(Window.orderBy(col("month_start"))))
+        .select(col("month_start"), col("rev").cast("double").as("revenue"),
+          (lit(100.0) * (col("rev") - col("prev")).cast("double") /
+            col("prev").cast("double")).as("growth_pct"))
+        .orderBy("month_start")
     })
   )
 
@@ -1681,6 +1801,30 @@ object SparkEntry {
         |    (sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE)) *
         |     sqrt(CAST(n_pairs * syy - sy * sy AS DOUBLE))) AS corr_lag1
         |FROM m""".stripMargin,
+    "ts4_xcorr_matrix" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |m AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    count(*) AS n_days,
+        |    sum(a.n) AS sx, sum(b.n) AS sy, sum(a.n * b.n) AS sxy,
+        |    sum(a.n * a.n) AS sxx, sum(b.n * b.n) AS syy
+        |  FROM daily a JOIN daily b
+        |    ON a.day = b.day AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT type_a, type_b, n_days,
+        |  CAST(n_days * sxy - sx * sy AS DOUBLE) /
+        |    (sqrt(CAST(n_days * sxx - sx * sx AS DOUBLE)) *
+        |     sqrt(CAST(n_days * syy - sy * sy AS DOUBLE))) AS xcorr
+        |FROM m ORDER BY type_a, type_b""".stripMargin,
+    "w13_mom_growth" ->
+      """WITH m AS (SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        |  FROM orders GROUP BY 1),
+        |l AS (SELECT month_start, rev,
+        |    lag(rev, 1) OVER (ORDER BY month_start) AS prev FROM m)
+        |SELECT month_start, CAST(rev AS DOUBLE) AS revenue,
+        |  100.0 * CAST(rev - prev AS DOUBLE) / CAST(prev AS DOUBLE) AS growth_pct
+        |FROM l ORDER BY month_start""".stripMargin,
     "w1_latest_per_key" ->
       """SELECT user_id, event_type, event_id, value FROM (
         |  SELECT *, row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn
