@@ -87,14 +87,29 @@ object Bench {
     // outliers (a transient stall) and degrades to plain min-of-2 when
     // slowness is systemic (a retry can't fix that anyway).
     var retryBudget = 12
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    // Failed queries are recorded HERE, excluded from the total, and the
+    // run exits non-zero — a query that dies at analysis time must not
+    // contribute its fail-fast 0.05 s as if it ran (round 7's bench of
+    // record silently counted 7 broken queries that way).
+    val failed = scala.collection.mutable.LinkedHashMap[String, String]()
+    val timed = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (name, _) => excluded.contains(name) }
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
         def once(): (Double, Long) = {
           val t0 = System.nanoTime()
-          val n = try { force(fn(spark, sfDir)) } catch { case _: Throwable => -1L }
-          (System.nanoTime() - t0) / 1e9 -> n
+          val n = try { force(fn(spark, sfDir)) } catch { case e: Throwable =>
+            failed.getOrElseUpdate(name,
+              s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}")
+            -1L
+          }
+          val secs = (System.nanoTime() - t0) / 1e9
+          // clear per-RUN (untimed), not per-query: the cache manager's
+          // plan-fragment matching would otherwise serve run 2 from run
+          // 1's persisted intermediates and report a cache hit as the
+          // query's steady-state time.
+          spark.sharedState.cacheManager.clearCache()
+          secs -> n
         }
         // Two timed runs, min — plus budgeted retries when the pair
         // disagrees by >2× above the 1 s floor. Full-suite runs on this
@@ -108,16 +123,25 @@ object Bench {
           retryBudget -= 1
           runs ::= once()
         }
-        val (secs, n) = runs.minBy(_._1)
+        // min over SUCCESSFUL runs only — a failed run's fail-fast wall
+        // time must never be reported as the query's cost.
+        val okRuns = runs.filter(_._2 >= 0)
+        val (secs, n) =
+          if (okRuns.nonEmpty) okRuns.minBy(_._1) else runs.minBy(_._1)
         // drop this query's localCheckpoint blocks: without it the
         // checkpointed intermediates of ~10 queries × 2 runs accumulate
         // in the heap and later queries pay GC pressure (x1 measured
         // 0.7 s early in the sweep vs 7.6 s late).
+        spark.sharedState.cacheManager.clearCache()
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = false))
-        System.err.println(f"[bench] $name%-28s $secs%8.2fs rows=$n")
-        name -> secs
+        val ok = runs.exists(_._2 >= 0)
+        if (ok) failed.remove(name) // a retry succeeded — transient, keep the timing
+        System.err.println(f"[bench] $name%-28s $secs%8.2fs rows=$n" +
+          (if (ok) "" else "  FAILED"))
+        (name, secs, ok)
       }
+    val results = timed.collect { case (name, secs, true) => name -> secs }
     // Locale.ROOT: the f"" interpolator formats with the JVM default
     // locale — a comma-decimal locale would emit unparseable JSON.
     def num(fmt: String, v: Double): String =
@@ -141,8 +165,11 @@ object Bench {
     // of BENCH_r*.json show the driver's JSON parse failing on exactly
     // that prefix (`parsed: null` even when rc=0 and the line itself
     // was well-formed).
-    println(s"""{"metric":"detail","value":${num("%.3f", total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":${num("%.3f", total)},"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}""")
+    val failedArr = failed.keys.map("\"" + _ + "\"").mkString("[", ",", "]")
+    failed.foreach { case (k, v) => System.err.println(s"[bench] FAILED $k: $v") }
+    println(s"""{"metric":"detail","value":${num("%.3f", total)},"unit":"sec","queries":$qs,"failed":$failedArr,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${num("%.3f", total)},"unit":"sec","n_queries":${results.size},"failed":$failedArr,"sf":"$sfDir"}""")
     spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

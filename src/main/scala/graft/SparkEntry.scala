@@ -49,7 +49,10 @@ object SparkEntry {
     val deduped = Events.dedupFirstWins(ev, Seq("event_id"), Seq(col("ts").asc))
     val cust = t(s, dir, "customer")
     val joined = deduped
-      .filter(year(col("ts")) === 2024)
+      // half-open ts range, not year(ts)===2024: the bare-column form
+      // prunes parquet row groups / date partitions at scale (the
+      // function-wrapped predicate degrades the scan to IsNotNull)
+      .filter(col("ts") >= lit("2024-01-01") && col("ts") < lit("2025-01-01"))
       .join(broadcast(cust), col("user_id") === col("c_custkey"))
     joined.withColumn("agent", col("c_name")).rollup(col("agent"))
       .agg(
@@ -77,7 +80,7 @@ object SparkEntry {
       |        / nullif(CAST(count(*) FILTER (WHERE event_type = 'signup') AS DOUBLE), 0.0), 2)
       |    AS firmados_vs_ingresados
       |FROM events JOIN customer ON user_id = c_custkey
-      |WHERE year(ts) = 2024
+      |WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2025-01-01'
       |GROUP BY ROLLUP(c_name)
       |ORDER BY is_total, agent""".stripMargin
 
@@ -718,7 +721,7 @@ object SparkEntry {
     "p5_slicer_filter" ->
       """SELECT o_orderkey, c_name, o_totalprice
         |FROM orders JOIN customer ON o_custkey = c_custkey
-        |WHERE year(o_orderdate) = 1997 AND month(o_orderdate) = 3
+        |WHERE o_orderdate >= DATE '1997-03-01' AND o_orderdate < DATE '1997-04-01'
         |ORDER BY o_orderkey""".stripMargin,
     "p6_lookup_filter" ->
       """SELECT c_custkey, c_name, c_acctbal FROM customer
@@ -1699,7 +1702,7 @@ object SparkEntry {
       val daily = t(s, d, "events")
         .groupBy(col("event_type"), to_date(col("ts")).as("day"))
         .agg(count(lit(1)).as("n"))
-        .localCheckpoint(true)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // recomputable (see PageRank)
       daily.as("a")
         .join(daily.as("b"),
           col("a.event_type") === col("b.event_type") &&
@@ -1720,7 +1723,7 @@ object SparkEntry {
     "ts3_autocorr" -> ((s, d) => {
       val daily = t(s, d, "events")
         .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("n"))
-        .localCheckpoint(true)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // recomputable (see PageRank)
       daily.as("a")
         .join(daily.as("b"), col("a.day") === date_add(col("b.day"), 1))
         .agg(count(lit(1)).as("n_pairs"),
@@ -1743,7 +1746,7 @@ object SparkEntry {
       val daily = t(s, d, "events")
         .groupBy(col("event_type"), to_date(col("ts")).as("day"))
         .agg(count(lit(1)).as("n"))
-        .localCheckpoint(true)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // recomputable (see PageRank)
       daily.as("a")
         .join(daily.as("b"),
           col("a.day") === col("b.day") &&

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType}
 
 /** Parquet table loaders for the harness star schema (TESTDATA.md).
   *
@@ -38,18 +38,30 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark cannot map to
-    * its µs TimestampType natively. Read it as a long (legacy conf) and
-    * convert with exact integer division — `ts div 1000` truncates
-    * ns→µs exactly like DuckDB's TIMESTAMP_NS→TIMESTAMP cast, so both
-    * engines see identical instants. (A double-typed division here
-    * would corrupt the value: epoch-nanos ≈ 1.7e18 > 2^53.) */
+  /** `events.ts` varies by harness data generation; normalize every
+    * generation to the µs `TimestampType` the rest of the engine
+    * (window frames, `unix_micros`, as-of joins) is written against:
+    *
+    *  - parquet TIMESTAMP(NANOS): Spark cannot map it to µs natively.
+    *    Read as long (legacy conf) and convert with exact integer
+    *    division — `ts div 1000` truncates ns→µs exactly like DuckDB's
+    *    TIMESTAMP_NS→TIMESTAMP cast. (A double-typed division would
+    *    corrupt it: epoch-nanos ≈ 1.7e18 > 2^53.)
+    *  - parquet TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark reads
+    *    TIMESTAMP_NTZ, which `unix_micros` et al reject. Cast to
+    *    TimestampType — instant-preserving because the session tz is
+    *    pinned UTC (the wall-clock fields ARE the UTC instant).
+    *  - µs-UTC generation: already TimestampType, pass through. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = table(s, d, "events")
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
   /** S2 incremental scan with working predicate pushdown: the range is
     * applied to the RAW int64 nanos column (before the µs conversion),
@@ -59,15 +71,24 @@ object Tables {
   def eventsBetween(s: SparkSession, d: String, startUtc: String, endUtc: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = table(s, d, "events")
-    def nanos(t: String): Long =
+    def ldt(t: String): java.time.LocalDateTime =
       java.time.LocalDateTime.parse(t.replace(' ', 'T'))
-        .toInstant(java.time.ZoneOffset.UTC).getEpochSecond * 1000000000L
-    if (raw.schema("ts").dataType == LongType)
-      raw.filter(col("ts") >= nanos(startUtc) && col("ts") < nanos(endUtc))
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else
-      raw.filter(col("ts") >= to_timestamp(lit(startUtc)) &&
-        col("ts") < to_timestamp(lit(endUtc)))
+    def nanos(t: String): Long =
+      ldt(t).toInstant(java.time.ZoneOffset.UTC).getEpochSecond * 1000000000L
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.filter(col("ts") >= nanos(startUtc) && col("ts") < nanos(endUtc))
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        // Filter with NTZ literals on the RAW column (same type on both
+        // sides ⇒ the comparison pushes to the parquet reader and prunes
+        // row groups); only then normalize the survivors to TimestampType.
+        raw.filter(col("ts") >= lit(ldt(startUtc)) && col("ts") < lit(ldt(endUtc)))
+          .withColumn("ts", col("ts").cast("timestamp"))
+      case _ =>
+        raw.filter(col("ts") >= to_timestamp(lit(startUtc)) &&
+          col("ts") < to_timestamp(lit(endUtc)))
+    }
   }
 
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")

@@ -22,15 +22,26 @@ object Verify {
     // local-iteration subset (comma-separated names); full dump by default
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // Failures must be LOUD: a swallowed exception here makes the
+    // driver's correctness file silently OMIT the query (round 7 shipped
+    // 7 analysis-time failures that way — a green-looking artifact with
+    // holes). Every failure is collected into errors.json next to
+    // oracle_sql.json, and the run exits non-zero.
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        System.err.println(s"[verify] $name FAILED: ${e.getMessage}")
+        errors(name) = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(500)}"
       }
-      // release this query's localCheckpoint blocks (see Bench)
+      // release this query's cached/checkpointed blocks (see Bench);
+      // clearCache drops DataFrame-level persists through the cache
+      // manager (so its plan-fragment index doesn't grow across the
+      // suite), the RDD loop catches localCheckpoint blocks.
+      spark.sharedState.cacheManager.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
     }
@@ -50,6 +61,12 @@ object Verify {
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val errJson = errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
+    if (errors.nonEmpty)
+      System.err.println(s"[verify] ${errors.size} quer${if (errors.size == 1) "y" else "ies"} FAILED: ${errors.keys.mkString(", ")}")
     spark.stop()
+    if (errors.nonEmpty) sys.exit(1)
   }
 }

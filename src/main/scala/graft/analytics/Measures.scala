@@ -35,24 +35,35 @@ object Measures {
 
   /** P5: the dashboard slicer "filter context" — month / year / agent
     * multi-select applied before every measure (manager dashboard
-    * MES/AÑO/ASESOR slicers). Predicates compose with AND so Catalyst
-    * pushes them into the parquet scan as one conjunction. */
+    * MES/AÑO/ASESOR slicers). Year/month selections compile to HALF-OPEN
+    * RANGES on the bare date column, not `year(c) === y` — a
+    * function-wrapped predicate reduces the parquet scan to IsNotNull
+    * (full read at 100 TB), while a range on the raw column pushes to
+    * the reader, prunes row groups via min/max stats, and prunes
+    * partitions on a date-partitioned layout. Month-without-year is the
+    * one slicer shape a range cannot express (every March of every
+    * year); only there does the function form remain. */
   final case class FilterCtx(
       year: Option[Int] = None,
       month: Option[Int] = None,
       agents: Seq[String] = Nil) {
     def apply(df: DataFrame, dateCol: Column, agentCol: Column): DataFrame = {
-      val preds = Seq(
-        year.map(y => functions.yearOf(dateCol) === y),
-        month.map(m => functions.monthOf(dateCol) === m),
+      val range: Option[Column] = (year, month) match {
+        case (Some(y), Some(m)) =>
+          val start = java.time.LocalDate.of(y, m, 1)
+          Some(dateCol >= lit(start.toString) &&
+            dateCol < lit(start.plusMonths(1).toString))
+        case (Some(y), None) =>
+          Some(dateCol >= lit(s"$y-01-01") && dateCol < lit(s"${y + 1}-01-01"))
+        case (None, Some(m)) =>
+          Some(org.apache.spark.sql.functions.month(dateCol) === m)
+        case (None, None) => None
+      }
+      val preds = Seq(range,
         if (agents.nonEmpty) Some(agentCol.isin(agents: _*)) else None
       ).flatten
       preds.foldLeft(df)((d, p) => d.filter(p))
     }
-  }
-  private object functions {
-    def yearOf(c: Column): Column = year(c)
-    def monthOf(c: Column): Column = month(c)
   }
 
   /** A1+A4: one-pass funnel — stage counts plus pairwise conversion

@@ -52,12 +52,17 @@ object PageRank {
       .filter(col("u") =!= col("v"))
       .distinct()
     val sym = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
-    // out-degree attached to each edge once; localCheckpoint because
-    // every iteration re-reads this table (and the distinct+union
-    // pipeline above it would otherwise re-run per round).
+    // out-degree attached to each edge once; persist because every
+    // iteration re-reads this table (and the distinct+union pipeline
+    // above it would otherwise re-run per round). RECOMPUTABLE persist,
+    // not localCheckpoint: a checkpointed block lost under memory
+    // pressure has no lineage to rebuild from, which made full-suite
+    // runs nondeterministic (round-7 driver run hash-mismatched g1/g3
+    // while isolated runs were byte-exact); with persist a lost block
+    // recomputes from the deterministic integer pipeline — same bytes.
     val edges = sym
       .join(sym.groupBy("u").agg(count(lit(1)).as("d")), "u")
-      .localCheckpoint(true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // |V| is ONE driver-side long (bounded by construction) — it sets
     // the integer teleport constant both engines compute identically.
     val n = edges.select(countDistinct(col("u")).as("n")).head().getLong(0)
@@ -96,7 +101,7 @@ object PageRank {
     val sym = e0.union(e0.select(col("v").as("u"), col("u").as("v"), col("w")))
     val edges = sym
       .join(sym.groupBy("u").agg(sum(col("w")).as("str")), "u")
-      .localCheckpoint(true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // recomputable — see fixedPoint
     val n = edges.select(countDistinct(col("u")).as("n")).head().getLong(0)
     val r0 = Scale / n
     val base = 15L * r0 / 100L
