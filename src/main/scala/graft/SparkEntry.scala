@@ -215,10 +215,15 @@ object SparkEntry {
     // percentiles (a15/a20 parity with quantile_cont); the |groups|-row
     // bound table broadcasts, the clip itself is map-side.
     "dq3_winsorize" -> ((s, d) => {
+      // ONE percentile buffer for both bounds: percentile(x, array(...))
+      // shares a single value-count map per group where two scalar
+      // percentile() calls each buffer the full column (r7 flagged this
+      // 11× over the oracle; measured 1.40 s → 0.9 s at sf0.1)
       val bounds = t(s, d, "orders")
         .groupBy(col("o_orderstatus").as("status"))
-        .agg(expr("percentile(o_totalprice, 0.05)").as("p05"),
-          expr("percentile(o_totalprice, 0.95)").as("p95"))
+        .agg(expr("percentile(o_totalprice, array(0.05, 0.95))").as("pp"))
+        .select(col("status"), col("pp").getItem(0).as("p05"),
+          col("pp").getItem(1).as("p95"))
       t(s, d, "orders")
         .select(col("o_orderkey"), col("o_orderstatus").as("status"),
           col("o_totalprice"))
@@ -3784,8 +3789,15 @@ object SparkEntry {
     "x15_blocking_supplier" -> ((s, d) => {
       // order-level stats via a WINDOW over the supplier rollup — the
       // rollup→window→re-rollup chain stays on the l_orderkey shuffle
-      // family (no self-join, lineitem scans once)
+      // family (no self-join, lineitem scans once). The fact table is
+      // repartitioned by l_orderkey ONCE up front: HashPartitioning on
+      // a subset of every downstream key set satisfies the (l_orderkey,
+      // l_suppkey) groupBy, the l_orderkey window, the (l_orderkey,
+      // o_max) regroup AND the orders join — one big-table shuffle
+      // total where the grouped-first form paid two.
       val perSupp = t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+        .repartition(col("l_orderkey"))
         .groupBy(col("l_orderkey"), col("l_suppkey"))
         .agg(max(col("l_shipdate")).as("s_max"))
       val w = Window.partitionBy(col("l_orderkey"))
@@ -4032,8 +4044,44 @@ object SparkEntry {
   )
 
   /** Support-thresholded co-purchase pairs (u < v, support ≥ 2) —
-    * shared by mb1 (the pairs themselves) and g2 (the graph). */
+    * shared by mb1 (the pairs themselves) and g2 (the graph).
+    *
+    * Shuffle-once formulation: baskets collect per order (ONE shuffle
+    * of the two needed fact columns), then the codegen'd
+    * [[graft.functions.SortedPairs]] kernel expands each basket's
+    * instance pairs in-place — multiset semantics identical to the
+    * `a.key < b.key` self-join it replaces, which shuffled the fact
+    * twice and re-shuffled the pair stream. Basket sizes are bounded
+    * small (TPC-H ≤ 7 items), so the expansion is a constant-factor
+    * map. One-JVM A/B at sf0.1 (graft.experiments.PairAB, min-of-3):
+    * self-join 2.24 s vs expansion 1.96 s; with the scoped width conf
+    * below the full query lands at 1.15 s (r7 shipped 3.50 s). */
   private def copurchase(s: SparkSession, d: String): DataFrame = {
+    // CPU-dense per shuffled byte (the basket→pair expansion multiplies
+    // in-flight rows ~6×): AQE's 64 MB coalescing packs the expansion
+    // stage into ONE reducer at harness SF and serializes it (measured
+    // 2.7 s → 1.15 s with a 2 MB advisory + width 32). Same scoped-conf
+    // pattern as d13 — newSession isolates the SQLConf, the suite-wide
+    // dispatch-bound default stays 64 MB.
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2m")
+    copurchaseExpand(s2, d)
+  }
+
+  private[graft] def copurchaseExpand(s: SparkSession, d: String): DataFrame = {
+    val li = t(s, d, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey").cast("long").as("pk"))
+    li.groupBy(col("l_orderkey"))
+      .agg(collect_list(col("pk")).as("parts"))
+      .select(explode(graft.functions.PairExpressions.sortedPairs(col("parts"))).as("p"))
+      .select(col("p.u").as("u"), col("p.v").as("v"))
+      .groupBy("u", "v").agg(count(lit(1)).as("support"))
+      .filter(col("support") >= 2)
+  }
+
+  /** The self-join formulation copurchase replaced — kept for the A/B
+    * (PLANS.md "mb1 pair expansion"); not part of the query surface. */
+  private[graft] def copurchaseSelfJoin(s: SparkSession, d: String): DataFrame = {
     val li = t(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey"))
     li.as("a")
       .join(li.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&

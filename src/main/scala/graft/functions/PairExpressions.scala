@@ -1,0 +1,77 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types._
+
+/** All unordered pairs (u < v) drawn from one order's item multiset —
+  * the per-group kernel that turns a co-occurrence SELF-JOIN into a
+  * single aggregation (SURVEY.md §2.9 preference order: this is the
+  * "custom Expression" rung; reference behavior is the basket-pair
+  * rollup a BI mart materializes nightly).
+  *
+  * Semantics match `a JOIN b ON same_group AND a.key < b.key` exactly:
+  * the input is treated as a MULTISET — for every pair of element
+  * INSTANCES with distinct values one (min, max) row is emitted, so a
+  * basket {5, 5, 7} yields (5,7) twice, and equal-valued instance
+  * pairs yield nothing. Sorting internally makes the output canonical
+  * regardless of collect_list's partition-dependent order.
+  *
+  * Scale: group sizes are basket sizes (bounded small), so the output
+  * is ≤ k² per group with tiny k — while the self-join it replaces
+  * shuffles the fact table twice. The expansion runs inside the same
+  * WholeStageCodegen span as the surrounding projection (the generated
+  * code is one static-call delegation, the loop lives in compiled
+  * Scala, not interpreted lambda frames).
+  */
+case class SortedPairs(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("u", LongType, nullable = false),
+    StructField("v", LongType, nullable = false))), containsNull = false)
+
+  override def prettyName: String = "graft_sorted_pairs"
+
+  override def nullSafeEval(a: Any): Any =
+    SortedPairsKernel.expand(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kernel = ctx.addReferenceObj("sortedPairsKernel", SortedPairsKernel,
+      SortedPairsKernel.getClass.getName)
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $kernel.expand($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SortedPairsKernel extends Serializable {
+  def expand(arr: ArrayData): ArrayData = {
+    val xs = arr.toLongArray()
+    java.util.Arrays.sort(xs)
+    val n = xs.length
+    val out = new scala.collection.mutable.ArrayBuffer[Any](n * (n - 1) / 2)
+    var i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) {
+        if (xs(i) != xs(j)) out += InternalRow(xs(i), xs(j))
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+}
+
+object PairExpressions {
+  /** Column-level basket-pair expansion backed by [[SortedPairs]];
+    * input must be array<long> (callers cast). */
+  def sortedPairs(items: Column): Column =
+    Bridge.column(SortedPairs(Bridge.expression(items)))
+}

@@ -637,10 +637,11 @@ object Ann {
   }
 
   /** Squared L2 between the `sv` and `cv` sub-vector columns — strict
-    * left fold, the engine-portable semantics of the e7/e12 oracles. */
-  private val subDist2 = aggregate(
-    zip_with(col("sv"), col("cv"), (a, b) => (a - b) * (a - b)),
-    lit(0.0), (acc, x) => acc + x)
+    * left fold, the engine-portable semantics of the e7/e12 oracles.
+    * Codegen'd kernel (graft.functions.L2Squared); identical numerics
+    * to the `aggregate(zip_with(...))` form it replaced. */
+  private val subDist2 =
+    graft.functions.VectorExpressions.l2Squared(col("sv"), col("cv"))
 
   def pqEncode(embeddings: DataFrame, m: Int = 8, k: Int = 16): DataFrame = {
     val e = prepared(embeddings)
@@ -685,13 +686,15 @@ object Ann {
     val sub = subSlices(e, m).localCheckpoint(true)
     val codebook = sub.filter(col("vec_id") < k)
       .select(col("sub"), col("vec_id").as("centroid_id"), col("sv").as("cv"))
+    // argmin via min(struct(d2, centroid_id)) — lexicographic struct
+    // ordering IS orderBy(d2, centroid_id) row 1, but runs as a
+    // map-side-combined hash aggregate instead of a sort-based window
+    // (no per-partition sort, ~k× less data past the partial agg)
     val codes = sub.join(broadcast(codebook), "sub")
       .select(col("vec_id"), col("sub"), col("centroid_id"), subDist2.as("d2"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("vec_id"), col("sub"))
-          .orderBy(col("d2"), col("centroid_id"))))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("sub"), col("centroid_id"))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min(struct(col("d2"), col("centroid_id"))).as("best"))
+      .select(col("vec_id"), col("sub"), col("best.centroid_id").as("centroid_id"))
     val dtable = sub.filter(col("vec_id") < nQueries)
       .join(broadcast(codebook), "sub")
       .select(col("vec_id").as("query_id"), col("sub"), col("centroid_id"),
