@@ -20,15 +20,19 @@ trait UpsertSink {
   * it belongs: on the transactional store, not in Spark state.
   *
   * `dialect` picks the conflict syntax: `postgres` (ON CONFLICT DO
-  * NOTHING, the reference's exact statement) or `merge` (ANSI MERGE for
-  * warehouses without the Postgres clause). Statements batch in groups
-  * of `batchSize` to amortize round-trips.
+  * NOTHING, the reference's exact statement), `merge` (ANSI MERGE for
+  * warehouses without the Postgres clause), or `derby` (MERGE against
+  * SYSIBM.SYSDUMMY1 with WHEN NOT MATCHED only — insert-if-absent, the
+  * exact DO NOTHING semantics, on the embedded engine Spark ships; this
+  * is what lets a spec drive the sink against a LIVE connection with
+  * zero extra dependencies). Statements batch in groups of `batchSize`
+  * to amortize round-trips.
   */
 final class JdbcUpsertSink(url: String, table: String, key: String,
     connectionProperties: java.util.Properties = new java.util.Properties,
     dialect: String = "postgres", batchSize: Int = 500) extends UpsertSink {
 
-  /** The per-row statement; exposed for tests (no database in-sandbox). */
+  /** The per-row statement; exposed for tests. */
   def upsertSql(cols: Seq[String]): String = {
     val colList = cols.mkString(", ")
     val placeholders = cols.map(_ => "?").mkString(", ")
@@ -41,13 +45,24 @@ final class JdbcUpsertSink(url: String, table: String, key: String,
         s"MERGE INTO $table t USING (SELECT $srcCols) s ON t.$key = s.$key " +
           s"WHEN MATCHED THEN UPDATE SET $sets " +
           s"WHEN NOT MATCHED THEN INSERT ($colList) VALUES (${cols.map(c => s"s.$c").mkString(", ")})"
+      case "derby" =>
+        // Derby's MERGE source must be a table — the one-row dummy with
+        // the key probe in the ON clause turns MERGE into insert-if-absent
+        s"MERGE INTO $table t USING SYSIBM.SYSDUMMY1 d ON t.$key = ? " +
+          s"WHEN NOT MATCHED THEN INSERT ($colList) VALUES ($placeholders)"
       case other => throw new IllegalArgumentException(s"unknown dialect: $other")
     }
   }
 
+  /** Column order of the statement's `?` parameters (the derby probe
+    * repeats the key ahead of the insert list). */
+  def paramCols(cols: Seq[String]): Seq[String] =
+    if (dialect == "derby") key +: cols else cols
+
   override def upsert(batch: DataFrame, batchId: Long): Unit = {
     val cols = batch.columns.toSeq
     val sql = upsertSql(cols)
+    val params = paramCols(cols).map(cols.indexOf)
     val (u, props, bs) = (url, connectionProperties, batchSize)
     // dropDuplicates first: two copies of a key INSIDE one batch would
     // otherwise race in the same transaction.
@@ -59,7 +74,7 @@ final class JdbcUpsertSink(url: String, table: String, key: String,
         var n = 0
         rows.foreach { r =>
           var c = 0
-          while (c < cols.length) { st.setObject(c + 1, r.get(c)); c += 1 }
+          while (c < params.length) { st.setObject(c + 1, r.get(params(c))); c += 1 }
           st.addBatch()
           n += 1
           if (n % bs == 0) st.executeBatch()
