@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.ingest.Webhook
+import graft.streaming.StreamIngest
+
+/** The scheduled-refresh entry point — the engine's answer to the
+  * reference's cron posture (its loader re-runs 8×/day: fetch new
+  * payloads, upsert, rebuild the dashboard marts; README.md:511-513,
+  * Lead_Ingestion_CRM_SQLite.py). One invocation = one refresh:
+  *
+  *   1. DRAIN the landing directory (webhook JSONL dropped by any
+  *      collector) through `Trigger.AvailableNow` — processes exactly
+  *      the files not yet seen by the checkpoint, then stops. Re-running
+  *      with nothing new is a no-op; a crashed run resumes from the
+  *      checkpoint. Well-formed envelopes land idempotently (first-wins
+  *      on envelope id) in the bronze table; rejects land in the
+  *      dead-letter table with the raw body preserved.
+  *   2. REBUILD the marts from the warehouse tables (flagship manager
+  *      dashboard + monthly trend + funnel) — full declarative rebuild,
+  *      output overwritten atomically per refresh.
+  *
+  * Idempotence lives at the boundaries (checkpoint on the drain,
+  * keyed anti-join append on bronze, overwrite on marts), so the
+  * scheduler needs no state of its own — exactly-once lands on storage,
+  * not in cron. `main` args: <landingDir> <warehouseDir> <sfDir>.
+  */
+object Refresh {
+
+  final case class Report(newFiles: Long, bronzeRows: Long,
+      deadLetterRows: Long, marts: Seq[String])
+
+  /** Step 1: drain pending landing files into bronze + dead-letter. */
+  def drainLanding(spark: SparkSession, landingDir: String,
+      warehouseDir: String, offices: Seq[String]): Unit = {
+    val posts = spark.readStream
+      .schema("account STRING, body STRING, received_at TIMESTAMP")
+      .json(landingDir)
+    val q = posts.writeStream
+      .option("checkpointLocation", s"$warehouseDir/_checkpoints/landing")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val parsed = Webhook.parsed(batch, offices)
+        StreamIngest.idempotentAppend(
+          Webhook.envelope(parsed), s"$warehouseDir/bronze_events", "id")
+        StreamIngest.idempotentAppend(
+          Webhook.rejected(parsed)
+            .select(col("account"), col("body"), col("received_at"),
+              sha2(concat_ws("|", col("account"), col("body")), 256).as("reject_id")),
+          s"$warehouseDir/dead_letter", "reject_id")
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Step 2: rebuild the declared marts from the harness tables. */
+  def rebuildMarts(spark: SparkSession, sfDir: String,
+      warehouseDir: String): Seq[String] = {
+    val marts: Seq[(String, DataFrame)] = Seq(
+      "manager_dashboard" ->
+        SparkEntry.queries("flagship_manager_dashboard")(spark, sfDir),
+      "monthly_trend" -> SparkEntry.queries("a9_monthly_trend")(spark, sfDir),
+      "funnel" -> SparkEntry.queries("a1_funnel_counts")(spark, sfDir))
+    marts.map { case (name, df) =>
+      df.write.mode("overwrite").parquet(s"$warehouseDir/marts/$name")
+      name
+    }
+  }
+
+  def runOnce(spark: SparkSession, landingDir: String, warehouseDir: String,
+      sfDir: String, offices: Seq[String] = Seq("office_a")): Report = {
+    drainLanding(spark, landingDir, warehouseDir, offices)
+    val marts = rebuildMarts(spark, sfDir, warehouseDir)
+    def countOr0(p: String): Long =
+      try spark.read.parquet(p).count() catch { case _: Throwable => 0L }
+    Report(
+      newFiles = -1, // not tracked post-hoc; checkpoint owns progress
+      bronzeRows = countOr0(s"$warehouseDir/bronze_events"),
+      deadLetterRows = countOr0(s"$warehouseDir/dead_letter"),
+      marts = marts)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val landingDir = if (args.length > 0) args(0) else "/tmp/graft_landing"
+    val warehouseDir = if (args.length > 1) args(1) else "/tmp/graft_warehouse"
+    val sfDir = if (args.length > 2) args(2) else "/root/testdata/sf0.001"
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val r = runOnce(spark, landingDir, warehouseDir, sfDir)
+    println(s"""{"refresh":"ok","bronze_rows":${r.bronzeRows},""" +
+      s""""dead_letter_rows":${r.deadLetterRows},""" +
+      s""""marts":[${r.marts.map("\"" + _ + "\"").mkString(",")}]}""")
+    spark.stop()
+  }
+}

@@ -316,6 +316,31 @@ object SparkEntry {
           when(col("n_regionkey").isNull, 1).otherwise(2).cast("int"))
         .orderBy("generation", "n_nationkey")
     }),
+    // S13 (SURVEY §1.2): money as NATIVE DecimalType end-to-end — the
+    // reference's `numeric` columns map to DECIMAL(18,2) at the INGEST
+    // boundary, the stored parquet carries the decimal physical type
+    // (verified by the read-back, not a cast at query time), and the
+    // rollup aggregates in exact decimal arithmetic. Closes the r7
+    // review gap "no declared query ingests/stores a decimal column
+    // natively" (harness base data is double, so the ingest cast IS
+    // the boundary conversion a Postgres `numeric` feed performs).
+    // Same s11 scratch posture: fixed per-process path, local-mode
+    // java.nio is fine for an ingest-shape query.
+    "s13_decimal_money" -> ((s, d) => {
+      val tmp = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"), "graft_s13_scratch").toString
+      t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice").cast("decimal(18,2)").as("price_d"))
+        .write.mode("overwrite").parquet(tmp)
+      s.read.parquet(tmp) // DecimalType(18,2) straight from the footer
+        .groupBy(col("o_orderstatus").as("status"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("price_d")).as("total_d"),
+          min(col("price_d")).as("min_d"),
+          max(col("price_d")).as("max_d"))
+        .orderBy("status")
+    }),
     // DQ6 (beyond reference): quantiles from a fixed-bin histogram
     // sketch — the bounded-state scale twin of a15's exact
     // percentiles. One linear scan into ≤64 map-side-combined
@@ -535,6 +560,12 @@ object SparkEntry {
         |UNION ALL
         |SELECT n_nationkey, n_name, n_regionkey, 2 FROM nation
         |ORDER BY generation, n_nationkey""".stripMargin,
+    "s13_decimal_money" ->
+      """WITH stored AS (SELECT o_orderkey, o_orderstatus,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS price_d FROM orders)
+        |SELECT o_orderstatus AS status, count(*) AS n,
+        |  sum(price_d) AS total_d, min(price_d) AS min_d, max(price_d) AS max_d
+        |FROM stored GROUP BY 1 ORDER BY 1""".stripMargin,
     "s12_zorder_scan" ->
       """SELECT event_id, user_id, user_id % 64 AS user_bucket,
         |  CAST(date_part('day', ts) AS INT) AS day, event_type, value
@@ -2773,6 +2804,12 @@ object SparkEntry {
     "e13_matryoshka_topk" -> ((s, d) =>
       graft.similarity.Ann.matryoshkaTopK(t(s, d, "embeddings"))
         .orderBy("query_id", "rank")),
+    // E14: the composed two-stage retriever (matryoshka shortlist →
+    // exact full-dim rerank of n·cand pairs instead of n²) — the
+    // production posture e13 documents, end-to-end deterministic.
+    "e14_two_stage_topk" -> ((s, d) =>
+      graft.similarity.Ann.twoStageTopK(t(s, d, "embeddings"))
+        .orderBy("query_id", "rank")),
     // E10: the bucket-assignment half of e2's LSH candidate generation,
     // oracle-exact — the ±1 plane matrix is LCG-deterministic, so the
     // (table, bucket) cells every vector lands in replay in SQL with
@@ -2796,6 +2833,28 @@ object SparkEntry {
   )
 
   private val simOracles: Map[String, String] = Map(
+    "e14_two_stage_topk" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS fv, (embedding::DOUBLE[])[1:8] AS v FROM embeddings),
+        |n8 AS (SELECT vec_id, v, sqrt(list_reduce(list_apply(v, x -> x*x), (a,b) -> a+b)) AS nrm FROM e),
+        |p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_reduce(list_apply(range(1, 9), i -> q.v[i] * c.v[i]), (a,b) -> a+b)
+        |      / (q.nrm * c.nrm) AS sim
+        |  FROM n8 q JOIN n8 c ON q.vec_id <> c.vec_id),
+        |cand AS (SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id,
+        |      row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn FROM p)
+        |  WHERE rn <= 25),
+        |nf AS (SELECT vec_id, fv, sqrt(list_reduce(list_apply(fv, x -> x*x), (a,b) -> a+b)) AS nrm FROM e),
+        |r AS (SELECT cand.query_id, cand.neighbor_id,
+        |    list_reduce(list_apply(range(1, 65), i -> q.fv[i] * c.fv[i]), (a,b) -> a+b)
+        |      / (q.nrm * c.nrm) AS sim
+        |  FROM cand JOIN nf q ON q.vec_id = cand.query_id
+        |  JOIN nf c ON c.vec_id = cand.neighbor_id),
+        |rr AS (SELECT query_id, neighbor_id, sim,
+        |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS INT) AS rank
+        |  FROM r)
+        |SELECT query_id, neighbor_id, round(sim, 6) AS sim, rank FROM rr
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "e12_pq_adc_topk" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |sub AS (SELECT vec_id, j AS sub, v[j*8+1 : j*8+8] AS sv

@@ -723,6 +723,40 @@ object Ann {
         slice(col("embedding").cast("array<double>"), 1, dims).as("embedding")),
       k)
 
+  /** E14: the COMPOSED two-stage retriever e13's docs promise — stage 1
+    * shortlists `cand` neighbors per query on the first `dims`
+    * Matryoshka dims (8× cheaper per pair), stage 2 reranks ONLY the
+    * shortlist with the exact full-dimension cosine. Exact same
+    * (sim desc, id) tie conventions as e1/e13, so the pipeline is
+    * deterministic and DuckDB-oracled end-to-end.
+    *
+    * Scale: stage 2's pair count drops from n² (e1's posture) to
+    * n·cand — the expensive kernel touches 1.25% of the pairs at
+    * cand=25/n=2000 — and both stage-2 sides are hash joins on vec_id.
+    * At 100 TB stage 1 swaps for the bucketed e2/e4 candidate
+    * generators; the rerank join is unchanged (candidates are the
+    * interface, not the index). Recall floor vs exact top-k pinned in
+    * AnnSpec. */
+  def twoStageTopK(embeddings: DataFrame, dims: Int = 8, cand: Int = 25,
+                   k: Int = 5): DataFrame = {
+    val shortlist = matryoshkaTopK(embeddings, dims, cand)
+      .select(col("query_id"), col("neighbor_id"))
+    val full = prepared(embeddings)
+    shortlist
+      .join(full.select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn")), "query_id")
+      .join(full.select(col("vec_id").as("neighbor_id"), col("v").as("cv"),
+        col("nrm").as("cn")), "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("sim"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("sim").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("sim"), 6).as("sim"), col("rank"))
+  }
+
   /** E8: SemDedup (Abbas et al. 2023, arXiv:2303.09540) — semantic
     * near-duplicate removal via centroid clustering: assign every
     * vector to its nearest of `k` fixed centroids (the [[centroidAssign]]

@@ -81,6 +81,38 @@ class AnnSpec extends SparkSpec {
     assert(recall >= 0.9, s"clustered IVF recall@1 too low: $recall")
   }
 
+  test("E14: two-stage rerank recall vs exact, and exactness on the shortlist") {
+    val exact = Ann.cosineTopK(emb, 5).select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    val two = Ann.twoStageTopK(emb).select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    // This corpus is near-isotropic NOISE: an 8-of-64-dim prefix carries
+    // ~1/8 of the cosine mass, so shortlist recall sits barely above the
+    // shortlist fraction (25/199 ≈ 12.6%; measured 0.20). That is the
+    // honest worst case — Matryoshka-TRAINED embeddings front-load the
+    // mass, which the prefix-dominated corpus below models (recall ≥
+    // 0.95). Stage 2 itself is EXACT, so any neighbor the shortlist
+    // contains ranks identically to e1.
+    val recall = (exact & two).size.toDouble / exact.size
+    assert(recall >= 0.15, s"two-stage recall@5 below shortlist fraction: $recall")
+    // exactness: on data where the truncated dims determine the order
+    // (first 8 dims dominate), two-stage == exact top-5
+    val rnd = new scala.util.Random(11)
+    val centers = Array.fill(10, 8)(rnd.nextGaussian().toFloat * 3f)
+    val vecs = (0 until 120).map { i =>
+      val head = centers(i % 10).map(x => x + 0.1f * rnd.nextGaussian().toFloat)
+      val tail = Array.fill(56)(0.01f * rnd.nextGaussian().toFloat)
+      (i.toLong, head ++ tail)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val e5 = Ann.cosineTopK(df, 5).select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    val t5 = Ann.twoStageTopK(df).select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    val clustered = (e5 & t5).size.toDouble / e5.size
+    assert(clustered >= 0.95, s"two-stage on prefix-dominated data: $clustered")
+  }
+
   test("LSH probe kernel is identical to the join formulation") {
     val join = Ann.lshTopKJoin(emb, 5).orderBy("query_id", "rank")
     val kernel = Ann.lshTopK(emb, 5).orderBy("query_id", "rank")
