@@ -144,6 +144,13 @@ object Dedup {
     val norms = ex.groupBy(col("doc_id"))
       .agg(sqrt(sum((col("w") * col("w")).cast("decimal(28,12)"))
         .cast("double")).as("nrm"))
+    // Formulation note (round-8 A/B): a posting-list expansion via the
+    // WeightedPairs kernel (groupBy(sh).collect_list → expand → reduce,
+    // the shape that won mb1) measured SLOWER here — 5.5 s vs 4.2 s at
+    // sf0.1 — because the self-join's two sides are the identical
+    // localCheckpointed subplan, so ReusedExchange already makes this a
+    // single-shuffle join; collect_list struct assembly + per-group
+    // transform overhead buys nothing on top of that. Keeping the join.
     ex.as("x").join(ex.as("y"),
         col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))

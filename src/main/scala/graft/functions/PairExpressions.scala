@@ -69,9 +69,70 @@ object SortedPairsKernel extends Serializable {
   }
 }
 
+/** [[SortedPairs]] with a weight per element: emits every (u < v)
+  * id pair with the PRODUCT of the two weights — the per-posting
+  * kernel of a term-at-a-time sparse dot product (d14's Σ w_x·w_y per
+  * shared shingle). Ids must be distinct within one group (one posting
+  * per (doc, term) by construction); output is canonical regardless of
+  * collect order. */
+case class WeightedPairs(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("u", LongType, nullable = false),
+    StructField("v", LongType, nullable = false),
+    StructField("p", DoubleType, nullable = false))), containsNull = false)
+
+  override def prettyName: String = "graft_weighted_pairs"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    WeightedPairsKernel.expand(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kernel = ctx.addReferenceObj("weightedPairsKernel", WeightedPairsKernel,
+      WeightedPairsKernel.getClass.getName)
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $kernel.expand($a, $b);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object WeightedPairsKernel extends Serializable {
+  def expand(idArr: ArrayData, wArr: ArrayData): ArrayData = {
+    val n = idArr.numElements()
+    val ids = new Array[Long](n)
+    val ws = new Array[Double](n)
+    // sort members by id so every pair emits canonically (u < v)
+    val order = (0 until n).sortBy(idArr.getLong)
+    var i = 0
+    while (i < n) {
+      ids(i) = idArr.getLong(order(i)); ws(i) = wArr.getDouble(order(i)); i += 1
+    }
+    val out = new scala.collection.mutable.ArrayBuffer[Any](n * (n - 1) / 2)
+    i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) {
+        out += InternalRow(ids(i), ids(j), ws(i) * ws(j))
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+}
+
 object PairExpressions {
   /** Column-level basket-pair expansion backed by [[SortedPairs]];
     * input must be array<long> (callers cast). */
   def sortedPairs(items: Column): Column =
     Bridge.column(SortedPairs(Bridge.expression(items)))
+
+  /** Column-level weighted pair expansion backed by [[WeightedPairs]];
+    * inputs are parallel array<long> ids and array<double> weights. */
+  def weightedPairs(ids: Column, weights: Column): Column =
+    Bridge.column(WeightedPairs(Bridge.expression(ids), Bridge.expression(weights)))
 }

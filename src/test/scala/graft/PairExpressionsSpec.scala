@@ -41,6 +41,24 @@ class PairExpressionsSpec extends SparkSpec {
     assert(df.select(explode(PairExpressions.sortedPairs(col("ks")))).count() === 0)
   }
 
+  test("WeightedPairs matches the weighted self-join contribution table") {
+    // postings for two "shingles": {(1, 0.5), (3, 2.0), (2, 4.0)} and {(5, 1.0)}
+    val rows = Seq(("a", 1L, 0.5), ("a", 3L, 2.0), ("a", 2L, 4.0), ("b", 5L, 1.0))
+    val df = rows.toDF("sh", "doc_id", "w")
+    val expand = df.groupBy("sh")
+      .agg(collect_list(struct(col("doc_id"), col("w"))).as("m"))
+      .select(explode(PairExpressions.weightedPairs(
+        transform(col("m"), x => x.getField("doc_id")),
+        transform(col("m"), x => x.getField("w")))).as("p"))
+      .select(col("p.u"), col("p.v"), col("p.p"))
+    val selfJoin = df.as("x").join(df.as("y"),
+        col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("u"), col("y.doc_id").as("v"),
+        (col("x.w") * col("y.w")).as("p"))
+    assert(expand.exceptAll(selfJoin).isEmpty && selfJoin.exceptAll(expand).isEmpty)
+    assert(expand.count() === 3) // (1,2) (1,3) (2,3); singleton shingle emits none
+  }
+
   test("native L2Squared is bit-identical to the interpreted left fold") {
     val emb = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
