@@ -4105,16 +4105,18 @@ object SparkEntry {
   /** Support-thresholded co-purchase pairs (u < v, support ≥ 2) —
     * shared by mb1 (the pairs themselves) and g2 (the graph).
     *
-    * Shuffle-once formulation: baskets collect per order (ONE shuffle
-    * of the two needed fact columns), then the codegen'd
-    * [[graft.functions.SortedPairs]] kernel expands each basket's
-    * instance pairs in-place — multiset semantics identical to the
-    * `a.key < b.key` self-join it replaces, which shuffled the fact
-    * twice and re-shuffled the pair stream. Basket sizes are bounded
-    * small (TPC-H ≤ 7 items), so the expansion is a constant-factor
-    * map. One-JVM A/B at sf0.1 (graft.experiments.PairAB, min-of-3):
-    * self-join 2.24 s vs expansion 1.96 s; with the scoped width conf
-    * below the full query lands at 1.15 s (r7 shipped 3.50 s). */
+    * Formulation (round-8 A/B, both scales): the co-partitioned
+    * SELF-JOIN, with a d13-style scoped advisory conf (AQE's 64 MB
+    * coalescing otherwise serializes the CPU-dense pair stage at
+    * harness SF; r7 shipped 3.50 s for this reason — the conf alone
+    * brings it to ~2.3-3.0 s). The [[copurchaseExpand]] basket-kernel
+    * alternative wins ~25% at sf0.1 (collect_list shuffle is cheaper
+    * than two join-side exchanges on small data) but LOSES ~25% at the
+    * 10× replica even with the ObjectHashAggregate fallback threshold
+    * raised (6M-basket collect_list aggregation state beats the
+    * exchange saving): sf0.1 2.31 vs 2.98, 10× 4.56 vs 3.61. Scale
+    * wins — the self-join is kept; the kernel remains for bounded-
+    * group co-occurrence where groups ≪ rows (see PairExpressions). */
   private def copurchase(s: SparkSession, d: String): DataFrame = {
     // CPU-dense per shuffled byte (the basket→pair expansion multiplies
     // in-flight rows ~6×): AQE's 64 MB coalescing packs the expansion
@@ -4124,7 +4126,7 @@ object SparkEntry {
     // dispatch-bound default stays 64 MB.
     val s2 = s.newSession()
     s2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2m")
-    copurchaseExpand(s2, d)
+    copurchaseSelfJoin(s2, d)
   }
 
   private[graft] def copurchaseExpand(s: SparkSession, d: String): DataFrame = {
