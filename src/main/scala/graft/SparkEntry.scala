@@ -2387,6 +2387,11 @@ object SparkEntry {
     // D3: MinHash + banded LSH candidates, Jaccard-verified — scale path.
     "d3_minhash_lsh_pairs" -> ((s, d) =>
       graft.dedup.Dedup.minhashLshPairs(t(s, d, "documents"), 0.7).orderBy("d1", "d2")),
+    // D15: the MinHash estimator next to ground truth per candidate
+    // pair — the sketch-accuracy audit the scale path dedupes on.
+    "d15_jaccard_estimate" -> ((s, d) =>
+      graft.dedup.Dedup.jaccardEstimatePairs(t(s, d, "documents"))
+        .orderBy("d1", "d2")),
     // D4: SimHash 32-bit signatures.
     "d4_simhash_signatures" -> ((s, d) =>
       graft.dedup.Dedup.simhashSignatures(t(s, d, "documents")).orderBy("doc_id")),
@@ -2516,6 +2521,22 @@ object SparkEntry {
            |  SELECT a.doc_id AS d1, b.doc_id AS d2, $sqlJaccard AS jaccard
            |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
            |WHERE jaccard >= 0.7 ORDER BY d1, d2""".stripMargin,
+      "d15_jaccard_estimate" -> {
+        val estSum = (0 until graft.dedup.Dedup.MINHASH_K)
+          .map(j => s"(CASE WHEN x.h$j = y.h$j THEN 1 ELSE 0 END)").mkString(" + ")
+        s"""$shingleCte,
+           |ex AS (SELECT doc_id, ('0x' || substr(md5(unnest(g)), 1, 7))::BIGINT AS base FROM sh),
+           |sig AS (SELECT doc_id, $minExprs FROM ex GROUP BY doc_id),
+           |bands AS ($bandSelects),
+           |cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+           |  FROM bands x JOIN bands y ON x.band = y.band AND x.s = y.s AND x.doc_id < y.doc_id),
+           |est AS (SELECT cand.d1, cand.d2,
+           |    round(($estSum) / ${graft.dedup.Dedup.MINHASH_K}.0, 4) AS est_jaccard
+           |  FROM cand JOIN sig x ON x.doc_id = cand.d1 JOIN sig y ON y.doc_id = cand.d2)
+           |SELECT est.d1, est.d2, est.est_jaccard, $sqlJaccard AS jaccard
+           |FROM est JOIN sh a ON a.doc_id = est.d1 JOIN sh b ON b.doc_id = est.d2
+           |ORDER BY d1, d2""".stripMargin
+      },
       "d3_minhash_lsh_pairs" ->
         s"""$shingleCte,
            |ex AS (SELECT doc_id, ('0x' || substr(md5(unnest(g)), 1, 7))::BIGINT AS base FROM sh),

@@ -236,6 +236,43 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** D15: MinHash Jaccard ESTIMATOR parity — every banded-LSH candidate
+    * pair with the signature-based estimate (matching components / K)
+    * NEXT TO the exact shingle Jaccard. At 100 TB dedup decisions run
+    * on the estimate (the K-long signature is the only per-doc state
+    * small enough to keep hot); this operator measures, in-engine and
+    * oracle-checked, what that decision boundary costs: the estimator
+    * is unbiased with sd ≈ √(j(1−j)/K) (Broder 1997 resemblance
+    * sketch), so K=12 means ±0.14 at j=0.5 — which is exactly why
+    * [[minhashLshPairs]] VERIFIES candidates instead of trusting the
+    * sketch. Component equality is integer ⇒ the estimate replays
+    * bit-exactly in SQL; the exact leg reuses candidates-only
+    * shingling. */
+  def jaccardEstimatePairs(docs: DataFrame): DataFrame = {
+    val bands = bandTable(docs).localCheckpoint(true)
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      .distinct()
+      .localCheckpoint(true)
+    val sig = minhashSignatures(docs)
+    val est = minhashParams.indices
+      .map(j => (col(s"a.h$j") === col(s"b.h$j")).cast("int"))
+      .reduce(_ + _).cast("double") / MINHASH_K
+    val candIds = cand.select(col("d1").as("doc_id"))
+      .union(cand.select(col("d2").as("doc_id"))).distinct()
+    val s = shingleSets(docs.join(broadcast(candIds), Seq("doc_id"), "left_semi"))
+    cand
+      .join(sig.as("a"), col("a.doc_id") === col("d1"))
+      .join(sig.as("b"), col("b.doc_id") === col("d2"))
+      .select(col("d1"), col("d2"), round(est, 4).as("est_jaccard"))
+      .join(s.select(col("doc_id").as("d1"), col("g").as("g1")), "d1")
+      .join(s.select(col("doc_id").as("d2"), col("g").as("g2")), "d2")
+      .select(col("d1"), col("d2"), col("est_jaccard"),
+        round(jaccard(col("g1"), col("g2")), 4).as("jaccard"))
+  }
+
   /** One-pass dedup key table: content digest + MinHash signature per
     * doc — the small per-doc index a pipeline persists (id + 16-byte
     * digest + K longs), from which every dedup leg derives without
