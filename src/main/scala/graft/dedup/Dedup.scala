@@ -256,7 +256,9 @@ object Dedup {
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
       .distinct()
       .localCheckpoint(true)
-    val sig = minhashSignatures(docs)
+    // materialized once: the estimate joins it on BOTH pair sides
+    // (without this the corpus re-scans per side — PlanAudit flag)
+    val sig = minhashSignatures(docs).localCheckpoint(true)
     val est = minhashParams.indices
       .map(j => (col(s"a.h$j") === col(s"b.h$j")).cast("int"))
       .reduce(_ + _).cast("double") / MINHASH_K

@@ -741,7 +741,9 @@ object Ann {
                    k: Int = 5): DataFrame = {
     val shortlist = matryoshkaTopK(embeddings, dims, cand)
       .select(col("query_id"), col("neighbor_id"))
-    val full = prepared(embeddings)
+    // materialized once: both rerank sides join it (without this the
+    // corpus scans three times — PlanAudit flag)
+    val full = prepared(embeddings).localCheckpoint(true)
     shortlist
       .join(full.select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qn")), "query_id")
