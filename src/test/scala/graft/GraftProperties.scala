@@ -261,4 +261,35 @@ object GraftProperties extends Properties("graft") {
       }
       replayed == newM
     }
+
+  property("SortedPairs kernel == instance-pair reference on arbitrary multisets") =
+    forAll(Gen.listOfN(10, Gen.chooseNum(0L, 6L))) { xs =>
+      val got = Seq(Tuple1(xs)).toDF("ks")
+        .select(explode(graft.functions.PairExpressions.sortedPairs(col("ks"))).as("p"))
+        .select(col("p.u"), col("p.v")).as[(Long, Long)].collect().toSeq
+        .groupBy(identity).view.mapValues(_.size).toMap
+      val want = (for {
+        i <- xs.indices; j <- xs.indices
+        if i != j && xs(i) < xs(j)
+      } yield (xs(i), xs(j))).groupBy(identity).view.mapValues(_.size).toMap
+      got == want
+    }
+
+  property("WeightedPairs kernel == weighted instance-pair reference") =
+    forAll(Gen.listOfN(8,
+        Gen.zip(Gen.chooseNum(0L, 30L), Gen.chooseNum(1, 64)))) { raw =>
+      // distinct ids with dyadic weights (exact in double, so the
+      // product comparison is equality, not epsilon)
+      val m = raw.toMap.toSeq.map { case (id, w) => (id, w / 16.0) }
+      val got = Seq((m.map(_._1), m.map(_._2))).toDF("ids", "ws")
+        .select(explode(graft.functions.PairExpressions.weightedPairs(
+          col("ids"), col("ws"))).as("p"))
+        .select(col("p.u"), col("p.v"), col("p.p"))
+        .as[(Long, Long, Double)].collect().toSet
+      val want = (for {
+        (a, wa) <- m; (b, wb) <- m
+        if a < b
+      } yield (a, b, wa * wb)).toSet
+      got == want
+    }
 }
