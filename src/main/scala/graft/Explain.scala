@@ -32,7 +32,14 @@ object Explain {
     df.explain("formatted")
     (1 to runs).foreach { i =>
       val t0 = System.nanoTime()
-      val n = Bench.force(df)
+      // RECONSTRUCT per run (the Bench posture): re-forcing the same
+      // DataFrame re-counts an already-planned RDD whose shuffle files
+      // persist, so stages SKIP and the number reads ~10× faster than
+      // any fresh invocation would see (0.09 s vs 1.2 s on s4).
+      val n = Bench.force(SparkEntry.queries(name)(spark, sfDir))
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
       println(f"[explain] run $i: ${(System.nanoTime() - t0) / 1e9}%.2fs rows=$n")
     }
     spark.stop()
