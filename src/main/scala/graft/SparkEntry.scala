@@ -358,6 +358,18 @@ object SparkEntry {
     // GROUP — groups × ≤64 counters of state, the grouped twin of
     // a15's exact percentiles at any group cardinality (a15 sorts
     // each group's raw values; this never does).
+    // W14 (beyond reference): TRAILING-WINDOW sketch quantiles — the
+    // rolling median/p90 drift monitor. Daily bin counts are a monoid,
+    // so each (day, bin) row fans out to its ≤7 window anchors and one
+    // tiny sum rebuilds every window histogram — no raw value is ever
+    // sorted per window (the naive rolling percentile is a sort per
+    // day). dq6's integer crossing-rank arithmetic ⇒ hash-oracled.
+    "w14_rolling_quantile" -> ((s, d) =>
+      graft.sketch.Sketches.rollingHistQuantiles(
+          t(s, d, "events"), to_date(col("ts")), col("value"),
+          lo = 0.0, width = 8.0, bins = 64, windowDays = 7,
+          quantiles = Seq(1 -> 2, 9 -> 10))
+        .orderBy("day", "q")),
     "dq9_group_quantiles" -> ((s, d) =>
       graft.sketch.Sketches.histQuantilesBy(
           t(s, d, "events"), col("event_type"), col("value"),
@@ -581,6 +593,11 @@ object SparkEntry {
         "SELECT event_type AS g, value AS v FROM events", "event_type",
         lo = 0.0, width = 8.0, bins = 64,
         quantiles = Seq(1 -> 4, 1 -> 2, 3 -> 4, 9 -> 10)),
+    "w14_rolling_quantile" ->
+      graft.sketch.Sketches.rollingHistQuantilesSql(
+        "SELECT CAST(ts AS DATE) AS day, value AS v FROM events",
+        lo = 0.0, width = 8.0, bins = 64, windowDays = 7,
+        quantiles = Seq(1 -> 2, 9 -> 10)),
     "dq10_benford" ->
       """WITH dig AS (SELECT CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
         |  FROM orders),

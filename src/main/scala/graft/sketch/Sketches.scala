@@ -175,6 +175,98 @@ object Sketches {
        |FROM hit WHERE pick = 1 ORDER BY $outName, q""".stripMargin
   }
 
+  /** W14: TRAILING-WINDOW sketch quantiles — for every day with data,
+    * the histogram-sketch quantiles of the last `windowDays` days of
+    * values (the "did quality drift this week" rolling monitor).
+    *
+    * Rolling percentiles are normally the worst of both worlds (a
+    * sort per window position); the sketch makes the window FOLDABLE:
+    * daily bin counts are a monoid, so each (day, bin, cnt) row fans
+    * out to the ≤windowDays window anchors it contributes to (the w12
+    * rolling-distinct trick) and one sum per (anchor, bin) rebuilds
+    * every window's histogram — shuffle volume is windowDays ×
+    * |days × bins| TINY rows regardless of event volume, and no raw
+    * value is ever sorted. Integer crossing-rank + one documented
+    * interpolation per quantile (dq6's arithmetic) keeps it
+    * bit-reproducible, so this rolling APPROXIMATE path is
+    * hash-oracled like dq6/dq9. */
+  def rollingHistQuantiles(df: DataFrame, day: Column, value: Column,
+                           lo: Double, width: Double, bins: Int,
+                           windowDays: Int,
+                           quantiles: Seq[(Int, Int)]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val hist = df
+      .select(day.as("day"),
+        least(lit(bins - 1),
+          greatest(lit(0), floor((value - lo) / width))).cast("int").as("bin"))
+      .groupBy("day", "bin").agg(count(lit(1)).as("cnt"))
+    // anchors = days that have their OWN data (the oracle's day set);
+    // a |calendar|-bounded table — broadcast.
+    val anchors = hist.select(col("day")).distinct()
+    val rolled = hist
+      .select(explode(sequence(col("day"), date_add(col("day"), windowDays - 1)))
+          .as("anchor"), col("bin"), col("cnt"))
+      .join(broadcast(anchors.select(col("day").as("anchor"))), "anchor")
+      .groupBy(col("anchor"), col("bin")).agg(sum(col("cnt")).as("cnt"))
+    val cum = rolled
+      .withColumn("cum",
+        sum(col("cnt")).over(Window.partitionBy(col("anchor")).orderBy(col("bin"))))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col("anchor"))))
+    val qs = quantiles.toDF("qnum", "qden")
+    qs.crossJoin(cum)
+      .withColumn("target", expr("(qnum * n + qden - 1) div qden"))
+      .filter(col("cum") >= col("target"))
+      .withColumn("pick", row_number().over(
+        Window.partitionBy(col("anchor"), col("qnum"), col("qden"))
+          .orderBy(col("bin"))))
+      .filter(col("pick") === 1)
+      .select(col("anchor").as("day"),
+        round(col("qnum").cast("double") / col("qden"), 4).as("q"),
+        col("n"),
+        round(lit(lo) + lit(width) * col("bin") +
+          lit(width) * ((col("target") - (col("cum") - col("cnt"))).cast("double") /
+            col("cnt").cast("double")), 6).as("est"))
+  }
+
+  /** Oracle SQL for [[rollingHistQuantiles]] over a two-column relation
+    * `FROM (...) src(day, v)`; arithmetic mirrors the Scala exactly
+    * (the fan-out join is expressed as the equivalent window-range
+    * join — same (anchor, bin) sums). */
+  def rollingHistQuantilesSql(srcSql: String,
+                              lo: Double, width: Double, bins: Int,
+                              windowDays: Int,
+                              quantiles: Seq[(Int, Int)]): String = {
+    val qRows = quantiles.map { case (a, b) => s"($a, $b)" }.mkString(", ")
+    s"""WITH src AS ($srcSql),
+       |hist AS (
+       |  SELECT day, CAST(least(${bins - 1}, greatest(0, floor((v - $lo) / $width))) AS INT) AS bin,
+       |         count(*) AS cnt
+       |  FROM src GROUP BY 1, 2),
+       |anchors AS (SELECT DISTINCT day FROM hist),
+       |rolled AS (
+       |  SELECT a.day, h.bin, sum(h.cnt) AS cnt
+       |  FROM anchors a JOIN hist h
+       |    ON h.day <= a.day AND h.day >= a.day - ${windowDays - 1}
+       |  GROUP BY 1, 2),
+       |cum AS (
+       |  SELECT day, bin, cnt,
+       |         CAST(sum(cnt) OVER (PARTITION BY day ORDER BY bin) AS BIGINT) AS cum,
+       |         CAST(sum(cnt) OVER (PARTITION BY day) AS BIGINT) AS n
+       |  FROM rolled),
+       |qs AS (SELECT * FROM (VALUES $qRows) q(qnum, qden)),
+       |hit AS (
+       |  SELECT day, qnum, qden, n, bin, cnt, cum,
+       |         (qnum * n + qden - 1) // qden AS target,
+       |         row_number() OVER (PARTITION BY day, qnum, qden ORDER BY bin) AS pick
+       |  FROM qs, cum
+       |  WHERE cum >= (qnum * n + qden - 1) // qden)
+       |SELECT day, round(CAST(qnum AS DOUBLE) / qden, 4) AS q, n,
+       |       round($lo + $width * bin +
+       |             $width * (CAST(target - (cum - cnt) AS DOUBLE) / CAST(cnt AS DOUBLE)), 6) AS est
+       |FROM hit WHERE pick = 1 ORDER BY day, q""".stripMargin
+  }
+
   // ---- count-min sketch ---------------------------------------------------
 
   val CMS_DEPTH = 4

@@ -84,6 +84,33 @@ class SketchSpec extends SparkSpec {
     assert(fromRows.toSeq === fromCounts.toSeq)
   }
 
+  test("rolling quantile with a 1-day window equals the per-day grouped sketch") {
+    val qs = Seq(1 -> 2, 9 -> 10)
+    val rolled = Sketches.rollingHistQuantiles(events, to_date(col("ts")),
+        col("value"), 0.0, 8.0, 64, windowDays = 1, qs)
+      .select(col("day").cast("string"), col("q"), col("n"), col("est"))
+    val grouped = Sketches.histQuantilesBy(events, to_date(col("ts")),
+        col("value"), 0.0, 8.0, 64, qs)
+      .select(col("grp").cast("string").as("day"), col("q"), col("n"), col("est"))
+    assert(rolled.exceptAll(grouped).isEmpty && grouped.exceptAll(rolled).isEmpty)
+  }
+
+  test("rolling 7-day window count equals the window's raw row count per anchor") {
+    val rolled = Sketches.rollingHistQuantiles(events, to_date(col("ts")),
+        col("value"), 0.0, 8.0, 64, windowDays = 7, Seq(1 -> 2))
+      .select(col("day"), col("n")).as[(java.sql.Date, Long)].collect().toMap
+    val days = events.select(to_date(col("ts")).as("d")).distinct()
+      .as[java.sql.Date].collect()
+    val perDay = events.groupBy(to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("c")).as[(java.sql.Date, Long)].collect().toMap
+    days.foreach { d =>
+      val want = perDay.filter { case (k, _) =>
+        !k.after(d) && k.toLocalDate.plusDays(6).compareTo(d.toLocalDate) >= 0
+      }.values.sum
+      assert(rolled(d) === want, s"anchor $d")
+    }
+  }
+
   test("CMS estimates are partitioning-independent (sketch merge is commutative)") {
     val a = Sketches.cmsEstimates(events, col("user_id"))
       .as[(Long, Long)].collect().sortBy(_._1)
