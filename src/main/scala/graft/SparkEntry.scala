@@ -3912,6 +3912,30 @@ object SparkEntry {
         .agg(count(lit(1)).as("numwait"))
         .orderBy(col("numwait").desc, col("l_suppkey")).limit(10)
     }),
+    // X17 (TPC-H Q2 shape): min-cost supplier per part — the
+    // correlated-subquery argmin, run as the DECORRELATED plan Catalyst
+    // itself would produce: one min(struct(price, supplier)) hash
+    // aggregate (map-side combined, lexicographic struct ordering IS
+    // the (price asc, suppkey asc) tie rule), then broadcast dim joins
+    // for the supplier/nation detail. No window, no per-group sort, no
+    // correlated re-scan — one fact shuffle at any scale.
+    "x17_min_cost_supplier" -> ((s, d) => {
+      val unit = t(s, d, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey"),
+          (col("l_extendedprice") / col("l_quantity")).as("unit_price"))
+      unit.groupBy(col("l_partkey"))
+        .agg(min(struct(col("unit_price"), col("l_suppkey"))).as("b"))
+        .select(col("l_partkey").as("p_partkey"),
+          col("b.l_suppkey").as("s_suppkey"),
+          col("b.unit_price").as("unit_price"))
+        .join(broadcast(t(s, d, "supplier")
+          .select(col("s_suppkey"), col("s_name"), col("s_nationkey"))), "s_suppkey")
+        .join(broadcast(t(s, d, "nation")
+          .select(col("n_nationkey").as("s_nationkey"), col("n_name"))), "s_nationkey")
+        .select(col("p_partkey"), col("s_name"), col("n_name").as("nation"),
+          round(col("unit_price"), 4).as("min_unit"))
+        .orderBy("p_partkey").limit(100)
+    }),
     // X16 (TPC-H Q22 shape): dormant rich customers — acctbal above
     // the positive-balance average (a broadcast scalar, decimal-exact)
     // AND no recent orders (anti join against a pushed-down date
@@ -3986,6 +4010,15 @@ object SparkEntry {
         |FROM am JOIN orders ON am.l_orderkey = o_orderkey
         |WHERE am.o_max > o_orderdate + INTERVAL 60 DAY
         |GROUP BY 1 ORDER BY numwait DESC, l_suppkey LIMIT 10""".stripMargin,
+    "x17_min_cost_supplier" ->
+      """WITH u AS (SELECT l_partkey, l_suppkey, l_extendedprice / l_quantity AS unit_price
+        |  FROM lineitem),
+        |r AS (SELECT l_partkey, l_suppkey, unit_price,
+        |    row_number() OVER (PARTITION BY l_partkey ORDER BY unit_price, l_suppkey) AS rn
+        |  FROM u)
+        |SELECT l_partkey AS p_partkey, s_name, n_name AS nation, round(unit_price, 4) AS min_unit
+        |FROM r JOIN supplier ON s_suppkey = l_suppkey JOIN nation ON n_nationkey = s_nationkey
+        |WHERE rn = 1 ORDER BY p_partkey LIMIT 100""".stripMargin,
     "x16_global_balance" ->
       """WITH ab AS (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_bal
         |  FROM customer WHERE c_acctbal > 0.0)
