@@ -2236,6 +2236,15 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
         .select(col("w.start").as("day_start"), col("event_type"), col("n"))
         .orderBy("day_start", "event_type")),
+    // ST17 (beyond reference): the streaming histogram fold behind the
+    // w14 rolling-quantile monitor — per-(day, value-bin) counts, the
+    // bounded state (≤64 cells/day) a streaming percentile keeps
+    // instead of raw values. Batch shape of StreamIngest
+    // .histogramCounts; the stream side is spec-verified.
+    "st17_hist_fold_twin" -> ((s, d) =>
+      graft.streaming.StreamIngest.histogramCounts(
+          t(s, d, "events"), "value", lo = 0.0, width = 8.0, bins = 64)
+        .orderBy("day_start", "bin")),
     // ST10 (beyond reference): session windows — gap-merged activity
     // bursts per user via the NATIVE session_window (vs w5's lag+cumsum
     // formulation; the streaming form with watermarked state eviction
@@ -2323,6 +2332,11 @@ object SparkEntry {
         |ORDER BY event_id""".stripMargin,
     // Spark's window("1 day") buckets are epoch-aligned UTC days =
     // date_trunc('day').
+    "st17_hist_fold_twin" ->
+      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_start,
+        |  CAST(least(63, greatest(0, floor(value / 8))) AS INT) AS bin,
+        |  count(*) AS cnt
+        |FROM events GROUP BY 1, 2 ORDER BY day_start, bin""".stripMargin,
     "st8_windowed_counts_twin" ->
       """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_start, event_type, count(*) AS n
         |FROM events GROUP BY 1, 2 ORDER BY day_start, event_type""".stripMargin,

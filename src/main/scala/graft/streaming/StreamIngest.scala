@@ -86,6 +86,27 @@ object StreamIngest {
       .select(col("w.start").as("day_start"), col("event_type"),
         col("count").as("n"))
 
+  /** ST17: streaming HISTOGRAM fold — per-(day window, value bin)
+    * counts, the stream form of the w14 rolling-quantile monitor's
+    * state. Bin counts are a monoid, so watermarked tumbling windows
+    * fold them incrementally with state bounded by windows × bins
+    * (≤64 cells/day here — the whole point of the sketch: a streaming
+    * percentile needs no raw-value retention at all). Closed windows
+    * land in the standing (day, bin, cnt) table on which
+    * [[graft.sketch.Sketches.rollingHistQuantiles]]'s fan-out + walk
+    * produces the trailing-window quantiles — identical arithmetic to
+    * the batch twin `st17_hist_fold_twin`. */
+  def histogramCounts(events: DataFrame, valueCol: String,
+      lo: Double, width: Double, bins: Int,
+      horizon: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", horizon)
+      .groupBy(window(col("ts"), "1 day").as("w"),
+        least(lit(bins - 1), greatest(lit(0),
+          floor((col(valueCol) - lo) / width))).cast("int").as("bin"))
+      .count()
+      .select(col("w.start").as("day_start"), col("bin"),
+        col("count").as("cnt"))
+
   /** ST16: HOPPING (sliding) windows — 1-day windows advancing every
     * 12 h, so every event lands in exactly two overlapping windows and a
     * dashboard reads a smoothed daily trend twice per day instead of

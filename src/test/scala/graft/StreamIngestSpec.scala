@@ -128,6 +128,36 @@ class StreamIngestSpec extends SparkSpec {
     assert(got.values.sum === 4L, "2 events x 2 windows each")
   }
 
+  test("ST17: streamed histogram fold equals the batch bin counts") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = StreamIngest.histogramCounts(in.toDF(), "value",
+        lo = 0.0, width = 8.0, bins = 64, horizon = "1 day")
+      .writeStream.format("memory").queryName("st17_out").outputMode("update").start()
+    val evs = Seq(
+      Ev(1, ts("2024-01-01 10:00:00"), 7, "view", 3.0),     // bin 0
+      Ev(2, ts("2024-01-01 11:00:00"), 8, "view", 7.9),     // bin 0
+      Ev(3, ts("2024-01-01 12:00:00"), 9, "view", 8.0),     // bin 1
+      Ev(4, ts("2024-01-02 09:00:00"), 7, "view", 600.0),   // clamps to bin 63
+      Ev(5, ts("2024-01-02 10:00:00"), 8, "view", -4.0))    // clamps to bin 0
+    in.addData(evs.take(2))
+    q.processAllAvailable()
+    in.addData(evs.drop(2)) // incremental fold across micro-batches
+    q.processAllAvailable()
+    val got = spark.table("st17_out")
+      .as[(Timestamp, Int, Long)].collect()
+      .groupBy(r => (r._1, r._2)).view.mapValues(_.map(_._3).max).toMap
+    q.stop()
+    val batch = StreamIngest.histogramCounts(
+        evs.toDF(), "value", lo = 0.0, width = 8.0, bins = 64)
+      .as[(Timestamp, Int, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got === batch, "stream fold must converge to the batch histogram")
+    assert(got((ts("2024-01-01 00:00:00"), 0)) === 2L)
+    assert(got((ts("2024-01-02 00:00:00"), 63)) === 1L, "over-domain clamps high")
+    assert(got((ts("2024-01-02 00:00:00"), 0)) === 1L, "under-domain clamps low")
+  }
+
   test("ST15: CMS counters folded over micro-batches equal the batch sketch") {
     import org.apache.spark.sql.functions.col
     implicit val sqlCtx = spark.sqlContext
