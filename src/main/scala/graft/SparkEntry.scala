@@ -3331,10 +3331,24 @@ object SparkEntry {
     "mm3_blob_chunks" -> ((s, d) =>
       graft.multimodal.Media.chunkBytes(
           graft.multimodal.Media.asAssets(t(s, d, "documents")))
-        .orderBy("asset_id", "chunk_id"))
+        .orderBy("asset_id", "chunk_id")),
+    // MM4: media dedup by content digest — d1's exact-dedup posture on
+    // the BINARY column (the first pass of any multimodal curation:
+    // identical blobs collapse regardless of filename/metadata; the
+    // digest is 16 bytes so the shuffle never carries blob bodies).
+    "mm4_blob_dedup" -> ((s, d) =>
+      graft.multimodal.Media.asAssets(t(s, d, "documents"))
+        .groupBy(md5(col("content")).as("content_hash"))
+        .agg(min(col("asset_id")).as("keep_id"), count(lit(1)).as("n_copies"),
+          max(length(col("content"))).cast("int").as("n_bytes"))
+        .orderBy("keep_id"))
   )
 
   private val mmOracles: Map[String, String] = Map(
+    "mm4_blob_dedup" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+        |  count(*) AS n_copies, CAST(max(octet_length(encode(text))) AS INT) AS n_bytes
+        |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
     "mm1_binary_meta" ->
       """SELECT doc_id AS asset_id,
         |  CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'video' END AS media_type,
