@@ -2862,6 +2862,16 @@ object SparkEntry {
     "e14_two_stage_topk" -> ((s, d) =>
       graft.similarity.Ann.twoStageTopK(t(s, d, "embeddings"))
         .orderBy("query_id", "rank")),
+    // E15: reciprocal-rank fusion of the full-dim (e1) and truncated
+    // (e13) rankings — the hybrid-retrieval combiner; rank-based, so
+    // no score calibration, and deterministic end-to-end.
+    "e15_rrf_fusion" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      graft.similarity.Ann.rrfFuse(
+          graft.similarity.Ann.cosineTopKBlocked(emb, 5),
+          graft.similarity.Ann.matryoshkaTopK(emb))
+        .orderBy("query_id", "rank")
+    }),
     // E10: the bucket-assignment half of e2's LSH candidate generation,
     // oracle-exact — the ±1 plane matrix is LCG-deterministic, so the
     // (table, bucket) cells every vector lands in replay in SQL with
@@ -2885,6 +2895,37 @@ object SparkEntry {
   )
 
   private val simOracles: Map[String, String] = Map(
+    "e15_rrf_fusion" ->
+      """WITH ef AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |nfull AS (SELECT vec_id, v, sqrt(list_reduce(list_apply(v, x -> x*x), (a,b) -> a+b)) AS nrm FROM ef),
+        |pfull AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_reduce(list_apply(range(1, 65), i -> q.v[i] * c.v[i]), (a,b) -> a+b)
+        |      / (q.nrm * c.nrm) AS sim
+        |  FROM nfull q JOIN nfull c ON q.vec_id <> c.vec_id),
+        |fa AS (SELECT query_id, neighbor_id, rank FROM (
+        |    SELECT query_id, neighbor_id,
+        |      row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+        |    FROM pfull) WHERE rank <= 5),
+        |et AS (SELECT vec_id, (embedding::DOUBLE[])[1:8] AS v FROM embeddings),
+        |ntr AS (SELECT vec_id, v, sqrt(list_reduce(list_apply(v, x -> x*x), (a,b) -> a+b)) AS nrm FROM et),
+        |ptr AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_reduce(list_apply(range(1, 9), i -> q.v[i] * c.v[i]), (a,b) -> a+b)
+        |      / (q.nrm * c.nrm) AS sim
+        |  FROM ntr q JOIN ntr c ON q.vec_id <> c.vec_id),
+        |fb AS (SELECT query_id, neighbor_id, rank FROM (
+        |    SELECT query_id, neighbor_id,
+        |      row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+        |    FROM ptr) WHERE rank <= 5),
+        |fused AS (SELECT coalesce(fa.query_id, fb.query_id) AS query_id,
+        |    coalesce(fa.neighbor_id, fb.neighbor_id) AS neighbor_id,
+        |    coalesce(1.0 / (60 + fa.rank), 0.0) + coalesce(1.0 / (60 + fb.rank), 0.0) AS rrf
+        |  FROM fa FULL OUTER JOIN fb
+        |    ON fa.query_id = fb.query_id AND fa.neighbor_id = fb.neighbor_id),
+        |rr AS (SELECT query_id, neighbor_id, rrf,
+        |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, neighbor_id) AS INT) AS rank
+        |  FROM fused)
+        |SELECT query_id, neighbor_id, round(rrf, 6) AS rrf, rank FROM rr
+        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
     "e14_two_stage_topk" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS fv, (embedding::DOUBLE[])[1:8] AS v FROM embeddings),
         |n8 AS (SELECT vec_id, v, sqrt(list_reduce(list_apply(v, x -> x*x), (a,b) -> a+b)) AS nrm FROM e),

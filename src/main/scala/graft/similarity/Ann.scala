@@ -759,6 +759,30 @@ object Ann {
         round(col("sim"), 6).as("sim"), col("rank"))
   }
 
+  /** E15: reciprocal-rank fusion (Cormack et al. 2009) — merge two
+    * retrieval rankings into one by summing 1/(k + rank) per candidate.
+    * THE standard hybrid-search combiner (dense ⊕ lexical, or two dense
+    * stages): rank-based, so incomparable score scales fuse without
+    * calibration. A FULL OUTER join on (query, candidate) — a candidate
+    * one ranker missed still scores on the other's term — then one
+    * fixed-order two-term sum per row (no aggregation ⇒ deterministic
+    * doubles, oracle replays exactly). Scale: inputs are already
+    * per-query top-k lists (tiny); the fusion is a |q|·k-row join. */
+  def rrfFuse(a: DataFrame, b: DataFrame, k: Int = 60, topK: Int = 3): DataFrame = {
+    val x = a.select(col("query_id"), col("neighbor_id"), col("rank").as("ra"))
+    val y = b.select(col("query_id"), col("neighbor_id"), col("rank").as("rb"))
+    x.join(y, Seq("query_id", "neighbor_id"), "full_outer")
+      .select(col("query_id"), col("neighbor_id"),
+        (coalesce(lit(1.0) / (lit(k) + col("ra")), lit(0.0)) +
+         coalesce(lit(1.0) / (lit(k) + col("rb")), lit(0.0))).as("rrf"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("rrf").desc, col("neighbor_id"))))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("rrf"), 6).as("rrf"), col("rank"))
+  }
+
   /** E8: SemDedup (Abbas et al. 2023, arXiv:2303.09540) — semantic
     * near-duplicate removal via centroid clustering: assign every
     * vector to its nearest of `k` fixed centroids (the [[centroidAssign]]
