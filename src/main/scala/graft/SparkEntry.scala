@@ -34,6 +34,15 @@ object SparkEntry {
   private def t(s: SparkSession, d: String, n: String): DataFrame =
     if (n == "events") Tables.events(s, d) else Tables.table(s, d, n)
 
+  /** Scratch dir for queries that stage their own parquet (s11/s12/
+    * s13): fixed WITHIN a process (bench repeats overwrite in place,
+    * no per-call leak) but unique ACROSS processes — the PID suffix
+    * keeps a concurrent Bench + Verify pair on one box from deleting
+    * each other's files mid-read. */
+  private def scratchDir(name: String): String =
+    java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_${name}_scratch_${ProcessHandle.current.pid}").toString
+
   /** Exact money sum (see Measures.moneySum) as oracle SQL text. */
   private def sqlMoney(x: String): String =
     s"CAST(sum(CAST($x AS DECIMAL(18,2))) AS DOUBLE)"
@@ -298,13 +307,14 @@ object SparkEntry {
     //
     // Scratch handling: a FIXED per-process path (overwritten each
     // invocation) — `createTempDirectory` per call leaked a fresh copy
-    // on every bench repeat. java.nio on a driver-local path is a
+    // on every bench repeat; the PID suffix keeps two concurrent JVMs
+    // (e.g. Bench and Verify on one box) from racing each other's
+    // overwrite-then-read. java.nio on a driver-local path is a
     // LOCAL-MODE assumption (fine here: the query exists to exercise
     // mergeSchema semantics); a cluster deployment would stage the
     // generations on shared storage instead.
     "s11_schema_evolution" -> ((s, d) => {
-      val tmp = java.nio.file.Paths.get(
-        sys.props("java.io.tmpdir"), "graft_s11_scratch")
+      val tmp = java.nio.file.Paths.get(scratchDir("s11"))
       val v1 = t(s, d, "nation").select(col("n_nationkey"), col("n_name"))
       val v2 = t(s, d, "nation")
         .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
@@ -324,11 +334,10 @@ object SparkEntry {
     // review gap "no declared query ingests/stores a decimal column
     // natively" (harness base data is double, so the ingest cast IS
     // the boundary conversion a Postgres `numeric` feed performs).
-    // Same s11 scratch posture: fixed per-process path, local-mode
-    // java.nio is fine for an ingest-shape query.
+    // Same s11 scratch posture: fixed per-process (PID-suffixed) path,
+    // local-mode java.nio is fine for an ingest-shape query.
     "s13_decimal_money" -> ((s, d) => {
-      val tmp = java.nio.file.Paths.get(
-        sys.props("java.io.tmpdir"), "graft_s13_scratch").toString
+      val tmp = scratchDir("s13")
       t(s, d, "orders")
         .select(col("o_orderkey"), col("o_orderstatus"),
           col("o_totalprice").cast("decimal(18,2)").as("price_d"))
@@ -490,8 +499,7 @@ object SparkEntry {
     // scan-output rows z-order vs time-order on the same predicate).
     // Scratch handling and local-mode caveat as s11.
     "s12_zorder_scan" -> ((s, d) => {
-      val tmp = java.nio.file.Paths.get(
-        sys.props("java.io.tmpdir"), "graft_s12_scratch").toString
+      val tmp = scratchDir("s12")
       val ev = t(s, d, "events")
         .withColumn("user_bucket", pmod(col("user_id"), lit(64)))
         .withColumn("day", dayofmonth(col("ts")))
@@ -576,7 +584,8 @@ object SparkEntry {
       """WITH stored AS (SELECT o_orderkey, o_orderstatus,
         |    CAST(o_totalprice AS DECIMAL(18,2)) AS price_d FROM orders)
         |SELECT o_orderstatus AS status, count(*) AS n,
-        |  sum(price_d) AS total_d, min(price_d) AS min_d, max(price_d) AS max_d
+        |  CAST(sum(price_d) AS DECIMAL(28,2)) AS total_d,
+        |  min(price_d) AS min_d, max(price_d) AS max_d
         |FROM stored GROUP BY 1 ORDER BY 1""".stripMargin,
     "s12_zorder_scan" ->
       """SELECT event_id, user_id, user_id % 64 AS user_bucket,
@@ -1852,7 +1861,8 @@ object SparkEntry {
         |    sum(a.n) AS sx, sum(b.n) AS sy, sum(a.n * b.n) AS sxy,
         |    sum(a.n * a.n) AS sxx, sum(b.n * b.n) AS syy
         |  FROM daily a JOIN daily b ON a.day = b.day + 1)
-        |SELECT n_pairs, sx, sy, sxy,
+        |SELECT n_pairs, CAST(sx AS BIGINT) AS sx, CAST(sy AS BIGINT) AS sy,
+        |  CAST(sxy AS BIGINT) AS sxy,
         |  CAST(n_pairs * sxy - sx * sy AS DOUBLE) /
         |    (sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE)) *
         |     sqrt(CAST(n_pairs * syy - sy * sy AS DOUBLE))) AS corr_lag1
@@ -3953,27 +3963,34 @@ object SparkEntry {
     // AQE plans one exchange; no correlated EXISTS subqueries survive
     // into the physical plan.
     "x15_blocking_supplier" -> ((s, d) => {
-      // order-level stats via a WINDOW over the supplier rollup — the
-      // rollup→window→re-rollup chain stays on the l_orderkey shuffle
-      // family (no self-join, lineitem scans once). The fact table is
-      // repartitioned by l_orderkey ONCE up front: HashPartitioning on
-      // a subset of every downstream key set satisfies the (l_orderkey,
-      // l_suppkey) groupBy, the l_orderkey window, the (l_orderkey,
-      // o_max) regroup AND the orders join — one big-table shuffle
-      // total where the grouped-first form paid two.
+      // Two stacked hash aggregations on ONE l_orderkey exchange — no
+      // window, no sort, no self-join; lineitem scans and shuffles
+      // once. The fact table is repartitioned by l_orderkey up front:
+      // HashPartitioning on a subset of every downstream key set
+      // satisfies both the (l_orderkey, l_suppkey) rollup and the
+      // l_orderkey regroup. The r8 window formulation (rollup → window
+      // → re-rollup) shared the exchange but paid a per-partition SORT
+      // plus a third hash-agg pair; this one replaces all of it with
+      // two struct-max aggregates. "Exactly one supplier at the max"
+      // is decided WITHOUT counting ties: the argmax under a
+      // LARGEST-suppkey tiebreak equals the argmax under a
+      // SMALLEST-suppkey tiebreak iff the max ship date is unique
+      // among the order's suppliers — two codegen'd max(struct(...))
+      // buffers per group, O(1) state, any group size.
       val perSupp = t(s, d, "lineitem")
         .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
         .repartition(col("l_orderkey"))
         .groupBy(col("l_orderkey"), col("l_suppkey"))
         .agg(max(col("l_shipdate")).as("s_max"))
-      val w = Window.partitionBy(col("l_orderkey"))
       val atMax = perSupp
-        .withColumn("o_max", max(col("s_max")).over(w))
-        .withColumn("n_supp", count(lit(1)).over(w))
-        .filter(col("s_max") === col("o_max") && col("n_supp") >= 2)
-        .groupBy(col("l_orderkey"), col("o_max"))
-        .agg(min(col("l_suppkey")).as("l_suppkey"), count(lit(1)).as("n_at_max"))
-        .filter(col("n_at_max") === 1)
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n_supp"),
+          max(struct(col("s_max"), col("l_suppkey"))).as("hi"),
+          max(struct(col("s_max"), (-col("l_suppkey")).as("neg_sk"))).as("lo"))
+        .filter(col("n_supp") >= 2 &&
+          col("hi.l_suppkey") === -col("lo.neg_sk"))
+        .select(col("l_orderkey"), col("hi.s_max").as("o_max"),
+          col("hi.l_suppkey").as("l_suppkey"))
       atMax
         .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
         .filter(col("o_max") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
@@ -4307,7 +4324,7 @@ object SparkEntry {
         |       FROM edges e JOIN r1 ON e.u = r1.u JOIN deg ON e.u = deg.u GROUP BY e.v),
         |r3 AS (SELECT e.v AS u, (SELECT b FROM base) + (85 * sum(r2.r // deg.d)) // 100 AS r
         |       FROM edges e JOIN r2 ON e.u = r2.u JOIN deg ON e.u = deg.u GROUP BY e.v)
-        |SELECT u AS node_id, r AS rank_fp FROM r3
+        |SELECT u AS node_id, CAST(r AS BIGINT) AS rank_fp FROM r3
         |ORDER BY rank_fp DESC, node_id""".stripMargin,
     "mb1_copurchase_pairs" ->
       """SELECT a.l_partkey AS u, b.l_partkey AS v, count(*) AS support
@@ -4343,7 +4360,7 @@ object SparkEntry {
         |       FROM edges e JOIN r1 ON e.u = r1.u JOIN st ON e.u = st.u GROUP BY e.v),
         |r3 AS (SELECT e.v AS u, (SELECT b FROM base) + (85 * sum((r2.r * e.w) // st.str)) // 100 AS r
         |       FROM edges e JOIN r2 ON e.u = r2.u JOIN st ON e.u = st.u GROUP BY e.v)
-        |SELECT u AS node_id, r AS rank_fp FROM r3
+        |SELECT u AS node_id, CAST(r AS BIGINT) AS rank_fp FROM r3
         |ORDER BY rank_fp DESC, node_id""".stripMargin
   )
 

@@ -66,10 +66,14 @@ object Verify {
     Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
     if (errors.nonEmpty)
       System.err.println(s"[verify] ${errors.size} quer${if (errors.size == 1) "y" else "ies"} FAILED: ${errors.keys.mkString(", ")}")
-    // rc stays 0: the driver must still compare every query that DID
-    // dump (a non-zero exit could discard the whole round's correctness
-    // artifact over one broken query — the failure signal is errors.json
-    // + stderr, which can never silently disappear again).
+    // rc stays 0 BY DEFAULT: the driver must still compare every query
+    // that DID dump (a non-zero exit could discard the whole round's
+    // correctness artifact over one broken query — the failure signal is
+    // errors.json + stderr, which can never silently disappear again).
+    // SPARK_GRAFT_STRICT=1 flips rc to 1 on any per-query failure for
+    // local/CI use, where "the command failed" is the signal you want.
     spark.stop()
+    if (errors.nonEmpty && sys.env.get("SPARK_GRAFT_STRICT").contains("1"))
+      sys.exit(1)
   }
 }
