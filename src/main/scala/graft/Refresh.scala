@@ -46,10 +46,17 @@ object Refresh {
         val parsed = Webhook.parsed(batch, offices)
         StreamIngest.idempotentAppend(
           Webhook.envelope(parsed), s"$warehouseDir/bronze_events", "id")
+        // reject_id includes received_at: a REPLAYED batch (same file,
+        // same arrival stamp) dedups to a no-op, but a collector
+        // legitimately re-sending an identical malformed payload days
+        // later is a NEW dead-letter row — dropping it would erase the
+        // occurrence count and recency the ops signal depends on.
         StreamIngest.idempotentAppend(
           Webhook.rejected(parsed)
             .select(col("account"), col("body"), col("received_at"),
-              sha2(concat_ws("|", col("account"), col("body")), 256).as("reject_id")),
+              sha2(concat_ws("|", col("account"), col("body"),
+                date_format(col("received_at"), "yyyy-MM-dd HH:mm:ss.SSSSSS")),
+                256).as("reject_id")),
           s"$warehouseDir/dead_letter", "reject_id")
         ()
       }
@@ -57,7 +64,16 @@ object Refresh {
     q.awaitTermination()
   }
 
-  /** Step 2: rebuild the declared marts from the harness tables. */
+  /** Step 2: rebuild the declared marts from the warehouse tables.
+    *
+    * Each mart is written to a STAGING path and renamed into place, so
+    * a dashboard reader concurrent with a refresh sees either the old
+    * mart or the new one — never the missing/partial state that plain
+    * `mode("overwrite")` (delete-then-write) exposes for the full write
+    * duration. The remaining window is the delete+rename pair
+    * (milliseconds, vs seconds-to-minutes of writing); a deployment
+    * needing a true atomic swap uses a table format (Delta/Iceberg)
+    * commit, which this layout maps to directly. */
   def rebuildMarts(spark: SparkSession, sfDir: String,
       warehouseDir: String): Seq[String] = {
     val marts: Seq[(String, DataFrame)] = Seq(
@@ -65,8 +81,16 @@ object Refresh {
         SparkEntry.queries("flagship_manager_dashboard")(spark, sfDir),
       "monthly_trend" -> SparkEntry.queries("a9_monthly_trend")(spark, sfDir),
       "funnel" -> SparkEntry.queries("a1_funnel_counts")(spark, sfDir))
+    val hconf = spark.sparkContext.hadoopConfiguration
     marts.map { case (name, df) =>
-      df.write.mode("overwrite").parquet(s"$warehouseDir/marts/$name")
+      val target = new org.apache.hadoop.fs.Path(s"$warehouseDir/marts/$name")
+      val staging = new org.apache.hadoop.fs.Path(
+        s"$warehouseDir/marts/.staging_$name")
+      df.write.mode("overwrite").parquet(staging.toString)
+      val fs = target.getFileSystem(hconf)
+      fs.delete(target, true)
+      if (!fs.rename(staging, target))
+        throw new java.io.IOException(s"mart swap failed: $staging -> $target")
       name
     }
   }
@@ -75,8 +99,14 @@ object Refresh {
       sfDir: String, offices: Seq[String] = Seq("office_a")): Report = {
     drainLanding(spark, landingDir, warehouseDir, offices)
     val marts = rebuildMarts(spark, sfDir, warehouseDir)
+    // 0 only for the expected first-run case (table not created yet);
+    // any OTHER failure — corrupted footers, permission loss — must
+    // surface, not read as an empty-but-healthy report.
     def countOr0(p: String): Long =
-      try spark.read.parquet(p).count() catch { case _: Throwable => 0L }
+      try spark.read.parquet(p).count() catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getCondition == "PATH_NOT_FOUND" => 0L
+      }
     Report(
       newFiles = -1, // not tracked post-hoc; checkpoint owns progress
       bronzeRows = countOr0(s"$warehouseDir/bronze_events"),

@@ -3963,35 +3963,33 @@ object SparkEntry {
     // AQE plans one exchange; no correlated EXISTS subqueries survive
     // into the physical plan.
     "x15_blocking_supplier" -> ((s, d) => {
-      // Two stacked hash aggregations on ONE l_orderkey exchange — no
-      // window, no sort, no self-join; lineitem scans and shuffles
-      // once. The fact table is repartitioned by l_orderkey up front:
-      // HashPartitioning on a subset of every downstream key set
-      // satisfies both the (l_orderkey, l_suppkey) rollup and the
-      // l_orderkey regroup. The r8 window formulation (rollup → window
-      // → re-rollup) shared the exchange but paid a per-partition SORT
-      // plus a third hash-agg pair; this one replaces all of it with
-      // two struct-max aggregates. "Exactly one supplier at the max"
-      // is decided WITHOUT counting ties: the argmax under a
-      // LARGEST-suppkey tiebreak equals the argmax under a
-      // SMALLEST-suppkey tiebreak iff the max ship date is unique
-      // among the order's suppliers — two codegen'd max(struct(...))
-      // buffers per group, O(1) state, any group size.
-      val perSupp = t(s, d, "lineitem")
-        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
-        .repartition(col("l_orderkey"))
-        .groupBy(col("l_orderkey"), col("l_suppkey"))
-        .agg(max(col("l_shipdate")).as("s_max"))
-      val atMax = perSupp
+      // ONE map-side-combined hash aggregation over raw lineitem — no
+      // per-supplier pre-rollup, no window, no sort, no self-join (the
+      // r8 formulation paid rollup → window-sort → re-rollup on a full
+      // repartition exchange). Everything the order-level decision
+      // needs collapses into four ATOMIC aggregation buffers:
+      //   - "≥2 distinct suppliers" ⇔ min(suppkey) ≠ max(suppkey)
+      //     (no distinct-count needed for a ≥2 threshold);
+      //   - "exactly one supplier at the max ship date" ⇔ the argmax
+      //     under a SMALLEST-suppkey tiebreak equals the argmax under
+      //     a LARGEST-suppkey tiebreak — and line-level argmax equals
+      //     supplier-level argmax (duplicate lines of one supplier at
+      //     the max collapse in both), so the supplier rollup the
+      //     oracle materializes is redundant here;
+      //   - the blocking supplier itself is that unique argmax.
+      // ArgExtremum (functions/AggExpressions.scala) keeps the plan in
+      // HashAggregate with partial combine below the exchange — the
+      // shuffle carries ~|orders| combined rows, not the fact table.
+      val A = graft.functions.AggExpressions
+      t(s, d, "lineitem")
         .groupBy(col("l_orderkey"))
-        .agg(count(lit(1)).as("n_supp"),
-          max(struct(col("s_max"), col("l_suppkey"))).as("hi"),
-          max(struct(col("s_max"), (-col("l_suppkey")).as("neg_sk"))).as("lo"))
-        .filter(col("n_supp") >= 2 &&
-          col("hi.l_suppkey") === -col("lo.neg_sk"))
-        .select(col("l_orderkey"), col("hi.s_max").as("o_max"),
-          col("hi.l_suppkey").as("l_suppkey"))
-      atMax
+        .agg(max(col("l_shipdate")).as("o_max"),
+          min(col("l_suppkey")).as("sk_min"),
+          max(col("l_suppkey")).as("sk_max"),
+          A.argMax(col("l_shipdate"), col("l_suppkey")).as("sk_lo"),
+          A.argMaxHigh(col("l_shipdate"), col("l_suppkey")).as("sk_hi"))
+        .filter(col("sk_min") =!= col("sk_max") && col("sk_lo") === col("sk_hi"))
+        .select(col("l_orderkey"), col("o_max"), col("sk_lo").as("l_suppkey"))
         .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
         .filter(col("o_max") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
         .groupBy(col("l_suppkey"))
@@ -4283,6 +4281,7 @@ object SparkEntry {
     // dispatch-bound default stays 64 MB.
     val s2 = s.newSession()
     s2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2m")
+    s2.conf.set("spark.sql.shuffle.partitions", "32")
     copurchaseSelfJoin(s2, d)
   }
 

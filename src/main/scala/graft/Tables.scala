@@ -48,9 +48,12 @@ object Tables {
     *    TIMESTAMP_NS→TIMESTAMP cast. (A double-typed division would
     *    corrupt it: epoch-nanos ≈ 1.7e18 > 2^53.)
     *  - parquet TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark reads
-    *    TIMESTAMP_NTZ, which `unix_micros` et al reject. Cast to
-    *    TimestampType — instant-preserving because the session tz is
-    *    pinned UTC (the wall-clock fields ARE the UTC instant).
+    *    TIMESTAMP_NTZ, which `unix_micros` et al reject. The wall-clock
+    *    fields ARE the UTC instant, so the instant is computed
+    *    arithmetically from the (timezone-free) NTZ fields — NOT via
+    *    `cast("timestamp")`, which interprets the wall clock in the
+    *    SESSION timezone and silently shifts every instant for a
+    *    library caller whose session is not UTC.
     *  - µs-UTC generation: already TimestampType, pass through. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -59,10 +62,24 @@ object Tables {
       case LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case TimestampNTZType =>
-        raw.withColumn("ts", col("ts").cast("timestamp"))
+        raw.withColumn("ts", ntzAsUtcInstant(col("ts")))
       case _ => raw
     }
   }
+
+  /** TIMESTAMP_NTZ whose wall-clock fields denote a UTC instant →
+    * TimestampType, independent of `spark.sql.session.timeZone`. Every
+    * field extraction on NTZ is timezone-free by definition, so the
+    * epoch-micros arithmetic below is deterministic on any session —
+    * and exactly equal to `cast("timestamp")` under a UTC session.
+    * (`date_part('SECOND')` is DECIMAL(8,6) seconds INCLUDING the
+    * sub-second fraction, so ×1e6 completes the sub-minute remainder
+    * exactly.) */
+  private def ntzAsUtcInstant(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    timestamp_micros(
+      (unix_date(c.cast("date")) * 86400L + hour(c) * 3600L + minute(c) * 60L)
+        .cast("long") * 1000000L +
+        (date_part(lit("SECOND"), c) * 1000000L).cast("long"))
   /** S2 incremental scan with working predicate pushdown: the range is
     * applied to the RAW int64 nanos column (before the µs conversion),
     * so it reaches the parquet reader as a long comparison and prunes
@@ -82,9 +99,10 @@ object Tables {
       case TimestampNTZType =>
         // Filter with NTZ literals on the RAW column (same type on both
         // sides ⇒ the comparison pushes to the parquet reader and prunes
-        // row groups); only then normalize the survivors to TimestampType.
+        // row groups); only then normalize the survivors to TimestampType
+        // (session-tz-independent, see ntzAsUtcInstant).
         raw.filter(col("ts") >= lit(ldt(startUtc)) && col("ts") < lit(ldt(endUtc)))
-          .withColumn("ts", col("ts").cast("timestamp"))
+          .withColumn("ts", ntzAsUtcInstant(col("ts")))
       case _ =>
         raw.filter(col("ts") >= to_timestamp(lit(startUtc)) &&
           col("ts") < to_timestamp(lit(endUtc)))

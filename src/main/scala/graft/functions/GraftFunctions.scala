@@ -17,6 +17,12 @@ object GraftFunctions {
       exprs => DotProduct(exprs(0), exprs(1)))
     Bridge.registerFunction(spark, "graft_shingles",
       exprs => WordShingles(exprs.head, 3))
+    // deterministic max_by/min_by twins (analyzer wraps the bare
+    // AggregateFunction in an AggregateExpression, as for built-ins)
+    Bridge.registerFunction(spark, "graft_argmax",
+      exprs => ArgExtremum(exprs(0), exprs(1), findMax = true, tieLow = true))
+    Bridge.registerFunction(spark, "graft_argmin",
+      exprs => ArgExtremum(exprs(0), exprs(1), findMax = false, tieLow = true))
   }
 }
 
@@ -36,6 +42,16 @@ class GraftSessionExtensions
       new ExpressionInfo(classOf[WordShingles].getName, "graft_shingles"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         WordShingles(exprs.head, 3)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_argmax"),
+      new ExpressionInfo(classOf[ArgExtremum].getName, "graft_argmax"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        ArgExtremum(exprs(0), exprs(1), findMax = true, tieLow = true)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_argmin"),
+      new ExpressionInfo(classOf[ArgExtremum].getName, "graft_argmin"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        ArgExtremum(exprs(0), exprs(1), findMax = false, tieLow = true)))
     // Auto-broadcast schema-fixed tiny dims (see BroadcastDims scaladoc).
     ext.injectOptimizerRule(_ =>
       graft.plans.BroadcastDims(graft.plans.BroadcastDims.defaultDims))

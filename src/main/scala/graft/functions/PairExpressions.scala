@@ -36,6 +36,22 @@ case class SortedPairs(child: Expression) extends UnaryExpression {
 
   override def prettyName: String = "graft_sorted_pairs"
 
+  /** The kernel copies via `toLongArray`, which reads null slots as 0
+    * (ArrayData's primitive bulk copy ignores the null bitmap) — so a
+    * nullable-element array is REJECTED AT ANALYSIS instead of
+    * silently pairing phantom zeros. Callers aggregate non-null casts
+    * (`collect_list` never emits null slots), so the constraint costs
+    * them nothing. */
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, false) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<bigint> with non-nullable elements, " +
+            s"got ${other.catalogString}")
+    }
+
   override def nullSafeEval(a: Any): Any =
     SortedPairsKernel.expand(a.asInstanceOf[ArrayData])
 
@@ -85,6 +101,20 @@ case class WeightedPairs(left: Expression, right: Expression)
 
   override def prettyName: String = "graft_weighted_pairs"
 
+  /** Same analysis-time guard as [[SortedPairs]]: null slots are
+    * unreadable by the primitive getters, so both arrays must carry
+    * non-nullable elements; a length mismatch is a runtime error in
+    * the kernel (the two arrays are parallel by contract). */
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, false), ArrayType(DoubleType, false)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires (array<bigint>, array<double>) with " +
+            s"non-nullable elements, got (${l.catalogString}, ${r.catalogString})")
+    }
+
   override def nullSafeEval(a: Any, b: Any): Any =
     WeightedPairsKernel.expand(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
@@ -103,6 +133,9 @@ case class WeightedPairs(left: Expression, right: Expression)
 object WeightedPairsKernel extends Serializable {
   def expand(idArr: ArrayData, wArr: ArrayData): ArrayData = {
     val n = idArr.numElements()
+    require(wArr.numElements() == n,
+      s"graft_weighted_pairs: parallel arrays differ in length " +
+        s"($n ids vs ${wArr.numElements()} weights)")
     val ids = new Array[Long](n)
     val ws = new Array[Double](n)
     // sort members by id so every pair emits canonically (u < v)

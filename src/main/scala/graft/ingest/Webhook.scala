@@ -115,4 +115,49 @@ object Webhook {
       .select(envelopeCols ++ Seq(
         clientField("id").as("folder_id"),
         clientField("name").as("folder_name")): _*)
+
+  /** Reference ack protocol (webhook_app.py:153-182), mapped onto the
+    * engine's gate outcomes. The HTTP endpoint answers each POST with
+    * exactly one of:
+    *
+    *   - 400 `invalid_account` — account not whitelisted
+    *     (webhook_app.py:156-157); the engine twin is the rows
+    *     [[parsed]]'s whitelist filter drops.
+    *   - 400 `invalid_content_type` — body is not JSON
+    *     (webhook_app.py:158-159; the endpoint tests the content-type
+    *     header, the batch analog is body-parses-as-JSON).
+    *   - 200 `success_unhandled` — valid JSON whose event is missing
+    *     or unknown (webhook_app.py:173-174): the reference ACKS these
+    *     (so the collector never retries them) and only logs; the
+    *     engine twin routes them to [[rejected]]/dead-letter instead
+    *     of losing them.
+    *   - 200 `success` — a handled event type (webhook_app.py:176).
+    *
+    * The remaining reference status — 500 on processing exception
+    * (webhook_app.py:177-182), which makes the collector REDELIVER —
+    * has no per-row batch mapping by design: its engine twin is a
+    * failed foreachBatch epoch, whose retry redelivers the whole
+    * micro-batch, and the `ON CONFLICT DO NOTHING` upsert sink makes
+    * that redelivery a no-op (see [[graft.streaming.JdbcUpsertSink]]
+    * and JdbcUpsertLiveSpec's replay case).
+    *
+    * Input is the RAW post frame (`account`, `body`, `received_at`) —
+    * the whitelist decision must see the rows [[parsed]] would drop.
+    * Output adds `http_status` (int) and `ack` (string) per row;
+    * AckProtocolSpec pins the routes to [[rejected]]/[[wellFormed]].
+    */
+  def ackStatus(posts: DataFrame, allowedAccounts: Seq[String]): DataFrame = {
+    val env = from_json(col("body"), Schemas.bodySchema).getField("webhook_event")
+    val isJson = try_parse_json(col("body")).isNotNull
+    val knownEvent =
+      coalesce(env.getField("event").isin(knownEvents: _*), lit(false))
+    val ack = when(!col("account").isin(allowedAccounts: _*), lit("invalid_account"))
+      .when(!isJson, lit("invalid_content_type"))
+      .when(!knownEvent, lit("success_unhandled"))
+      .otherwise(lit("success"))
+    posts
+      .withColumn("ack", ack)
+      .withColumn("http_status",
+        when(col("ack").startsWith("invalid"), lit(400)).otherwise(lit(200)))
+  }
 }

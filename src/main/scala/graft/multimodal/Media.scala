@@ -85,6 +85,32 @@ object Media {
     }
   }
 
+  /** REAL image decode through the JDK's own `javax.imageio` (PNG, GIF,
+    * BMP, JPEG — no external libraries): width/height come from the
+    * decoded pixel buffer, not the metadata envelope, so a lying `meta`
+    * column is corrected at decode time (the reason a real pipeline
+    * decodes at all). Bytes that no registered reader accepts yield the
+    * documented sentinel `(width, height, n_frames) = (-1, -1, 0)` —
+    * the caller routes those to dead-letter exactly like a malformed
+    * webhook body; decode never throws on bad content. [[StubCodec]]
+    * remains the determinism-sensitive oracle path (mm-family queries
+    * hash byte-level features only); this is the swap-in the interface
+    * was built for, exercised by MediaSpec on in-test-encoded PNGs. */
+  object ImageIOCodec extends MediaCodec {
+    def open(): MediaCodec.Session = new MediaCodec.Session {
+      private val md = java.security.MessageDigest.getInstance("MD5")
+      def decode(id: Long, bytes: Array[Byte], w0: Int, h0: Int, f0: Int): Decoded = {
+        md.reset()
+        val digest = md.digest(bytes).map("%02x".format(_)).mkString
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          catch { case _: Exception => null } // corrupt stream = undecodable
+        if (img == null) Decoded(id, -1, -1, 0, bytes.length, digest)
+        else Decoded(id, img.getWidth, img.getHeight, 1, bytes.length, digest)
+      }
+    }
+  }
+
   /** Decode / feature-extract over binary content through a pluggable
     * [[MediaCodec]]: one `open()` per partition, `close()` when the
     * partition drains. */

@@ -51,4 +51,33 @@ class MediaSpec extends SparkSpec {
       .head().getSeq[String](0)
     assert(got === Seq("f0", "f3"))
   }
+
+  test("MM: ImageIOCodec decodes REAL PNGs — width/height from pixels, not metadata") {
+    // encode genuine PNGs in-test (JDK imageio, no fixtures): the meta
+    // envelope deliberately LIES about the dimensions so the assertion
+    // can only pass if the pixel buffer was actually decoded
+    def png(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until w).foreach(x => (0 until h).foreach(y =>
+        img.setRGB(x, y, (x * 31 + y * 7) & 0xffffff)))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val rows = Seq(
+      (1L, "image", png(2, 2), (99, 99, 9)),     // 2x2 despite meta 99x99
+      (2L, "image", png(5, 3), (99, 99, 9)),
+      (3L, "image", "not an image".getBytes("UTF-8"), (99, 99, 9)))
+      .toDF("asset_id", "media_type", "content", "m")
+      .select(col("asset_id"), col("media_type"), col("content"),
+        struct(col("m._1").as("width"), col("m._2").as("height"),
+          col("m._3").as("n_frames")).as("meta"))
+    val got = Media.decode(spark, rows, Media.ImageIOCodec)
+      .select("asset_id", "width", "height", "n_frames")
+      .as[(Long, Int, Int, Int)].collect().sortBy(_._1)
+    assert(got(0) === ((1L, 2, 2, 1)))
+    assert(got(1) === ((2L, 5, 3, 1)))
+    assert(got(2) === ((3L, -1, -1, 0))) // undecodable -> sentinel, never a throw
+  }
 }

@@ -70,4 +70,24 @@ class TablesGenerationsSpec extends SparkSpec {
         p.contains("LessThan(ts")), s"no pushed ts range in: $scans")
     }
   }
+
+  test("NTZ normalization is session-timezone-INDEPENDENT") {
+    // a library caller with a non-UTC session must read the same
+    // instants: the r8 implementation used cast("timestamp"), which
+    // interprets NTZ wall fields in the session zone and silently
+    // shifted every event by the zone offset
+    val dir = writeGen("ntz")
+    val tokyo = spark.newSession()
+    tokyo.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+    val got = Tables.events(tokyo, dir)
+      .select(col("event_id"), unix_micros(col("ts")))
+      .as[(Long, Long)](org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.scalaLong))
+      .collect().toMap
+    assert(got === Map(1L -> insideMicros, 2L -> outsideMicros))
+    // and the windowed scan agrees across zones too
+    val win = Tables.eventsBetween(tokyo, dir,
+      "2024-01-01 00:00:00", "2024-01-15 00:00:00")
+    assert(win.select("event_id").collect().map(_.getLong(0)).toSeq === Seq(1L))
+  }
 }
