@@ -2901,10 +2901,64 @@ object SparkEntry {
     // oracle-exact over the deterministic vec_id<k centroids.
     "e11_ivf_probe_cells" -> ((s, d) =>
       graft.similarity.Ann.probeCells(t(s, d, "embeddings"), 8, 4)
-        .orderBy("vec_id", "probe_rank"))
+        .orderBy("vec_id", "probe_rank")),
+    // E16: MMR-diversified top-k — greedy λ·rel − μ·max-sim-to-selected
+    // over each query's top-20 shortlist. An ITERATIVE algorithm made
+    // hash-oracle-able: rounded-6dp scores, independent λ/μ literals,
+    // and every greedy pick through the deterministic argmax aggregate
+    // (ties → smallest id); the oracle unrolls the same 5 rounds as
+    // CTE layers. See Ann.mmrTopK.
+    "e16_mmr_topk" -> ((s, d) =>
+      graft.similarity.Ann.mmrTopK(t(s, d, "embeddings"), k = 5, shortlist = 20)
+        .orderBy("query_id", "rank"))
   )
 
+  /** e16's oracle: the same 5 greedy MMR rounds as unrolled CTE layers
+    * (sel1 → sel5), over the e1-style top-20 shortlist with 6dp-rounded
+    * rel/sim and the identical 0.7/0.3 literals. MATERIALIZED is
+    * load-bearing as in d7: each round references its predecessor
+    * several times. */
+  private val mmrOracle: String = {
+    val rounds = (2 to 5).map { r =>
+      s"""pen$r AS (SELECT cs.query_id, cs.c1 AS cid, max(cs.sim) AS pen
+         |  FROM cs JOIN sel${r - 1} s ON s.query_id = cs.query_id AND s.cid = cs.c2
+         |  GROUP BY 1, 2),
+         |m$r AS (SELECT a.query_id, a.cid, 0.7 * a.rel - 0.3 * coalesce(p.pen, 0.0) AS mmr
+         |  FROM (SELECT c.* FROM cand c ANTI JOIN sel${r - 1} s
+         |        ON s.query_id = c.query_id AND s.cid = c.cid) a
+         |  LEFT JOIN pen$r p ON p.query_id = a.query_id AND p.cid = a.cid),
+         |s$r AS MATERIALIZED (SELECT query_id, cid, $r AS pick FROM (
+         |  SELECT query_id, cid,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY mmr DESC, cid) AS rn FROM m$r)
+         |  WHERE rn = 1),
+         |sel$r AS MATERIALIZED (SELECT * FROM sel${r - 1} UNION ALL SELECT * FROM s$r)""".stripMargin
+    }.mkString(",\n")
+    s"""$cosineCte,
+       |p0 AS (SELECT q.vec_id AS query_id, c.vec_id AS cid,
+       |    list_reduce(list_apply(range(1, 65), i -> q.v[i] * c.v[i]), (a,b) -> a+b)
+       |      / (q.nrm * c.nrm) AS sim
+       |  FROM n q JOIN n c ON q.vec_id <> c.vec_id),
+       |cand AS MATERIALIZED (SELECT query_id, cid, round(sim, 6) AS rel FROM (
+       |  SELECT query_id, cid, sim,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cid) AS rn FROM p0)
+       |  WHERE rn <= 20),
+       |cs AS MATERIALIZED (SELECT a.query_id, a.cid AS c1, b.cid AS c2,
+       |    round(list_reduce(list_apply(range(1, 65), i -> x.v[i] * y.v[i]), (s,t) -> s+t)
+       |      / (x.nrm * y.nrm), 6) AS sim
+       |  FROM cand a JOIN cand b ON a.query_id = b.query_id AND a.cid <> b.cid
+       |  JOIN n x ON x.vec_id = a.cid JOIN n y ON y.vec_id = b.cid),
+       |sel1 AS MATERIALIZED (SELECT query_id, cid, 1 AS pick FROM (
+       |  SELECT query_id, cid,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, cid) AS rn FROM cand)
+       |  WHERE rn = 1),
+       |$rounds
+       |SELECT s.query_id, s.pick AS rank, s.cid AS neighbor_id, c.rel
+       |FROM sel5 s JOIN cand c ON c.query_id = s.query_id AND c.cid = s.cid
+       |ORDER BY s.query_id, rank""".stripMargin
+  }
+
   private val simOracles: Map[String, String] = Map(
+    "e16_mmr_topk" -> mmrOracle,
     "e15_rrf_fusion" ->
       """WITH ef AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |nfull AS (SELECT vec_id, v, sqrt(list_reduce(list_apply(v, x -> x*x), (a,b) -> a+b)) AS nrm FROM ef),
@@ -3533,6 +3587,29 @@ object SparkEntry {
         .select(col("lang"), col("rk"), col("doc_id"))
         .orderBy("lang", "rk")
     }),
+    // SA7: LEAKAGE-AWARE train/val/test split — the sa1 salted-hash
+    // split decided on the near-dup CLUSTER REPRESENTATIVE (min doc id
+    // of the d7 MinHash family; singletons are their own rep) and
+    // inherited by every member, so two near-duplicate documents can
+    // NEVER straddle train and test (the eval-contamination mode a
+    // plain per-doc hash split ships by construction: ~20% of every
+    // dup family's members land outside train). Same salt as sa1 ⇒
+    // singleton docs keep their sa1 assignment; only dup-family
+    // members move — the minimal-diff repair of a leaky split.
+    // Scale: d7's banded-LSH pipeline + a broadcast-sized label table
+    // joined back; the split itself stays a pure projection.
+    "sa7_leakage_split" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val clusters = graft.dedup.Clusters
+        .duplicateClusters(docs, 0.7, iterations = 4)
+        .select(col("doc_id"), col("cluster_id"))
+      val withRep = docs.select(col("doc_id"))
+        .join(clusters, Seq("doc_id"), "left")
+        .withColumn("rep", coalesce(col("cluster_id"), col("doc_id")))
+      graft.sampling.Sampling.hashSplit(withRep, col("rep"))
+        .select(col("doc_id"), col("rep"), col("bucket"), col("split"))
+        .orderBy("doc_id")
+    }),
     // C1: overlapping token-window chunking (size 50 / stride 40).
     "c1_chunk_windows" -> ((s, d) =>
       graft.text.Chunking.chunkWindows(t(s, d, "documents"))
@@ -3566,7 +3643,50 @@ object SparkEntry {
         .orderBy("doc_id"))
   )
 
+  /** sa7's oracle: d7's verified-pair → 4-round label-propagation
+    * pipeline verbatim (same MATERIALIZED posture), then the sa1 salted
+    * bucket over `coalesce(cluster_id, doc_id)` instead of `doc_id`. */
+  private val leakageSplitOracle: String = {
+    val k = graft.dedup.Dedup.MINHASH_K
+    val bands = graft.dedup.Dedup.LSH_BANDS
+    val rows = k / bands
+    val p = graft.dedup.Dedup.MINHASH_P
+    val minExprs = graft.dedup.Dedup.minhashParams.zipWithIndex
+      .map { case ((a, b), j) => s"min(($a * base + $b) % $p) AS h$j" }.mkString(", ")
+    val bandSelects = (0 until bands).map { b =>
+      val sig = (0 until rows).map(r => s"h${b * rows + r}").mkString(", ")
+      s"SELECT doc_id, $b AS band, concat_ws('_', $sig) AS s FROM sig"
+    }.mkString(" UNION ALL ")
+    val steps = (1 to 4).map { n =>
+      s"""l$n AS MATERIALIZED (SELECT l.node, least(l.lbl, min(x.lbl)) AS lbl
+         |  FROM l${n - 1} l JOIN edges e ON e.src = l.node JOIN l${n - 1} x ON x.node = e.dst
+         |  GROUP BY l.node, l.lbl)""".stripMargin
+    }.mkString(",\n")
+    s"""$shingleCte,
+       |ex AS (SELECT doc_id, ('0x' || substr(md5(unnest(g)), 1, 7))::BIGINT AS base FROM sh),
+       |sig AS (SELECT doc_id, $minExprs FROM ex GROUP BY doc_id),
+       |bands AS ($bandSelects),
+       |cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+       |  FROM bands x JOIN bands y ON x.band = y.band AND x.s = y.s AND x.doc_id < y.doc_id),
+       |pairs AS MATERIALIZED (SELECT d1, d2 FROM (
+       |  SELECT d1, d2, $sqlJaccard AS jaccard
+       |  FROM cand JOIN sh a ON a.doc_id = d1 JOIN sh b ON b.doc_id = d2)
+       |  WHERE jaccard >= 0.7),
+       |edges AS MATERIALIZED (SELECT d1 AS src, d2 AS dst FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
+       |l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS lbl FROM edges),
+       |$steps,
+       |labels AS (SELECT node AS doc_id, lbl AS cluster_id FROM l4),
+       |rep AS (SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS rep
+       |  FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id)
+       |SELECT doc_id, rep, bucket,
+       |  CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+       |FROM (SELECT doc_id, rep,
+       |  ('0x' || substr(md5('split:' || rep), 1, 7))::BIGINT % 100 AS bucket FROM rep)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   private val shapeOracles: Map[String, String] = Map(
+    "sa7_leakage_split" -> leakageSplitOracle,
     "sa1_hash_split" ->
       """SELECT doc_id, bucket,
         |  CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split

@@ -783,6 +783,77 @@ object Ann {
         round(col("rrf"), 6).as("rrf"), col("rank"))
   }
 
+  /** E16: Maximal Marginal Relevance (Carbonell & Goldstein, SIGIR'98)
+    * — diversified top-k: greedily select `k` of each query's
+    * `shortlist` candidates maximizing
+    * `λ·rel(c) − μ·max_{s∈selected} sim(c, s)`, so two near-duplicate
+    * passages never both fill a result slot (the retrieval-side twin
+    * of SemDedup: dedup at QUERY time instead of corpus time).
+    *
+    * Determinism (the engine posture): relevance and candidate-pair
+    * sims are rounded to 6dp BEFORE scoring (the same cross-engine pin
+    * as e1), `λ`/`μ` are independent literals — NOT `1−λ`, whose
+    * binary rounding differs from the literal `0.3` the oracle parses
+    * — and every greedy pick runs through [[graft.functions.AggExpressions.argMax]]
+    * (ties → smallest candidate id), so the selection is replayable
+    * bit-for-bit and SQL-oracle-able despite being an iterative
+    * algorithm.
+    *
+    * Scale: the candidate stage is pluggable (here the exact
+    * [[cosineTopKBlocked]] baseline; production uses e2/e4 shards).
+    * Everything after is |q|·m rows: the pairwise-sim table is
+    * |q|·m·(m−1) with m = `shortlist` (bounded small), each greedy
+    * round is one join + one hash aggregation on it, and the selected
+    * set (|q|·k rows) is localCheckpointed every other round so the
+    * iterated plan stays linear (the d7 posture). Nothing here scans
+    * the corpus again. */
+  def mmrTopK(embeddings: DataFrame, k: Int = 5, shortlist: Int = 20,
+      lambda: Double = 0.7, mu: Double = 0.3): DataFrame = {
+    val A = graft.functions.AggExpressions
+    val cand = cosineTopKBlocked(embeddings, shortlist)
+      .select(col("query_id"), col("neighbor_id").as("cid"), col("sim").as("rel"))
+      .localCheckpoint(true) // reused by every greedy round
+    val e = prepared(embeddings)
+    // pairwise cosine among each query's shortlist (candidates only —
+    // the corpus-sized table never re-enters)
+    val cs = cand.as("a")
+      .join(cand.as("b"),
+        col("a.query_id") === col("b.query_id") && col("a.cid") =!= col("b.cid"))
+      .select(col("a.query_id").as("query_id"),
+        col("a.cid").as("c1"), col("b.cid").as("c2"))
+      .join(e.select(col("vec_id").as("c1"), col("v").as("v1"), col("nrm").as("n1")), "c1")
+      .join(e.select(col("vec_id").as("c2"), col("v").as("v2"), col("nrm").as("n2")), "c2")
+      .select(col("query_id"), col("c1"), col("c2"),
+        round(dot(col("v1"), col("v2")) / (col("n1") * col("n2")), 6).as("sim"))
+      .localCheckpoint(true)
+    // round 1: pure relevance (no penalty yet)
+    var selected = cand.groupBy(col("query_id"))
+      .agg(A.argMax(col("rel"), col("cid")).as("cid"))
+      .withColumn("pick", lit(1))
+    (2 to k).foreach { r =>
+      val pen = cs
+        .join(selected.select(col("query_id"), col("cid").as("c2")),
+          Seq("query_id", "c2"))
+        .groupBy(col("query_id"), col("c1").as("cid"))
+        .agg(max(col("sim")).as("pen"))
+      val next = cand
+        .join(selected.select(col("query_id"), col("cid")),
+          Seq("query_id", "cid"), "left_anti")
+        .join(pen, Seq("query_id", "cid"), "left")
+        .withColumn("mmr",
+          lit(lambda) * col("rel") - lit(mu) * coalesce(col("pen"), lit(0.0)))
+        .groupBy(col("query_id"))
+        .agg(A.argMax(col("mmr"), col("cid")).as("cid"))
+        .withColumn("pick", lit(r))
+      val grown = selected.union(next)
+      selected = if (r % 2 == 0 && r < k) grown.localCheckpoint(true) else grown
+    }
+    selected
+      .join(cand, Seq("query_id", "cid"))
+      .select(col("query_id"), col("pick").as("rank"),
+        col("cid").as("neighbor_id"), col("rel"))
+  }
+
   /** E8: SemDedup (Abbas et al. 2023, arXiv:2303.09540) — semantic
     * near-duplicate removal via centroid clustering: assign every
     * vector to its nearest of `k` fixed centroids (the [[centroidAssign]]
