@@ -443,6 +443,30 @@ object SparkEntry {
         .union(audit("documents", Seq("doc_id")))
         .orderBy("table_name")
     }),
+    // DQ13 (beyond reference): functional-dependency audit — "does A
+    // determine B" across declared dependency candidates, the schema-
+    // contract check behind every dim join and SCD assumption (a
+    // violated FD is how a dim join silently fans out). Per dependency:
+    // determinant count, violating determinants, worst fan-out, and
+    // the verdict. Two-level narrow aggregation per dependency — the
+    // (A, distinct B) rollup shuffles only the two columns; report is
+    // |dependencies| rows.
+    "dq13_fd_violations" -> ((s, d) => {
+      def fd(tbl: String, a: String, b: String) =
+        t(s, d, tbl).groupBy(col(a))
+          .agg(countDistinct(col(b)).as("nb"))
+          .agg(count(lit(1)).as("n_det"),
+            sum(when(col("nb") > 1, 1).otherwise(0)).as("n_violating"),
+            max(col("nb")).as("max_fanout"))
+          .select(lit(s"$tbl.$a->$b").as("dependency"),
+            col("n_det"), col("n_violating"), col("max_fanout"),
+            (col("n_violating") === 0).cast("int").as("is_fd"))
+      fd("documents", "source", "lang")
+        .union(fd("nation", "n_nationkey", "n_regionkey"))
+        .union(fd("events", "user_id", "event_type"))
+        .union(fd("orders", "o_custkey", "o_orderpriority"))
+        .orderBy("dependency")
+    }),
     // DQ7 (beyond reference): per-key robust outlier flags — |v − med|
     // > 3·MAD per user, the anomaly monitor that survives the outliers
     // it hunts (a20's global stats, taken per key). Two aggregation
@@ -645,6 +669,23 @@ object SparkEntry {
         |  SELECT 'documents', 'doc_id', count(*), count(DISTINCT doc_id),
         |    CAST(count(*) = count(DISTINCT doc_id) AS INT) FROM documents
         |) ORDER BY table_name""".stripMargin,
+    "dq13_fd_violations" -> {
+      def fd(label: String, tbl: String, a: String, b: String) =
+        s"""SELECT '$label' AS dependency, count(*) AS n_det,
+           |  CAST(sum(CASE WHEN nb > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+           |  max(nb) AS max_fanout,
+           |  CAST(sum(CASE WHEN nb > 1 THEN 1 ELSE 0 END) = 0 AS INT) AS is_fd
+           |FROM (SELECT $a, count(DISTINCT $b) AS nb FROM $tbl GROUP BY 1)""".stripMargin
+      s"""SELECT * FROM (
+         |${fd("documents.source->lang", "documents", "source", "lang")}
+         |UNION ALL
+         |${fd("nation.n_nationkey->n_regionkey", "nation", "n_nationkey", "n_regionkey")}
+         |UNION ALL
+         |${fd("events.user_id->event_type", "events", "user_id", "event_type")}
+         |UNION ALL
+         |${fd("orders.o_custkey->o_orderpriority", "orders", "o_custkey", "o_orderpriority")}
+         |) ORDER BY dependency""".stripMargin
+    },
     "dq7_robust_outliers" ->
       """WITH med AS (SELECT user_id, median(value) AS med FROM events GROUP BY 1),
         |mad AS (SELECT e.user_id, median(abs(e.value - m.med)) AS mad

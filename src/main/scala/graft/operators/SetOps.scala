@@ -35,14 +35,17 @@ object SetOps {
     val cols = left.columns.toSeq
     require(right.columns.toSeq == cols,
       s"exceptAll requires identical schemas: $cols vs ${right.columns.toSeq}")
-    val lc = left.groupBy(cols.map(col): _*).agg(count(lit(1)).as("__lc"))
-    val rc = right.groupBy(cols.map(col): _*).agg(count(lit(1)).as("__rc"))
-    // Null-safe equality on every column: EXCEPT ALL treats NULLs as
-    // equal values, unlike a plain join predicate.
-    val on = cols.map(c => lc(c) <=> rc(c)).reduce(_ && _)
-    lc.join(rc, on, "left")
-      .select(cols.map(lc(_)) :+
-        (col("__lc") - coalesce(col("__rc"), lit(0L))).as(countCol): _*)
+    // lc − rc as ONE weighted aggregation over the union (+1 per left
+    // row, −1 per right row): a single map-side-combined exchange where
+    // the two-rollup + null-safe-join form paid two exchanges plus the
+    // sort-merge join between them (r9 A/B at sf0.1: parity within box
+    // noise — the win is the removed join machinery, which is what
+    // scales). groupBy's SQL-GROUP-BY null handling (NULLs grouped
+    // equal) gives EXCEPT ALL's null semantics for free — the join
+    // form needed <=> per column for the same thing.
+    left.select(cols.map(col) :+ lit(1L).as("__w"): _*)
+      .union(right.select(cols.map(col) :+ lit(-1L).as("__w"): _*))
+      .groupBy(cols.map(col): _*).agg(sum(col("__w")).as(countCol))
       .filter(col(countCol) > 0)
   }
 
@@ -65,11 +68,14 @@ object SetOps {
     val cols = left.columns.toSeq
     require(right.columns.toSeq == cols,
       s"intersectAll requires identical schemas: $cols vs ${right.columns.toSeq}")
-    val lc = left.groupBy(cols.map(col): _*).agg(count(lit(1)).as("__lc"))
-    val rc = right.groupBy(cols.map(col): _*).agg(count(lit(1)).as("__rc"))
-    val on = cols.map(c => lc(c) <=> rc(c)).reduce(_ && _)
-    lc.join(rc, on, "inner")
-      .select(cols.map(lc(_)) :+
-        least(col("__lc"), col("__rc")).as(countCol): _*)
+    // Same single-shuffle posture as [[exceptAllCounts]]: tag sides,
+    // count each side in one aggregation, keep tuples present in both.
+    left.select(cols.map(col) :+ lit(1).as("__side"): _*)
+      .union(right.select(cols.map(col) :+ lit(2).as("__side"): _*))
+      .groupBy(cols.map(col): _*)
+      .agg(sum(when(col("__side") === 1, 1L).otherwise(0L)).as("__lc"),
+        sum(when(col("__side") === 2, 1L).otherwise(0L)).as("__rc"))
+      .filter(col("__lc") > 0 && col("__rc") > 0)
+      .select(cols.map(col) :+ least(col("__lc"), col("__rc")).as(countCol): _*)
   }
 }
