@@ -3487,10 +3487,45 @@ object SparkEntry {
         .groupBy(md5(col("content")).as("content_hash"))
         .agg(min(col("asset_id")).as("keep_id"), count(lit(1)).as("n_copies"),
           max(length(col("content"))).cast("int").as("n_bytes"))
-        .orderBy("keep_id"))
+        .orderBy("keep_id")),
+    // MM5: decode audit through the REAL codec (ImageIOCodec, r9) —
+    // every blob is fed to the JDK image decoder inside mapPartitions
+    // and the per-type report counts decodable vs rejected plus the
+    // byte-level stats that flow through the decode path. The harness
+    // blobs are text bytes, so ground truth is n_decoded = 0 — which
+    // is exactly what makes this oracle-able: the oracle pins the
+    // codec's FALSE-POSITIVE rate on arbitrary bytes (a decoder that
+    // "succeeds" on non-images corrupts every downstream width/height)
+    // and the checksum/byte columns prove the real session ran per
+    // row. MediaSpec covers the true-positive half on real PNGs.
+    "mm5_decode_audit" -> ((s, d) => {
+      val assets = graft.multimodal.Media.asAssets(t(s, d, "documents"))
+      graft.multimodal.Media
+        .decode(s, assets, graft.multimodal.Media.ImageIOCodec)
+        .join(assets.select(col("asset_id"), col("media_type")), "asset_id")
+        .groupBy(col("media_type"))
+        .agg(count(lit(1)).as("n_assets"),
+          sum(when(col("width") > 0, 1L).otherwise(0L)).as("n_decoded"),
+          sum(when(col("width") < 0, 1L).otherwise(0L)).as("n_rejected"),
+          sum(col("n_bytes")).as("total_bytes"),
+          countDistinct(col("checksum")).as("n_distinct_blobs"),
+          min(col("checksum")).as("first_checksum"))
+        .orderBy("media_type")
+    })
   )
 
   private val mmOracles: Map[String, String] = Map(
+    "mm5_decode_audit" ->
+      """SELECT media_type, count(*) AS n_assets,
+        |  CAST(0 AS BIGINT) AS n_decoded,
+        |  count(*) AS n_rejected,
+        |  CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+        |  count(DISTINCT md5(text)) AS n_distinct_blobs,
+        |  min(md5(text)) AS first_checksum
+        |FROM (SELECT text,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'video' END AS media_type
+        |  FROM documents)
+        |GROUP BY media_type ORDER BY media_type""".stripMargin,
     "mm4_blob_dedup" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
         |  count(*) AS n_copies, CAST(max(octet_length(encode(text))) AS INT) AS n_bytes
