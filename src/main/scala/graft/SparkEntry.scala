@@ -2951,7 +2951,24 @@ object SparkEntry {
     // CTE layers. See Ann.mmrTopK.
     "e16_mmr_topk" -> ((s, d) =>
       graft.similarity.Ann.mmrTopK(t(s, d, "embeddings"), k = 5, shortlist = 20)
-        .orderBy("query_id", "rank"))
+        .orderBy("query_id", "rank")),
+    // E17: metadata-FILTERED vector search — every vector queries the
+    // corpus restricted to vectors whose DOCUMENT passes a metadata
+    // predicate (lang = 'en', n_chars >= 150). The filter narrows the
+    // CANDIDATE SET before any distance computes: post-filtering a
+    // plain top-k silently under-fills queries whose true neighbors
+    // are filtered away. Semi-join on the doc metadata, broadcast
+    // filtered segment, then the e1 exact kernel shape.
+    "e17_filtered_ann" -> ((s, d) => {
+      val allowed = t(s, d, "documents")
+        .filter(col("lang") === "en" && col("n_chars") >= 150)
+        .select(col("doc_id").as("vec_id"))
+      val corpus = t(s, d, "embeddings")
+        .join(allowed, Seq("vec_id"), "left_semi")
+      graft.similarity.Ann.cosineTopKAgainst(
+          t(s, d, "embeddings"), corpus, k = 5)
+        .orderBy("query_id", "rank")
+    })
   )
 
   /** e16's oracle: the same 5 greedy MMR rounds as unrolled CTE layers
@@ -3000,6 +3017,20 @@ object SparkEntry {
 
   private val simOracles: Map[String, String] = Map(
     "e16_mmr_topk" -> mmrOracle,
+    "e17_filtered_ann" ->
+      s"""$cosineCte,
+         |allowed AS (SELECT doc_id AS vec_id FROM documents
+         |  WHERE lang = 'en' AND n_chars >= 150),
+         |c AS (SELECT n.* FROM n SEMI JOIN allowed a ON a.vec_id = n.vec_id),
+         |p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    list_reduce(list_apply(range(1, 65), i -> q.v[i] * c.v[i]), (a,b) -> a+b)
+         |      / (q.nrm * c.nrm) AS sim
+         |  FROM n q JOIN c ON q.vec_id <> c.vec_id),
+         |r AS (SELECT query_id, neighbor_id, sim,
+         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS INT) AS rank
+         |  FROM p)
+         |SELECT query_id, neighbor_id, round(sim, 6) AS sim, rank FROM r
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "e15_rrf_fusion" ->
       """WITH ef AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |nfull AS (SELECT vec_id, v, sqrt(list_reduce(list_apply(v, x -> x*x), (a,b) -> a+b)) AS nrm FROM ef),
@@ -3315,6 +3346,15 @@ object SparkEntry {
     // within-document complement.
     "t14_intradoc_dedup" -> ((s, d) =>
       graft.text.TextAnalysis.intraDocDedup(t(s, d, "documents"), width = 2)
+        .orderBy("doc_id")),
+    // T16 (beyond reference): cross-document boilerplate exposure —
+    // per-doc fraction of 20-token tiles that appear in ≥2 distinct
+    // documents (the C4 template/menu/footer signal d11 removes,
+    // surfaced as a filterable score instead). One tile rollup + tag
+    // join + doc rollup; tiles are non-overlapping so the exploded
+    // table is corpus-tokens/20 rows.
+    "t16_boilerplate_fraction" -> ((s, d) =>
+      graft.dedup.Dedup.boilerplateFraction(t(s, d, "documents"))
         .orderBy("doc_id"))
   )
 
@@ -3448,7 +3488,22 @@ object SparkEntry {
           |SELECT f.doc_id, string_agg(f.seg, ' ' ORDER BY f.first_idx) AS clean_text,
           |  CAST(count(*) AS INT) AS n_kept, CAST(max(tot.n_segments) AS INT) AS n_segments
           |FROM firsts f JOIN tot ON f.doc_id = tot.doc_id
-          |GROUP BY f.doc_id ORDER BY f.doc_id""".stripMargin)
+          |GROUP BY f.doc_id ORDER BY f.doc_id""".stripMargin,
+      "t16_boilerplate_fraction" ->
+        """WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents
+          |  WHERE len(string_split(text, ' ')) > 0),
+          |p0 AS (SELECT doc_id, w,
+          |  unnest(range(0, CAST(ceil(len(w)/20.0) AS BIGINT))) AS i FROM t),
+          |tiles AS (SELECT doc_id,
+          |  array_to_string(w[(i*20+1):(i*20+20)], ' ') AS passage FROM p0),
+          |boiler AS (SELECT passage FROM tiles GROUP BY passage
+          |  HAVING count(DISTINCT doc_id) >= 2)
+          |SELECT t.doc_id, count(*) AS n_tiles,
+          |  CAST(sum(CASE WHEN b.passage IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+          |  round(CAST(sum(CASE WHEN b.passage IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+          |    / count(*), 6) AS boiler_frac
+          |FROM tiles t LEFT JOIN boiler b ON b.passage = t.passage
+          |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin)
   }
 
   // ---- MM: multimodal column plumbing -------------------------------------

@@ -526,6 +526,40 @@ object Dedup {
     * shuffle can key on hash60(passage) to make the exchange key
     * fixed-width; the raw passage is kept here so the result is exact
     * even under hash collision.) */
+  /** T16: cross-document boilerplate exposure — the C4-recipe signal
+    * [[passageDedup]] acts on, surfaced as a per-document FRACTION so
+    * a curation pipeline can threshold on it ("drop docs that are
+    * mostly template"). A tile is boilerplate when it appears in at
+    * least `minDocs` DISTINCT documents; each doc reports its tile
+    * count, boilerplate-tile count, and the fraction.
+    *
+    * Scale: tiles are non-overlapping (corpus tokens / passageTokens
+    * rows, not a sliding blow-up); one tile-keyed rollup finds the
+    * boilerplate set (map-side combined — tile text is the key once,
+    * never joined back at body width), one join tags occurrences (the
+    * boilerplate set is small and AQE broadcasts it), one doc-keyed
+    * rollup builds the report. */
+  def boilerplateFraction(docs: DataFrame, passageTokens: Int = 20,
+      minDocs: Int = 2): DataFrame = {
+    val tk = docs.select(col("doc_id"), words(col("text")).as("tk"))
+      .filter(size(col("tk")) > 0)
+    val nWin = ceil(size(col("tk")).cast("double") / passageTokens).cast("int")
+    val tiles = tk.select(col("doc_id"),
+        explode(transform(sequence(lit(0), nWin - 1),
+          i => concat_ws(" ", slice(col("tk"), i * passageTokens + 1, lit(passageTokens)))))
+          .as("passage"))
+    val boiler = tiles.groupBy(col("passage"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select(col("passage"), lit(1L).as("is_boiler"))
+    tiles.join(boiler, Seq("passage"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tiles"),
+        sum(coalesce(col("is_boiler"), lit(0L))).as("n_boiler"))
+      .select(col("doc_id"), col("n_tiles"), col("n_boiler"),
+        round(col("n_boiler").cast("double") / col("n_tiles"), 6).as("boiler_frac"))
+  }
+
   def passageDedup(docs: DataFrame, passageTokens: Int = 20): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tk = docs.select(col("doc_id"), words(col("text")).as("tk"))

@@ -783,6 +783,30 @@ object Ann {
         round(col("rrf"), 6).as("rrf"), col("rank"))
   }
 
+  /** E17: top-k against a SEPARATE candidate corpus — the primitive
+    * behind metadata-FILTERED vector search ("nearest English docs
+    * over 150 chars"), where the filter must restrict the CANDIDATE
+    * SET before distance computation: post-filtering a plain top-k
+    * under-fills (a query whose true neighbors are all filtered out
+    * returns fewer than k, silently). Join formulation with the
+    * filtered corpus broadcast — the filtered-segment-fits-memory
+    * case; a larger corpus composes this with IVF/LSH bucketing
+    * exactly as e14 does (filter inside the cell scan). */
+  def cosineTopKAgainst(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = prepared(queries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val c = prepared(corpus)
+      .select(col("vec_id").as("neighbor_id"), col("v").as("cv"), col("nrm").as("cn"))
+    q.join(broadcast(c), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("sim"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("sim"), 6).as("sim"), col("rank"))
+  }
+
   /** E16: Maximal Marginal Relevance (Carbonell & Goldstein, SIGIR'98)
     * — diversified top-k: greedily select `k` of each query's
     * `shortlist` candidates maximizing
