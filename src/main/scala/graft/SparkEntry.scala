@@ -4271,6 +4271,91 @@ object SparkEntry {
           round(col("unit_price"), 4).as("min_unit"))
         .orderBy("p_partkey").limit(100)
     }),
+    // X18 (TPC-H Q17 shape): revenue locked in small-quantity orders —
+    // the correlated `l_quantity < 0.2 * avg(l_quantity per part)`
+    // subquery run DECORRELATED: one per-part (sum, count) rollup over
+    // the brand-filtered lines, broadcast back, and the 0.2·avg
+    // threshold evaluated as the ALL-INTEGER cross-multiplication
+    // `5·qty·cnt < sum_qty` in exact DECIMAL — no float-boundary
+    // disagreement between engines, no correlated re-scan in the plan.
+    "x18_small_qty_revenue" -> ((s, d) => {
+      val pp = t(s, d, "part")
+        .filter(col("p_brand") === "Brand#23" && col("p_type") === "PROMO")
+        .select(col("p_partkey"))
+      val li = t(s, d, "lineitem")
+        .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+        .join(broadcast(pp), col("l_partkey") === col("p_partkey"))
+      val perPart = li.groupBy(col("l_partkey").as("pk"))
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("sum_q"),
+          count(lit(1)).as("cnt"))
+      li.join(broadcast(perPart), col("l_partkey") === col("pk"))
+        .filter(col("l_quantity").cast("decimal(18,2)") * 5 * col("cnt") < col("sum_q"))
+        .agg(count(lit(1)).as("n_small"),
+          (sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double") / 7.0)
+            .as("avg_yearly"))
+    }),
+    // X19 (TPC-H Q15 shape): top supplier(s) by quarterly revenue —
+    // the max-revenue VIEW equality. Revenue sums in exact DECIMAL, so
+    // the scalar max and the equality filter replay bit-for-bit (ALL
+    // tied suppliers surface, the semantics the rank()-pick loses);
+    // broadcast scalar + broadcast supplier dim, one fact rollup.
+    "x19_top_supplier" -> ((s, d) => {
+      val rev = t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+          col("l_shipdate") < to_timestamp(lit("1996-04-01 00:00:00")))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1) - col("l_discount").cast("decimal(4,2)"))).as("rev_d"))
+      val mx = rev.agg(max(col("rev_d")).as("mx"))
+      rev.join(broadcast(mx)).filter(col("rev_d") === col("mx"))
+        .join(broadcast(t(s, d, "supplier").select(col("s_suppkey"), col("s_name"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          col("rev_d").cast("double").as("total_rev"))
+        .orderBy("s_suppkey")
+    }),
+    // X20 (TPC-H Q8 shape): national market share — NATION_5's slice
+    // of AMERICA-customer PROMO volume by order year. The classic
+    // 7-table star: fact scans once, every dim broadcasts, the share
+    // is a per-year conditional/total DECIMAL pair divided as doubles
+    // at the end (the x12 recipe).
+    "x20_market_share" -> ((s, d) => {
+      val americaNations = t(s, d, "nation")
+        .join(broadcast(t(s, d, "region").filter(col("r_name") === "AMERICA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").as("cust_nk"))
+      val suppNation = t(s, d, "nation")
+        .select(col("n_nationkey").as("supp_nk"), col("n_name").as("supp_nation"))
+      val vol = t(s, d, "lineitem")
+        .join(broadcast(t(s, d, "part")
+            .filter(col("p_type") === "PROMO").select(col("p_partkey"))),
+          col("l_partkey") === col("p_partkey"))
+        .join(t(s, d, "orders")
+            .filter(col("o_orderdate") >= to_timestamp(lit("1995-01-01 00:00:00")) &&
+              col("o_orderdate") < to_timestamp(lit("1997-01-01 00:00:00")))
+            .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, d, "customer").select(col("c_custkey"), col("c_nationkey"))),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(americaNations), col("c_nationkey") === col("cust_nk"))
+        .join(broadcast(t(s, d, "supplier").select(col("s_suppkey"), col("s_nationkey"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(suppNation), col("s_nationkey") === col("supp_nk"))
+        .select(year(col("o_orderdate")).as("o_year"),
+          (col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1) - col("l_discount").cast("decimal(4,2)"))).as("vol"),
+          col("supp_nation"))
+      vol.groupBy(col("o_year"))
+        .agg(sum(when(col("supp_nation") === "NATION_5", col("vol"))
+            .otherwise(lit(0).cast("decimal(18,2)"))).as("nation_vol_d"),
+          sum(col("vol")).as("total_vol_d"))
+        .select(col("o_year"),
+          col("nation_vol_d").cast("double").as("nation_vol"),
+          col("total_vol_d").cast("double").as("total_vol"),
+          (col("nation_vol_d").cast("double") / col("total_vol_d").cast("double"))
+            .as("mkt_share"))
+        .orderBy("o_year")
+    }),
     // X16 (TPC-H Q22 shape): dormant rich customers — acctbal above
     // the positive-balance average (a broadcast scalar, decimal-exact)
     // AND no recent orders (anti join against a pushed-down date
@@ -4354,6 +4439,51 @@ object SparkEntry {
         |SELECT l_partkey AS p_partkey, s_name, n_name AS nation, round(unit_price, 4) AS min_unit
         |FROM r JOIN supplier ON s_suppkey = l_suppkey JOIN nation ON n_nationkey = s_nationkey
         |WHERE rn = 1 ORDER BY p_partkey LIMIT 100""".stripMargin,
+    "x18_small_qty_revenue" ->
+      """WITH pp AS (SELECT p_partkey FROM part
+        |  WHERE p_brand = 'Brand#23' AND p_type = 'PROMO'),
+        |li AS (SELECT l_partkey, l_quantity, l_extendedprice
+        |  FROM lineitem SEMI JOIN pp ON p_partkey = l_partkey),
+        |per_part AS (SELECT l_partkey AS pk,
+        |    sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_q, count(*) AS cnt
+        |  FROM li GROUP BY 1)
+        |SELECT count(*) AS n_small,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly
+        |FROM li JOIN per_part ON l_partkey = pk
+        |WHERE CAST(l_quantity AS DECIMAL(18,2)) * 5 * cnt < sum_q""".stripMargin,
+    "x19_top_supplier" ->
+      """WITH rev AS (SELECT l_suppkey,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS rev_d
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, CAST(rev_d AS DOUBLE) AS total_rev
+        |FROM rev JOIN supplier ON s_suppkey = l_suppkey
+        |WHERE rev_d = (SELECT max(rev_d) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+    "x20_market_share" ->
+      """WITH vol AS (
+        |  SELECT CAST(date_part('year', o_orderdate) AS INT) AS o_year,
+        |    CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) AS vol,
+        |    n2.n_name AS supp_nation
+        |  FROM lineitem
+        |  JOIN part ON p_partkey = l_partkey AND p_type = 'PROMO'
+        |  JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN customer ON c_custkey = o_custkey
+        |  JOIN nation n1 ON n1.n_nationkey = c_nationkey
+        |  JOIN region ON r_regionkey = n1.n_regionkey AND r_name = 'AMERICA'
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |  JOIN nation n2 ON n2.n_nationkey = s_nationkey
+        |  WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |    AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00')
+        |SELECT o_year,
+        |  CAST(sum(CASE WHEN supp_nation = 'NATION_5' THEN vol
+        |    ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS nation_vol,
+        |  CAST(sum(vol) AS DOUBLE) AS total_vol,
+        |  CAST(sum(CASE WHEN supp_nation = 'NATION_5' THEN vol
+        |    ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) / CAST(sum(vol) AS DOUBLE) AS mkt_share
+        |FROM vol GROUP BY 1 ORDER BY o_year""".stripMargin,
     "x16_global_balance" ->
       """WITH ab AS (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_bal
         |  FROM customer WHERE c_acctbal > 0.0)
