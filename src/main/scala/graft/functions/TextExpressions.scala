@@ -209,10 +209,72 @@ case class BpeTokenCount(child: Expression)
     copy(child = newChild)
 }
 
+/** Native one-pass intra-document segment dedup (t14): text → struct
+  * (clean_text, n_kept, n_segments), where the text's words are tiled
+  * into `width`-token segments and duplicate segments collapse keeping
+  * first occurrence.
+  *
+  * Why custom: the Column formulation (split → transform+slice+
+  * array_join → array_distinct → array_join) evaluates interpreted
+  * higher-order lambdas per segment AND falls out of whole-stage
+  * codegen (HOFs have no doGenCode), re-materializing the token array
+  * for each of its three consumers. One native walk does all of it;
+  * TextAnalysisSpec pins bit-equality against the Column chain on the
+  * real corpus plus the empty/trailing-space edges (`split(s, " ", -1)`
+  * keeps trailing empties exactly like Spark's `split`).
+  */
+case class SegmentDedup(child: Expression, width: Int)
+    extends UnaryExpression with CodegenFallback {
+  import org.apache.spark.sql.types.StructField
+
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    StructField("clean_text", StringType, nullable = false),
+    StructField("n_kept", IntegerType, nullable = false),
+    StructField("n_segments", IntegerType, nullable = false)))
+  override def prettyName: String = "graft_segment_dedup"
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[UTF8String].toString.split(" ", -1)
+    val n = toks.length
+    val nSeg = (n + width - 1) / width
+    val seen = new java.util.HashSet[String](nSeg * 2)
+    val out = new java.lang.StringBuilder(input.asInstanceOf[UTF8String].numBytes())
+    var kept = 0
+    var i = 0
+    while (i < nSeg) {
+      val from = i * width
+      val until = math.min(n, from + width)
+      val seg = new java.lang.StringBuilder()
+      var j = from
+      while (j < until) {
+        if (j > from) seg.append(' ')
+        seg.append(toks(j))
+        j += 1
+      }
+      val s = seg.toString
+      if (seen.add(s)) {
+        if (kept > 0) out.append(' ')
+        out.append(s)
+        kept += 1
+      }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(
+      UTF8String.fromString(out.toString), kept, nSeg)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextExpressions {
   /** Distinct n-gram shingles of a words array (native, see above). */
   def wordShingles(words: Column, n: Int): Column =
     Bridge.column(WordShingles(Bridge.expression(words), n))
+
+  /** One-pass intra-doc segment dedup (native, see above). */
+  def segmentDedup(text: Column, width: Int): Column =
+    Bridge.column(SegmentDedup(Bridge.expression(text), width))
 
   /** BPE-ish token count of a text column (native, see above). */
   def bpeTokenCount(text: Column): Column =

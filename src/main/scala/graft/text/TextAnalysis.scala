@@ -263,7 +263,16 @@ object TextAnalysis {
     * interpreted (PLANS.md round-7 note) but per-row over short
     * arrays — linear, not the t12-class generator hot path.
     */
-  def intraDocDedup(docs: DataFrame, width: Int = 2): DataFrame = {
+  def intraDocDedup(docs: DataFrame, width: Int = 2): DataFrame =
+    docs.select(col("doc_id"),
+        graft.functions.TextExpressions.segmentDedup(col("text"), width).as("r"))
+      .select(col("doc_id"), col("r.clean_text").as("clean_text"),
+        col("r.n_kept").as("n_kept"), col("r.n_segments").as("n_segments"))
+
+  /** The Column-API formulation [[intraDocDedup]]'s native expression
+    * replaced (kept for the equivalence spec): interpreted HOF lambdas
+    * per segment, token array re-materialized per consumer. */
+  private[graft] def intraDocDedupColumns(docs: DataFrame, width: Int = 2): DataFrame = {
     val arr = words(col("text"))
     val nSeg = ceil(size(arr) / lit(width.toDouble)).cast("int")
     val segs = transform(sequence(lit(0), nSeg - 1),

@@ -131,4 +131,21 @@ class TextAnalysisSpec extends SparkSpec {
       (3L, "p q r", 2, 2),          // "p q" and "r" both kept
       (4L, "solo", 1, 1)))
   }
+
+  test("native SegmentDedup is bit-identical to the Column-API chain") {
+    // real corpus + the edge shapes where split semantics diverge
+    // (trailing/leading/double spaces: split(_, -1) keeps empties)
+    import org.apache.spark.sql.functions.col
+    val edges = Seq((9001L, "a b "), (9002L, " a"), (9003L, "a  b"),
+      (9004L, "a"), (9005L, "x y x y x y")).toDF("doc_id", "text")
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+      .union(edges)
+    for (w <- Seq(1, 2, 3, 20)) {
+      val native = TextAnalysis.intraDocDedup(docs, width = w)
+        .orderBy("doc_id").collect().toSeq
+      val columns = TextAnalysis.intraDocDedupColumns(docs, width = w)
+        .orderBy("doc_id").collect().toSeq
+      assert(native === columns, s"width=$w")
+    }
+  }
 }
