@@ -292,4 +292,43 @@ object GraftProperties extends Properties("graft") {
       } yield (a, b, wa * wb)).toSet
       got == want
     }
+
+  property("ArgExtremum == sorted-reference argmax/argmin under every tie rule") =
+    forAll(Gen.listOfN(20,
+        Gen.zip(Gen.chooseNum(0, 3), Gen.chooseNum(0, 5), Gen.chooseNum(0L, 50L)))) { raw =>
+      {
+        // listOfN(20, _) is never empty, so every group exists
+        val df = raw.toDF("g", "ord", "arg")
+        val A = graft.functions.AggExpressions
+        val got = df.groupBy("g").agg(
+            A.argMax(col("ord"), col("arg")).as("maxlo"),
+            A.argMaxHigh(col("ord"), col("arg")).as("maxhi"),
+            A.argMin(col("ord"), col("arg")).as("minlo"),
+            A.argMinHigh(col("ord"), col("arg")).as("minhi"))
+          .as[(Int, Long, Long, Long, Long)].collect()
+          .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+        val want = raw.groupBy(_._1).map { case (g, rows) =>
+          val mxOrd = rows.map(_._2).max
+          val mnOrd = rows.map(_._2).min
+          val atMax = rows.filter(_._2 == mxOrd).map(_._3)
+          val atMin = rows.filter(_._2 == mnOrd).map(_._3)
+          g -> (atMax.min, atMax.max, atMin.min, atMin.max)
+        }
+        got == want
+      }
+    }
+
+  property("SegmentDedup == Column-API chain on random word soup") =
+    forAll(
+      Gen.chooseNum(1, 4),
+      Gen.listOfN(6, Gen.listOfN(9, Gen.oneOf("a", "b", "ab", ""))
+        .map(_.mkString(" ")))) { (w, texts) =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val native = graft.text.TextAnalysis.intraDocDedup(df, width = w)
+        .orderBy("doc_id").collect().toSeq
+      val cols = graft.text.TextAnalysis.intraDocDedupColumns(df, width = w)
+        .orderBy("doc_id").collect().toSeq
+      native == cols
+    }
 }
