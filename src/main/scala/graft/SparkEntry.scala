@@ -2828,10 +2828,10 @@ object SparkEntry {
            |  ln(CAST((SELECT n FROM nn) AS DOUBLE) / df) AS w
            |  FROM exd WHERE df <= 1000),
            |nrm AS (SELECT doc_id, s, w,
-           |  sqrt(CAST(sum(CAST(w * w AS DECIMAL(28,12))) OVER (PARTITION BY doc_id) AS DOUBLE)) AS nrm
+           |  sqrt(CAST(sum(CAST(round(w * w * 1000000000000) AS BIGINT)) OVER (PARTITION BY doc_id) AS DOUBLE) / 1000000000000) AS nrm
            |  FROM exf),
            |pairs AS (SELECT x.doc_id AS d1, y.doc_id AS d2, x.nrm AS nrm1, y.nrm AS nrm2,
-           |    CAST(sum(CAST(x.w * y.w AS DECIMAL(28,12))) AS DOUBLE) AS dot
+           |    CAST(sum(CAST(round(x.w * y.w * 1000000000000) AS BIGINT)) AS DOUBLE) / 1000000000000 AS dot
            |  FROM nrm x JOIN nrm y ON x.s = y.s AND x.doc_id < y.doc_id
            |  GROUP BY 1, 2, 3, 4)
            |SELECT d1, d2, round(dot / (nrm1 * nrm2), 6) AS cos
