@@ -2952,6 +2952,31 @@ object SparkEntry {
     "e16_mmr_topk" -> ((s, d) =>
       graft.similarity.Ann.mmrTopK(t(s, d, "embeddings"), k = 5, shortlist = 20)
         .orderBy("query_id", "rank")),
+    // E18: ANN recall as a HASH-PINNED quantity (the d15 move, applied
+    // to retrieval): per-query |LSH-top5 ∩ exact-top5| / 5 with the
+    // LSH side on a PINNED 8-plane × 8-table configuration, so the
+    // whole measurement — buckets, candidate set, sims, ranks, hits —
+    // replays exactly in the SQL oracle (the adaptive-plane e2 stays
+    // the production path; its recall is spec-asserted, this makes
+    // recall itself a regression-gated number). The oracle embeds the
+    // ±1 plane matrices as literals (the e10 generator) and ranks the
+    // FULL candidate set — equal to the kernel's union-of-cell-top-5
+    // by the safe-prune property AnnSpec pins.
+    "e18_lsh_recall" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val exact = graft.similarity.Ann.cosineTopKBlocked(emb, 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val approx = graft.similarity.Ann
+        .lshTopK(emb, 5, nTables = 8, nPlanesOverride = 8)
+        .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+      exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("k_exact"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+        .select(col("query_id"), col("k_exact"), col("n_hit"),
+          round(col("n_hit").cast("double") / col("k_exact"), 6).as("recall"))
+        .orderBy("query_id")
+    }),
     // E17: metadata-FILTERED vector search — every vector queries the
     // corpus restricted to vectors whose DOCUMENT passes a metadata
     // predicate (lang = 'en', n_chars >= 150). The filter narrows the
@@ -3015,8 +3040,55 @@ object SparkEntry {
        |ORDER BY s.query_id, rank""".stripMargin
   }
 
+  /** e18's oracle: the e10 plane-literal bucket generator feeding the
+    * full LSH candidate set (join twin of the cell kernel — identical
+    * top-5 by safe prune), ranked and intersected with the e1 exact
+    * top-5. */
+  private val lshRecallOracle: String = {
+    val selects = (0 until 8).map { tbl =>
+      val ps = graft.similarity.Ann.planes(8, 64, tbl)
+      val bucket = (0 until 8).map { j =>
+        val dotStr = ps(j).zipWithIndex.map { case (sgn, i) =>
+          (if (sgn > 0) "+" else "-") + s"v[${i + 1}]" }.mkString
+        s"(CASE WHEN (0$dotStr) > 0 THEN ${1 << j} ELSE 0 END)"
+      }.mkString(" + ")
+      s"SELECT vec_id, $tbl AS tbl, $bucket AS bucket FROM e"
+    }.mkString("\nUNION ALL\n")
+    s"""$cosineCte,
+       |bk AS MATERIALIZED (
+       |$selects
+       |),
+       |cand AS (SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
+       |  FROM bk a JOIN bk b ON a.tbl = b.tbl AND a.bucket = b.bucket
+       |    AND a.vec_id <> b.vec_id),
+       |asim AS (SELECT query_id, neighbor_id,
+       |    list_reduce(list_apply(range(1, 65), i -> q.v[i] * c.v[i]), (x,y) -> x+y)
+       |      / (q.nrm * c.nrm) AS sim
+       |  FROM cand JOIN n q ON q.vec_id = query_id JOIN n c ON c.vec_id = neighbor_id),
+       |ar AS MATERIALIZED (SELECT query_id, neighbor_id FROM (
+       |  SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
+       |  FROM asim) WHERE rn <= 5),
+       |esim AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    list_reduce(list_apply(range(1, 65), i -> q.v[i] * c.v[i]), (x,y) -> x+y)
+       |      / (q.nrm * c.nrm) AS sim
+       |  FROM n q JOIN n c ON q.vec_id <> c.vec_id),
+       |ex AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
+       |  FROM esim) WHERE rn <= 5)
+       |SELECT ex.query_id, count(*) AS k_exact,
+       |  CAST(sum(CASE WHEN ar.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       |  round(CAST(sum(CASE WHEN ar.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / count(*), 6) AS recall
+       |FROM ex LEFT JOIN ar
+       |  ON ar.query_id = ex.query_id AND ar.neighbor_id = ex.neighbor_id
+       |GROUP BY ex.query_id ORDER BY ex.query_id""".stripMargin
+  }
+
   private val simOracles: Map[String, String] = Map(
     "e16_mmr_topk" -> mmrOracle,
+    "e18_lsh_recall" -> lshRecallOracle,
     "e17_filtered_ann" ->
       s"""$cosineCte,
          |allowed AS (SELECT doc_id AS vec_id FROM documents

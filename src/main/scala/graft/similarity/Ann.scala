@@ -161,10 +161,11 @@ object Ann {
     * [[lshTopK]]; it pays ~4µs of join machinery per candidate pair,
     * so the production path is the probe kernel below. */
   def lshTopKJoin(embeddings: DataFrame, k: Int, nTables: Int = 8,
-      bucketTarget: Int = 64): DataFrame = {
+      bucketTarget: Int = 64, nPlanesOverride: Int = -1): DataFrame = {
     val dim = 64
-    val n = embeddings.count()
-    val nPlanes = adaptivePlanes(n, bucketTarget)
+    val nPlanes =
+      if (nPlanesOverride > 0) nPlanesOverride
+      else adaptivePlanes(embeddings.count(), bucketTarget)
     val tables = (0 until nTables).map { tbl =>
       struct(lit(tbl).as("tbl"), bucketOf(col("v"), planes(nPlanes, dim, tbl)).as("bucket"))
     }
@@ -263,12 +264,16 @@ object Ann {
     * 20k-vector clustered corpus). Adaptive plane count keeps expected
     * cell size ≈ bucketTarget as the corpus grows. */
   def lshTopK(embeddings: DataFrame, k: Int, nTables: Int = 8,
-      bucketTarget: Int = 64): DataFrame = {
+      bucketTarget: Int = 64, nPlanesOverride: Int = -1): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val dim = 64
-    val n = embeddings.count()
-    val nPlanes = adaptivePlanes(n, bucketTarget)
+    // nPlanesOverride > 0 pins the plane count (e18's oracle embeds the
+    // fixed ±1 matrices as SQL literals — an adaptive count would make
+    // the oracle text data-dependent); default stays adaptive.
+    val nPlanes =
+      if (nPlanesOverride > 0) nPlanesOverride
+      else adaptivePlanes(embeddings.count(), bucketTarget)
     val tables = (0 until nTables).map { tbl =>
       struct(lit(tbl).as("tbl"), bucketOf(col("v"), planes(nPlanes, dim, tbl)).as("bucket"))
     }
