@@ -2977,6 +2977,29 @@ object SparkEntry {
           round(col("n_hit").cast("double") / col("k_exact"), 6).as("recall"))
         .orderBy("query_id")
     }),
+    // E19: the same recall pin for the IVF family — per-query
+    // |IVF-top5 ∩ exact-top5| / 5 in the oracle-able configuration:
+    // prefix seeds (lowest vec_ids — DuckDB has no xxhash64 twin) and
+    // no Lloyd refinement (the mean step's decimal division has no
+    // cross-engine rounding twin). One refinement off the production
+    // e4 default, same assignment/probe/scan machinery — so cell
+    // membership, probe sets, and the recall number itself are
+    // hash-gated against the SQL replay.
+    "e19_ivf_recall" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val exact = graft.similarity.Ann.cosineTopKBlocked(emb, 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val approx = graft.similarity.Ann
+        .ivfTopK(emb, 5, nProbe = 4, prefixSeeds = true, refine = false)
+        .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+      exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("k_exact"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+        .select(col("query_id"), col("k_exact"), col("n_hit"),
+          round(col("n_hit").cast("double") / col("k_exact"), 6).as("recall"))
+        .orderBy("query_id")
+    }),
     // E17: metadata-FILTERED vector search — every vector queries the
     // corpus restricted to vectors whose DOCUMENT passes a metadata
     // predicate (lang = 'en', n_chars >= 150). The filter narrows the
@@ -3086,9 +3109,57 @@ object SparkEntry {
        |GROUP BY ex.query_id ORDER BY ex.query_id""".stripMargin
   }
 
+  /** e19's oracle: prefix-seeded unrefined IVF replayed in SQL —
+    * nCells = round(√n) seeds by lowest vec_id, nearest-cell
+    * assignment and 4-cell probe sets via (sim desc, cell asc)
+    * row_number (the nearestCell/nearestCells tie rules), candidates
+    * from probed cells only, then the e18 recall rollup. */
+  private val ivfRecallOracle: String =
+    s"""$cosineCte,
+       |nn AS (SELECT greatest(1, least(4096,
+       |    CAST(round(sqrt(count(*))) AS BIGINT))) AS nc FROM e),
+       |c AS (SELECT vec_id AS cell, v AS cv, nrm AS cn FROM (
+       |    SELECT n.*, row_number() OVER (ORDER BY vec_id) AS r FROM n)
+       |  WHERE r <= (SELECT nc FROM nn)),
+       |asim AS (SELECT n.vec_id, n.v, n.nrm, c.cell,
+       |    list_reduce(list_apply(range(1, 65), i -> n.v[i] * c.cv[i]), (a,b) -> a+b)
+       |      / (n.nrm * c.cn) AS sim
+       |  FROM n CROSS JOIN c),
+       |ranked AS (SELECT vec_id, cell,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn
+       |  FROM asim),
+       |member AS MATERIALIZED (SELECT vec_id, cell FROM ranked WHERE rn = 1),
+       |probe AS MATERIALIZED (SELECT vec_id AS query_id, cell FROM ranked WHERE rn <= 4),
+       |cand AS (SELECT p.query_id, m.vec_id AS neighbor_id
+       |  FROM probe p JOIN member m ON m.cell = p.cell AND m.vec_id <> p.query_id),
+       |csim AS (SELECT query_id, neighbor_id,
+       |    list_reduce(list_apply(range(1, 65), i -> q.v[i] * c2.v[i]), (x,y) -> x+y)
+       |      / (q.nrm * c2.nrm) AS sim
+       |  FROM cand JOIN n q ON q.vec_id = query_id JOIN n c2 ON c2.vec_id = neighbor_id),
+       |ar AS MATERIALIZED (SELECT query_id, neighbor_id FROM (
+       |  SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
+       |  FROM csim) WHERE rn <= 5),
+       |esim AS (SELECT q.vec_id AS query_id, c2.vec_id AS neighbor_id,
+       |    list_reduce(list_apply(range(1, 65), i -> q.v[i] * c2.v[i]), (x,y) -> x+y)
+       |      / (q.nrm * c2.nrm) AS sim
+       |  FROM n q JOIN n c2 ON q.vec_id <> c2.vec_id),
+       |ex AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
+       |  FROM esim) WHERE rn <= 5)
+       |SELECT ex.query_id, count(*) AS k_exact,
+       |  CAST(sum(CASE WHEN ar.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       |  round(CAST(sum(CASE WHEN ar.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / count(*), 6) AS recall
+       |FROM ex LEFT JOIN ar
+       |  ON ar.query_id = ex.query_id AND ar.neighbor_id = ex.neighbor_id
+       |GROUP BY ex.query_id ORDER BY ex.query_id""".stripMargin
+
   private val simOracles: Map[String, String] = Map(
     "e16_mmr_topk" -> mmrOracle,
     "e18_lsh_recall" -> lshRecallOracle,
+    "e19_ivf_recall" -> ivfRecallOracle,
     "e17_filtered_ann" ->
       s"""$cosineCte,
          |allowed AS (SELECT doc_id AS vec_id FROM documents

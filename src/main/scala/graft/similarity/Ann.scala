@@ -331,7 +331,8 @@ object Ann {
     * or shard the corpus and run one index per shard; see PLANS.md
     * "IVF beyond 16M vectors"). */
   def ivfTopK(embeddings: DataFrame, k: Int, nProbe: Int = 4,
-      maxCells: Int = 4096): DataFrame = {
+      maxCells: Int = 4096, prefixSeeds: Boolean = false,
+      refine: Boolean = true): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val vecs = prepared(embeddings)
@@ -341,30 +342,42 @@ object Ann {
       return rankCandidates(
         spark.emptyDataset[(Long, Long, Double)].toDF("query_id", "neighbor_id", "sim"), k)
     val nCells = math.max(1, math.min(maxCells, math.round(math.sqrt(n.toDouble)).toInt))
-    val seeds: Array[PreparedVec] = vecs
-      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
-      .limit(nCells).collect()
+    // prefixSeeds = lowest vec_ids instead of the xxhash64 spread:
+    // e19's oracle needs seed selection DuckDB can replay (there is no
+    // cross-engine xxhash64); the hash spread stays the default.
+    val seeds: Array[PreparedVec] =
+      (if (prefixSeeds) vecs.orderBy(col("vec_id"))
+       else vecs.orderBy(xxhash64(col("vec_id")), col("vec_id")))
+        .limit(nCells).collect()
     val dim = seeds.head.v.length
     val sc = spark.sparkContext
     val bcSeeds = sc.broadcast((seeds.map(_.v), seeds.map(_.nrm)))
-    // one mean-refinement pass: map-side assign, decimal-exact means
-    val assigned0 = vecs.map { p =>
-      val (cs, cns) = bcSeeds.value
-      (nearestCell(p.v, p.nrm, cs, cns), p.v)
-    }.toDF("cell", "v")
-    val meanRows = assigned0
-      .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
-      .groupBy(col("cell"), col("pos"))
-      .agg((sum(col("x").cast("decimal(28,15)")) / count(lit(1))).cast("double").as("m"))
-      .collect()
-    val centroids = Array.tabulate(nCells)(c => seeds(c).v.clone()) // empty cells keep their seed
-    meanRows.foreach { r =>
-      centroids(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
-    }
-    val cnorms = centroids.map { v =>
-      var acc = 0.0; var i = 0
-      while (i < v.length) { acc += v(i) * v(i); i += 1 }
-      math.sqrt(acc)
+    // refine = false skips the Lloyd mean step (seeds ARE the
+    // centroids): the oracle-able configuration — the mean step's
+    // decimal-division rounding has no cross-engine twin, so e19 pins
+    // the assignment/probe/scan path one refinement off the production
+    // default.
+    val (centroids, cnorms) = if (!refine) (seeds.map(_.v), seeds.map(_.nrm)) else {
+      // one mean-refinement pass: map-side assign, decimal-exact means
+      val assigned0 = vecs.map { p =>
+        val (cs, cns) = bcSeeds.value
+        (nearestCell(p.v, p.nrm, cs, cns), p.v)
+      }.toDF("cell", "v")
+      val meanRows = assigned0
+        .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos"))
+        .agg((sum(col("x").cast("decimal(28,15)")) / count(lit(1))).cast("double").as("m"))
+        .collect()
+      val cents = Array.tabulate(nCells)(c => seeds(c).v.clone()) // empty cells keep their seed
+      meanRows.foreach { r =>
+        cents(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
+      }
+      val cns = cents.map { v =>
+        var acc = 0.0; var i = 0
+        while (i < v.length) { acc += v(i) * v(i); i += 1 }
+        math.sqrt(acc)
+      }
+      (cents, cns)
     }
     val bcCent = sc.broadcast((centroids, cnorms))
     val members = vecs.map { p =>
