@@ -3239,16 +3239,18 @@ object SparkEntry {
         |codes AS (SELECT vec_id, sub, centroid_id FROM (
         |    SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, centroid_id) AS rn FROM d)
         |  WHERE rn = 1),
-        |dt AS (SELECT vec_id AS query_id, sub, centroid_id, CAST(d2 AS DECIMAL(20,12)) AS qd2
+        |dt AS (SELECT vec_id AS query_id, sub, centroid_id,
+        |    CAST(round(d2 * 1000000000000) AS BIGINT) AS qd2_fp
         |  FROM d WHERE vec_id < 50),
-        |adc AS (SELECT dt.query_id, codes.vec_id, sum(dt.qd2) AS adc_d
+        |adc AS (SELECT dt.query_id, codes.vec_id, sum(dt.qd2_fp) AS adc_fp
         |  FROM codes JOIN dt USING (sub, centroid_id)
         |  WHERE codes.vec_id <> dt.query_id
         |  GROUP BY 1, 2),
-        |r AS (SELECT query_id, vec_id AS neighbor_id, adc_d,
-        |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY adc_d, vec_id) AS INT) AS rank
+        |r AS (SELECT query_id, vec_id AS neighbor_id, adc_fp,
+        |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY adc_fp, vec_id) AS INT) AS rank
         |  FROM adc)
-        |SELECT query_id, neighbor_id, round(CAST(adc_d AS DOUBLE), 6) AS adc_dist2, rank
+        |SELECT query_id, neighbor_id,
+        |  round(CAST(adc_fp AS DOUBLE) / 1000000000000, 6) AS adc_dist2, rank
         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "e13_matryoshka_topk" ->
       """WITH e AS (SELECT vec_id, (embedding::DOUBLE[])[1:8] AS v FROM embeddings),

@@ -713,19 +713,23 @@ object Ann {
       .groupBy(col("vec_id"), col("sub"))
       .agg(min(struct(col("d2"), col("centroid_id"))).as("best"))
       .select(col("vec_id"), col("sub"), col("best.centroid_id").as("centroid_id"))
+    // 12-dp scaled-long quantization (the d14 recipe): same half-up
+    // contract as the former DECIMAL(20,12) cast, but the ADC fold
+    // sums PRIMITIVE longs in the hash aggregate (sums stay ≪ 2^53,
+    // so ordering and the final long→double are exact).
     val dtable = sub.filter(col("vec_id") < nQueries)
       .join(broadcast(codebook), "sub")
       .select(col("vec_id").as("query_id"), col("sub"), col("centroid_id"),
-        subDist2.cast("decimal(20,12)").as("qd2"))
+        round(subDist2 * lit(1e12)).cast("long").as("qd2_fp"))
     codes.join(broadcast(dtable), Seq("sub", "centroid_id"))
       .filter(col("vec_id") =!= col("query_id"))
       .groupBy(col("query_id"), col("vec_id"))
-      .agg(sum(col("qd2")).as("adc_d"))
+      .agg(sum(col("qd2_fp")).as("adc_fp"))
       .withColumn("rank", row_number().over(
-        Window.partitionBy(col("query_id")).orderBy(col("adc_d"), col("vec_id"))))
+        Window.partitionBy(col("query_id")).orderBy(col("adc_fp"), col("vec_id"))))
       .filter(col("rank") <= topK)
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        round(col("adc_d").cast("double"), 6).as("adc_dist2"), col("rank"))
+        round(col("adc_fp").cast("double") / lit(1e12), 6).as("adc_dist2"), col("rank"))
   }
 
   /** E13: Matryoshka truncated-dimension cosine top-k — run the exact
