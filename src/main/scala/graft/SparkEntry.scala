@@ -3863,6 +3863,27 @@ object SparkEntry {
         .select(col("lang"), col("rk"), col("doc_id"))
         .orderBy("lang", "rk")
     }),
+    // SA8: TOKEN-BUDGET sampling — the unit pretraining actually
+    // budgets. sa2-sa6 sample DOCUMENTS; a training mix is specified
+    // in TOKENS per source ("30B tokens of code, 10B of forum"), and
+    // doc-count sampling silently over-weights long-doc domains. Per
+    // language: walk docs in salted-hash order (reshard-stable, same
+    // family as sa6) accumulating token counts, keep the prefix whose
+    // cumulative count stays within the budget. One window over
+    // (lang)-partitioned doc metadata — token counts only, never
+    // bodies.
+    "sa8_token_budget_mix" -> ((s, d) => {
+      val w = Window.partitionBy(col("lang")).orderBy(
+        graft.text.TextAnalysis.hash60(col("doc_id").cast("string"), "sa8"),
+        col("doc_id"))
+      t(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          size(split(col("text"), " ")).as("n_tok"))
+        .withColumn("cum_tok", sum(col("n_tok")).over(w))
+        .filter(col("cum_tok") <= 2000)
+        .select(col("doc_id"), col("lang"), col("n_tok"), col("cum_tok"))
+        .orderBy("doc_id")
+    }),
     // SA7: LEAKAGE-AWARE train/val/test split — the sa1 salted-hash
     // split decided on the near-dup CLUSTER REPRESENTATIVE (min doc id
     // of the d7 MinHash family; singletons are their own rep) and
@@ -3963,6 +3984,14 @@ object SparkEntry {
 
   private val shapeOracles: Map[String, String] = Map(
     "sa7_leakage_split" -> leakageSplitOracle,
+    "sa8_token_budget_mix" ->
+      s"""SELECT doc_id, lang, n_tok, cum_tok FROM (
+         |  SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS INT) AS n_tok,
+         |    CAST(sum(len(string_split(text, ' '))) OVER (PARTITION BY lang
+         |      ORDER BY ${sqlHash60("sa8", "CAST(doc_id AS VARCHAR)")}, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tok
+         |  FROM documents)
+         |WHERE cum_tok <= 2000 ORDER BY doc_id""".stripMargin,
     "sa1_hash_split" ->
       """SELECT doc_id, bucket,
         |  CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
