@@ -37,7 +37,11 @@ object PlanAudit {
     "e9_kmeans_update" ->
       "same assignment join as e6: broadcast side is the `vec_id < k` centroid slice",
     "e11_ivf_probe_cells" ->
-      "same assignment join as e6: broadcast side is the `vec_id < k` centroid slice")
+      "same assignment join as e6: broadcast side is the `vec_id < k` centroid slice",
+    "e17_filtered_ann" ->
+      ("documented segment-fits-memory baseline (Ann.cosineTopKAgainst scaladoc): the " +
+        "broadcast side is the metadata-FILTERED corpus segment; beyond memory, the " +
+        "same filter composes into the IVF/LSH cell scan as in e14"))
 
   /** Queries allowed ≥3 scans of one path, with why the repeats are not
     * repeated work. */

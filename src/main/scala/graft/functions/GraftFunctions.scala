@@ -55,5 +55,7 @@ class GraftSessionExtensions
     // Auto-broadcast schema-fixed tiny dims (see BroadcastDims scaladoc).
     ext.injectOptimizerRule(_ =>
       graft.plans.BroadcastDims(graft.plans.BroadcastDims.defaultDims))
+    // Per-key top-k physical operator (see TopKPerKeyNode scaladoc).
+    ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
   }
 }

@@ -1,0 +1,142 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.codegen.LazilyGeneratedOrdering
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning, UnspecifiedDistribution}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+
+/** Whole-operator extension (SURVEY.md §2.9 ladder rung (c)): exact
+  * per-key top-k WITHOUT sorting — custom `LogicalPlan` → planner
+  * `SparkStrategy` → two `SparkPlan`s, the full Catalyst stack.
+  *
+  * Why the built-ins genuinely can't express this: the declarative
+  * formulation is `row_number().over(partitionBy(keys).orderBy(ord))
+  * <= k`, which Spark plans as Exchange → **full SortExec of every
+  * key's every row** → WindowExec — O(n log n) comparisons and, at
+  * 100 TB, a sort-spill of the whole fact table just to discard all
+  * but k rows per key. A bounded heap per key needs O(n log k)
+  * comparisons and O(keys·k) memory, and — the bigger win at cluster
+  * scale — it can run BEFORE the exchange: the shuffle then carries at
+  * most `partitions × keys × k` pre-reduced rows instead of the whole
+  * input. This partial/final split is exactly what HashAggregate does
+  * for `sum`, applied to an operation aggregates can't express (the
+  * retained value is whole rows, not a fold).
+  *
+  * Semantics: rows whose rank under `order` within their key group is
+  * ≤ k, ties resolved by the ordering itself — callers wanting a
+  * deterministic result make `order` a total order (append a unique
+  * tiebreak column), same contract as `row_number`.
+  *
+  * Memory honesty: the FINAL side holds its partition's result
+  * (keys-in-partition × k rows — the output itself). The PARTIAL side
+  * would hold one heap per distinct key seen, which for
+  * near-unique-key inputs approaches the partition size, so it flushes
+  * its map every [[TopKPerKey.FlushEvery]] retained rows and starts
+  * fresh. A flush only ever emits EXTRA candidate rows (any row beaten
+  * by k same-key rows within one epoch is beaten by k rows globally),
+  * so correctness never depends on the threshold; the final pass
+  * reduces whatever survives. Worst case (all keys unique) the partial
+  * pass degrades to a pass-through — the window formulation's shuffle,
+  * but still never its sort.
+  */
+case class TopKPerKeyNode(keys: Seq[Expression], order: Seq[SortOrder],
+    k: Int, child: LogicalPlan) extends UnaryNode {
+  require(keys.nonEmpty, "TopKPerKey needs grouping keys; use Dataset.orderBy.limit for global top-k")
+  override def output: Seq[Attribute] = child.output
+  override def maxRows: Option[Long] = child.maxRows
+  override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKeyNode =
+    copy(child = newChild)
+}
+
+/** Planner strategy: logical node → partial (pre-shuffle) + final
+  * (post-shuffle) heap execs. `EnsureRequirements` inserts the
+  * key-hash exchange between them, driven by the final exec's
+  * `requiredChildDistribution` — the operator never schedules its own
+  * shuffle. */
+object TopKPerKeyStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerKeyNode(keys, order, k, child) =>
+      val partial = TopKPerKeyExec(keys, order, k, isPartial = true, planLater(child))
+      TopKPerKeyExec(keys, order, k, isPartial = false, partial) :: Nil
+    case _ => Nil
+  }
+}
+
+object TopKPerKey {
+  /** Partial-side heap-map flush threshold (retained rows). Large
+    * enough that real key-skewed inputs never flush; small enough that
+    * a unique-key input stays in bounded memory. `var` so the spec can
+    * force the flush path on small data (read driver-side at
+    * `doExecute`, captured by value into the task closure). */
+  var FlushEvery: Int = 1 << 22
+}
+
+/** One heap-reduction pass; `isPartial` selects the pre-shuffle
+  * (unconstrained distribution, flushing) or post-shuffle (clustered,
+  * exact) role. */
+case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
+    k: Int, isPartial: Boolean, child: SparkPlan) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+  override def requiredChildDistribution: Seq[Distribution] =
+    if (isPartial) UnspecifiedDistribution :: Nil
+    else ClusteredDistribution(keys) :: Nil
+  override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyExec =
+    copy(child = newChild)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    if (k <= 0) return sparkContext.emptyRDD[InternalRow]
+    val keyExprs = keys
+    val childOutput = child.output
+    val limit = k
+    // serializable; codegens the comparator lazily on each executor
+    val ord = new LazilyGeneratedOrdering(order, childOutput)
+    val flushEvery = if (isPartial) TopKPerKey.FlushEvery else Int.MaxValue
+    child.execute().mapPartitions({ iter =>
+      val keyProj = UnsafeProjection.create(keyExprs, childOutput)
+      // heap root = WORST retained row (reverse ordering), so a
+      // replacement test is one comparison against peek()
+      val worstFirst = new java.util.Comparator[InternalRow] {
+        override def compare(a: InternalRow, b: InternalRow): Int = ord.compare(b, a)
+      }
+      new Iterator[InternalRow] {
+        private val groups =
+          new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
+        private var out: java.util.Iterator[InternalRow] =
+          java.util.Collections.emptyIterator()
+        private def consume(row: InternalRow): Int = {
+          val key = keyProj(row)
+          val q = groups.get(key)
+          if (q == null) {
+            val nq = new java.util.PriorityQueue[InternalRow](limit, worstFirst)
+            nq.add(row.copy())
+            groups.put(key.copy(), nq)
+            1
+          } else if (q.size < limit) { q.add(row.copy()); 1 }
+          else if (ord.compare(row, q.peek()) < 0) { q.poll(); q.add(row.copy()); 0 }
+          else 0
+        }
+        private def advance(): Unit =
+          while (!out.hasNext && iter.hasNext) {
+            groups.clear()
+            var retained = 0
+            while (iter.hasNext && retained < flushEvery) {
+              retained += consume(iter.next())
+            }
+            val buf = new java.util.ArrayList[InternalRow]()
+            groups.values.forEach(q => q.forEach(r => buf.add(r)))
+            out = buf.iterator()
+          }
+        override def hasNext: Boolean = { advance(); out.hasNext }
+        override def next(): InternalRow = { advance(); out.next() }
+      }
+    }, preservesPartitioning = true)
+  }
+
+  override def nodeName: String =
+    if (isPartial) "TopKPerKeyPartial" else "TopKPerKeyFinal"
+}

@@ -12,6 +12,33 @@ object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Column → fully-converted Expression through the session's
+    * ColumnNode converter. [[expression]] wraps non-expression column
+    * nodes in a lazy `ColumnNodeExpression` placeholder that only the
+    * analyzer unwraps — fine inside select/filter, but an expression
+    * embedded in a custom LogicalPlan needs the real tree NOW. */
+  def expression(spark: SparkSession, c: Column): Expression =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].expression(c)
+
+  /** DataFrame from a raw LogicalPlan (`Dataset.ofRows` is
+    * `private[sql]`) — the construction path for custom logical
+    * operators like [[graft.plans.TopKPerKeyNode]]. */
+  def ofRows(spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** Planner-strategy registration on an EXISTING session (the
+    * `withExtensions` path is GraftSessionExtensions): public
+    * `experimental.extraStrategies`, idempotent. */
+  def registerStrategy(spark: SparkSession,
+      strategy: org.apache.spark.sql.execution.SparkStrategy): Unit = {
+    val exp = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].experimental
+    if (!exp.extraStrategies.contains(strategy))
+      exp.extraStrategies = exp.extraStrategies :+ strategy
+  }
+
   /** Register a SQL-callable function backed by a raw Expression
     * builder on an EXISTING session (complements GraftExtensions,
     * which covers sessions built with `.withExtensions`). */

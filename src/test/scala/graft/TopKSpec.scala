@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.TopK
+import graft.plans.TopKPerKeyExec
+
+/** [[graft.plans.TopKPerKeyNode]] — the custom per-key top-k physical
+  * operator: result ≡ the `row_number() <= k` window formulation on a
+  * total order (the semantic contract), the planned shape (partial +
+  * final heap execs around one exchange, NO sort — the reason it
+  * exists), and the flush path (correct at a threshold small enough to
+  * force mid-partition flushes). */
+class TopKSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def windowTwin(df: org.apache.spark.sql.DataFrame, k: Int) =
+    df.withColumn("rn", row_number().over(
+        Window.partitionBy("g").orderBy(col("v").desc, col("id").asc)))
+      .filter(col("rn") <= k).drop("rn")
+
+  // deterministic pseudo-random rows: skewed keys (g0 holds ~half),
+  // duplicate v values inside keys (ties the id tiebreak must resolve)
+  private lazy val rows = (1 to 5000).map { i =>
+    val g = if (i % 2 == 0) 0 else i % 37
+    (s"g$g", (i * 2654435761L % 97).toInt, i.toLong)
+  }
+  private lazy val df = rows.toDF("g", "v", "id")
+
+  private def asSet(d: org.apache.spark.sql.DataFrame) =
+    d.select("g", "v", "id").as[(String, Int, Long)].collect().toSet
+
+  test("perKey(k) equals the row_number window twin on a total order") {
+    for (k <- Seq(1, 3, 10)) {
+      val got = TopK.perKey(df, Seq("g"), Seq(col("v").desc, col("id").asc), k)
+      assert(asSet(got) == asSet(windowTwin(df, k)), s"k=$k")
+    }
+  }
+
+  test("k larger than any group passes everything through; k=0 is empty") {
+    val all = TopK.perKey(df, Seq("g"), Seq(col("v").desc, col("id").asc), 10000)
+    assert(asSet(all) == rows.toSet.map((r: (String, Int, Long)) => r))
+    assert(TopK.perKey(df, Seq("g"), Seq(col("v").desc, col("id").asc), 0).count() == 0)
+  }
+
+  test("planned shape: partial + final heap execs, no SortExec anywhere") {
+    val topk = TopK.perKey(df, Seq("g"), Seq(col("v").desc, col("id").asc), 3)
+    val plan = topk.queryExecution.executedPlan match {
+      // collect() does not descend into the AQE wrapper's inner plan
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val heapNodes = plan.collect { case e: TopKPerKeyExec => e }
+    assert(heapNodes.map(_.isPartial).sorted == Seq(false, true),
+      s"expected one partial and one final exec, got: $plan")
+    assert(plan.collect {
+      case s: org.apache.spark.sql.execution.SortExec => s
+    }.isEmpty, s"heap operator must not sort: $plan")
+    assert(plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }.nonEmpty, "EnsureRequirements should have inserted the key exchange")
+    // the control: the window twin DOES plan a per-key sort
+    val twinPlan = windowTwin(df, 3).queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    assert(twinPlan.collect {
+      case s: org.apache.spark.sql.execution.SortExec => s
+    }.nonEmpty)
+  }
+
+  test("partial-side flush threshold does not change the result") {
+    // force MANY mid-partition flushes: 5000 rows, 7 partitions,
+    // threshold 16 → every partition flushes its heap map dozens of
+    // times; the flushed supersets must still reduce to the exact
+    // top-k in the final pass
+    val prev = graft.plans.TopKPerKey.FlushEvery
+    try {
+      graft.plans.TopKPerKey.FlushEvery = 16
+      val spread = df.repartition(7, col("id"))
+      val got = TopK.perKey(spread, Seq("g"), Seq(col("v").desc, col("id").asc), 5)
+      assert(asSet(got) == asSet(windowTwin(df, 5)))
+    } finally graft.plans.TopKPerKey.FlushEvery = prev
+  }
+
+  test("null ordering values and null keys group and rank like the window") {
+    val withNulls = Seq(
+      ("a", Some(5), 1L), ("a", None, 2L), ("a", Some(9), 3L),
+      (null.asInstanceOf[String], Some(1), 4L),
+      (null.asInstanceOf[String], Some(2), 5L), ("b", None, 6L), ("b", None, 7L))
+      .toDF("g", "v", "id")
+    val got = TopK.perKey(withNulls, Seq("g"), Seq(col("v").desc, col("id").asc), 1)
+    val want = withNulls.withColumn("rn", row_number().over(
+        Window.partitionBy("g").orderBy(col("v").desc, col("id").asc)))
+      .filter(col("rn") === 1).drop("rn")
+    assert(got.select("g", "v", "id").as[(String, Option[Int], Long)].collect().toSet ==
+      want.select("g", "v", "id").as[(String, Option[Int], Long)].collect().toSet)
+  }
+}
