@@ -3014,6 +3014,12 @@ object SparkEntry {
     "e9_kmeans_update" -> ((s, d) =>
       graft.similarity.Ann.centroidUpdate(t(s, d, "embeddings"), 8)
         .orderBy("centroid_id", "dim")),
+    // E20: PQ codebook refinement — e9's Lloyd step taken per subspace
+    // (the training half of e7's encoder; see Ann.pqCodebookUpdate).
+    // Iterative training = this plan in a driver loop, like PageRank.
+    "e20_pq_codebook_update" -> ((s, d) =>
+      graft.similarity.Ann.pqCodebookUpdate(t(s, d, "embeddings"))
+        .orderBy("sub", "centroid_id", "dim")),
     // E12: PQ asymmetric-distance (ADC) top-k — the query half of e7's
     // codebook index: broadcast per-query lookup tables, code-only
     // corpus scan.
@@ -3521,7 +3527,26 @@ object SparkEntry {
          |  FROM a, (SELECT unnest(range(1, 65)) AS i))
          |SELECT centroid_id, dim, count(*) AS n,
          |  round(CAST(sum(qx) AS DOUBLE) / count(*), 6) AS mean_x
-         |FROM x GROUP BY 1, 2 ORDER BY centroid_id, dim""".stripMargin
+         |FROM x GROUP BY 1, 2 ORDER BY centroid_id, dim""".stripMargin,
+    "e20_pq_codebook_update" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |sub AS (SELECT vec_id, j AS sub, v[j*8+1 : j*8+8] AS sv
+        |  FROM e, (SELECT unnest(range(8)) AS j)),
+        |cb AS (SELECT sub, vec_id AS centroid_id, sv AS cv FROM sub WHERE vec_id < 16),
+        |d AS (SELECT s.vec_id, s.sub, s.sv, c.centroid_id,
+        |    list_reduce(list_apply(range(1, 9),
+        |      i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i])), (a,b) -> a+b) AS d2
+        |  FROM sub s JOIN cb c USING (sub)),
+        |best AS (SELECT sub, centroid_id, sv FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+        |      ORDER BY d2, centroid_id) AS rn FROM d)
+        |  WHERE rn = 1),
+        |x AS (SELECT sub, centroid_id, CAST(i AS INT) AS dim,
+        |    CAST(sv[i] AS DECIMAL(25,12)) AS qx
+        |  FROM best, (SELECT unnest(range(1, 9)) AS i))
+        |SELECT sub, centroid_id, dim, count(*) AS n,
+        |  round(CAST(sum(qx) AS DOUBLE) / count(*), 6) AS mean_x
+        |FROM x GROUP BY 1, 2, 3 ORDER BY sub, centroid_id, dim""".stripMargin
   )
 
   // ---- T: text analysis ----------------------------------------------------
@@ -4059,7 +4084,34 @@ object SparkEntry {
     "t15_bm25" -> ((s, d) =>
       graft.text.Chunking.bm25(t(s, d, "documents"),
           Seq("spark", "hash", "window"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+    // T17 (beyond reference): per-document tf-idf keywords — each
+    // document's 3 most characteristic terms (≥4 chars, so function
+    // words never win), the metadata tag every corpus browser / topic
+    // facet needs. Selection runs on the UNROUNDED tf·ln(N/df) with
+    // term as tiebreak (ln is bit-identical cross-engine — the t15
+    // precedent); display rounds to 6dp. The per-doc top-3 runs
+    // through the TopKPerKey heap operator — its second production
+    // call site: |docs|·|terms| scored postings never sort, the
+    // shuffle carries ≤3 rows per (partition, doc).
+    "t17_tfidf_keywords" -> ((s, d) => {
+      val tf = t(s, d, "documents")
+        .select(col("doc_id"),
+          explode(graft.text.TextAnalysis.words(col("text"))).as("term"))
+        .filter(length(col("term")) >= 4)
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val nd = t(s, d, "documents").agg(count(lit(1)).as("n"))
+      val scored = tf.join(df, "term").crossJoin(broadcast(nd))
+        .select(col("doc_id"), col("term"), col("tf"), col("df"),
+          (col("tf").cast("double") *
+            log(col("n").cast("double") / col("df"))).as("score"))
+      graft.operators.TopK.perKey(scored, Seq("doc_id"),
+          Seq(col("score").desc, col("term").asc), 3)
+        .select(col("doc_id"), col("term"), col("tf"), col("df"),
+          round(col("score"), 6).as("tfidf"))
+        .orderBy(col("doc_id"), col("tfidf").desc, col("term"))
+    })
   )
 
   /** sa7's oracle: d7's verified-pair → 4-round label-propagation
@@ -4230,7 +4282,20 @@ object SparkEntry {
         |      / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)) AS DECIMAL(20,12)) AS score_t
         |  FROM tf JOIN df USING (term) CROSS JOIN st JOIN dl ON tf.doc_id = dl.doc_id)
         |SELECT doc_id, count(*) AS n_q_terms, CAST(sum(score_t) AS DOUBLE) AS bm25
-        |FROM sc GROUP BY 1 ORDER BY doc_id""".stripMargin
+        |FROM sc GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    "t17_tfidf_keywords" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+        |  WHERE len(term) >= 4 GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |nd AS (SELECT count(*) AS n FROM documents),
+        |sc AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |    CAST(tf.tf AS DOUBLE) * ln(CAST(nd.n AS DOUBLE) / df.df) AS score
+        |  FROM tf JOIN df USING (term) CROSS JOIN nd)
+        |SELECT doc_id, term, tf, df, round(score, 6) AS tfidf FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY score DESC, term) AS rn FROM sc)
+        |WHERE rn <= 3 ORDER BY doc_id, tfidf DESC, term""".stripMargin
   )
 
   // ---- X: scan-heavy warehouse workload (lineitem/part/supplier) ----------

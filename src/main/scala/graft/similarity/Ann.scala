@@ -1043,4 +1043,35 @@ object Ann {
       .select(col("centroid_id"), col("dim"), col("n"),
         round(col("sx").cast("double") / col("n"), 6).as("mean_x"))
   }
+
+  /** E20: PQ codebook refinement — one Lloyd step PER SUBSPACE, the
+    * training half that turns [[pqEncode]]'s seed codebook into a
+    * fitted one (Jégou et al. 2011 §III: k-means independently in each
+    * of the m sub-quantizers). Same assignment join as pqEncode (sub-
+    * slices against the broadcast codebook, argmin per (vector, sub)),
+    * then [[centroidUpdate]]'s decimal-exact mean taken per
+    * (sub, centroid, dim). Iterating encode↔update to convergence is
+    * this one plan in a driver loop, exactly like the PageRank rounds.
+    *
+    * Scale: one corpus pass; the shuffle carries (sub, centroid, dim)
+    * partial sums — m·k·(64/m) = 1024 combined rows per map task, not
+    * members. Output is the m·k·(64/m)-row new codebook. */
+  def pqCodebookUpdate(embeddings: DataFrame, m: Int = 8, k: Int = 16): DataFrame = {
+    val e = prepared(embeddings)
+    val sub = subSlices(e, m)
+    val codebook = sub.filter(col("vec_id") < k)
+      .select(col("sub"), col("vec_id").as("centroid_id"), col("sv").as("cv"))
+    val best = sub.join(broadcast(codebook), "sub")
+      .select(col("vec_id"), col("sub"), col("sv"), col("centroid_id"), subDist2.as("d2"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id"), col("sub"))
+          .orderBy(col("d2"), col("centroid_id"))))
+      .filter(col("rn") === 1)
+    best.select(col("sub"), col("centroid_id"), posexplode(col("sv")).as(Seq("pos", "x")))
+      .groupBy(col("sub"), col("centroid_id"), (col("pos") + 1).as("dim"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast("decimal(25,12)")).as("sx"))
+      .select(col("sub").cast("long").as("sub"), col("centroid_id"), col("dim"),
+        col("n"), round(col("sx").cast("double") / col("n"), 6).as("mean_x"))
+  }
 }
