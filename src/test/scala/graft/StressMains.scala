@@ -250,3 +250,55 @@ object MakeReplica10 {
     spark.stop()
   }
 }
+
+/** A/B: per-key top-k — TopKPerKey heap operator vs the row_number
+  * window plan, orders (10 rows/key) and lineitem (denser keys), at
+  * sf0.1 and the 10× replica (test scope; findings in PLANS.md). */
+object ProfileTopK {
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import org.apache.spark.sql.expressions.Window
+    def time[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[topkprof] $label: ${(System.nanoTime() - t0) / 1e9}%.2fs"); r
+    }
+    val orders = Tables.table(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+    val li = Tables.table(spark, dir, "lineitem")
+      .select(col("l_partkey"), col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+    time("warm")(orders.count() + li.count())
+    (1 to 2).foreach { i =>
+      time(s"orders heap   $i") {
+        graft.operators.TopK.perKey(orders, Seq("o_custkey"),
+          Seq(col("o_totalprice").desc, col("o_orderkey").asc), 3).count()
+      }
+      time(s"orders window $i") {
+        orders.withColumn("rn", row_number().over(
+            Window.partitionBy("o_custkey")
+              .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)))
+          .filter(col("rn") <= 3).count()
+      }
+      time(s"lineitem heap   $i") {
+        graft.operators.TopK.perKey(li, Seq("l_partkey"),
+          Seq(col("l_extendedprice").desc, col("l_orderkey").asc,
+            col("l_linenumber").asc), 3).count()
+      }
+      time(s"lineitem window $i") {
+        li.withColumn("rn", row_number().over(
+            Window.partitionBy("l_partkey")
+              .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc,
+                col("l_linenumber").asc)))
+          .filter(col("rn") <= 3).count()
+      }
+    }
+    spark.stop()
+  }
+}
