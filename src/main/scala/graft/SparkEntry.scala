@@ -2422,6 +2422,17 @@ object SparkEntry {
     // last event + gap (Spark's definition); the oracle reproduces it
     // with the island trick: new session when the gap since the
     // previous event is >= 30 minutes.
+    // ST18 (beyond reference): the batch image of the streaming
+    // per-key top-k leaderboard (StreamIngest.topKPerKeyStream) — the
+    // same bounded-heap semantics through the TopKPerKey physical
+    // operator; StreamIngestSpec replays split batches against this
+    // frame, the oracle is the row_number definition.
+    "st18_stream_topk_twin" -> ((s, d) =>
+      graft.operators.TopK.perKey(
+          t(s, d, "events").select(col("user_id"), col("event_id"), col("value")),
+          keys = Seq("user_id"),
+          order = Seq(col("value").desc, col("event_id").asc), k = 3)
+        .orderBy(col("user_id"), col("value").desc, col("event_id"))),
     "st10_session_counts_twin" -> ((s, d) =>
       t(s, d, "events")
         .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
@@ -2487,6 +2498,13 @@ object SparkEntry {
   )
 
   private val streamTwinOracles: Map[String, String] = Map(
+    "st18_stream_topk_twin" ->
+      """SELECT user_id, event_id, value FROM (
+        |  SELECT user_id, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY value DESC, event_id) AS rn
+        |  FROM events) WHERE rn <= 3
+        |ORDER BY user_id, value DESC, event_id""".stripMargin,
     "st3_stream_dedup_twin" ->
       """SELECT event_id, user_id, event_type FROM (
         |  SELECT *, row_number() OVER (PARTITION BY event_id ORDER BY ts) AS rn FROM events)
@@ -4717,6 +4735,24 @@ object SparkEntry {
             .as("mkt_share"))
         .orderBy("o_year")
     }),
+    // X21 (TPC-H Q13 shape): customer distribution by order count —
+    // INCLUDING the zero-order customers only an OUTER join preserves
+    // (the classic silent-inner-join bug this query exists to catch).
+    // The priority filter lives in the JOIN input, not a WHERE (a
+    // post-join WHERE on the right side would turn the outer join
+    // inner). First rollup reuses the join's c_custkey clustering (no
+    // second exchange); second rollup is |distinct counts| rows.
+    "x21_custdist" -> ((s, d) => {
+      val o = t(s, d, "orders")
+        .filter(col("o_orderpriority") =!= "1-URGENT")
+        .select(col("o_custkey"), col("o_orderkey"))
+      t(s, d, "customer").select(col("c_custkey"))
+        .join(o, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count")).agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
     // X16 (TPC-H Q22 shape): dormant rich customers — acctbal above
     // the positive-balance average (a broadcast scalar, decimal-exact)
     // AND no recent orders (anti join against a pushed-down date
@@ -4845,6 +4881,15 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN supp_nation = 'NATION_5' THEN vol
         |    ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) / CAST(sum(vol) AS DOUBLE) AS mkt_share
         |FROM vol GROUP BY 1 ORDER BY o_year""".stripMargin,
+    "x21_custdist" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN (
+        |    SELECT o_custkey, o_orderkey FROM orders
+        |    WHERE o_orderpriority <> '1-URGENT') o
+        |  ON c_custkey = o_custkey
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
     "x16_global_balance" ->
       """WITH ab AS (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_bal
         |  FROM customer WHERE c_acctbal > 0.0)

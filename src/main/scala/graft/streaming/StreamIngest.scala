@@ -74,6 +74,39 @@ object StreamIngest {
       }
   }
 
+  /** ST18 state/output: one key's current top-k entries, ranked. */
+  final case class TopKEntry(user_id: Long, rank: Int, event_id: Long, value: Double)
+
+  /** ST18: streaming per-key top-k — the continuous leaderboard, and
+    * the stream form of the batch [[graft.plans.TopKPerKeyNode]] heap
+    * operator: identical merge semantics (keep the k best under
+    * (value desc, event_id asc) — a total order, so ties are pinned),
+    * state bounded at k entries per key regardless of stream length.
+    * Emits a key's FULL re-ranked top-k whenever a batch changes it
+    * (idempotent upsert grain: (user_id, rank)), nothing otherwise.
+    * Batch twin: `st18_stream_topk_twin` runs the heap operator over
+    * the same events; StreamIngestSpec replays split batches against
+    * it. */
+  def topKPerKeyStream(spark: SparkSession, events: Dataset[Ev],
+      k: Int = 3): Dataset[TopKEntry] = {
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[Ev], state: GroupState[List[(Double, Long)]]) =>
+          val cur = state.getOption.getOrElse(Nil)
+          val merged = (cur.iterator ++ it.map(e => (e.value, e.event_id)))
+            .toList.distinct
+            .sortBy { case (v, id) => (-v, id) }.take(k)
+          if (merged == cur) Iterator.empty
+          else {
+            state.update(merged)
+            merged.iterator.zipWithIndex.map { case ((v, id), i) =>
+              TopKEntry(uid, i + 1, id, v)
+            }
+          }
+      }
+  }
+
   /** ST8: watermarked tumbling-window event-time aggregation — counts
     * per (1-day window, event_type). Late rows inside the watermark
     * still land in their event-time bucket; state for a window is

@@ -632,4 +632,48 @@ class StreamIngestSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSet
     assert(got === Set((7L, 1L, 2L)))
   }
+
+  test("ST18: streaming per-key top-k converges to the batch heap-operator twin") {
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = StreamIngest.topKPerKeyStream(spark, in.toDS(), k = 3)
+      .writeStream.format("memory").queryName("st18_out").outputMode("update").start()
+    val evs = Seq(
+      Ev(1, ts("2024-01-01 10:00:00"), 7, "view", 5.0),
+      Ev(2, ts("2024-01-01 10:01:00"), 7, "view", 9.0),
+      Ev(3, ts("2024-01-01 10:02:00"), 7, "view", 1.0),
+      Ev(4, ts("2024-01-01 10:03:00"), 7, "view", 9.0), // tie with 2 -> id asc
+      Ev(5, ts("2024-01-01 10:04:00"), 8, "view", 2.0),
+      Ev(6, ts("2024-01-01 10:05:00"), 7, "view", 7.0),
+      Ev(7, ts("2024-01-01 10:06:00"), 7, "view", 0.5)) // never enters top-3
+    in.addData(evs.take(3): _*)
+    q.processAllAvailable()
+    in.addData(evs(3), evs(4))
+    q.processAllAvailable()
+    in.addData(evs(5), evs(6), evs(6)) // duplicate delivery of 6
+    q.processAllAvailable()
+    // last emitted ranking per (user, rank) = the standing leaderboard
+    val fin = spark.table("st18_out")
+      .as[graft.streaming.StreamIngest.TopKEntry].collect()
+      .zipWithIndex
+      .groupBy(e => (e._1.user_id, e._1.rank)).view
+      .mapValues(_.maxBy(_._2)._1).values.toSeq
+      // ranks beyond a key's final depth can linger from earlier
+      // batches only if the key SHRANK — impossible here (append-only)
+    q.stop()
+    val got = fin.map(e => (e.user_id, e.rank, e.event_id, e.value)).toSet
+    // batch twin: the heap operator over the full event set
+    val batch = graft.operators.TopK.perKey(
+        evs.toDF().select(col("user_id"), col("event_id"), col("value")),
+        Seq("user_id"), Seq(col("value").desc, col("event_id").asc), 3)
+      .withColumn("rank", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+          .orderBy(col("value").desc, col("event_id").asc)))
+      .select(col("user_id"), col("rank"), col("event_id"), col("value"))
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(got == batch)
+    assert(got.contains((7L, 1, 2L, 9.0)) && got.contains((7L, 2, 4L, 9.0)),
+      "value tie must break by event_id asc")
+  }
 }
