@@ -5050,6 +5050,9 @@ object SparkEntry {
     // whole job — the cap is the d13 df-cap posture applied to graphs
     // (hubs predict nothing anyway; they neighbor everything). Graph
     // is materialized once; the anti-join removes existing edges.
+    // Every 2-hop pair scores (CN >= 1): on a support-thresholded graph
+    // the wedge table IS the candidate set — consumers threshold the
+    // score downstream.
     "g4_link_prediction" -> ((s, d) => {
       val e0 = copurchase(s, d).select(col("u"), col("v")).localCheckpoint(true)
       val adj = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
@@ -5061,7 +5064,6 @@ object SparkEntry {
           col("x.m") === col("y.m") && col("x.nb") < col("y.nb"))
         .groupBy(col("x.nb").as("a"), col("y.nb").as("c"))
         .agg(count(lit(1)).as("common_neighbors"))
-        .filter(col("common_neighbors") >= 2)
       cn.join(e0, cn("a") === e0("u") && cn("c") === e0("v"), "left_anti")
         .orderBy(col("common_neighbors").desc, col("a"), col("c"))
     })
@@ -5183,7 +5185,7 @@ object SparkEntry {
         |capped AS (SELECT adj.m, adj.nb FROM adj JOIN mids ON adj.m = mids.m),
         |cn AS (SELECT x.nb AS a, y.nb AS c, count(*) AS common_neighbors
         |  FROM capped x JOIN capped y ON x.m = y.m AND x.nb < y.nb
-        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+        |  GROUP BY 1, 2)
         |SELECT a, c, common_neighbors FROM cn
         |WHERE NOT EXISTS (SELECT 1 FROM pairs p WHERE p.u = cn.a AND p.v = cn.c)
         |ORDER BY common_neighbors DESC, a, c""".stripMargin
