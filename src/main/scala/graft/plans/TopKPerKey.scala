@@ -88,6 +88,14 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
   override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyExec =
     copy(child = newChild)
 
+  override lazy val metrics = Map(
+    "numOutputRows" ->
+      org.apache.spark.sql.execution.metric.SQLMetrics
+        .createMetric(sparkContext, "number of output rows"),
+    "numFlushes" ->
+      org.apache.spark.sql.execution.metric.SQLMetrics
+        .createMetric(sparkContext, "partial heap-map flushes"))
+
   override protected def doExecute(): RDD[InternalRow] = {
     if (k <= 0) return sparkContext.emptyRDD[InternalRow]
     val keyExprs = keys
@@ -96,6 +104,8 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
     // serializable; codegens the comparator lazily on each executor
     val ord = new LazilyGeneratedOrdering(order, childOutput)
     val flushEvery = if (isPartial) TopKPerKey.FlushEvery else Int.MaxValue
+    val outputRows = longMetric("numOutputRows")
+    val flushes = longMetric("numFlushes")
     child.execute().mapPartitions({ iter =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
       // heap root = WORST retained row (reverse ordering), so a
@@ -127,8 +137,10 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
             while (iter.hasNext && retained < flushEvery) {
               retained += consume(iter.next())
             }
+            if (iter.hasNext) flushes += 1 // mid-partition flush, not EOF
             val buf = new java.util.ArrayList[InternalRow]()
             groups.values.forEach(q => q.forEach(r => buf.add(r)))
+            outputRows += buf.size()
             out = buf.iterator()
           }
         override def hasNext: Boolean = { advance(); out.hasNext }

@@ -331,4 +331,23 @@ object GraftProperties extends Properties("graft") {
         .orderBy("doc_id").collect().toSeq
       native == cols
     }
+
+  property("TopKPerKey == row_number window twin on random skewed frames") =
+    forAll(
+      Gen.chooseNum(1, 5),
+      Gen.listOf(for {
+        g <- Gen.chooseNum(0, 6)
+        v <- Gen.chooseNum(0, 9) // dense value range -> many ties
+        id <- Gen.chooseNum(0L, 1000L)
+      } yield (s"g$g", v, id))) { (k, rows) =>
+      val distinctRows = rows.distinct // unique (g,v,id) keeps the order total
+      val df = distinctRows.toDF("g", "v", "id").repartition(3)
+      val got = graft.operators.TopK.perKey(df, Seq("g"),
+          Seq(col("v").desc, col("id").asc), k)
+        .select("g", "v", "id").as[(String, Int, Long)].collect().toSet
+      val want = distinctRows.groupBy(_._1).flatMap { case (_, rs) =>
+        rs.sortBy { case (_, v, id) => (-v, id) }.take(k)
+      }.toSet
+      got == want
+    }
 }
