@@ -4113,11 +4113,14 @@ object SparkEntry {
     // call site: |docs|·|terms| scored postings never sort, the
     // shuffle carries ≤3 rows per (partition, doc).
     "t17_tfidf_keywords" -> ((s, d) => {
+      // tf materialized once: the score join AND the df rollup both
+      // read it (unbroken lineage = the doc scan + tokenize runs twice)
       val tf = t(s, d, "documents")
         .select(col("doc_id"),
           explode(graft.text.TextAnalysis.words(col("text"))).as("term"))
         .filter(length(col("term")) >= 4)
         .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+        .localCheckpoint(true)
       val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       val nd = t(s, d, "documents").agg(count(lit(1)).as("n"))
       val scored = tf.join(df, "term").crossJoin(broadcast(nd))

@@ -13,7 +13,10 @@ import graft.plans.{TopKPerKeyNode, TopKPerKeyStrategy}
   */
 object TopK {
 
-  /** @param df    input rows
+  /** @param df    input rows — PROJECT to the needed columns first:
+    *              custom logical nodes are opaque to Catalyst's
+    *              ColumnPruning, so a select above this call does not
+    *              prune the scan below it
     * @param keys  grouping columns
     * @param order ranking order (e.g. `col("score").desc`); make it a
     *              total order (unique tiebreak) for deterministic
