@@ -477,7 +477,7 @@ object SparkEntry {
     // comparison, never a float tolerance. One fact rollup co-keyed
     // with the header join; report is |status| rows.
     "dq14_order_reconciliation" -> ((s, d) => {
-      // per-line amount in 1e-8-dollar units: cents*(1e4-disc_bp)*(1e4+tax_bp)
+      // per-line amount in 1e-10-dollar units: cents*(1e4-disc_bp)*(1e4+tax_bp)
       val lineTotals = t(s, d, "lineitem")
         .select(col("l_orderkey"),
           (round(col("l_extendedprice") * 100).cast("long") *
@@ -495,7 +495,7 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_orders"),
           sum((col("line_fp") === col("header_fp")).cast("long")).as("n_matched"),
           sum((col("line_fp") =!= col("header_fp")).cast("long")).as("n_mismatched"),
-          (max(abs(col("line_fp") - col("header_fp"))).cast("double") / 1e8)
+          (max(abs(col("line_fp") - col("header_fp"))).cast("double") / 1e10)
             .as("max_abs_diff"))
         .orderBy("status")
     }),
@@ -732,7 +732,7 @@ object SparkEntry {
         |    CAST(round(o_totalprice * 100) AS BIGINT) * 100000000 THEN 1 ELSE 0 END)
         |    AS BIGINT) AS n_mismatched,
         |  CAST(max(abs(coalesce(line_total_fp, 0) -
-        |    CAST(round(o_totalprice * 100) AS BIGINT) * 100000000)) AS DOUBLE) / 1e8
+        |    CAST(round(o_totalprice * 100) AS BIGINT) * 100000000)) AS DOUBLE) / 1e10
         |    AS max_abs_diff
         |FROM orders LEFT JOIN lt ON o_orderkey = l_orderkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
@@ -2415,13 +2415,6 @@ object SparkEntry {
       graft.streaming.StreamIngest.histogramCounts(
           t(s, d, "events"), "value", lo = 0.0, width = 8.0, bins = 64)
         .orderBy("day_start", "bin")),
-    // ST10 (beyond reference): session windows — gap-merged activity
-    // bursts per user via the NATIVE session_window (vs w5's lag+cumsum
-    // formulation; the streaming form with watermarked state eviction
-    // is StreamIngest.sessionCounts, StreamIngestSpec). Session end =
-    // last event + gap (Spark's definition); the oracle reproduces it
-    // with the island trick: new session when the gap since the
-    // previous event is >= 30 minutes.
     // ST18 (beyond reference): the batch image of the streaming
     // per-key top-k leaderboard (StreamIngest.topKPerKeyStream) — the
     // same bounded-heap semantics through the TopKPerKey physical
@@ -2433,6 +2426,13 @@ object SparkEntry {
           keys = Seq("user_id"),
           order = Seq(col("value").desc, col("event_id").asc), k = 3)
         .orderBy(col("user_id"), col("value").desc, col("event_id"))),
+    // ST10 (beyond reference): session windows — gap-merged activity
+    // bursts per user via the NATIVE session_window (vs w5's lag+cumsum
+    // formulation; the streaming form with watermarked state eviction
+    // is StreamIngest.sessionCounts, StreamIngestSpec). Session end =
+    // last event + gap (Spark's definition); the oracle reproduces it
+    // with the island trick: new session when the gap since the
+    // previous event is >= 30 minutes.
     "st10_session_counts_twin" -> ((s, d) =>
       t(s, d, "events")
         .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))

@@ -661,18 +661,27 @@ object Ann {
   private val subDist2 =
     graft.functions.VectorExpressions.l2Squared(col("sv"), col("cv"))
 
-  def pqEncode(embeddings: DataFrame, m: Int = 8, k: Int = 16): DataFrame = {
-    val e = prepared(embeddings)
-    val sub = subSlices(e, m)
+  /** Per-(vector, subspace) nearest-codeword assignment — shared by
+    * the encoder [[pqEncode]] and the trainer [[pqCodebookUpdate]] so
+    * the seed rule, distance kernel, and tie-break can never diverge:
+    * prefix-seed codebook (`vec_id < k`), broadcast equality join on
+    * the subspace, deterministic argmin (d2, then centroid_id).
+    * Returns (vec_id, sub, sv, centroid_id, d2). */
+  private def pqAssign(embeddings: DataFrame, m: Int, k: Int): DataFrame = {
+    val sub = subSlices(prepared(embeddings), m)
     val codebook = sub.filter(col("vec_id") < k)
       .select(col("sub"), col("vec_id").as("centroid_id"), col("sv").as("cv"))
-    val dist2 = subDist2
-    val best = sub.join(broadcast(codebook), "sub")
-      .select(col("vec_id"), col("sub"), col("centroid_id"), dist2.as("d2"))
+    sub.join(broadcast(codebook), "sub")
+      .select(col("vec_id"), col("sub"), col("sv"), col("centroid_id"), subDist2.as("d2"))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("vec_id"), col("sub"))
           .orderBy(col("d2"), col("centroid_id"))))
       .filter(col("rn") === 1)
+      .select(col("vec_id"), col("sub"), col("sv"), col("centroid_id"), col("d2"))
+  }
+
+  def pqEncode(embeddings: DataFrame, m: Int = 8, k: Int = 16): DataFrame = {
+    val best = pqAssign(embeddings, m, k)
     best.groupBy(col("vec_id"))
       .agg(
         array_join(transform(
@@ -1057,17 +1066,8 @@ object Ann {
     * partial sums — m·k·(64/m) = 1024 combined rows per map task, not
     * members. Output is the m·k·(64/m)-row new codebook. */
   def pqCodebookUpdate(embeddings: DataFrame, m: Int = 8, k: Int = 16): DataFrame = {
-    val e = prepared(embeddings)
-    val sub = subSlices(e, m)
-    val codebook = sub.filter(col("vec_id") < k)
-      .select(col("sub"), col("vec_id").as("centroid_id"), col("sv").as("cv"))
-    val best = sub.join(broadcast(codebook), "sub")
-      .select(col("vec_id"), col("sub"), col("sv"), col("centroid_id"), subDist2.as("d2"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("vec_id"), col("sub"))
-          .orderBy(col("d2"), col("centroid_id"))))
-      .filter(col("rn") === 1)
-    best.select(col("sub"), col("centroid_id"), posexplode(col("sv")).as(Seq("pos", "x")))
+    pqAssign(embeddings, m, k)
+      .select(col("sub"), col("centroid_id"), posexplode(col("sv")).as(Seq("pos", "x")))
       .groupBy(col("sub"), col("centroid_id"), (col("pos") + 1).as("dim"))
       .agg(count(lit(1)).as("n"),
         sum(col("x").cast("decimal(25,12)")).as("sx"))

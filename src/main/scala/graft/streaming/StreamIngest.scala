@@ -94,9 +94,19 @@ object StreamIngest {
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
         (uid: Long, it: Iterator[Ev], state: GroupState[List[(Double, Long)]]) =>
           val cur = state.getOption.getOrElse(Nil)
+          // comparator mirrors Spark SQL's double ordering exactly
+          // (SQLOrderingUtil: -0.0 == 0.0, NaN greatest — so NaN ranks
+          // FIRST under desc, as in the batch twin); Scala's sortBy on
+          // (-v, id) would instead sort NaN last and split signed zero.
+          val sqlDesc = new Ordering[(Double, Long)] {
+            override def compare(a: (Double, Long), b: (Double, Long)): Int = {
+              val c = if (a._1 == b._1) 0 else java.lang.Double.compare(b._1, a._1)
+              if (c != 0) c else java.lang.Long.compare(a._2, b._2)
+            }
+          }
           val merged = (cur.iterator ++ it.map(e => (e.value, e.event_id)))
             .toList.distinct
-            .sortBy { case (v, id) => (-v, id) }.take(k)
+            .sorted(sqlDesc).take(k)
           if (merged == cur) Iterator.empty
           else {
             state.update(merged)

@@ -646,12 +646,13 @@ class StreamIngestSpec extends SparkSpec {
       Ev(4, ts("2024-01-01 10:03:00"), 7, "view", 9.0), // tie with 2 -> id asc
       Ev(5, ts("2024-01-01 10:04:00"), 8, "view", 2.0),
       Ev(6, ts("2024-01-01 10:05:00"), 7, "view", 7.0),
-      Ev(7, ts("2024-01-01 10:06:00"), 7, "view", 0.5)) // never enters top-3
+      Ev(7, ts("2024-01-01 10:06:00"), 7, "view", 0.5), // never enters top-3
+      Ev(8, ts("2024-01-01 10:07:00"), 8, "view", Double.NaN)) // SQL: NaN greatest
     in.addData(evs.take(3): _*)
     q.processAllAvailable()
     in.addData(evs(3), evs(4))
     q.processAllAvailable()
-    in.addData(evs(5), evs(6), evs(6)) // duplicate delivery of 6
+    in.addData(evs(5), evs(6), evs(6), evs(7)) // duplicate delivery of 6
     q.processAllAvailable()
     // last emitted ranking per (user, rank) = the standing leaderboard
     val fin = spark.table("st18_out")
@@ -662,7 +663,12 @@ class StreamIngestSpec extends SparkSpec {
       // ranks beyond a key's final depth can linger from earlier
       // batches only if the key SHRANK — impossible here (append-only)
     q.stop()
-    val got = fin.map(e => (e.user_id, e.rank, e.event_id, e.value)).toSet
+    // Scala tuple equality unboxes Doubles to primitive == (NaN is
+    // never equal to itself) — compare on canonicalized bits instead
+    def norm(t: (Long, Int, Long, Double)) =
+      (t._1, t._2, t._3, java.lang.Double.doubleToLongBits(
+        if (t._4.isNaN) Double.NaN else t._4))
+    val got = fin.map(e => norm((e.user_id, e.rank, e.event_id, e.value))).toSet
     // batch twin: the heap operator over the full event set
     val batch = graft.operators.TopK.perKey(
         evs.toDF().select(col("user_id"), col("event_id"), col("value")),
@@ -671,9 +677,10 @@ class StreamIngestSpec extends SparkSpec {
         org.apache.spark.sql.expressions.Window.partitionBy("user_id")
           .orderBy(col("value").desc, col("event_id").asc)))
       .select(col("user_id"), col("rank"), col("event_id"), col("value"))
-      .as[(Long, Int, Long, Double)].collect().toSet
+      .as[(Long, Int, Long, Double)].collect().map(norm).toSet
     assert(got == batch)
-    assert(got.contains((7L, 1, 2L, 9.0)) && got.contains((7L, 2, 4L, 9.0)),
+    val bits9 = java.lang.Double.doubleToLongBits(9.0)
+    assert(got.contains((7L, 1, 2L, bits9)) && got.contains((7L, 2, 4L, bits9)),
       "value tie must break by event_id asc")
   }
 }
