@@ -828,12 +828,18 @@ object Ann {
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
     val c = prepared(corpus)
       .select(col("vec_id").as("neighbor_id"), col("v").as("cv"), col("nrm").as("cn"))
-    q.join(broadcast(c), col("query_id") =!= col("neighbor_id"))
+    val scored = q.join(broadcast(c), col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("sim"))
+    // heap-reduce the n·|segment| scored pairs to k per query WITHOUT
+    // the window plan's per-query sort (TopKPerKey), then rank the
+    // surviving ≤k rows — the "window over the aggregate, never the
+    // facts" rule applied to retrieval; ordering is total, so the
+    // result is identical to the row_number formulation
+    graft.operators.TopK.perKey(scored, Seq("query_id"),
+        Seq(col("sim").desc, col("neighbor_id").asc), k)
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))))
-      .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"),
         round(col("sim"), 6).as("sim"), col("rank"))
   }
