@@ -4049,6 +4049,33 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("n_tok"), col("cum_tok"))
         .orderBy("doc_id")
     }),
+    // SA10 (beyond reference): WEIGHTED sampling without replacement —
+    // Efraimidis-Spirakis exponential sort keys (ln(u)/w with u a
+    // deterministic salted-hash uniform), so a document's inclusion
+    // probability is proportional to its weight (n_chars here: the
+    // long-doc upsampling a quality-weighted pretraining mix wants)
+    // while the draw stays reshard-stable and replayable — sa6's
+    // fixed-size sample is the w≡1 special case. Per-language top-20
+    // keys through the TopKPerKey heap (third call site); only the
+    // ≤20 survivors see a rank window. Weights and hashes are exact
+    // integers; ln and the division are the t15 cross-engine-parity
+    // double ops, and the OUTPUT carries no doubles at all.
+    "sa10_weighted_sample" -> ((s, d) => {
+      val scored = t(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .withColumn("u",
+          (graft.text.TextAnalysis.hash60(col("doc_id").cast("string"), "sa10") + 1)
+            .cast("double") / lit(1152921504606846976.0))
+        .withColumn("es_key",
+          log(col("u")) / greatest(col("n_chars"), lit(1L)).cast("double"))
+      graft.operators.TopK.perKey(scored, Seq("lang"),
+          Seq(col("es_key").desc, col("doc_id").asc), 20)
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("lang"))
+            .orderBy(col("es_key").desc, col("doc_id"))))
+        .select(col("lang"), col("rk"), col("doc_id"), col("n_chars"))
+        .orderBy("lang", "rk")
+    }),
     // SA7: LEAKAGE-AWARE train/val/test split — the sa1 salted-hash
     // split decided on the near-dup CLUSTER REPRESENTATIVE (min doc id
     // of the d7 MinHash family; singletons are their own rep) and
@@ -4231,6 +4258,17 @@ object SparkEntry {
          |  SELECT lang, doc_id, CAST(row_number() OVER (PARTITION BY lang
          |    ORDER BY ${sqlHash60("sa6", "CAST(doc_id AS VARCHAR)")}, doc_id) AS INT) AS rk
          |  FROM documents)
+         |WHERE rk <= 20 ORDER BY lang, rk""".stripMargin,
+    "sa10_weighted_sample" ->
+      s"""WITH s AS (SELECT doc_id, lang, n_chars,
+         |    CAST(${sqlHash60("sa10", "CAST(doc_id AS VARCHAR)")} + 1 AS DOUBLE)
+         |      / 1152921504606846976.0 AS u
+         |  FROM documents),
+         |k AS (SELECT doc_id, lang, n_chars,
+         |    ln(u) / CAST(greatest(n_chars, 1) AS DOUBLE) AS es_key FROM s)
+         |SELECT lang, CAST(rk AS INT) AS rk, doc_id, n_chars FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY lang
+         |    ORDER BY es_key DESC, doc_id) AS rk FROM k)
          |WHERE rk <= 20 ORDER BY lang, rk""".stripMargin,
     "sa4_temperature_mix" ->
       """WITH c AS (SELECT lang AS k, count(*) AS cnt FROM documents GROUP BY lang),
