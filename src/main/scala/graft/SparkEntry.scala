@@ -4056,7 +4056,7 @@ object SparkEntry {
     // long-doc upsampling a quality-weighted pretraining mix wants)
     // while the draw stays reshard-stable and replayable — sa6's
     // fixed-size sample is the w≡1 special case. Per-language top-20
-    // keys through the TopKPerKey heap (third call site); only the
+    // keys through the TopKPerKey heap; only the
     // ≤20 survivors see a rank window. Weights and hashes are exact
     // integers; ln and the division are the t15 cross-engine-parity
     // double ops, and the OUTPUT carries no doubles at all.
