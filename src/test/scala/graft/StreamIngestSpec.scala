@@ -683,4 +683,47 @@ class StreamIngestSpec extends SparkSpec {
     assert(got.contains((7L, 1, 2L, bits9)) && got.contains((7L, 2, 4L, bits9)),
       "value tie must break by event_id asc")
   }
+
+  test("ST18: leaderboard state survives a checkpoint restart") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val dir = java.nio.file.Files.createTempDirectory("graft_topk_restart")
+    val src = dir.resolve("in").toString
+    val sink = dir.resolve("out").toString
+    val chk = dir.resolve("chk").toString
+    val b1 = Seq(Ev(1, ts("2024-01-01 10:00:00"), 7, "view", 5.0),
+      Ev(2, ts("2024-01-01 10:00:01"), 7, "view", 8.0)).toDF()
+    b1.write.parquet(src)
+    def drain(): Unit = {
+      val in = spark.readStream.schema(b1.schema).parquet(src).as[Ev]
+      val q = StreamIngest.topKPerKeyStream(spark, in, k = 2)
+        .writeStream
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[graft.streaming.StreamIngest.TopKEntry],
+           id: Long) =>
+            b.toDF().withColumn("batch_id", lit(id))
+              .write.mode("append").parquet(sink): Unit
+        }
+        .outputMode("update")
+        .option("checkpointLocation", chk)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000)
+      q.stop()
+    }
+    drain()
+    // new events land while the query is DOWN; 6.0 displaces 5.0 only
+    // if the restarted state still remembers 8.0 from before
+    Seq(Ev(3, ts("2024-01-01 10:00:02"), 7, "view", 6.0),
+      Ev(4, ts("2024-01-01 10:00:03"), 9, "view", 1.0)).toDF()
+      .write.mode("append").parquet(src)
+    drain()
+    val out = spark.read.parquet(sink)
+    val last = out.as[(Long, Int, Long, Double, Long)].collect()
+      .groupBy(e => (e._1, e._2)).view.mapValues(_.maxBy(_._5)).toMap
+    // user 7's post-restart leaderboard: 8.0 (pre-restart state) over
+    // 6.0 (post-restart event) — a lost state store would rank 6.0 first
+    assert(last((7L, 1))._3 === 2L && last((7L, 1))._4 === 8.0)
+    assert(last((7L, 2))._3 === 3L && last((7L, 2))._4 === 6.0)
+    assert(last((9L, 1))._3 === 4L)
+  }
 }
