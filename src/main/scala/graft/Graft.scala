@@ -43,6 +43,8 @@ object Graft {
     spark.experimental.extraOptimizations =
       (spark.experimental.extraOptimizations :+
         graft.plans.BroadcastDims(graft.plans.BroadcastDims.defaultDims)).distinct
+    org.apache.spark.sql.graft.Bridge.registerStrategy(
+      spark, graft.plans.TopKPerKeyStrategy)
     spark
   }
 
