@@ -2593,6 +2593,14 @@ object SparkEntry {
   private def sqlHash60(salt: String, x: String): String =
     s"('0x' || substr(md5('$salt:' || $x), 1, 15))::BIGINT"
 
+  /** The quality composite's exact-integer half-up 4-dp form (see
+    * TextAnalysis.withQuality scaladoc) — shared by every oracle that
+    * scores quality so the t2/sa5/pipe twins can never diverge. */
+  private def sqlQuality(nu: String, nw: String, ns: String): String =
+    s"(CAST((2 * (5000 * CAST($nu AS BIGINT) + 2000 * CAST(($nw) - ($ns) AS BIGINT)" +
+      s" + 30 * least(100, CAST($nw AS BIGINT)) * ($nw)) + ($nw))" +
+      s" // (2 * CAST($nw AS BIGINT)) AS DOUBLE) / 10000.0)"
+
   private val sqlJaccard: String =
     "round(len(list_intersect(a.g, b.g)) / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))), 4)"
 
@@ -3692,8 +3700,7 @@ object SparkEntry {
            |  round(length(replace(text, ' ', '')) / n_words, 4) AS avg_word_len,
            |  round(n_unique * 1.0 / n_words, 4) AS unique_ratio,
            |  round(n_stop * 1.0 / n_words, 4) AS stop_ratio,
-           |  round((n_unique * 1.0 / n_words) * 0.5 + least(1.0, n_words / 100.0) * 0.3
-           |        + (1.0 - n_stop * 1.0 / n_words) * 0.2, 4) AS quality_score
+           |  ${sqlQuality("n_unique", "n_words", "n_stop")} AS quality_score
            |FROM (
            |  SELECT doc_id, text, CAST(len(w) AS INT) AS n_words,
            |    CAST(len(list_distinct(w)) AS INT) AS n_unique,
@@ -3958,9 +3965,8 @@ object SparkEntry {
     Map("pipe_corpus_curation" ->
       s"""WITH q AS (
          |  SELECT doc_id, text, CAST(len(w) AS INT) AS n_words,
-         |    round((len(list_distinct(w)) * 1.0 / len(w)) * 0.5
-         |      + least(1.0, len(w) / 100.0) * 0.3
-         |      + (1.0 - len(list_filter(w, x -> list_contains([$stopList], x))) * 1.0 / len(w)) * 0.2, 4)
+         |    ${sqlQuality("len(list_distinct(w))", "len(w)",
+                s"len(list_filter(w, x -> list_contains([$stopList], x)))")}
          |      AS quality_score
          |  FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)),
          |f AS (SELECT * FROM q WHERE quality_score >= 0.5 AND n_words >= 20),
@@ -4241,8 +4247,7 @@ object SparkEntry {
       val stopList = graft.text.TextAnalysis.stopwords.map(w => s"'$w'").mkString(", ")
       s"""WITH s AS (
          |  SELECT doc_id, lang,
-         |    round((n_unique * 1.0 / n_words) * 0.5 + least(1.0, n_words / 100.0) * 0.3
-         |          + (1.0 - n_stop * 1.0 / n_words) * 0.2, 4) AS quality_score
+         |    ${sqlQuality("n_unique", "n_words", "n_stop")} AS quality_score
          |  FROM (
          |    SELECT doc_id, lang, CAST(len(w) AS INT) AS n_words,
          |      CAST(len(list_distinct(w)) AS INT) AS n_unique,

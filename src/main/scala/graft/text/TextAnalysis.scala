@@ -70,10 +70,15 @@ object TextAnalysis {
   val stopwords: Seq[String] = Seq("the", "a", "of", "to", "and")
 
   /** Quality scoring: length, uniqueness, stopword density → composite
-    * in [0,1]. The composite is computed from the UNROUNDED ratios —
-    * deriving it from 4-decimal-rounded inputs lands exactly on .5
-    * rounding boundaries (e.g. 0.8333*0.5 = 0.41665) where engines'
-    * rounding of non-representable doubles diverges. */
+    * in [0,1]. The composite's 4-dp value is computed in EXACT INTEGER
+    * arithmetic with pinned round-half-up — the double formulation hit
+    * data-dependent .XXXX5 boundaries where Spark's `round` (shortest-
+    * decimal-string HALF_UP) and DuckDB's (binary-value) disagree
+    * (sf0.1 doc 663: exact composite 0.60225 → 0.6023 vs 0.6022). The
+    * exact rational is q = T / (10000·n_words) with
+    * T = 5000·n_unique + 2000·(n_words−n_stop) + 30·min(100,n_words)·n_words,
+    * so q₄ = ⌊(2T + n_words) / (2·n_words)⌋ is the half-up 4-dp value
+    * as one integer division, identical in any engine. */
   def withQuality(docs: DataFrame): DataFrame = {
     val w = words(col("text"))
     val uniqueRatio = col("n_unique").cast("double") / col("n_words")
@@ -84,10 +89,12 @@ object TextAnalysis {
       .withColumn("n_stop", size(filter(w, x => array_contains(typedlit(stopwords), x))))
       .withColumn("avg_word_len",
         round(length(regexp_replace(col("text"), " ", "")).cast("double") / col("n_words"), 4))
+      .withColumn("q_t",
+        lit(5000L) * col("n_unique") + lit(2000L) * (col("n_words") - col("n_stop")) +
+          lit(30L) * least(lit(100L), col("n_words").cast("long")) * col("n_words"))
       .withColumn("quality_score",
-        round(uniqueRatio * 0.5 +
-          least(lit(1.0), col("n_words").cast("double") / 100.0) * 0.3 +
-          (lit(1.0) - stopRatio) * 0.2, 4))
+        expr("(2 * q_t + n_words) div (2 * n_words)").cast("double") / 10000.0)
+      .drop("q_t")
       .withColumn("unique_ratio", round(uniqueRatio, 4))
       .withColumn("stop_ratio", round(stopRatio, 4))
   }

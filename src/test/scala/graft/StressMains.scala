@@ -298,6 +298,19 @@ object ProfileTopK {
                 col("l_linenumber").asc)))
           .filter(col("rn") <= 3).count()
       }
+      // worst case: every key unique — the partial heap retains every
+      // row (pure overhead) and the operator degrades to the window
+      // plan's shuffle volume; documents the honest floor
+      time(s"unique-key heap   $i") {
+        graft.operators.TopK.perKey(li, Seq("l_orderkey", "l_linenumber"),
+          Seq(col("l_extendedprice").desc), 3).count()
+      }
+      time(s"unique-key window $i") {
+        li.withColumn("rn", row_number().over(
+            Window.partitionBy("l_orderkey", "l_linenumber")
+              .orderBy(col("l_extendedprice").desc)))
+          .filter(col("rn") <= 3).count()
+      }
     }
     spark.stop()
   }
