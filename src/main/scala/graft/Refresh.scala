@@ -51,11 +51,15 @@ object Refresh {
         // legitimately re-sending an identical malformed payload days
         // later is a NEW dead-letter row — dropping it would erase the
         // occurrence count and recency the ops signal depends on.
+        // The stamp enters the hash as epoch MICROS, not a formatted
+        // string: date_format renders in the session timezone, which
+        // would make the dedup key environment-dependent (a non-UTC
+        // replay of the same file would re-append every row).
         StreamIngest.idempotentAppend(
           Webhook.rejected(parsed)
             .select(col("account"), col("body"), col("received_at"),
               sha2(concat_ws("|", col("account"), col("body"),
-                date_format(col("received_at"), "yyyy-MM-dd HH:mm:ss.SSSSSS")),
+                unix_micros(col("received_at")).cast("string")),
                 256).as("reject_id")),
           s"$warehouseDir/dead_letter", "reject_id")
         ()

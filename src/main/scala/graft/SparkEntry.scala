@@ -38,10 +38,26 @@ object SparkEntry {
     * s13): fixed WITHIN a process (bench repeats overwrite in place,
     * no per-call leak) but unique ACROSS processes — the PID suffix
     * keeps a concurrent Bench + Verify pair on one box from deleting
-    * each other's files mid-read. */
-  private def scratchDir(name: String): String =
-    java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-      s"graft_${name}_scratch_${ProcessHandle.current.pid}").toString
+    * each other's files mid-read. A shutdown hook removes the dir so
+    * repeated bench/verify JVMs don't accumulate staged copies in tmp. */
+  private def scratchDir(name: String): String = {
+    val p = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_${name}_scratch_${ProcessHandle.current.pid}")
+    scratchCleanup.putIfAbsent(p.toString, true)
+    p.toString
+  }
+
+  private val scratchCleanup = {
+    val dirs = new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      dirs.keySet.forEach { d =>
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+        }
+        rm(new java.io.File(d))
+      }))
+    dirs
+  }
 
   /** Exact money sum (see Measures.moneySum) as oracle SQL text. */
   private def sqlMoney(x: String): String =
@@ -2991,6 +3007,18 @@ object SparkEntry {
     """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
       |n AS (SELECT vec_id, v, sqrt(list_reduce(list_apply(v, x -> x*x), (a,b) -> a+b)) AS nrm FROM e)""".stripMargin
 
+  /** Per-query |approx-top-k ∩ exact-top-k| / k — the shared tail of
+    * the e18/e19 recall measurements (one definition, two index
+    * families; `approx` must carry a `hit` = 1L marker column). */
+  private def recallRollup(exact: DataFrame, approx: DataFrame): DataFrame =
+    exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("k_exact"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .select(col("query_id"), col("k_exact"), col("n_hit"),
+        round(col("n_hit").cast("double") / col("k_exact"), 6).as("recall"))
+      .orderBy("query_id")
+
   private val simQueries: Map[String, Q] = Map(
     // E1: brute-force cosine top-k — exact ANN baseline (blocked
     // kernel; bit-identical to the join formulation, see Ann scaladoc).
@@ -3120,13 +3148,7 @@ object SparkEntry {
       val approx = graft.similarity.Ann
         .lshTopK(emb, 5, nTables = 8, nPlanesOverride = 8)
         .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
-      exact.join(approx, Seq("query_id", "neighbor_id"), "left")
-        .groupBy(col("query_id"))
-        .agg(count(lit(1)).as("k_exact"),
-          sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
-        .select(col("query_id"), col("k_exact"), col("n_hit"),
-          round(col("n_hit").cast("double") / col("k_exact"), 6).as("recall"))
-        .orderBy("query_id")
+      recallRollup(exact, approx)
     }),
     // E19: the same recall pin for the IVF family — per-query
     // |IVF-top5 ∩ exact-top5| / 5 in the oracle-able configuration:
@@ -3146,13 +3168,7 @@ object SparkEntry {
       val approx = graft.similarity.Ann
         .ivfTopK(emb, 5, nProbe = 4, prefixSeeds = true, refine = false)
         .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
-      exact.join(approx, Seq("query_id", "neighbor_id"), "left")
-        .groupBy(col("query_id"))
-        .agg(count(lit(1)).as("k_exact"),
-          sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
-        .select(col("query_id"), col("k_exact"), col("n_hit"),
-          round(col("n_hit").cast("double") / col("k_exact"), 6).as("recall"))
-        .orderBy("query_id")
+      recallRollup(exact, approx)
     }),
     // E17: metadata-FILTERED vector search — every vector queries the
     // corpus restricted to vectors whose DOCUMENT passes a metadata
@@ -3221,6 +3237,27 @@ object SparkEntry {
     * full LSH candidate set (join twin of the cell kernel — identical
     * top-5 by safe prune), ranked and intersected with the e1 exact
     * top-5. */
+  /** Shared SQL tail of the e18/e19 recall oracles: exact top-5 over
+    * all pairs (`n` CTE) left-joined to the approx top-5 (`ar` CTE),
+    * rolled to per-query recall — one definition, two index families
+    * (mirrors [[recallRollup]] on the Spark side). */
+  private val sqlRecallTail: String =
+    """esim AS (SELECT q.vec_id AS query_id, c9.vec_id AS neighbor_id,
+      |    list_reduce(list_apply(range(1, 65), i -> q.v[i] * c9.v[i]), (x,y) -> x+y)
+      |      / (q.nrm * c9.nrm) AS sim
+      |  FROM n q JOIN n c9 ON q.vec_id <> c9.vec_id),
+      |ex AS (SELECT query_id, neighbor_id FROM (
+      |  SELECT query_id, neighbor_id,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
+      |  FROM esim) WHERE rn <= 5)
+      |SELECT ex.query_id, count(*) AS k_exact,
+      |  CAST(sum(CASE WHEN ar.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+      |  round(CAST(sum(CASE WHEN ar.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / count(*), 6) AS recall
+      |FROM ex LEFT JOIN ar
+      |  ON ar.query_id = ex.query_id AND ar.neighbor_id = ex.neighbor_id
+      |GROUP BY ex.query_id ORDER BY ex.query_id""".stripMargin
+
   private val lshRecallOracle: String = {
     val selects = (0 until 8).map { tbl =>
       val ps = graft.similarity.Ann.planes(8, 64, tbl)
@@ -3246,21 +3283,7 @@ object SparkEntry {
        |  SELECT query_id, neighbor_id,
        |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
        |  FROM asim) WHERE rn <= 5),
-       |esim AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-       |    list_reduce(list_apply(range(1, 65), i -> q.v[i] * c.v[i]), (x,y) -> x+y)
-       |      / (q.nrm * c.nrm) AS sim
-       |  FROM n q JOIN n c ON q.vec_id <> c.vec_id),
-       |ex AS (SELECT query_id, neighbor_id FROM (
-       |  SELECT query_id, neighbor_id,
-       |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
-       |  FROM esim) WHERE rn <= 5)
-       |SELECT ex.query_id, count(*) AS k_exact,
-       |  CAST(sum(CASE WHEN ar.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
-       |  round(CAST(sum(CASE WHEN ar.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
-       |    / count(*), 6) AS recall
-       |FROM ex LEFT JOIN ar
-       |  ON ar.query_id = ex.query_id AND ar.neighbor_id = ex.neighbor_id
-       |GROUP BY ex.query_id ORDER BY ex.query_id""".stripMargin
+$sqlRecallTail""".stripMargin
   }
 
   /** e19's oracle: prefix-seeded unrefined IVF replayed in SQL —
@@ -3294,21 +3317,7 @@ object SparkEntry {
        |  SELECT query_id, neighbor_id,
        |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
        |  FROM csim) WHERE rn <= 5),
-       |esim AS (SELECT q.vec_id AS query_id, c2.vec_id AS neighbor_id,
-       |    list_reduce(list_apply(range(1, 65), i -> q.v[i] * c2.v[i]), (x,y) -> x+y)
-       |      / (q.nrm * c2.nrm) AS sim
-       |  FROM n q JOIN n c2 ON q.vec_id <> c2.vec_id),
-       |ex AS (SELECT query_id, neighbor_id FROM (
-       |  SELECT query_id, neighbor_id,
-       |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
-       |  FROM esim) WHERE rn <= 5)
-       |SELECT ex.query_id, count(*) AS k_exact,
-       |  CAST(sum(CASE WHEN ar.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
-       |  round(CAST(sum(CASE WHEN ar.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
-       |    / count(*), 6) AS recall
-       |FROM ex LEFT JOIN ar
-       |  ON ar.query_id = ex.query_id AND ar.neighbor_id = ex.neighbor_id
-       |GROUP BY ex.query_id ORDER BY ex.query_id""".stripMargin
+$sqlRecallTail""".stripMargin
 
   private val simOracles: Map[String, String] = Map(
     "e16_mmr_topk" -> mmrOracle,

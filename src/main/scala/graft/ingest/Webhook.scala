@@ -151,7 +151,12 @@ object Webhook {
     val isJson = try_parse_json(col("body")).isNotNull
     val knownEvent =
       coalesce(env.getField("event").isin(knownEvents: _*), lit(false))
-    val ack = when(!col("account").isin(allowedAccounts: _*), lit("invalid_account"))
+    // NULL account must route to invalid_account, not fall through to a
+    // success ack: `NULL isin(...)` is NULL, which `when` skips, and
+    // [[parsed]] drops the row — a 200 ack would stop the collector's
+    // redelivery of an event the engine never stored.
+    val accountOk = coalesce(col("account").isin(allowedAccounts: _*), lit(false))
+    val ack = when(!accountOk, lit("invalid_account"))
       .when(!isJson, lit("invalid_content_type"))
       .when(!knownEvent, lit("success_unhandled"))
       .otherwise(lit("success"))

@@ -98,6 +98,11 @@ object Media {
     * was built for, exercised by MediaSpec on in-test-encoded PNGs. */
   object ImageIOCodec extends MediaCodec {
     def open(): MediaCodec.Session = new MediaCodec.Session {
+      // default ImageIO.read(InputStream) wraps the stream in a
+      // FileCacheImageInputStream — one temp-file create/write/delete
+      // per blob, disk I/O inside the per-partition hot loop. Inputs
+      // are already in-memory byte arrays; decode fully in memory.
+      javax.imageio.ImageIO.setUseCache(false)
       private val md = java.security.MessageDigest.getInstance("MD5")
       def decode(id: Long, bytes: Array[Byte], w0: Int, h0: Int, f0: Int): Decoded = {
         md.reset()

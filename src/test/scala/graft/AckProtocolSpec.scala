@@ -25,6 +25,7 @@ class AckProtocolSpec extends SparkSpec {
   private val posts = Seq(
     // (account, body, expected ack)
     ("ghost", body("lead.creation"), "invalid_account"),       // 400: not whitelisted
+    (null.asInstanceOf[String], body("lead.creation"), "invalid_account"), // 400: missing account — a 200 here would stop redelivery of a row parsed() drops
     ("midtown", "plain text, not json", "invalid_content_type"), // 400: non-JSON
     ("midtown", """{"no_envelope": true}""", "success_unhandled"), // 200: JSON, event missing
     ("midtown", body("lead.telepathy"), "success_unhandled"),  // 200: unknown event, acked
@@ -65,8 +66,8 @@ class AckProtocolSpec extends SparkSpec {
     assert(Webhook.rejected(parsed).count() == nUnhandledListed + nBadJsonListed)
     // 400s never reach the parsed frame at all
     val n400 = acked.filter(col("http_status") === 400).count()
-    assert(n400 == 2)
-    assert(parsed.count() == posts.count() - 1) // only the account 400 is pre-filtered
+    assert(n400 == 3) // ghost account, NULL account, non-JSON body
+    assert(parsed.count() == posts.count() - 2) // both account 400s are pre-filtered
     acked.unpersist()
   }
 }
