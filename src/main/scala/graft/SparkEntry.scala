@@ -2635,6 +2635,16 @@ object SparkEntry {
     "d15_jaccard_estimate" -> ((s, d) =>
       graft.dedup.Dedup.jaccardEstimatePairs(t(s, d, "documents"))
         .orderBy("d1", "d2")),
+    // D16: prefix-filtered set-similarity join (PPJoin candidate
+    // generation) — the third candidate family next to LSH (d3) and
+    // the inverted index (d13), with the skew knob built in: join
+    // keys are each doc's RAREST shingles. Same 0.7 shingle-Jaccard
+    // bar as d3, so this is the EXACT answer LSH approximates (see
+    // Dedup.prefixFilterPairs; DedupSpec pins completeness vs brute
+    // force).
+    "d16_prefix_filter_pairs" -> ((s, d) =>
+      graft.dedup.Dedup.prefixFilterPairs(t(s, d, "documents"), 0.7)
+        .orderBy("d1", "d2")),
     // D4: SimHash 32-bit signatures.
     "d4_simhash_signatures" -> ((s, d) =>
       graft.dedup.Dedup.simhashSignatures(t(s, d, "documents")).orderBy("doc_id")),
@@ -2764,6 +2774,27 @@ object SparkEntry {
            |  SELECT a.doc_id AS d1, b.doc_id AS d2, $sqlJaccard AS jaccard
            |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
            |WHERE jaccard >= 0.7 ORDER BY d1, d2""".stripMargin,
+      "d16_prefix_filter_pairs" ->
+        s"""$shingleCte,
+          |tok AS (SELECT doc_id, unnest(g) AS w FROM sh WHERE len(g) > 0),
+          |df AS (SELECT w, count(*) AS df FROM tok GROUP BY 1),
+          |sz AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY 1),
+          |rk AS (SELECT tok.doc_id, tok.w,
+          |    row_number() OVER (PARTITION BY tok.doc_id ORDER BY df.df, tok.w) AS rnk
+          |  FROM tok JOIN df USING (w)),
+          |pref AS (SELECT rk.doc_id, rk.w FROM rk JOIN sz USING (doc_id)
+          |  WHERE rnk <= (3 * sz) // 10 + 1),
+          |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+          |  FROM pref a JOIN pref b ON a.w = b.w AND a.doc_id < b.doc_id),
+          |inter AS (SELECT c.d1, c.d2, count(*) AS n_common
+          |  FROM cand c JOIN tok x ON x.doc_id = c.d1
+          |    JOIN tok y ON y.doc_id = c.d2 AND y.w = x.w
+          |  GROUP BY 1, 2)
+          |SELECT d1, d2, n_common,
+          |  round(CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common), 4) AS jaccard
+          |FROM inter JOIN sz sa ON sa.doc_id = d1 JOIN sz sb ON sb.doc_id = d2
+          |WHERE 10 * n_common >= 7 * (sa.sz + sb.sz - n_common)
+          |ORDER BY d1, d2""".stripMargin,
       "d15_jaccard_estimate" -> {
         val estSum = (0 until graft.dedup.Dedup.MINHASH_K)
           .map(j => s"(CASE WHEN x.h$j = y.h$j THEN 1 ELSE 0 END)").mkString(" + ")

@@ -266,4 +266,33 @@ class DedupSpec extends SparkSpec {
       .select("d1", "d2").as[(Long, Long)].collect().toSet
     assert(kept === Set((1L, 2L)))
   }
+
+  test("D16: prefix-filter join finds EVERY pair brute force finds (completeness)") {
+    // random word soup from a tiny vocabulary -> dense near-dup space
+    // with heavy shingle ties; the prefix theorem must hold on ties,
+    // minimal (3-word) docs, and docs too short to shingle
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps")
+    val docs = (1L to 60L).map { i =>
+      val n = 1 + rnd.nextInt(8) // 1..8 words; <3 words -> no shingles
+      (i, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val got = Dedup.prefixFilterPairs(docs, 0.7)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    // brute force: exact Jaccard on distinct 3-shingle sets, same
+    // integer keep rule
+    val toks = docs.as[(Long, String)].collect()
+      .map { case (id, t) =>
+        val w = t.split(" ")
+        id -> w.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+      }.toMap.filter(_._2.nonEmpty)
+    val want = (for {
+      a <- toks.keys; b <- toks.keys if a < b
+      inter = (toks(a) & toks(b)).size
+      union = toks(a).size + toks(b).size - inter
+      if 10 * inter >= 7 * union
+    } yield (a, b)).toSet
+    assert(got == want, s"missing=${want -- got} extra=${got -- want}")
+    assert(want.nonEmpty, "the generator must actually produce near-dups")
+  }
 }
