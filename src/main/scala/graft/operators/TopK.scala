@@ -26,12 +26,17 @@ object TopK {
     *         and order unspecified (as after any aggregation). */
   def perKey(df: DataFrame, keys: Seq[String], order: Seq[Column], k: Int): DataFrame = {
     require(keys.nonEmpty && order.nonEmpty && k >= 0)
+    if (k == 0) return df.limit(0)
     Bridge.registerStrategy(df.sparkSession, TopKPerKeyStrategy)
     val sortOrder = order.map(c => Bridge.expression(df.sparkSession, c) match {
       case so: SortOrder => so
       case e             => SortOrder(e, Ascending)
     })
-    val keyExprs = keys.map(n => Bridge.expression(df.sparkSession, df.col(n)))
+    // float keys normalize (-0.0 → 0.0, canonical NaN) so grouping
+    // matches the window twin's semantics — the optimizer rule that
+    // does this for built-in nodes does not match custom ones
+    val keyExprs = keys.map(n =>
+      Bridge.normalizeFloats(Bridge.expression(df.sparkSession, df.col(n))))
     Bridge.ofRows(df.sparkSession,
       TopKPerKeyNode(keyExprs, sortOrder, k, df.queryExecution.analyzed))
   }

@@ -88,24 +88,40 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
   override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyExec =
     copy(child = newChild)
 
-  override lazy val metrics = Map(
-    "numOutputRows" ->
+  override lazy val metrics = {
+    val out = Map("numOutputRows" ->
       org.apache.spark.sql.execution.metric.SQLMetrics
-        .createMetric(sparkContext, "number of output rows"),
-    "numFlushes" ->
+        .createMetric(sparkContext, "number of output rows"))
+    // flushes exist only on the partial side (the final side never
+    // flushes structurally — a dead 0 metric would just be UI noise)
+    if (isPartial) out + ("numFlushes" ->
       org.apache.spark.sql.execution.metric.SQLMetrics
         .createMetric(sparkContext, "partial heap-map flushes"))
+    else out
+  }
 
   override protected def doExecute(): RDD[InternalRow] = {
-    if (k <= 0) return sparkContext.emptyRDD[InternalRow]
+    // k <= 0: emit nothing but KEEP the child's partition count — an
+    // emptyRDD (0 partitions) would contradict outputPartitioning and
+    // break a downstream co-partitioned zip (the API also short-
+    // circuits k == 0 before planning; this is the defensive layer)
+    if (k <= 0) {
+      return child.execute()
+        .mapPartitions(_ => Iterator.empty, preservesPartitioning = true)
+    }
     val keyExprs = keys
     val childOutput = child.output
     val limit = k
     // serializable; codegens the comparator lazily on each executor
     val ord = new LazilyGeneratedOrdering(order, childOutput)
-    val flushEvery = if (isPartial) TopKPerKey.FlushEvery else Int.MaxValue
+    // Long counter + Long.MaxValue sentinel: the final side can never
+    // flush, even past 2^31 retained rows (a mid-iterator flush on the
+    // FINAL side would emit up to 2k rows for a key); a non-positive
+    // (misconfigured) threshold floors at 1 instead of looping forever
+    val flushEvery: Long =
+      if (isPartial) math.max(1, TopKPerKey.FlushEvery).toLong else Long.MaxValue
     val outputRows = longMetric("numOutputRows")
-    val flushes = longMetric("numFlushes")
+    val flushes = if (isPartial) longMetric("numFlushes") else null
     child.execute().mapPartitions({ iter =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
       // heap root = WORST retained row (reverse ordering), so a
@@ -122,7 +138,10 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
           val key = keyProj(row)
           val q = groups.get(key)
           if (q == null) {
-            val nq = new java.util.PriorityQueue[InternalRow](limit, worstFirst)
+            // grow-on-demand capacity: pre-allocating `limit` slots per
+            // key costs O(keys × k) memory up front at large k
+            val nq = new java.util.PriorityQueue[InternalRow](
+              math.max(1, math.min(limit, 16)), worstFirst)
             nq.add(row.copy())
             groups.put(key.copy(), nq)
             1
@@ -133,18 +152,21 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
         private def advance(): Unit =
           while (!out.hasNext && iter.hasNext) {
             groups.clear()
-            var retained = 0
+            var retained = 0L
             while (iter.hasNext && retained < flushEvery) {
               retained += consume(iter.next())
             }
-            if (iter.hasNext) flushes += 1 // mid-partition flush, not EOF
+            if (iter.hasNext && flushes != null) flushes += 1 // mid-partition flush, not EOF
             val buf = new java.util.ArrayList[InternalRow]()
             groups.values.forEach(q => q.forEach(r => buf.add(r)))
-            outputRows += buf.size()
             out = buf.iterator()
           }
         override def hasNext: Boolean = { advance(); out.hasNext }
-        override def next(): InternalRow = { advance(); out.next() }
+        override def next(): InternalRow = {
+          advance()
+          outputRows += 1 // per emitted row, so early-stopping consumers read true counts
+          out.next()
+        }
       }
     }, preservesPartitioning = true)
   }

@@ -20,6 +20,15 @@ object Bridge {
   def expression(spark: SparkSession, c: Column): Expression =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].expression(c)
 
+  /** Normalize -0.0 → 0.0 and NaN payloads to the canonical NaN
+    * inside an expression (recursively through structs/arrays).
+    * Spark's `NormalizeFloatingNumbers` optimizer rule does this for
+    * Aggregate/Join/Window keys but NOT for custom logical nodes —
+    * without it, raw-bits UnsafeRow key equality would split ±0.0 and
+    * NaN-payload groups (e.g. in [[graft.plans.TopKPerKeyNode]]). */
+  def normalizeFloats(e: Expression): Expression =
+    org.apache.spark.sql.catalyst.optimizer.NormalizeFloatingNumbers.normalize(e)
+
   /** DataFrame from a raw LogicalPlan (`Dataset.ofRows` is
     * `private[sql]`) — the construction path for custom logical
     * operators like [[graft.plans.TopKPerKeyNode]]. */

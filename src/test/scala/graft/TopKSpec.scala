@@ -99,4 +99,20 @@ class TopKSpec extends SparkSpec {
     assert(got.select("g", "v", "id").as[(String, Option[Int], Long)].collect().toSet ==
       want.select("g", "v", "id").as[(String, Option[Int], Long)].collect().toSet)
   }
+
+  test("float grouping keys: ±0.0 and NaN payloads form ONE group, like the window") {
+    // raw-bits UnsafeRow key equality would split -0.0 from 0.0 and
+    // NaN payloads from each other; perKey normalizes float keys the
+    // way NormalizeFloatingNumbers does for built-in nodes
+    val df = Seq((0.0, 1L), (-0.0, 2L), (Double.NaN, 3L),
+      (java.lang.Double.longBitsToDouble(0x7ff8000000000001L), 4L))
+      .toDF("g", "id")
+    val got = TopK.perKey(df, Seq("g"), Seq(col("id").asc), 1)
+      .select("id").as[Long].collect().toSet
+    val twin = df.withColumn("rn", row_number().over(
+        Window.partitionBy("g").orderBy(col("id").asc)))
+      .filter(col("rn") === 1).select("id").as[Long].collect().toSet
+    assert(got == twin)
+    assert(got == Set(1L, 3L), "one zero group (min id 1), one NaN group (min id 3)")
+  }
 }
