@@ -127,8 +127,15 @@ object Bench {
         // The 12 s default is an sf0.1 profile constant: at a larger SF
         // or on a slower box set SPARK_GRAFT_STALL_SEC higher, or the
         // retry budget burns on legitimately long queries.
-        val stallSec = sys.env.get("SPARK_GRAFT_STALL_SEC")
-          .map(_.toDouble).getOrElse(12.0)
+        // lenient parse: a malformed value (e.g. "12s") falls back to
+        // the default with a warning instead of aborting the whole
+        // bench run with a NumberFormatException
+        val stallSec = sys.env.get("SPARK_GRAFT_STALL_SEC").flatMap { raw =>
+          val p = scala.util.Try(raw.toDouble).toOption
+          if (p.isEmpty) System.err.println(
+            s"[bench] SPARK_GRAFT_STALL_SEC='$raw' is not a number; using 12.0")
+          p
+        }.getOrElse(12.0)
         def stalled(rs: List[(Double, Long)]): Boolean = {
           val ts = rs.map(_._1)
           (ts.min > 1.0 && ts.max / ts.min > 2.0) || ts.min > stallSec

@@ -49,13 +49,17 @@ object SparkEntry {
 
   private val scratchCleanup = {
     val dirs = new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
-    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+    // Spark-managed hook BELOW SparkContext's stop priority: Spark
+    // quiesces (no task can still be reading staged parquet) before
+    // the scratch dirs vanish — a raw Runtime hook races Spark's own
+    // shutdown and turns clean exits into FileNotFound noise
+    org.apache.spark.sql.graft.Bridge.addPostSparkShutdownHook(() =>
       dirs.keySet.forEach { d =>
         def rm(f: java.io.File): Unit = {
           Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
         }
         rm(new java.io.File(d))
-      }))
+      })
     dirs
   }
 
@@ -198,24 +202,41 @@ object SparkEntry {
     // DQ2 (beyond reference): referential-integrity audit — orphan
     // counts per foreign-key relation (anti-join counts), the other
     // standard post-load gate.
-    // DQ1 scale path: HLL sketches (approx_count_distinct) replace the
+    // DQ1 scale path: KMV sketches (Sketches.kmvDistinct) replace the
     // Expand-based exact distincts — at 100-column width the exact form
-    // multiplies the scan by the column count; the sketch form stays
-    // one pass with constant memory per column. No oracle (approximate
-    // by design) — the driver records a rows-only check, the exact
-    // dq1_profile above remains the correctness anchor.
+    // multiplies the scan by the column count; the sketch form keeps
+    // ≤ k hashes per column. md5-deterministic ⇒ HASH-ORACLED (was the
+    // HLL no_oracle path; the exact dq1_profile above remains the
+    // correctness anchor, this is now a gated estimate). One explode
+    // turns the row into (col_name, canonical-string value) pairs so
+    // all five columns share a single scan + one KMV pass; the
+    // double-typed money column goes through the s13 decimal(18,2)
+    // ingest boundary so both engines hash identical bytes.
     "dq1_profile_approx" -> ((s, d) => {
       val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
         "o_totalprice", "o_orderpriority")
-      val aggs = cols.flatMap(c => Seq(
-        approx_count_distinct(col(c)).as(s"d_$c"),
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn_$c")
-      )) :+ count(lit(1)).as("n_rows")
-      val one = t(s, d, "orders").agg(aggs.head, aggs.tail: _*).localCheckpoint(true)
-      cols.map(c => one.select(
-          lit(c).as("col_name"), col("n_rows"),
-          col(s"nn_$c").as("n_nulls"), col(s"d_$c").as("n_approx_distinct")))
+      def canon(c: String): Column = c match {
+        case "o_totalprice" => col(c).cast("decimal(18,2)").cast("string")
+        case other          => col(other).cast("string")
+      }
+      val orders = t(s, d, "orders")
+      val aggs = cols.map(c =>
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn_$c")) :+
+        count(lit(1)).as("n_rows")
+      val one = orders.agg(aggs.head, aggs.tail: _*).localCheckpoint(true)
+      val stats = cols.map(c => one.select(
+          lit(c).as("col_name"), col("n_rows"), col(s"nn_$c").as("n_nulls")))
         .reduce(_ unionByName _)
+      val pairs = orders.select(explode(array(cols.map(c =>
+          struct(lit(c).as("col_name"), canon(c).as("v"))): _*)).as("s"))
+        .select(col("s.col_name"), col("s.v"))
+      val est = graft.sketch.Sketches.kmvDistinct(
+          pairs, col("col_name"), col("v"), 256)
+        .withColumnRenamed("grp", "col_name")
+        .withColumnRenamed("est_distinct", "n_approx_distinct")
+      stats.join(est, Seq("col_name"), "left")
+        .select(col("col_name"), col("n_rows"), col("n_nulls"),
+          coalesce(col("n_approx_distinct"), lit(0.0)).as("n_approx_distinct"))
         .orderBy("col_name")
     }),
     "dq2_referential" -> ((s, d) => {
@@ -361,7 +382,12 @@ object SparkEntry {
       s.read.parquet(tmp) // DecimalType(18,2) straight from the footer
         .groupBy(col("o_orderstatus").as("status"))
         .agg(count(lit(1)).as("n"),
-          sum(col("price_d")).as("total_d"),
+          // Spark widens sum(DECIMAL(18,2)) to DECIMAL(28,2); narrow it
+          // back so no >18-precision decimal reaches the output schema
+          // (the driver's value hash is sensitive to the physical
+          // decimal width even when values agree — same cure as g1/g3).
+          // sf totals fit in 18 digits with room to spare.
+          sum(col("price_d")).cast("decimal(18,2)").as("total_d"),
           min(col("price_d")).as("min_d"),
           max(col("price_d")).as("max_d"))
         .orderBy("status")
@@ -656,7 +682,7 @@ object SparkEntry {
       """WITH stored AS (SELECT o_orderkey, o_orderstatus,
         |    CAST(o_totalprice AS DECIMAL(18,2)) AS price_d FROM orders)
         |SELECT o_orderstatus AS status, count(*) AS n,
-        |  CAST(sum(price_d) AS DECIMAL(28,2)) AS total_d,
+        |  CAST(sum(price_d) AS DECIMAL(18,2)) AS total_d,
         |  min(price_d) AS min_d, max(price_d) AS max_d
         |FROM stored GROUP BY 1 ORDER BY 1""".stripMargin,
     "s12_zorder_scan" ->
@@ -1315,12 +1341,18 @@ object SparkEntry {
         .groupBy(col("event_type"))
         .agg(countDistinct(col("user_id")).as("n_users"), count(lit(1)).as("n_events"))
         .orderBy("event_type")),
-    // A13 scale path: HLL sketch distinct (no oracle — approx by design;
-    // at 100 TB this replaces the exact shuffle-heavy distinct).
+    // A13 scale path: KMV distinct sketch (Sketches.kmvDistinct) — at
+    // 100 TB this replaces the exact shuffle-heavy distinct with ≤ k
+    // retained hashes per group, and unlike the HLL form it is
+    // md5-deterministic and HASH-ORACLED (the dq6/a25 recipe): the
+    // estimate itself is a regression-gated number, not a spec-only
+    // path. The k-smallest selection runs on the engine's own
+    // TopKPerKey heap operator.
     "a13_approx_distinct" -> ((s, d) =>
-      t(s, d, "events")
-        .groupBy(col("event_type"))
-        .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+      graft.sketch.Sketches.kmvDistinct(
+          t(s, d, "events"), col("event_type"), col("user_id"), 256)
+        .select(col("grp").as("event_type"),
+          col("est_distinct").as("approx_users"))
         .orderBy("event_type")),
     // A21 (beyond reference): weekly cohort retention triangle — only
     // (user, week) pairs ever shuffle, never event bodies.
@@ -1553,6 +1585,39 @@ object SparkEntry {
     "a13_distinct_count" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // KMV replay of the a13 scale path (was HLL no_oracle)
+    "a13_approx_distinct" ->
+      s"""SELECT event_type, est_distinct AS approx_users FROM (
+         |${graft.sketch.Sketches.kmvDistinctSql(
+              "SELECT event_type AS g, CAST(user_id AS VARCHAR) AS v FROM events",
+              "event_type", 256)}
+         |) kmv ORDER BY event_type""".stripMargin,
+    "dq1_profile_approx" -> {
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderpriority")
+      def canonSql(c: String): String = c match {
+        case "o_totalprice" => s"CAST(CAST($c AS DECIMAL(18,2)) AS VARCHAR)"
+        case other          => s"CAST($other AS VARCHAR)"
+      }
+      val aggExprs = cols.map(c =>
+        s"CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_$c")
+        .mkString(", ")
+      val statArms = cols.map(c =>
+        s"SELECT '$c' AS col_name, n_rows, nn_$c AS n_nulls FROM one")
+        .mkString(" UNION ALL ")
+      val pairArms = cols.map(c =>
+        s"SELECT '$c' AS g, ${canonSql(c)} AS v FROM orders")
+        .mkString(" UNION ALL ")
+      s"""WITH one AS (SELECT count(*) AS n_rows, $aggExprs FROM orders),
+         |stats AS ($statArms),
+         |est AS (SELECT * FROM (
+         |${graft.sketch.Sketches.kmvDistinctSql(pairArms, "col_name", 256)}
+         |) kmv)
+         |SELECT s.col_name, s.n_rows, s.n_nulls,
+         |  coalesce(e.est_distinct, 0.0) AS n_approx_distinct
+         |FROM stats s LEFT JOIN est e ON e.col_name = s.col_name
+         |ORDER BY s.col_name""".stripMargin
+    },
     "a11_goal_progress" -> joinOracles("j2_goal_progress"),
     "a11_goal_progress_annual" ->
       """SELECT nationkey, yr, mo,
@@ -1767,21 +1832,30 @@ object SparkEntry {
           ntile(4).over(Window.orderBy(col("c_acctbal"), col("c_custkey")))
             .as("quartile"))
         .orderBy("c_custkey")),
-    // W7 scale path: quartile via approx-percentile cutoffs — one
-    // partial-aggregated sketch pass for the three cutoffs, broadcast
-    // the 1-row cutoff table, bucket by projection. Approximate at the
-    // cutoff boundaries ⇒ no SQL oracle (like a13_approx_distinct);
-    // MeasuresSpec asserts ≥95% row agreement with exact w7_ntile.
+    // W7 scale path: quartile via the dq6 HISTOGRAM-SKETCH cutoffs —
+    // one linear scan into ≤1024 map-side-combined counters for the
+    // three cutoffs, broadcast the 1-row cutoff table, bucket by
+    // projection; no global sort. Integer crossing ranks + the single
+    // documented interpolation make the cutoffs bit-reproducible, so —
+    // unlike the percentile_approx form it replaces — this scale path
+    // IS hash-oracled (the histQuantilesSql replay feeds the same
+    // projection in SQL). Domain [-1000, 10008.6) covers c_acctbal's
+    // [-999.99, 9999.99]; MeasuresSpec asserts ≥95% row agreement
+    // with exact w7_ntile.
     "w7_ntile_approx" -> ((s, d) => {
       val cust = t(s, d, "customer")
-      val cuts = cust.agg(percentile_approx(col("c_acctbal"),
-        array(lit(0.25), lit(0.5), lit(0.75)), lit(10000)).as("cuts"))
+      val cuts = graft.sketch.Sketches.histQuantiles(
+          cust, col("c_acctbal"), lo = -1000.0, width = 10.75, bins = 1024,
+          quantiles = Seq(1 -> 4, 1 -> 2, 3 -> 4))
+        .agg(min(when(col("q") === 0.25, col("est"))).as("c1"),
+          min(when(col("q") === 0.5, col("est"))).as("c2"),
+          min(when(col("q") === 0.75, col("est"))).as("c3"))
       cust.join(broadcast(cuts))
         .select(col("c_custkey"), col("c_acctbal"),
           (lit(1) +
-            (col("c_acctbal") > col("cuts")(0)).cast("int") +
-            (col("c_acctbal") > col("cuts")(1)).cast("int") +
-            (col("c_acctbal") > col("cuts")(2)).cast("int")).as("quartile"))
+            (col("c_acctbal") > col("c1")).cast("int") +
+            (col("c_acctbal") > col("c2")).cast("int") +
+            (col("c_acctbal") > col("c3")).cast("int")).as("quartile"))
         .orderBy("c_custkey")
     }),
     // W8 (beyond reference): trailing-7-day sum per user with RANGE-
@@ -2102,6 +2176,24 @@ object SparkEntry {
       """SELECT c_custkey, c_acctbal,
         |  CAST(ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS INT) AS quartile
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    // histogram-sketch cutoff replay of the w7 scale path (was
+    // percentile_approx no_oracle) — same bucketing projection over
+    // the dq6-recipe bit-reproducible cutoffs
+    "w7_ntile_approx" ->
+      s"""WITH hq AS (SELECT * FROM (
+         |${graft.sketch.Sketches.histQuantilesSql(
+              "SELECT c_acctbal AS v FROM customer",
+              lo = -1000.0, width = 10.75, bins = 1024,
+              quantiles = Seq(1 -> 4, 1 -> 2, 3 -> 4))}
+         |) x),
+         |cut AS (SELECT
+         |  min(CASE WHEN q = 0.25 THEN est END) AS c1,
+         |  min(CASE WHEN q = 0.5 THEN est END) AS c2,
+         |  min(CASE WHEN q = 0.75 THEN est END) AS c3 FROM hq)
+         |SELECT c_custkey, c_acctbal,
+         |  1 + CAST(c_acctbal > c1 AS INT) + CAST(c_acctbal > c2 AS INT)
+         |    + CAST(c_acctbal > c3 AS INT) AS quartile
+         |FROM customer, cut ORDER BY c_custkey""".stripMargin,
     "w8_range_frame" ->
       """SELECT event_id, user_id, value,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
@@ -3201,6 +3293,19 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
       recallRollup(exact, approx)
     }),
+    // E21: the composed two-stage production retriever — IVF cell-probe
+    // shortlist (e4's machinery, never the n² kernel) feeding the e16
+    // greedy MMR diversifier — registered in the e19 oracle-able IVF
+    // configuration (prefix seeds, no Lloyd refinement) so stage-1
+    // candidate generation, the shortlist, and every greedy pick
+    // hash-gate against the SQL replay. Closes the r9 verdict item
+    // "no registered query actually composes MMR with the IVF stage".
+    "e21_ivf_mmr" -> ((s, d) =>
+      graft.similarity.Ann.ivfMmrTopK(
+          t(s, d, "embeddings").localCheckpoint(true),
+          k = 5, shortlist = 20, nProbe = 4,
+          prefixSeeds = true, refine = false)
+        .orderBy("query_id", "rank")),
     // E17: metadata-FILTERED vector search — every vector queries the
     // corpus restricted to vectors whose DOCUMENT passes a metadata
     // predicate (lang = 'en', n_chars >= 150). The filter narrows the
@@ -3225,7 +3330,11 @@ object SparkEntry {
     * rel/sim and the identical 0.7/0.3 literals. MATERIALIZED is
     * load-bearing as in d7: each round references its predecessor
     * several times. */
-  private val mmrOracle: String = {
+  /** The MMR greedy tail (pairwise-sim CTE + 5 unrolled rounds +
+    * final select) over any CTE prefix that ends with a `cand`
+    * relation of (query_id, cid, rel) and exposes the `n` norm table —
+    * one definition, two shortlist stages (e16 exact, e21 IVF). */
+  private def mmrOracleOver(candPrefix: String): String = {
     val rounds = (2 to 5).map { r =>
       s"""pen$r AS (SELECT cs.query_id, cs.c1 AS cid, max(cs.sim) AS pen
          |  FROM cs JOIN sel${r - 1} s ON s.query_id = cs.query_id AND s.cid = cs.c2
@@ -3240,15 +3349,7 @@ object SparkEntry {
          |  WHERE rn = 1),
          |sel$r AS MATERIALIZED (SELECT * FROM sel${r - 1} UNION ALL SELECT * FROM s$r)""".stripMargin
     }.mkString(",\n")
-    s"""$cosineCte,
-       |p0 AS (SELECT q.vec_id AS query_id, c.vec_id AS cid,
-       |    list_reduce(list_apply(range(1, 65), i -> q.v[i] * c.v[i]), (a,b) -> a+b)
-       |      / (q.nrm * c.nrm) AS sim
-       |  FROM n q JOIN n c ON q.vec_id <> c.vec_id),
-       |cand AS MATERIALIZED (SELECT query_id, cid, round(sim, 6) AS rel FROM (
-       |  SELECT query_id, cid, sim,
-       |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cid) AS rn FROM p0)
-       |  WHERE rn <= 20),
+    s"""$candPrefix,
        |cs AS MATERIALIZED (SELECT a.query_id, a.cid AS c1, b.cid AS c2,
        |    round(list_reduce(list_apply(range(1, 65), i -> x.v[i] * y.v[i]), (s,t) -> s+t)
        |      / (x.nrm * y.nrm), 6) AS sim
@@ -3263,6 +3364,48 @@ object SparkEntry {
        |FROM sel5 s JOIN cand c ON c.query_id = s.query_id AND c.cid = s.cid
        |ORDER BY s.query_id, rank""".stripMargin
   }
+
+  private val mmrOracle: String = mmrOracleOver(
+    s"""$cosineCte,
+       |p0 AS (SELECT q.vec_id AS query_id, c.vec_id AS cid,
+       |    list_reduce(list_apply(range(1, 65), i -> q.v[i] * c.v[i]), (a,b) -> a+b)
+       |      / (q.nrm * c.nrm) AS sim
+       |  FROM n q JOIN n c ON q.vec_id <> c.vec_id),
+       |cand AS MATERIALIZED (SELECT query_id, cid, round(sim, 6) AS rel FROM (
+       |  SELECT query_id, cid, sim,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cid) AS rn FROM p0)
+       |  WHERE rn <= 20)""".stripMargin)
+
+  /** e21's oracle: the e19 IVF replay (prefix seeds, nearest-cell
+    * assignment, 4-cell probe sets, candidates from probed cells only)
+    * narrowed to a top-20 shortlist, feeding the SAME unrolled MMR
+    * rounds as e16 — the full two-stage retriever in SQL. */
+  private val ivfMmrOracle: String = mmrOracleOver(
+    s"""$cosineCte,
+       |nn AS (SELECT greatest(1, least(4096,
+       |    CAST(round(sqrt(count(*))) AS BIGINT))) AS nc FROM e),
+       |c AS (SELECT vec_id AS cell, v AS cv, nrm AS cn FROM (
+       |    SELECT n.*, row_number() OVER (ORDER BY vec_id) AS r FROM n)
+       |  WHERE r <= (SELECT nc FROM nn)),
+       |asim AS (SELECT n.vec_id, c.cell,
+       |    list_reduce(list_apply(range(1, 65), i -> n.v[i] * c.cv[i]), (a,b) -> a+b)
+       |      / (n.nrm * c.cn) AS sim
+       |  FROM n CROSS JOIN c),
+       |ranked AS (SELECT vec_id, cell,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn
+       |  FROM asim),
+       |member AS MATERIALIZED (SELECT vec_id, cell FROM ranked WHERE rn = 1),
+       |probe AS MATERIALIZED (SELECT vec_id AS query_id, cell FROM ranked WHERE rn <= 4),
+       |ivfc AS (SELECT DISTINCT p.query_id, m.vec_id AS neighbor_id
+       |  FROM probe p JOIN member m ON m.cell = p.cell AND m.vec_id <> p.query_id),
+       |csim AS (SELECT query_id, neighbor_id,
+       |    list_reduce(list_apply(range(1, 65), i -> q.v[i] * c2.v[i]), (x,y) -> x+y)
+       |      / (q.nrm * c2.nrm) AS sim
+       |  FROM ivfc JOIN n q ON q.vec_id = query_id JOIN n c2 ON c2.vec_id = neighbor_id),
+       |cand AS MATERIALIZED (SELECT query_id, neighbor_id AS cid, round(sim, 6) AS rel FROM (
+       |  SELECT query_id, neighbor_id, sim,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
+       |  FROM csim) WHERE rn <= 20)""".stripMargin)
 
   /** e18's oracle: the e10 plane-literal bucket generator feeding the
     * full LSH candidate set (join twin of the cell kernel — identical
@@ -3352,6 +3495,7 @@ $sqlRecallTail""".stripMargin
 
   private val simOracles: Map[String, String] = Map(
     "e16_mmr_topk" -> mmrOracle,
+    "e21_ivf_mmr" -> ivfMmrOracle,
     "e18_lsh_recall" -> lshRecallOracle,
     "e19_ivf_recall" -> ivfRecallOracle,
     "e17_filtered_ann" ->

@@ -607,8 +607,21 @@ object Dedup {
     * arithmetic (10·|∩| ≥ 10t·(|A|+|B|−|∩|)); only the display value
     * rounds. Threshold t must be a multiple of 0.1 so the prefix
     * length and the verify predicate stay integer-exact cross-engine.
+    *
+    * `maxFamily` is the d13-style overflow guard for corpora that
+    * violate the exact-dedup-first precondition: a prefix shingle
+    * shared by F documents generates an F²-pair candidate family, so
+    * exact-copy clusters (where EVERY shingle is shared) explode the
+    * candidate set quadratically. With a finite cap, prefix keys whose
+    * family exceeds `maxFamily` docs are excluded from candidate
+    * generation and the number of dropped keys is REPORTED via slf4j
+    * (no silent caps) — pairs whose every shared prefix element sits
+    * in an oversized family are lost, which is exactly the documented
+    * d13/maxDf containment tradeoff. Default = uncapped (the
+    * registered d16 oracle is the complete answer).
     */
-  def prefixFilterPairs(docs: DataFrame, threshold: Double = 0.7): DataFrame = {
+  def prefixFilterPairs(docs: DataFrame, threshold: Double = 0.7,
+      maxFamily: Int = Int.MaxValue): DataFrame = {
     require((threshold * 10).isValidInt && threshold > 0 && threshold < 1,
       "threshold must be k/10 for exact integer arithmetic")
     val t10 = math.round(threshold * 10).toInt
@@ -631,9 +644,27 @@ object Dedup {
       .withColumn("rnk", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy(col("doc_id")).orderBy(col("df"), col("w"))))
-    val pref = ranked.join(sz, "doc_id")
+    val prefAll = ranked.join(sz, "doc_id")
       .filter(col("rnk") <= expr(s"(${10 - t10} * sz) div 10") + 1)
       .select(col("doc_id"), col("w"))
+    val pref =
+      if (maxFamily == Int.MaxValue) prefAll
+      else {
+        // bounded-family guard: one small agg over prefix keys (keys ≪
+        // tokens), then a broadcast-able drop-list anti join. The
+        // dropped-key count is an explicit action so the overflow is
+        // never silent — it is the operator's truncation indicator.
+        val fam = prefAll.groupBy(col("w")).agg(count(lit(1)).as("fam"))
+        val over = fam.filter(col("fam") > maxFamily).select(col("w"))
+          .localCheckpoint(true)
+        val nOver = over.count()
+        if (nOver > 0)
+          org.slf4j.LoggerFactory.getLogger("graft.dedup.Dedup").warn(
+            s"prefixFilterPairs: dropped $nOver prefix key(s) with family " +
+              s"> $maxFamily docs — candidate generation is TRUNCATED; " +
+              "run exact dedup first for a complete answer")
+        prefAll.join(over, Seq("w"), "left_anti")
+      }
     val cand = pref.as("a").join(pref.as("b"),
         col("a.w") === col("b.w") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))

@@ -34,8 +34,10 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   * (keys-in-partition × k rows — the output itself). The PARTIAL side
   * would hold one heap per distinct key seen, which for
   * near-unique-key inputs approaches the partition size, so it flushes
-  * its map every [[TopKPerKey.FlushEvery]] retained rows and starts
-  * fresh. A flush only ever emits EXTRA candidate rows (any row beaten
+  * its map when retained ROWS ([[TopKPerKey.FlushRowsKey]]) or retained
+  * BYTES ([[TopKPerKey.FlushBytesKey]] — the wide-row guard) exceed
+  * their session-configured thresholds and starts fresh. A flush only
+  * ever emits EXTRA candidate rows (any row beaten
   * by k same-key rows within one epoch is beaten by k rows globally),
   * so correctness never depends on the threshold; the final pass
   * reduces whatever survives. Worst case (all keys unique) the partial
@@ -59,26 +61,54 @@ case class TopKPerKeyNode(keys: Seq[Expression], order: Seq[SortOrder],
 object TopKPerKeyStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerKeyNode(keys, order, k, child) =>
-      val partial = TopKPerKeyExec(keys, order, k, isPartial = true, planLater(child))
-      TopKPerKeyExec(keys, order, k, isPartial = false, partial) :: Nil
+      // thresholds resolve from the ACTIVE session's conf at planning
+      // time and ride into the exec as constructor fields — per-session
+      // (a test override never leaks to a concurrent query), and the
+      // same logical plan always executes with the thresholds its
+      // session configured (the r9-advice fix for the process-global
+      // `var` it replaces)
+      val rows = TopKPerKey.confLong(TopKPerKey.FlushRowsKey, TopKPerKey.DefaultFlushRows)
+      val bytes = TopKPerKey.confLong(TopKPerKey.FlushBytesKey, TopKPerKey.DefaultFlushBytes)
+      val partial = TopKPerKeyExec(keys, order, k, isPartial = true,
+        flushRows = rows, flushBytes = bytes, planLater(child))
+      TopKPerKeyExec(keys, order, k, isPartial = false,
+        flushRows = rows, flushBytes = bytes, partial) :: Nil
     case _ => Nil
   }
 }
 
 object TopKPerKey {
-  /** Partial-side heap-map flush threshold (retained rows). Large
-    * enough that real key-skewed inputs never flush; small enough that
-    * a unique-key input stays in bounded memory. `var` so the spec can
-    * force the flush path on small data (read driver-side at
-    * `doExecute`, captured by value into the task closure). */
-  var FlushEvery: Int = 1 << 22
+  /** Partial-side flush threshold in retained ROWS — the unique-key
+    * degenerate-input bound. */
+  val FlushRowsKey = "spark.graft.topk.flushRows"
+  /** Partial-side flush threshold in retained BYTES (UnsafeRow sizes,
+    * keys included) — the wide-row bound the row count can't see: 4M
+    * retained rows of a 1 KB schema is 4 GB of un-spillable heap. The
+    * SortExec plan this operator replaces spills under memory
+    * pressure; the heap map can't, so it flushes by bytes instead
+    * (each flush only emits extra candidates — correctness never
+    * depends on either threshold). */
+  val FlushBytesKey = "spark.graft.topk.flushBytes"
+  val DefaultFlushRows: Long = 1L << 22
+  val DefaultFlushBytes: Long = 64L << 20 // 64 MB per task
+
+  private[plans] def confLong(key: String, default: Long): Long = {
+    val raw = org.apache.spark.sql.internal.SQLConf.get.getConfString(key, default.toString)
+    try math.max(1L, raw.toLong)
+    catch {
+      case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"$key must be a positive long, got '$raw'")
+    }
+  }
 }
 
 /** One heap-reduction pass; `isPartial` selects the pre-shuffle
   * (unconstrained distribution, flushing) or post-shuffle (clustered,
   * exact) role. */
 case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
-    k: Int, isPartial: Boolean, child: SparkPlan) extends UnaryExecNode {
+    k: Int, isPartial: Boolean, flushRows: Long, flushBytes: Long,
+    child: SparkPlan) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output
   override def outputPartitioning: Partitioning = child.outputPartitioning
@@ -114,12 +144,15 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
     val limit = k
     // serializable; codegens the comparator lazily on each executor
     val ord = new LazilyGeneratedOrdering(order, childOutput)
-    // Long counter + Long.MaxValue sentinel: the final side can never
-    // flush, even past 2^31 retained rows (a mid-iterator flush on the
-    // FINAL side would emit up to 2k rows for a key); a non-positive
-    // (misconfigured) threshold floors at 1 instead of looping forever
-    val flushEvery: Long =
-      if (isPartial) math.max(1, TopKPerKey.FlushEvery).toLong else Long.MaxValue
+    // Long.MaxValue sentinel: the final side can never flush, even past
+    // 2^31 retained rows (a mid-iterator flush on the FINAL side would
+    // emit up to 2k rows for a key). Thresholds were floored at 1 by
+    // confLong, so the epoch loop always makes progress.
+    val maxRows: Long = if (isPartial) flushRows else Long.MaxValue
+    val maxBytes: Long = if (isPartial) flushBytes else Long.MaxValue
+    // estimate for non-UnsafeRow children (rare — execute() rows are
+    // UnsafeRow in practice): header + 8 bytes per field
+    val fallbackRowSize: Long = 64L + 8L * childOutput.size
     val outputRows = longMetric("numOutputRows")
     val flushes = if (isPartial) longMetric("numFlushes") else null
     child.execute().mapPartitions({ iter =>
@@ -129,12 +162,21 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
       val worstFirst = new java.util.Comparator[InternalRow] {
         override def compare(a: InternalRow, b: InternalRow): Int = ord.compare(b, a)
       }
+      def sizeOf(r: InternalRow): Long = r match {
+        case u: UnsafeRow => u.getSizeInBytes.toLong + 16L // + object header
+        case _            => fallbackRowSize
+      }
       new Iterator[InternalRow] {
         private val groups =
           new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
+        private var retainedRows = 0L
+        // bytes actually HELD by the heap map (keys + retained row
+        // copies), the r9-advice flush trigger: a row-count proxy lets
+        // wide schemas accumulate gigabytes before the first flush
+        private var retainedBytes = 0L
         private var out: java.util.Iterator[InternalRow] =
           java.util.Collections.emptyIterator()
-        private def consume(row: InternalRow): Int = {
+        private def consume(row: InternalRow): Unit = {
           val key = keyProj(row)
           val q = groups.get(key)
           if (q == null) {
@@ -142,19 +184,30 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
             // key costs O(keys × k) memory up front at large k
             val nq = new java.util.PriorityQueue[InternalRow](
               math.max(1, math.min(limit, 16)), worstFirst)
-            nq.add(row.copy())
+            val c = row.copy()
+            nq.add(c)
             groups.put(key.copy(), nq)
-            1
-          } else if (q.size < limit) { q.add(row.copy()); 1 }
-          else if (ord.compare(row, q.peek()) < 0) { q.poll(); q.add(row.copy()); 0 }
-          else 0
+            retainedRows += 1
+            retainedBytes += key.getSizeInBytes.toLong + 16L + sizeOf(c)
+          } else if (q.size < limit) {
+            val c = row.copy()
+            q.add(c)
+            retainedRows += 1
+            retainedBytes += sizeOf(c)
+          } else if (ord.compare(row, q.peek()) < 0) {
+            val evicted = q.poll()
+            val c = row.copy()
+            q.add(c)
+            retainedBytes += sizeOf(c) - sizeOf(evicted)
+          }
         }
         private def advance(): Unit =
           while (!out.hasNext && iter.hasNext) {
             groups.clear()
-            var retained = 0L
-            while (iter.hasNext && retained < flushEvery) {
-              retained += consume(iter.next())
+            retainedRows = 0L
+            retainedBytes = 0L
+            while (iter.hasNext && retainedRows < maxRows && retainedBytes < maxBytes) {
+              consume(iter.next())
             }
             if (iter.hasNext && flushes != null) flushes += 1 // mid-partition flush, not EOF
             val buf = new java.util.ArrayList[InternalRow]()

@@ -238,11 +238,21 @@ object Ann {
     * partitioned by query_id — bounded rows per query (nTables·k or
     * nProbe·k), never a global sort. Rounding (HALF_UP, 6) happens here
     * exactly once, after ranking on raw sims, matching the join twins. */
+  /** Final per-query ranking of a candidate table — on the engine's
+    * own [[graft.plans.TopKPerKeyNode]] heap operator rather than a
+    * bare `row_number` window: the partial heap reduces each task's
+    * candidates to ≤ k per query BEFORE the exchange (at scale a hot
+    * query's candidate set is nProbe × cell-size rows scattered across
+    * tasks; the window formulation shuffles and sorts all of them),
+    * and the residual `row_number` then sorts only the ≤ k survivors —
+    * already co-partitioned, so no second exchange. Output is
+    * identical (same (sim desc, id asc) total order), which the
+    * hash-oracled e18/e19/e21 replays gate every round. */
   private def rankCandidates(cands: DataFrame, k: Int): DataFrame =
-    cands
+    graft.operators.TopK.perKey(cands, Seq("query_id"),
+        Seq(col("sim").desc, col("neighbor_id").asc), k)
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))))
-      .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), round(col("sim"), 6).as("sim"), col("rank"))
 
   /** Multi-table sign-LSH top-k, fully distributed — the production ANN
@@ -861,22 +871,55 @@ object Ann {
     * algorithm.
     *
     * Scale: the candidate stage is pluggable (here the exact
-    * [[cosineTopKBlocked]] baseline; production uses e2/e4 shards).
-    * Everything after is |q|·m rows: the pairwise-sim table is
-    * |q|·m·(m−1) with m = `shortlist` (bounded small), each greedy
-    * round is one join + one hash aggregation on it, and the selected
-    * set (|q|·k rows) is localCheckpointed every other round so the
-    * iterated plan stays linear (the d7 posture). Nothing here scans
-    * the corpus again. */
+    * [[cosineTopKBlocked]] baseline; [[ivfMmrTopK]] is the composed
+    * production form). Everything after is |q|·m rows: the
+    * pairwise-sim table is |q|·m·(m−1) with m = `shortlist` (bounded
+    * small), and the greedy selection itself runs in ONE cogroup with
+    * a bounded per-query in-memory loop (see [[mmrOverShortlist]]).
+    * Nothing here scans the corpus again. */
   def mmrTopK(embeddings: DataFrame, k: Int = 5, shortlist: Int = 20,
-      lambda: Double = 0.7, mu: Double = 0.3): DataFrame = {
-    val A = graft.functions.AggExpressions
-    val cand = cosineTopKBlocked(embeddings, shortlist)
-      .select(col("query_id"), col("neighbor_id").as("cid"), col("sim").as("rel"))
-      .localCheckpoint(true) // reused by every greedy round
+      lambda: Double = 0.7, mu: Double = 0.3): DataFrame =
+    mmrOverShortlist(embeddings,
+      cosineTopKBlocked(embeddings, shortlist)
+        .select(col("query_id"), col("neighbor_id").as("cid"), col("sim").as("rel")),
+      k, lambda, mu)
+
+  /** E21: the COMPOSED production retriever — stage 1 is [[ivfTopK]]'s
+    * cell-probed shortlist (sub-linear candidate generation, never the
+    * n² kernel), stage 2 is the same greedy MMR diversification as
+    * [[mmrTopK]]. This is the query-level proof of the "production
+    * stage 1 is e2/e4" claim the e16 registration only documents: the
+    * registered `e21_ivf_mmr` runs it in the oracle-able IVF
+    * configuration (prefix seeds, no Lloyd refinement — the e19
+    * recipe) so the whole two-stage pipeline hash-gates against a SQL
+    * replay; production flips `prefixSeeds=false, refine=true` and
+    * nothing else changes.
+    *
+    * Under-filled shortlists (a query whose probed cells hold fewer
+    * than `shortlist` members) degrade gracefully: greedy rounds past
+    * the shortlist size emit no pick for that query, identically on
+    * both engines. */
+  def ivfMmrTopK(embeddings: DataFrame, k: Int = 5, shortlist: Int = 20,
+      nProbe: Int = 4, lambda: Double = 0.7, mu: Double = 0.3,
+      prefixSeeds: Boolean = false, refine: Boolean = true): DataFrame =
+    mmrOverShortlist(embeddings,
+      ivfTopK(embeddings, shortlist, nProbe = nProbe,
+          prefixSeeds = prefixSeeds, refine = refine)
+        .select(col("query_id"), col("neighbor_id").as("cid"), col("sim").as("rel")),
+      k, lambda, mu)
+
+  /** Greedy MMR over an arbitrary per-query shortlist `(query_id, cid,
+    * rel)` — the pluggable stage-2 shared by [[mmrTopK]] (exact
+    * shortlist) and [[ivfMmrTopK]] (IVF shortlist). `rel` must already
+    * be 6dp-rounded for cross-engine pick stability. */
+  def mmrOverShortlist(embeddings: DataFrame, shortlistDf: DataFrame,
+      k: Int, lambda: Double = 0.7, mu: Double = 0.3): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val cand = shortlistDf.localCheckpoint(true) // feeds cs AND the kernel
     val e = prepared(embeddings)
     // pairwise cosine among each query's shortlist (candidates only —
-    // the corpus-sized table never re-enters)
+    // the corpus-sized table never re-enters); m(m−1) rows per query
     val cs = cand.as("a")
       .join(cand.as("b"),
         col("a.query_id") === col("b.query_id") && col("a.cid") =!= col("b.cid"))
@@ -886,33 +929,69 @@ object Ann {
       .join(e.select(col("vec_id").as("c2"), col("v").as("v2"), col("nrm").as("n2")), "c2")
       .select(col("query_id"), col("c1"), col("c2"),
         round(dot(col("v1"), col("v2")) / (col("n1") * col("n2")), 6).as("sim"))
-      .localCheckpoint(true)
-    // round 1: pure relevance (no penalty yet)
-    var selected = cand.groupBy(col("query_id"))
-      .agg(A.argMax(col("rel"), col("cid")).as("cid"))
-      .withColumn("pick", lit(1))
-    (2 to k).foreach { r =>
-      val pen = cs
-        .join(selected.select(col("query_id"), col("cid").as("c2")),
-          Seq("query_id", "c2"))
-        .groupBy(col("query_id"), col("c1").as("cid"))
-        .agg(max(col("sim")).as("pen"))
-      val next = cand
-        .join(selected.select(col("query_id"), col("cid")),
-          Seq("query_id", "cid"), "left_anti")
-        .join(pen, Seq("query_id", "cid"), "left")
-        .withColumn("mmr",
-          lit(lambda) * col("rel") - lit(mu) * coalesce(col("pen"), lit(0.0)))
-        .groupBy(col("query_id"))
-        .agg(A.argMax(col("mmr"), col("cid")).as("cid"))
-        .withColumn("pick", lit(r))
-      val grown = selected.union(next)
-      selected = if (r % 2 == 0 && r < k) grown.localCheckpoint(true) else grown
-    }
-    selected
-      .join(cand, Seq("query_id", "cid"))
-      .select(col("query_id"), col("pick").as("rank"),
-        col("cid").as("neighbor_id"), col("rel"))
+    // Greedy selection as ONE cogroup + a per-query in-memory loop —
+    // the documented mapGroups last resort (SURVEY §2.9 ladder (d)),
+    // taken because the greedy recurrence is genuinely imperative and
+    // its whole state is bounded small: m candidates + m(m−1) pairwise
+    // sims per query (m = shortlist, ~20). The previous formulation
+    // unrolled k rounds as 3 distributed joins each over the |q|·m²
+    // pairwise table (12 joins at k=5) — 3.3× slower at sf0.1 and the
+    // round-9 verdict's worst 10× slope; one shuffle replaces them.
+    // Arithmetic is replicated EXACTLY (λ·rel − μ·max-pen on the same
+    // 6dp-rounded doubles, argmax ties → smallest cid = the
+    // ArgExtremum rule), so the unrolled-CTE SQL oracle still
+    // hash-gates the output every round (e16/e21).
+    val candDs = cand.select(col("query_id").cast("long"),
+      col("cid").cast("long"), col("rel").cast("double"))
+      .as[(Long, Long, Double)]
+    val csDs = cs.select(col("query_id").cast("long"), col("c1").cast("long"),
+      col("c2").cast("long"), col("sim").cast("double"))
+      .as[(Long, Long, Long, Double)]
+    candDs.groupByKey(_._1).cogroup(csDs.groupByKey(_._1)) { (q, cIt, sIt) =>
+      // cid-ascending scan + strict > keeps the SMALLEST cid on score
+      // ties — identical to argMax's tieLow rule
+      val cl = cIt.map(t => (t._2, t._3)).toArray.sortBy(_._1)
+      if (cl.isEmpty) Iterator.empty
+      else {
+        val simMap = new scala.collection.mutable.HashMap[(Long, Long), Double]()
+        sIt.foreach(t => simMap((t._2, t._3)) = t._4)
+        val used = new scala.collection.mutable.HashSet[Long]()
+        val out = new scala.collection.mutable.ArrayBuffer[(Long, Int, Long, Double)]()
+        val rounds = math.min(k, cl.length)
+        var r = 1
+        while (r <= rounds) {
+          var bestCid = -1L
+          var bestRel = 0.0
+          var bestScore = Double.NegativeInfinity
+          cl.foreach { case (cid, rel) =>
+            if (!used.contains(cid)) {
+              val score =
+                if (r == 1) rel // round 1: pure relevance, no penalty
+                else {
+                  // max sim to the selected set; no pair row ⇒ 0.0
+                  // (the join formulation's left-join coalesce)
+                  var pen = Double.NegativeInfinity
+                  var found = false
+                  used.foreach { s =>
+                    simMap.get((cid, s)).foreach { v =>
+                      found = true
+                      if (v > pen) pen = v
+                    }
+                  }
+                  lambda * rel - mu * (if (found) pen else 0.0)
+                }
+              if (score > bestScore) {
+                bestScore = score; bestCid = cid; bestRel = rel
+              }
+            }
+          }
+          out += ((q, r, bestCid, bestRel))
+          used += bestCid
+          r += 1
+        }
+        out.iterator
+      }
+    }.toDF("query_id", "rank", "neighbor_id", "rel")
   }
 
   /** E8: SemDedup (Abbas et al. 2023, arXiv:2303.09540) — semantic

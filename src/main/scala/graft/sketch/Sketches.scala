@@ -333,6 +333,67 @@ object Sketches {
        |SELECT r, c, count(*) AS cnt FROM cells GROUP BY r, c ORDER BY r, c""".stripMargin
   }
 
+  // ---- KMV distinct-count sketch ------------------------------------------
+
+  /** K-minimum-values distinct estimator (Bar-Yossef et al. 2002) on
+    * the deterministic md5 hash — the hash-oracled twin of
+    * `approx_count_distinct`: per group, keep the k smallest DISTINCT
+    * 60-bit hashes of the value; if fewer than k distinct hashes exist
+    * the count is exact, otherwise the k-th smallest normalized hash
+    * h/2^60 estimates density and `(k−1)·2^60/h_k` the cardinality.
+    * Every step (md5, integer compare, one double divide, 4dp round)
+    * replays identically in SQL — the dq6/a25 recipe applied to the
+    * HLL `no_oracle` paths.
+    *
+    * Scale: per-group state is ≤ k hashes. The distinct-hash reduce is
+    * map-side combinable, and the k-smallest selection runs on the
+    * engine's own [[graft.plans.TopKPerKeyNode]] heap operator — the
+    * shuffle carries ≤ partitions × groups × k hash rows, never the
+    * raw keyspace (the reason the HLL form existed). Estimates are
+    * partition-order independent (set semantics), unlike HLL only in
+    * that they are also ENGINE-independent.
+    *
+    * `value` is hashed via its canonical string form — cast
+    * numeric/decimal columns to an exact string type (e.g.
+    * `decimal(18,2)`) at the call site so both engines render
+    * identical bytes. NULLs are excluded, matching
+    * `approx_count_distinct`/`count(DISTINCT ...)`. */
+  def kmvDistinct(df: DataFrame, group: Column, value: Column,
+      k: Int = 256): DataFrame = {
+    require(k >= 2, "KMV needs k >= 2")
+    val hashes = df.filter(value.isNotNull)
+      .select(group.as("grp"), hash60(value.cast("string"), "kmv").as("h"))
+      .distinct()
+    val kept = graft.operators.TopK.perKey(hashes, Seq("grp"), Seq(col("h").asc), k)
+    kept.groupBy("grp")
+      .agg(count(lit(1)).as("n_kept"), max(col("h")).as("hk"))
+      .select(col("grp"),
+        when(col("n_kept") < k, col("n_kept").cast("double"))
+          .otherwise(round(
+            lit((k - 1).toDouble) * lit(math.pow(2, 60)) /
+              col("hk").cast("double"), 4))
+          .as("est_distinct"))
+  }
+
+  /** Oracle SQL for [[kmvDistinct]] over a two-column relation
+    * `FROM (...) src(g, v)` (v already cast to its canonical VARCHAR);
+    * emits `(outName, est_distinct)`, arithmetic mirroring the Scala
+    * exactly (255·2^60 is exact in a double; the divide is the only
+    * inexact step and is written identically). */
+  def kmvDistinctSql(srcSql: String, outName: String, k: Int = 256): String =
+    s"""WITH src AS ($srcSql),
+       |h AS (SELECT DISTINCT g, ('0x' || substr(md5('kmv:' || v), 1, 15))::BIGINT AS h
+       |  FROM src WHERE v IS NOT NULL),
+       |topk AS (SELECT g, h FROM (
+       |    SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn FROM h)
+       |  WHERE rn <= $k),
+       |agg AS (SELECT g, count(*) AS n_kept, max(h) AS hk FROM topk GROUP BY g)
+       |SELECT g AS $outName,
+       |  CASE WHEN n_kept < $k THEN CAST(n_kept AS DOUBLE)
+       |       ELSE round((${k - 1} * 1152921504606846976.0) / CAST(hk AS DOUBLE), 4)
+       |  END AS est_distinct
+       |FROM agg""".stripMargin
+
   /** Oracle SQL for [[cmsEstimates]] joined with exact counts, over a
     * one-column relation `FROM (...) src(k)`; the key is emitted as
     * `outName` so the driver's by-name column compare lines up. */

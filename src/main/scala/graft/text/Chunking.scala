@@ -143,15 +143,15 @@ object Chunking {
     val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val df = tok.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
     val n = docs.select(count(lit(1)).as("n"))
-    tf.join(df, "term")
+    val scored = tf.join(df, "term")
       .join(broadcast(n))
       .select(col("doc_id"), col("term"), col("tf"), col("df"),
         round(col("tf") * log(col("n") * lit(1.0) / col("df")), 6).as("tfidf"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("doc_id"))
-          .orderBy(col("tfidf").desc, col("term"))))
-      .filter(col("rn") <= k)
-      .drop("rn")
+    // per-doc top-k on the TopKPerKey heap (same (tfidf desc, term)
+    // total order as the row_number twin): the |docs|·|terms| posting
+    // table never sorts, the shuffle carries ≤ k rows per task per doc
+    graft.operators.TopK.perKey(scored, Seq("doc_id"),
+      Seq(col("tfidf").desc, col("term").asc), k)
   }
 
   /** BM25 relevance of every document against a fixed query term set —

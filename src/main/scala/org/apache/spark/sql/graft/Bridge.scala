@@ -48,6 +48,18 @@ object Bridge {
       exp.extraStrategies = exp.extraStrategies :+ strategy
   }
 
+  /** Register a JVM-exit cleanup that runs AFTER Spark's own shutdown
+    * hooks (`ShutdownHookManager` is `private[spark]`, hence bridged).
+    * A raw `Runtime.addShutdownHook` races SparkContext.stop — Spark
+    * tasks can still be reading staged files when the hook deletes
+    * them; priority below SPARK_CONTEXT_SHUTDOWN_PRIORITY (50) means
+    * Spark quiesces first (higher priority runs earlier). */
+  def addPostSparkShutdownHook(body: () => Unit): Unit = {
+    org.apache.spark.util.ShutdownHookManager.addShutdownHook(
+      org.apache.spark.util.ShutdownHookManager.SPARK_CONTEXT_SHUTDOWN_PRIORITY - 25)(body)
+    ()
+  }
+
   /** Register a SQL-callable function backed by a raw Expression
     * builder on an EXISTING session (complements GraftExtensions,
     * which covers sessions built with `.withExtensions`). */

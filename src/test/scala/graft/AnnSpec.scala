@@ -318,4 +318,31 @@ class AnnSpec extends SparkSpec {
     val fullPure = full.count { case (q, n) => q % 10 == n % 10 }
     assert(fullPure.toDouble / full.length >= 0.9)
   }
+
+  test("E21: composed IVF→MMR retriever (production config) — picks come from the IVF shortlist, rank 1 is pure relevance") {
+    // PRODUCTION configuration (hash seeds + one Lloyd refinement) —
+    // the registered e21 query pins the oracle-able config; this pins
+    // the config a deployment actually runs, on the harness corpus.
+    val got = Ann.ivfMmrTopK(emb, k = 5, shortlist = 20, nProbe = 4)
+      .select("query_id", "rank", "neighbor_id", "rel")
+      .as[(Long, Int, Long, Double)].collect()
+    val n = emb.count()
+    val byQ = got.groupBy(_._1)
+    assert(byQ.size == n, "every vector queries")
+    // stage-1 candidates for cross-checking: the same IVF shortlist
+    val short = Ann.ivfTopK(emb, 20, nProbe = 4)
+      .select("query_id", "neighbor_id", "sim")
+      .as[(Long, Long, Double)].collect()
+      .groupBy(_._1)
+    byQ.foreach { case (q, picks) =>
+      assert(picks.map(_._2).sorted.toSeq == (1 to picks.length), s"ranks dense for $q")
+      assert(picks.length == math.min(5, short(q).length))
+      val cands = short(q).map(_._2).toSet
+      assert(picks.forall(p => cands.contains(p._3)),
+        s"every MMR pick must come from the IVF shortlist (query $q)")
+      // pick 1 is the relevance argmax of the shortlist (ties → id)
+      val best = short(q).maxBy(c => (c._3, -c._2))
+      assert(picks.find(_._2 == 1).get._3 == best._2, s"query $q round-1 pick")
+    }
+  }
 }

@@ -295,4 +295,29 @@ class DedupSpec extends SparkSpec {
     assert(got == want, s"missing=${want -- got} extra=${got -- want}")
     assert(want.nonEmpty, "the generator must actually produce near-dups")
   }
+
+  test("D16: maxFamily cap bounds an exact-copy blow-up; generous cap changes nothing") {
+    // 30 exact copies (the precondition violation d16 documents) + a
+    // genuine near-dup pair: uncapped, the copies alone produce
+    // 30·29/2 = 435 pairs; capped at family ≤ 5, the copy family's
+    // prefix keys are dropped and only pairs with a sub-cap shared
+    // prefix key survive
+    val copy = "alpha beta gamma delta eps zeta eta theta"
+    // 10 words differing in the last → 7 of 8+8 distinct shingles
+    // shared → J = 7/9 ≈ 0.78 ≥ 0.7
+    val docs = ((1L to 30L).map(i => (i, copy)) ++ Seq(
+      (100L, "one two three four five six seven eight nine ten"),
+      (101L, "one two three four five six seven eight nine zzz"))).toDF("doc_id", "text")
+    val uncapped = Dedup.prefixFilterPairs(docs, 0.7)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert(uncapped.size == 435 + 1)
+    val capped = Dedup.prefixFilterPairs(docs, 0.7, maxFamily = 5)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert(capped == Set((100L, 101L)),
+      "cap must drop the copy-family pairs and keep the rare-prefix pair")
+    // a cap above every family size is the identity
+    val generous = Dedup.prefixFilterPairs(docs, 0.7, maxFamily = 1000)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert(generous == uncapped)
+  }
 }

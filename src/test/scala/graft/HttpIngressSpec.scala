@@ -1,0 +1,97 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+import org.apache.spark.sql.functions._
+
+import graft.ingest.{HttpIngress, Webhook}
+
+/** [[graft.ingest.HttpIngress]] end-to-end over REAL HTTP: the
+  * reference's `POST /webhook/<account>` route (webhook_app.py:152-182)
+  * served by the JDK HttpServer, driven with real POSTs, acked with the
+  * reference's status codes, then the collected posts drained into the
+  * engine and dispatched through the [[Webhook]] chain to bronze and
+  * dead-letter parquet sinks — the full ingest path a reference user
+  * exercises, with no simulated layer.
+  */
+class HttpIngressSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val allowed = Seq("midtown", "uptown")
+
+  private def body(event: String): String =
+    s"""{"webhook_event":{"id":1,"event":"$event","data":{"id":10,"title":"t"}}}"""
+
+  private val client = HttpClient.newHttpClient()
+
+  private def post(port: Int, path: String, payload: String,
+      contentType: String = "application/json"): HttpResponse[String] =
+    client.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+        .header("Content-Type", contentType)
+        .POST(HttpRequest.BodyPublishers.ofString(payload)).build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  test("HTTP acks match the reference taxonomy and Webhook.ackStatus; drained posts dispatch to bronze/dead-letter") {
+    val ingress = new HttpIngress(allowed)
+    ingress.start()
+    try {
+      val port = ingress.boundPort
+
+      // the AckProtocolSpec corpus, over the wire
+      assert(post(port, "/webhook/ghost", body("lead.creation")).statusCode() == 400)
+      assert(post(port, "/webhook", body("lead.creation")).statusCode() == 400) // no account segment
+      assert(post(port, "/webhook/midtown", "plain text, not json").statusCode() == 400)
+      assert(post(port, "/webhook/midtown", """{"no_envelope": true}""").statusCode() == 200)
+      assert(post(port, "/webhook/midtown", body("lead.telepathy")).statusCode() == 200)
+      val ok = post(port, "/webhook/midtown", body("lead.creation"))
+      assert(ok.statusCode() == 200 && ok.body().contains("\"success\""))
+      assert(post(port, "/webhook/uptown", body("lead.deleted")).statusCode() == 200)
+      // Flask is_json: a JSON body declared as a non-JSON content type is 400
+      assert(post(port, "/webhook/midtown", body("lead.creation"),
+        contentType = "text/plain").statusCode() == 400)
+      // method guard
+      val get = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/webhook/midtown"))
+          .GET().build(), HttpResponse.BodyHandlers.ofString())
+      assert(get.statusCode() == 405)
+
+      // collected = every WHITELISTED post (bad-JSON ones retained for
+      // the dead letter; account 400s dropped entirely) — 6 of the 9
+      val batch = ingress.drainBatch(spark).cache()
+      assert(batch.count() == 6)
+      assert(batch.select("account").distinct().as[String].collect().toSet
+        == Set("midtown", "uptown"))
+
+      // route-for-route equivalence with the Spark-side ack computation
+      // on the very same frame (skipping the text/plain post: ackStatus
+      // cannot see headers, and its body IS valid JSON)
+      val acked = Webhook.ackStatus(batch, allowed)
+      val counts = acked.groupBy("ack").count().as[(String, Long)].collect().toMap
+      assert(counts == Map("invalid_content_type" -> 1L,
+        "success_unhandled" -> 2L, "success" -> 3L))
+
+      // dispatch: bronze envelope + dead letter, the engine sinks
+      val parsed = Webhook.parsed(batch, allowed)
+      val bronzeDir = java.nio.file.Files.createTempDirectory("http_bronze").toString
+      val dlqDir = java.nio.file.Files.createTempDirectory("http_dlq").toString
+      Webhook.envelope(parsed).write.mode("overwrite").parquet(bronzeDir)
+      Webhook.rejected(parsed)
+        .select(col("account"), col("body"), col("received_at"))
+        .write.mode("overwrite").parquet(dlqDir)
+      val bronze = spark.read.parquet(bronzeDir)
+      val dlq = spark.read.parquet(dlqDir)
+      assert(bronze.count() == 3) // lead.creation ×2 (one was text/plain-acked) + lead.deleted
+      assert(bronze.select("event").as[String].collect().sorted.toSeq
+        == Seq("lead.creation", "lead.creation", "lead.deleted"))
+      // dead letter: plain-text body, no_envelope, unknown event
+      assert(dlq.count() == 3)
+      assert(dlq.filter(col("body") === "plain text, not json").count() == 1)
+      batch.unpersist()
+
+      // a second drain is empty — each post belongs to one micro-batch
+      assert(ingress.drainPosts().isEmpty)
+    } finally ingress.stop()
+  }
+}

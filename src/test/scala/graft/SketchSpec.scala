@@ -118,4 +118,22 @@ class SketchSpec extends SparkSpec {
       .as[(Long, Long)].collect().sortBy(_._1)
     assert(a.toSeq === b.toSeq)
   }
+
+  test("KMV distinct: exact below k, within the 1/sqrt(k) band above it, reshard-stable") {
+    // synthetic groups with KNOWN cardinalities straddling k=64:
+    // g_small has 40 distinct values (< k → exact), g_big has 5000
+    val rows = (1 to 40).map(i => ("g_small", s"v$i")) ++
+      (1 to 5000).flatMap(i => Seq(("g_big", s"w$i"), ("g_big", s"w$i"))) // dups collapse
+    val df = rows.toDF("g", "v")
+    val est = Sketches.kmvDistinct(df, col("g"), col("v"), k = 64)
+      .as[(String, Double)].collect().toMap
+    assert(est("g_small") == 40.0, "below k the KMV count is exact")
+    // standard KMV relative error ~ 1/sqrt(k) = 12.5%; allow 3 sigma
+    assert(math.abs(est("g_big") - 5000.0) / 5000.0 < 0.375,
+      s"KMV estimate ${est("g_big")} too far from 5000")
+    // estimates are set-functions of the values: partitioning-independent
+    val resharded = Sketches.kmvDistinct(df.repartition(13), col("g"), col("v"), k = 64)
+      .as[(String, Double)].collect().toMap
+    assert(resharded === est)
+  }
 }

@@ -315,3 +315,42 @@ object ProfileTopK {
     spark.stop()
   }
 }
+
+/** d16 overflow-guard stress: `prefixFilterPairs` on the 10×-replica
+  * documents (exact-copy families 10 deep — the documented
+  * precondition violation) capped vs uncapped-on-sf0.1. The capped run
+  * must complete in bounded time with the truncation warning visible;
+  * findings land in PLANS.md.
+  *
+  *   sbt "Test/runMain graft.ProfileD16 [replicaDir] [maxFamily]"
+  */
+object ProfileD16 {
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.nonEmpty) args(0) else "/tmp/graft10x_r9"
+    val cap = if (args.length > 1) args(1).toInt else 64
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def time(tag: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"[d16] $tag: ${(System.nanoTime() - t0) / 1e9}%.1f s, $n pairs")
+    }
+    val docs = Tables.documents(spark, dir)
+    time(s"10x replica, maxFamily=$cap") {
+      graft.dedup.Dedup.prefixFilterPairs(docs, 0.7, maxFamily = cap).count()
+    }
+    val sf01 = Tables.documents(spark, "/root/testdata/sf0.1")
+    time("sf0.1 uncapped (the registered config)") {
+      graft.dedup.Dedup.prefixFilterPairs(sf01, 0.7).count()
+    }
+    time(s"sf0.1 maxFamily=$cap (cap is ~free when families are small)") {
+      graft.dedup.Dedup.prefixFilterPairs(sf01, 0.7, maxFamily = cap).count()
+    }
+    spark.stop()
+  }
+}

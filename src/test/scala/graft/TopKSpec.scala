@@ -76,14 +76,60 @@ class TopKSpec extends SparkSpec {
     // force MANY mid-partition flushes: 5000 rows, 7 partitions,
     // threshold 16 → every partition flushes its heap map dozens of
     // times; the flushed supersets must still reduce to the exact
-    // top-k in the final pass
-    val prev = graft.plans.TopKPerKey.FlushEvery
+    // top-k in the final pass. Session-conf override (the r9-advice
+    // shape): scoped to this session, no process-global state.
     try {
-      graft.plans.TopKPerKey.FlushEvery = 16
+      spark.conf.set(graft.plans.TopKPerKey.FlushRowsKey, "16")
       val spread = df.repartition(7, col("id"))
       val got = TopK.perKey(spread, Seq("g"), Seq(col("v").desc, col("id").asc), 5)
       assert(asSet(got) == asSet(windowTwin(df, 5)))
-    } finally graft.plans.TopKPerKey.FlushEvery = prev
+    } finally spark.conf.unset(graft.plans.TopKPerKey.FlushRowsKey)
+  }
+
+  test("byte-based flush threshold flushes and does not change the result") {
+    // retained-BYTES trigger (the wide-row guard): a threshold far
+    // below one partition's retained size forces byte-driven flushes
+    // while the row threshold stays at its 4M default — result must
+    // still be exact, and the partial exec must report flushes
+    try {
+      spark.conf.set(graft.plans.TopKPerKey.FlushBytesKey, "512")
+      val spread = df.repartition(7, col("id"))
+      val got = TopK.perKey(spread, Seq("g"), Seq(col("v").desc, col("id").asc), 5)
+      // execute THIS plan (asSet would wrap it in a fresh QueryExecution
+      // whose metrics never accrue)
+      val collected = got.collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+      assert(collected == asSet(windowTwin(df, 5)))
+      val plan = got.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+      // post-execution AQE turns the partial's shuffle into a leaf
+      // QueryStageExec — descend into materialized stages explicitly
+      def allNodes(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.SparkPlan] =
+        p.collect { case n => n }.flatMap {
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            q +: allNodes(q.plan)
+          case n => Seq(n)
+        }
+      val partials = allNodes(plan).collect { case e: TopKPerKeyExec if e.isPartial => e }
+      assert(partials.nonEmpty && partials.head.flushBytes == 512L,
+        "planning must capture the session's byte threshold")
+      assert(partials.head.metrics("numFlushes").value > 0,
+        "a 512-byte threshold over ~700 retained rows/partition must flush")
+    } finally spark.conf.unset(graft.plans.TopKPerKey.FlushBytesKey)
+  }
+
+  test("malformed flush conf fails fast with the key in the message") {
+    try {
+      spark.conf.set(graft.plans.TopKPerKey.FlushRowsKey, "4m")
+      val ex = intercept[IllegalArgumentException] {
+        TopK.perKey(df, Seq("g"), Seq(col("v").desc), 2).collect()
+      }
+      assert(ex.getMessage.contains(graft.plans.TopKPerKey.FlushRowsKey))
+    } finally spark.conf.unset(graft.plans.TopKPerKey.FlushRowsKey)
   }
 
   test("null ordering values and null keys group and rank like the window") {

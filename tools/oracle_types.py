@@ -47,7 +47,10 @@ for name, sql in sorted(oracle.items()):
         continue
     for col, typ in pairs:
         dec = re.match(r"DECIMAL\((\d+),(\d+)\)", typ)
-        if BAD.match(typ) or (dec and int(dec.group(1)) >= 38):
+        # r9 verdict: ANY output decimal wider than 18 digits is
+        # hash-hostile (s13 failed at DECIMAL(28,2) even with values
+        # byte-identical) — narrow every aggregate back to <=18.
+        if BAD.match(typ) or (dec and int(dec.group(1)) > 18):
             print(f"FAIL {name}: column '{col}' has driver-hash-hostile "
                   f"type {typ} (cast it in the oracle SQL)")
             bad += 1
