@@ -916,77 +916,87 @@ object Ann {
       k: Int, lambda: Double = 0.7, mu: Double = 0.3): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val cand = shortlistDf.localCheckpoint(true) // feeds cs AND the kernel
     val e = prepared(embeddings)
-    // pairwise cosine among each query's shortlist (candidates only —
-    // the corpus-sized table never re-enters); m(m−1) rows per query
-    val cs = cand.as("a")
-      .join(cand.as("b"),
-        col("a.query_id") === col("b.query_id") && col("a.cid") =!= col("b.cid"))
-      .select(col("a.query_id").as("query_id"),
-        col("a.cid").as("c1"), col("b.cid").as("c2"))
-      .join(e.select(col("vec_id").as("c1"), col("v").as("v1"), col("nrm").as("n1")), "c1")
-      .join(e.select(col("vec_id").as("c2"), col("v").as("v2"), col("nrm").as("n2")), "c2")
-      .select(col("query_id"), col("c1"), col("c2"),
-        round(dot(col("v1"), col("v2")) / (col("n1") * col("n2")), 6).as("sim"))
-    // Greedy selection as ONE cogroup + a per-query in-memory loop —
+    // each shortlist row picks up its candidate's vector+norm — ONE
+    // broadcast-able join of |q|·m rows; the m(m−1)-per-query pairwise
+    // table is never materialized distributed (computed in-kernel)
+    val withVec = shortlistDf
+      .join(e.select(col("vec_id").as("cid"), col("v"), col("nrm")), "cid")
+      .select(col("query_id").cast("long").as("query_id"),
+        col("cid").cast("long").as("cid"), col("rel").cast("double").as("rel"),
+        col("v"), col("nrm"))
+      .as[(Long, Long, Double, Array[Double], Double)]
+    // Greedy selection as ONE groupByKey + a per-query in-memory loop —
     // the documented mapGroups last resort (SURVEY §2.9 ladder (d)),
     // taken because the greedy recurrence is genuinely imperative and
-    // its whole state is bounded small: m candidates + m(m−1) pairwise
-    // sims per query (m = shortlist, ~20). The previous formulation
-    // unrolled k rounds as 3 distributed joins each over the |q|·m²
-    // pairwise table (12 joins at k=5) — 3.3× slower at sf0.1 and the
-    // round-9 verdict's worst 10× slope; one shuffle replaces them.
-    // Arithmetic is replicated EXACTLY (λ·rel − μ·max-pen on the same
-    // 6dp-rounded doubles, argmax ties → smallest cid = the
-    // ArgExtremum rule), so the unrolled-CTE SQL oracle still
+    // its whole state is bounded small: m candidate vectors (m =
+    // shortlist, ~20) and their m(m−1)/2 pairwise cosines per query.
+    // The previous formulation unrolled k rounds as 3 distributed
+    // joins each over a materialized |q|·m² pairwise table (12 joins
+    // at k=5) — 3.3× slower at sf0.1 and the round-9 verdict's worst
+    // 10× slope; one shuffle of |q|·m vector rows replaces all of it.
+    // Arithmetic is replicated EXACTLY: pairwise sims use the same
+    // ascending-index left-fold dot and HALF_UP 6dp rounding as the
+    // Column twin (the cosineTopKBlocked recipe, spec-pinned
+    // bit-identical), penalties are λ·rel − μ·max-pen on those
+    // doubles, and argmax ties break to the smallest cid (the
+    // ArgExtremum rule) — so the unrolled-CTE SQL oracle still
     // hash-gates the output every round (e16/e21).
-    val candDs = cand.select(col("query_id").cast("long"),
-      col("cid").cast("long"), col("rel").cast("double"))
-      .as[(Long, Long, Double)]
-    val csDs = cs.select(col("query_id").cast("long"), col("c1").cast("long"),
-      col("c2").cast("long"), col("sim").cast("double"))
-      .as[(Long, Long, Long, Double)]
-    candDs.groupByKey(_._1).cogroup(csDs.groupByKey(_._1)) { (q, cIt, sIt) =>
+    withVec.groupByKey(_._1).flatMapGroups { (q, it) =>
       // cid-ascending scan + strict > keeps the SMALLEST cid on score
       // ties — identical to argMax's tieLow rule
-      val cl = cIt.map(t => (t._2, t._3)).toArray.sortBy(_._1)
+      val cl = it.toArray.sortBy(_._2)
       if (cl.isEmpty) Iterator.empty
       else {
-        val simMap = new scala.collection.mutable.HashMap[(Long, Long), Double]()
-        sIt.foreach(t => simMap((t._2, t._3)) = t._4)
-        val used = new scala.collection.mutable.HashSet[Long]()
+        val m = cl.length
+        // pairwise cosine matrix, same fold + rounding as the oracle
+        val sim = Array.ofDim[Double](m, m)
+        var i = 0
+        while (i < m) {
+          var j = i + 1
+          while (j < m) {
+            val a = cl(i)._4; val b = cl(j)._4
+            var acc = 0.0
+            var d0 = 0
+            val n = math.min(a.length, b.length)
+            while (d0 < n) { acc += a(d0) * b(d0); d0 += 1 }
+            val s = new java.math.BigDecimal(
+                java.lang.Double.toString(acc / (cl(i)._5 * cl(j)._5)))
+              .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+            sim(i)(j) = s; sim(j)(i) = s
+            j += 1
+          }
+          i += 1
+        }
+        val used = new Array[Boolean](m)
         val out = new scala.collection.mutable.ArrayBuffer[(Long, Int, Long, Double)]()
-        val rounds = math.min(k, cl.length)
+        val rounds = math.min(k, m)
         var r = 1
         while (r <= rounds) {
-          var bestCid = -1L
-          var bestRel = 0.0
+          var best = -1
           var bestScore = Double.NegativeInfinity
-          cl.foreach { case (cid, rel) =>
-            if (!used.contains(cid)) {
+          var ci = 0
+          while (ci < m) {
+            if (!used(ci)) {
+              val rel = cl(ci)._3
               val score =
                 if (r == 1) rel // round 1: pure relevance, no penalty
                 else {
-                  // max sim to the selected set; no pair row ⇒ 0.0
-                  // (the join formulation's left-join coalesce)
+                  // max sim to the selected set (nonempty for r > 1)
                   var pen = Double.NegativeInfinity
-                  var found = false
-                  used.foreach { s =>
-                    simMap.get((cid, s)).foreach { v =>
-                      found = true
-                      if (v > pen) pen = v
-                    }
+                  var si = 0
+                  while (si < m) {
+                    if (used(si) && sim(ci)(si) > pen) pen = sim(ci)(si)
+                    si += 1
                   }
-                  lambda * rel - mu * (if (found) pen else 0.0)
+                  lambda * rel - mu * pen
                 }
-              if (score > bestScore) {
-                bestScore = score; bestCid = cid; bestRel = rel
-              }
+              if (score > bestScore) { bestScore = score; best = ci }
             }
+            ci += 1
           }
-          out += ((q, r, bestCid, bestRel))
-          used += bestCid
+          out += ((q, r, cl(best)._2, cl(best)._3))
+          used(best) = true
           r += 1
         }
         out.iterator
