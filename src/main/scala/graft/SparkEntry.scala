@@ -2595,6 +2595,23 @@ object SparkEntry {
       graft.sketch.Sketches.cmsCounters(t(s, d, "events"), col("user_id"))
         .orderBy("r", "c"))
 ,
+    // ST19 (beyond reference): the standing KMV distinct-count STATE —
+    // each group's ≤ k smallest distinct hashes, the exact rows a
+    // continuous deployment carries between micro-batches
+    // (StreamIngest.kmvDistinctStream; StreamIngestSpec proves the
+    // 3-batch fold equals this batch build). Like st15 the twin
+    // verifies the state itself, so the streaming path is hash-gated,
+    // not just spec-tested. k-smallest runs on the TopKPerKey heap.
+    "st19_kmv_state_twin" -> ((s, d) => {
+      val hashes = t(s, d, "events")
+        .filter(col("user_id").isNotNull)
+        .select(col("event_type"),
+          graft.sketch.Sketches.kmvHash(col("user_id")).as("h"))
+        .distinct()
+      graft.operators.TopK.perKey(hashes, Seq("event_type"),
+          Seq(col("h").asc), 256)
+        .orderBy("event_type", "h")
+    }),
     // ST16 (beyond reference): hopping windows — st8's tumbling-day
     // counts at a 12 h slide (every event in exactly two windows).
     // Twin runs the EXACT streaming code path in batch; the oracle
@@ -2606,6 +2623,13 @@ object SparkEntry {
   )
 
   private val streamTwinOracles: Map[String, String] = Map(
+    "st19_kmv_state_twin" ->
+      """WITH src AS (SELECT event_type AS g, CAST(user_id AS VARCHAR) AS v FROM events),
+        |h AS (SELECT DISTINCT g, ('0x' || substr(md5('kmv:' || v), 1, 15))::BIGINT AS h
+        |  FROM src WHERE v IS NOT NULL)
+        |SELECT g AS event_type, h FROM (
+        |  SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn FROM h)
+        |WHERE rn <= 256 ORDER BY event_type, h""".stripMargin,
     "st18_stream_topk_twin" ->
       """SELECT user_id, event_id, value FROM (
         |  SELECT user_id, event_id, value,

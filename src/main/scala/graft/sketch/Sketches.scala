@@ -358,11 +358,16 @@ object Sketches {
     * `decimal(18,2)`) at the call site so both engines render
     * identical bytes. NULLs are excluded, matching
     * `approx_count_distinct`/`count(DISTINCT ...)`. */
+  /** The KMV hash column (md5-60-bit, "kmv" salt) — public so the
+    * streaming fold ([[graft.streaming.StreamIngest.kmvDistinctStream]])
+    * hashes identically to the batch sketch. */
+  def kmvHash(value: Column): Column = hash60(value.cast("string"), "kmv")
+
   def kmvDistinct(df: DataFrame, group: Column, value: Column,
       k: Int = 256): DataFrame = {
     require(k >= 2, "KMV needs k >= 2")
     val hashes = df.filter(value.isNotNull)
-      .select(group.as("grp"), hash60(value.cast("string"), "kmv").as("h"))
+      .select(group.as("grp"), kmvHash(value).as("h"))
       .distinct()
     val kept = graft.operators.TopK.perKey(hashes, Seq("grp"), Seq(col("h").asc), k)
     kept.groupBy("grp")

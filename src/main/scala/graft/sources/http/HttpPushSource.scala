@@ -1,0 +1,175 @@
+package graft.sources.http
+
+import java.util.{Map => JMap}
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.{StructType, StringType, TimestampType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** S3 as a real DataSource V2 MICRO-BATCH STREAM fed by live HTTP: the
+  * reference's Flask `POST /webhook/<account>` (webhook_app.py:152-182)
+  * becomes `spark.readStream.format("graft-http-push")` — a running
+  * [[graft.ingest.HttpIngress]] listener acks each POST with the
+  * reference's status taxonomy, and every micro-batch drains the posts
+  * accepted since the previous batch into `(account, body,
+  * received_at)` rows, the exact frame the [[graft.ingest.Webhook]]
+  * chain consumes.
+  *
+  * Usage:
+  * {{{
+  *   spark.readStream.format("graft-http-push")
+  *     .option("name", "ingress-1")        // registry key (required)
+  *     .option("accounts", "midtown,uptown")
+  *     .option("port", 0)                  // 0 = ephemeral
+  *     .load()
+  *   // HttpPushRegistry.boundPort("ingress-1") -> where to POST
+  * }}}
+  *
+  * Offsets are the monotone count of accepted posts; `commit` trims the
+  * retained buffer, so standing memory is one in-flight batch. Like
+  * Spark's own socket source this is the NON-fault-tolerant collector
+  * tier (a post acked between checkpoint and crash is lost — the
+  * reference has the identical window between its 200 and the Postgres
+  * commit): a production deployment puts N stateless [[graft.ingest.HttpIngress]]
+  * replicas in front of a durable log and streams FROM the log; this
+  * source stands in for that log in single-box deployments and tests,
+  * which is why the ack/dispatch semantics live in `Webhook`/`HttpIngress`
+  * (shared by both postures), not here.
+  */
+final class HttpPushSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-http-push"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    HttpPushSource.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: JMap[String, String]): Table =
+    new HttpPushTable(properties)
+}
+
+object HttpPushSource {
+  val schema: StructType = new StructType()
+    .add("account", StringType)
+    .add("body", StringType)
+    .add("received_at", TimestampType)
+}
+
+/** Driver-side registry of live listeners, keyed by the stream's
+  * `name` option — the streaming engine constructs/destroys scan
+  * objects freely, so listener lifetime can't live in them. */
+object HttpPushRegistry {
+  final class Entry(val ingress: graft.ingest.HttpIngress) {
+    // accepted posts not yet committed, as (account, body, micros);
+    // `base` counts rows already trimmed by commit()
+    private[http] val buf = new ArrayBuffer[(String, String, Long)]()
+    private[http] var base: Long = 0L
+    private[http] def drain(): Unit = synchronized {
+      ingress.drainPosts().foreach { p =>
+        buf += ((p.account, p.body, p.received_at.getTime * 1000L +
+          (p.received_at.getNanos / 1000L) % 1000L))
+      }
+    }
+    private[http] def total: Long = synchronized(base + buf.length)
+    private[http] def slice(from: Long, until: Long): Array[(String, String, Long)] =
+      synchronized {
+        buf.slice((from - base).toInt, (until - base).toInt).toArray
+      }
+    private[http] def trim(upTo: Long): Unit = synchronized {
+      val n = math.max(0, math.min(buf.length.toLong, upTo - base)).toInt
+      buf.remove(0, n)
+      base += n
+    }
+  }
+
+  private val entries = new java.util.concurrent.ConcurrentHashMap[String, Entry]()
+
+  def getOrCreate(name: String, accounts: Seq[String], port: Int): Entry =
+    entries.computeIfAbsent(name, _ => {
+      val ing = new graft.ingest.HttpIngress(accounts, port)
+      ing.start()
+      new Entry(ing)
+    })
+
+  /** Where to POST for a named stream (the ephemeral-port lookup). */
+  def boundPort(name: String): Int = {
+    val e = entries.get(name)
+    require(e != null, s"no running graft-http-push stream named '$name'")
+    e.ingress.boundPort
+  }
+
+  def stop(name: String): Unit = {
+    val e = entries.remove(name)
+    if (e != null) e.ingress.stop()
+  }
+}
+
+private final class HttpPushTable(props: JMap[String, String])
+    extends Table with SupportsRead {
+  override def name(): String = s"http-push(${props.get("name")})"
+  override def schema(): StructType = HttpPushSource.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new HttpPushScan(options.get("name"),
+      Option(options.get("accounts")).map(_.split(",").map(_.trim).toSeq)
+        .getOrElse(Seq.empty),
+      options.getInt("port", 0))
+}
+
+/** Monotone accepted-post count. */
+private final case class SeqOffset(seq: Long) extends Offset {
+  override def json(): String = seq.toString
+}
+
+private final case class HttpBatchPartition(rows: Array[(String, String, Long)])
+  extends InputPartition
+
+private final class HttpPushScan(name: String, accounts: Seq[String], port: Int)
+    extends ScanBuilder with Scan with MicroBatchStream {
+  require(name != null && name.nonEmpty,
+    "option 'name' (the listener registry key) is required")
+
+  override def build(): Scan = this
+  override def readSchema(): StructType = HttpPushSource.schema
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = this
+
+  private def entry = HttpPushRegistry.getOrCreate(name, accounts, port)
+
+  override def initialOffset(): Offset = SeqOffset(entry.total)
+  override def latestOffset(): Offset = {
+    val e = entry
+    e.drain() // pull everything the listener accepted since last batch
+    SeqOffset(e.total)
+  }
+  override def deserializeOffset(json: String): Offset = SeqOffset(json.toLong)
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[SeqOffset].seq
+    val e = end.asInstanceOf[SeqOffset].seq
+    if (e <= s) Array.empty
+    else Array(HttpBatchPartition(entry.slice(s, e)))
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+        val rows = partition.asInstanceOf[HttpBatchPartition].rows
+        new PartitionReader[InternalRow] {
+          private var i = -1
+          override def next(): Boolean = { i += 1; i < rows.length }
+          override def get(): InternalRow = {
+            val (acct, body, us) = rows(i)
+            InternalRow(UTF8String.fromString(acct), UTF8String.fromString(body), us)
+          }
+          override def close(): Unit = ()
+        }
+      }
+    }
+  override def commit(end: Offset): Unit =
+    entry.trim(end.asInstanceOf[SeqOffset].seq)
+  override def stop(): Unit = HttpPushRegistry.stop(name)
+}

@@ -117,6 +117,45 @@ object StreamIngest {
       }
   }
 
+  /** ST19 output: one standing distinct-estimate row per group. */
+  final case class KmvEstimate(event_type: String, n_kept: Int, est_distinct: Double)
+
+  /** ST19: streaming KMV distinct-count — the continuous form of
+    * [[graft.sketch.Sketches.kmvDistinct]] (the a13/dq1 scale path).
+    * State per group is the ≤ k smallest DISTINCT md5-60-bit hashes of
+    * the value — a bounded, order-insensitive monoid (set-union then
+    * take-k), so micro-batch folds commute with the batch build:
+    * StreamIngestSpec proves a 3-batch fold (with redeliveries) equals
+    * the batch sketch on the union, and `st19_kmv_state_twin` runs the
+    * SAME state construction in batch under the SQL oracle. The
+    * estimate replicates [[Sketches.kmvDistinct]] arithmetic exactly
+    * (exact below k; (k−1)·2^60/h_k, HALF_UP 4dp, above). */
+  def kmvDistinctStream(spark: SparkSession, events: Dataset[Ev],
+      k: Int = 256): Dataset[KmvEstimate] = {
+    import spark.implicits._
+    val hashed = events
+      .select(col("event_type"),
+        graft.sketch.Sketches.kmvHash(col("user_id")).as("h"))
+      .as[(String, Long)]
+    hashed.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (grp: String, it: Iterator[(String, Long)], state: GroupState[Array[Long]]) =>
+          val prev = state.getOption.getOrElse(Array.empty[Long])
+          val merged = (prev ++ it.map(_._2)).distinct.sorted.take(k)
+          if (java.util.Arrays.equals(merged, prev)) Iterator.empty
+          else {
+            state.update(merged)
+            val m = merged.length
+            val est =
+              if (m < k) m.toDouble
+              else new java.math.BigDecimal(java.lang.Double.toString(
+                  (k - 1).toDouble * math.pow(2, 60) / merged.last.toDouble))
+                .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+            Iterator(KmvEstimate(grp, m, est))
+          }
+      }
+  }
+
   /** ST8: watermarked tumbling-window event-time aggregation — counts
     * per (1-day window, event_type). Late rows inside the watermark
     * still land in their event-time bucket; state for a window is

@@ -684,6 +684,49 @@ class StreamIngestSpec extends SparkSpec {
       "value tie must break by event_id asc")
   }
 
+  test("ST19: streaming KMV distinct fold equals the batch sketch (redeliveries included)") {
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    // k = 4 so the "view" group (6 distinct users) exercises the
+    // estimate branch while "click" (2 users) stays on the exact branch
+    val q = StreamIngest.kmvDistinctStream(spark, in.toDS(), k = 4)
+      .writeStream.format("memory").queryName("st19_out").outputMode("update").start()
+    val evs = Seq(
+      Ev(1, ts("2024-01-01 10:00:00"), 101, "view", 1.0),
+      Ev(2, ts("2024-01-01 10:01:00"), 102, "view", 1.0),
+      Ev(3, ts("2024-01-01 10:02:00"), 201, "click", 1.0),
+      Ev(4, ts("2024-01-01 10:03:00"), 103, "view", 1.0),
+      Ev(5, ts("2024-01-01 10:04:00"), 101, "view", 1.0), // repeat user
+      Ev(6, ts("2024-01-01 10:05:00"), 104, "view", 1.0),
+      Ev(7, ts("2024-01-01 10:06:00"), 202, "click", 1.0),
+      Ev(8, ts("2024-01-01 10:07:00"), 105, "view", 1.0),
+      Ev(9, ts("2024-01-01 10:08:00"), 106, "view", 1.0))
+    in.addData(evs.take(4): _*)
+    q.processAllAvailable()
+    in.addData(evs(4), evs(5), evs(6), evs(4)) // duplicate delivery
+    q.processAllAvailable()
+    in.addData(evs.drop(7): _*)
+    q.processAllAvailable()
+    // standing estimate per group = the LAST emitted row
+    val fin = spark.table("st19_out")
+      .as[graft.streaming.StreamIngest.KmvEstimate].collect()
+      .zipWithIndex
+      .groupBy(_._1.event_type).view
+      .mapValues(_.maxBy(_._2)._1).values
+      .map(e => (e.event_type, e.n_kept, e.est_distinct)).toSet
+    q.stop()
+    val batch = graft.sketch.Sketches.kmvDistinct(
+        evs.toDF(), col("event_type"), col("user_id"), k = 4)
+      .as[(String, Double)].collect().toMap
+    assert(fin.map(t => (t._1, t._3)).toMap == batch,
+      s"streaming fold $fin must equal batch sketch $batch")
+    // exact branch: click has 2 < k distinct users -> exact count
+    assert(fin.contains(("click", 2, 2.0)))
+    // estimate branch engaged: view retains exactly k hashes
+    assert(fin.exists(t => t._1 == "view" && t._2 == 4))
+  }
+
   test("ST18: leaderboard state survives a checkpoint restart") {
     import org.apache.spark.sql.functions.{col, lit}
     val dir = java.nio.file.Files.createTempDirectory("graft_topk_restart")
