@@ -76,6 +76,7 @@ object HttpPushRegistry {
       }
     }
     private[http] def total: Long = synchronized(base + buf.length)
+    private[http] def baseSeq: Long = synchronized(base)
     private[http] def slice(from: Long, until: Long): Array[(String, String, Long)] =
       synchronized {
         buf.slice((from - base).toInt, (until - base).toInt).toArray
@@ -84,6 +85,16 @@ object HttpPushRegistry {
       val n = math.max(0, math.min(buf.length.toLong, upTo - base)).toInt
       buf.remove(0, n)
       base += n
+    }
+    /** Checkpoint-restart recovery: the engine replays offsets from a
+      * previous listener incarnation whose buffer is gone. Jump the
+      * sequence PAST the replayed range so offsets stay monotone — the
+      * in-flight rows are lost, which is this source's documented
+      * non-fault-tolerant contract (same as Spark's socket source; the
+      * durable-log deployment is the FT posture). */
+    private[http] def fastForward(to: Long): Unit = synchronized {
+      if (to > base + buf.length) { buf.clear(); base = to }
+      else if (to > base) trim(to)
     }
   }
 
@@ -151,8 +162,14 @@ private final class HttpPushScan(name: String, accounts: Seq[String], port: Int)
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[SeqOffset].seq
     val e = end.asInstanceOf[SeqOffset].seq
+    val en = entry
     if (e <= s) Array.empty
-    else Array(HttpBatchPartition(entry.slice(s, e)))
+    else if (s < en.baseSeq || e > en.total) {
+      // offsets from a pre-restart incarnation — accept the documented
+      // loss of the in-flight batch and realign the sequence
+      en.fastForward(e)
+      Array.empty
+    } else Array(HttpBatchPartition(en.slice(s, e)))
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new PartitionReaderFactory {

@@ -86,4 +86,39 @@ class HttpPushStreamSpec extends SparkSpec {
       HttpPushRegistry.stop(name)
     }
   }
+
+  test("checkpoint restart realigns offsets past the lost in-flight range (documented non-FT loss)") {
+    val name = s"ingress-${java.util.UUID.randomUUID().toString.take(8)}"
+    val dir = java.nio.file.Files.createTempDirectory("http_push_restart")
+    val chk = dir.resolve("chk").toString
+    val sink = dir.resolve("out").toString
+    def run(posts: Seq[(String, String)]): Unit = {
+      val df = spark.readStream.format("graft-http-push")
+        .option("name", name).option("accounts", "midtown").option("port", "0")
+        .load()
+      val q = df.writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", chk)
+        .outputMode("append").start()
+      try {
+        val deadline = System.nanoTime() + 10e9.toLong
+        def port(): Int =
+          try HttpPushRegistry.boundPort(name)
+          catch {
+            case _: IllegalArgumentException if System.nanoTime() < deadline =>
+              Thread.sleep(50); port()
+          }
+        val p = port()
+        posts.foreach { case (acct, b) => post(p, acct, b) }
+        q.processAllAvailable()
+      } finally { q.stop(); HttpPushRegistry.stop(name) }
+    }
+    run(Seq("midtown" -> body("lead.creation", 1), "midtown" -> body("lead.creation", 2)))
+    // second incarnation: fresh listener, checkpointed offsets replay
+    // against an empty buffer — must NOT crash, and new posts flow
+    run(Seq("midtown" -> body("lead.deleted", 3)))
+    val out = spark.read.parquet(sink)
+    val bodies = out.select("body").as[String].collect()
+    assert(bodies.length >= 3, s"all acked posts of both incarnations land: ${bodies.toSeq}")
+    assert(bodies.count(_.contains("lead.deleted")) == 1, "post-restart post must flow")
+  }
 }
