@@ -38,6 +38,8 @@ object PlanAudit {
       "same assignment join as e6: broadcast side is the `vec_id < k` centroid slice",
     "e11_ivf_probe_cells" ->
       "same assignment join as e6: broadcast side is the `vec_id < k` centroid slice",
+    "e22_ivf_layout_probe" ->
+      "layout build reuses the e6/e11 assignment join: broadcast side is the `vec_id < 8` centroid slice",
     "e17_filtered_ann" ->
       ("documented segment-fits-memory baseline (Ann.cosineTopKAgainst scaladoc): the " +
         "broadcast side is the metadata-FILTERED corpus segment; beyond memory, the " +

@@ -3330,6 +3330,46 @@ object SparkEntry {
           k = 5, shortlist = 20, nProbe = 4,
           prefixSeeds = true, refine = false)
         .orderBy("query_id", "rank")),
+    // E22 (beyond reference): the IVF index AS A STORAGE LAYOUT — the
+    // 100 TB posture where cell membership is materialized as the
+    // parquet partitioning itself, so a probe never scans the corpus:
+    // the probe-set join on the `cell` partition column triggers
+    // DYNAMIC PARTITION PRUNING and the scan reads only the probed
+    // cells' files (plan-asserted in AnnSpec). Deterministic
+    // vec_id<8 centroids (the e6/e11 recipe) make the whole thing —
+    // assignment, layout, probe sets, ranks — SQL-replayable. Queries
+    // restricted to vec_id<50 (a probe workload, not self-join-all).
+    "e22_ivf_layout_probe" -> ((s, d) => {
+      val A = graft.similarity.Ann
+      val emb = t(s, d, "embeddings").localCheckpoint(true)
+      val dir = scratchDir("e22")
+      A.centroidAssign(emb, 8)
+        .select(col("vec_id"), col("centroid_id").as("cell"))
+        .join(emb, "vec_id")
+        .write.mode("overwrite").partitionBy("cell").parquet(dir)
+      val stored = s.read.parquet(dir)
+      val probes = A.probeCells(emb, 8, 2)
+        .filter(col("vec_id") < 50)
+        .select(col("vec_id").as("query_id"), col("centroid_id").as("cell"))
+      val qv = A.prepared(emb.filter(col("vec_id") < 50))
+        .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+      val cands = probes.join(stored, "cell")
+        .filter(col("query_id") =!= col("vec_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          col("embedding").cast("array<double>").as("cv"))
+        .withColumn("cn", sqrt(A.dot(col("cv"), col("cv"))))
+        .join(broadcast(qv), "query_id")
+        .select(col("query_id"), col("neighbor_id"),
+          (A.dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("sim"))
+      graft.operators.TopK.perKey(cands, Seq("query_id"),
+          Seq(col("sim").desc, col("neighbor_id").asc), 3)
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("query_id"))
+            .orderBy(col("sim").desc, col("neighbor_id"))))
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("sim"), 6).as("sim"), col("rank"))
+        .orderBy("query_id", "rank")
+    }),
     // E17: metadata-FILTERED vector search — every vector queries the
     // corpus restricted to vectors whose DOCUMENT passes a metadata
     // predicate (lang = 'en', n_chars >= 150). The filter narrows the
@@ -3520,6 +3560,35 @@ $sqlRecallTail""".stripMargin
   private val simOracles: Map[String, String] = Map(
     "e16_mmr_topk" -> mmrOracle,
     "e21_ivf_mmr" -> ivfMmrOracle,
+    // e22: layout probe replay — vec_id<8 centroids, nearest-cell
+    // membership, 2-cell probe sets for the vec_id<50 query workload,
+    // exact cosine within probed cells, top-3 (DuckDB sees the same
+    // ROWS; the partition pruning it demonstrates is Spark-side
+    // physics asserted in AnnSpec, not row semantics)
+    "e22_ivf_layout_probe" ->
+      s"""$cosineCte,
+         |c AS (SELECT vec_id AS cell, v AS cv, nrm AS cn FROM n WHERE vec_id < 8),
+         |asim AS (SELECT n.vec_id, c.cell,
+         |    list_reduce(list_apply(range(1, 65), i -> n.v[i] * c.cv[i]), (a,b) -> a+b)
+         |      / (n.nrm * c.cn) AS sim
+         |  FROM n CROSS JOIN c),
+         |ranked AS (SELECT vec_id, cell,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn
+         |  FROM asim),
+         |member AS MATERIALIZED (SELECT vec_id, cell FROM ranked WHERE rn = 1),
+         |probe AS (SELECT vec_id AS query_id, cell FROM ranked
+         |  WHERE rn <= 2 AND vec_id < 50),
+         |cand AS (SELECT p.query_id, m.vec_id AS neighbor_id
+         |  FROM probe p JOIN member m ON m.cell = p.cell AND m.vec_id <> p.query_id),
+         |csim AS (SELECT query_id, neighbor_id,
+         |    list_reduce(list_apply(range(1, 65), i -> q.v[i] * c2.v[i]), (x,y) -> x+y)
+         |      / (q.nrm * c2.nrm) AS sim
+         |  FROM cand JOIN n q ON q.vec_id = query_id JOIN n c2 ON c2.vec_id = neighbor_id),
+         |r AS (SELECT query_id, neighbor_id, sim,
+         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS INT) AS rank
+         |  FROM csim)
+         |SELECT query_id, neighbor_id, round(sim, 6) AS sim, rank FROM r
+         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
     "e18_lsh_recall" -> lshRecallOracle,
     "e19_ivf_recall" -> ivfRecallOracle,
     "e17_filtered_ann" ->

@@ -29,6 +29,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   - known event                → 200 `{"status":"success",...}`
   *   - handler failure            → 500 `{"status":"error",...}`
   *   - non-POST method            → 405 (Flask's method guard)
+  *   - queue at `maxQueued`       → 503 shed-load (beyond the
+  *     reference: its Flask tier has Postgres as implicit
+  *     backpressure; an in-memory collector must bound itself and
+  *     lean on sender redelivery instead)
   *
   * One DOCUMENTED delta vs the reference: a whitelisted post whose body
   * is invalid JSON is acked 400 AND retained for the dead-letter sink
@@ -43,13 +47,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * path). The in-memory queue here IS the test harness's stand-in for
   * that log, drained per micro-batch.
   */
-final class HttpIngress(allowedAccounts: Seq[String], port: Int = 0) {
+final class HttpIngress(allowedAccounts: Seq[String], port: Int = 0,
+    maxQueued: Int = 100000) {
 
   /** One collected post — the exact row shape [[Webhook.parsed]] eats. */
   final case class Post(account: String, body: String, received_at: java.sql.Timestamp)
 
   private val allowed = allowedAccounts.toSet
+  // bounded: a listener nobody drains must not grow without limit.
+  // At capacity the endpoint sheds load with 503 (no silent drop, no
+  // OOM): the collector tells the sender to retry, which is the
+  // correct durable-webhook contract (senders redeliver on non-2xx).
   private val queue = new ConcurrentLinkedQueue[Post]()
+  private val queued = new java.util.concurrent.atomic.AtomicInteger(0)
   private val mapper = new ObjectMapper()
   private val pool = Executors.newFixedThreadPool(4)
   private val server = com.sun.net.httpserver.HttpServer
@@ -70,9 +80,14 @@ final class HttpIngress(allowedAccounts: Seq[String], port: Int = 0) {
           exchange.getRequestHeaders.getFirst("Content-Type")).getOrElse("")
         if (account == null || !allowed.contains(account)) {
           respond(exchange, 400, """{"error": "Invalid account"}""")
+        } else if (queued.get() >= maxQueued) {
+          // shed load BEFORE the ack decision: a 200 must imply the
+          // post is retained for the engine
+          respond(exchange, 503, """{"error": "Overloaded, retry later"}""")
         } else {
           // whitelisted: the post is RETAINED whatever the ack — the
           // dead-letter split downstream keeps the forensic record
+          queued.incrementAndGet()
           queue.add(Post(account, body,
             java.sql.Timestamp.from(java.time.Instant.now())))
           val eventOpt = parseEvent(contentType, body)
@@ -134,7 +149,7 @@ final class HttpIngress(allowedAccounts: Seq[String], port: Int = 0) {
   def drainPosts(): Seq[Post] = {
     val buf = Seq.newBuilder[Post]
     var p = queue.poll()
-    while (p != null) { buf += p; p = queue.poll() }
+    while (p != null) { buf += p; queued.decrementAndGet(); p = queue.poll() }
     buf.result()
   }
 

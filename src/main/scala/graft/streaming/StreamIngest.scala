@@ -141,7 +141,15 @@ object StreamIngest {
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
         (grp: String, it: Iterator[(String, Long)], state: GroupState[Array[Long]]) =>
           val prev = state.getOption.getOrElse(Array.empty[Long])
-          val merged = (prev ++ it.map(_._2)).distinct.sorted.take(k)
+          // bounded fold: O(k) memory however large the batch's group
+          // is (never buffer the batch to sort it) — same result as
+          // distinct-sort-take-k by the set semantics
+          val set = scala.collection.mutable.TreeSet.empty[Long] ++ prev
+          it.foreach { case (_, h) =>
+            if (set.size < k) set += h // TreeSet ignores duplicates
+            else if (h < set.last && set.add(h)) set -= set.last
+          }
+          val merged = set.toArray
           if (java.util.Arrays.equals(merged, prev)) Iterator.empty
           else {
             state.update(merged)

@@ -319,6 +319,21 @@ class AnnSpec extends SparkSpec {
     assert(fullPure.toDouble / full.length >= 0.9)
   }
 
+  test("E22: cell-partitioned layout probe reads only probed cells (dynamic partition pruning)") {
+    val q = SparkEntry.queries("e22_ivf_layout_probe")(spark, sfDir)
+    val planStr = q.queryExecution.executedPlan.toString
+    // the probe-set join on the `cell` partition column must reach the
+    // parquet scan as a dynamic pruning predicate — the scan reads the
+    // probed cells' directories, never the whole corpus layout
+    assert(planStr.toLowerCase.contains("dynamicpruning"),
+      s"expected dynamic partition pruning on the cell scan:\n$planStr")
+    // and the result is well-formed: 3 dense ranks per query
+    val rows = q.select("query_id", "rank").as[(Long, Int)].collect()
+    rows.groupBy(_._1).foreach { case (qid, rs) =>
+      assert(rs.map(_._2).sorted.toSeq == (1 to rs.length), s"query $qid")
+    }
+  }
+
   test("E21: composed IVF→MMR retriever (production config) — picks come from the IVF shortlist, rank 1 is pure relevance") {
     // PRODUCTION configuration (hash seeds + one Lloyd refinement) —
     // the registered e21 query pins the oracle-able config; this pins

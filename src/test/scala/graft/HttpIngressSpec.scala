@@ -94,4 +94,21 @@ class HttpIngressSpec extends SparkSpec {
       assert(ingress.drainPosts().isEmpty)
     } finally ingress.stop()
   }
+
+  test("queue at capacity sheds load with 503 and recovers after a drain") {
+    val ingress = new HttpIngress(allowed, maxQueued = 2)
+    ingress.start()
+    try {
+      val port = ingress.boundPort
+      assert(post(port, "/webhook/midtown", body("lead.creation")).statusCode() == 200)
+      assert(post(port, "/webhook/midtown", body("lead.creation")).statusCode() == 200)
+      val shed = post(port, "/webhook/midtown", body("lead.creation"))
+      assert(shed.statusCode() == 503 && shed.body().contains("Overloaded"))
+      // account 400s don't consume capacity and still 400 (not 503)
+      assert(post(port, "/webhook/ghost", body("lead.creation")).statusCode() == 400)
+      assert(ingress.drainPosts().size == 2) // the shed post was NOT retained
+      assert(post(port, "/webhook/midtown", body("lead.creation")).statusCode() == 200)
+      assert(ingress.drainPosts().size == 1)
+    } finally ingress.stop()
+  }
 }
