@@ -654,7 +654,12 @@ object Dedup {
         // tokens), then a broadcast-able drop-list anti join. The
         // dropped-key count is an explicit action so the overflow is
         // never silent — it is the operator's truncation indicator.
-        val fam = prefAll.groupBy(col("w")).agg(count(lit(1)).as("fam"))
+        // prefAll is materialized here because the capped path reads it
+        // THREE times (the fam action + both self-join sides); the
+        // uncapped path leaves it lazy — its identical-subplan
+        // self-join reuses one exchange.
+        val prefMat = prefAll.localCheckpoint(true)
+        val fam = prefMat.groupBy(col("w")).agg(count(lit(1)).as("fam"))
         val over = fam.filter(col("fam") > maxFamily).select(col("w"))
           .localCheckpoint(true)
         val nOver = over.count()
@@ -663,7 +668,7 @@ object Dedup {
             s"prefixFilterPairs: dropped $nOver prefix key(s) with family " +
               s"> $maxFamily docs — candidate generation is TRUNCATED; " +
               "run exact dedup first for a complete answer")
-        prefAll.join(over, Seq("w"), "left_anti")
+        prefMat.join(over, Seq("w"), "left_anti")
       }
     val cand = pref.as("a").join(pref.as("b"),
         col("a.w") === col("b.w") && col("a.doc_id") < col("b.doc_id"))

@@ -80,14 +80,17 @@ final class HttpIngress(allowedAccounts: Seq[String], port: Int = 0,
           exchange.getRequestHeaders.getFirst("Content-Type")).getOrElse("")
         if (account == null || !allowed.contains(account)) {
           respond(exchange, 400, """{"error": "Invalid account"}""")
-        } else if (queued.get() >= maxQueued) {
+        } else if (queued.incrementAndGet() > maxQueued) {
           // shed load BEFORE the ack decision: a 200 must imply the
-          // post is retained for the engine
+          // post is retained for the engine. Reserve-then-check keeps
+          // the bound exact under concurrent handler threads (a plain
+          // get() pre-check lets the pool overshoot the cap).
+          queued.decrementAndGet()
           respond(exchange, 503, """{"error": "Overloaded, retry later"}""")
         } else {
           // whitelisted: the post is RETAINED whatever the ack — the
           // dead-letter split downstream keeps the forensic record
-          queued.incrementAndGet()
+          // (the slot was reserved by the capacity check above)
           queue.add(Post(account, body,
             java.sql.Timestamp.from(java.time.Instant.now())))
           val eventOpt = parseEvent(contentType, body)

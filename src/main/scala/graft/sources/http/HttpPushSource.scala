@@ -88,13 +88,15 @@ object HttpPushRegistry {
     }
     /** Checkpoint-restart recovery: the engine replays offsets from a
       * previous listener incarnation whose buffer is gone. Jump the
-      * sequence PAST the replayed range so offsets stay monotone — the
-      * in-flight rows are lost, which is this source's documented
-      * non-fault-tolerant contract (same as Spark's socket source; the
-      * durable-log deployment is the FT posture). */
+      * sequence base PAST the replayed range so offsets stay monotone.
+      * The buffer is KEPT — posts the new incarnation already acked are
+      * renumbered to [to, to+len), never discarded (a 200 implies
+      * retention); only the pre-crash in-flight rows are lost, which is
+      * this source's documented non-fault-tolerant contract (same as
+      * Spark's socket source; the durable-log deployment is the FT
+      * posture). */
     private[http] def fastForward(to: Long): Unit = synchronized {
-      if (to > base + buf.length) { buf.clear(); base = to }
-      else if (to > base) trim(to)
+      if (to > base) base = to
     }
   }
 
@@ -152,21 +154,39 @@ private final class HttpPushScan(name: String, accounts: Seq[String], port: Int)
 
   private def entry = HttpPushRegistry.getOrCreate(name, accounts, port)
 
+  // becomes true at the first latestOffset call; deserializeOffset
+  // realigns the sequence ONLY before that point (checkpoint recovery).
+  // The engine also deserializes its offset WAL mid-run — realigning
+  // then would renumber rows that are mid-delivery and the stream
+  // would chase its own growing offset forever.
+  @volatile private var started = false
+
   override def initialOffset(): Offset = SeqOffset(entry.total)
   override def latestOffset(): Offset = {
+    started = true
     val e = entry
     e.drain() // pull everything the listener accepted since last batch
     SeqOffset(e.total)
   }
-  override def deserializeOffset(json: String): Offset = SeqOffset(json.toLong)
+  override def deserializeOffset(json: String): Offset = {
+    // recovery-time deserialization is the FIRST sight of a prior
+    // incarnation's offsets (committed floor AND any WAL batch end).
+    // Realign the fresh entry's sequence so latestOffset is monotone
+    // from the engine's very first call and posts the NEW incarnation
+    // acked are renumbered past the checkpointed range, never trimmed
+    // as if they had been delivered.
+    val seq = json.toLong
+    if (!started) entry.fastForward(seq)
+    SeqOffset(seq)
+  }
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[SeqOffset].seq
     val e = end.asInstanceOf[SeqOffset].seq
     val en = entry
     if (e <= s) Array.empty
     else if (s < en.baseSeq || e > en.total) {
-      // offsets from a pre-restart incarnation — accept the documented
-      // loss of the in-flight batch and realign the sequence
+      // offsets from a pre-restart incarnation — the replayed rows are
+      // gone (documented loss); realign and deliver nothing for them
       en.fastForward(e)
       Array.empty
     } else Array(HttpBatchPartition(en.slice(s, e)))
@@ -186,7 +206,13 @@ private final class HttpPushScan(name: String, accounts: Seq[String], port: Int)
         }
       }
     }
-  override def commit(end: Offset): Unit =
-    entry.trim(end.asInstanceOf[SeqOffset].seq)
+  override def commit(end: Offset): Unit = {
+    val seq = end.asInstanceOf[SeqOffset].seq
+    val en = entry
+    // a commit beyond this incarnation's sequence is the replay of a
+    // pre-restart batch — realign (keep the fresh rows) instead of
+    // trimming rows that were never delivered
+    if (seq > en.total) en.fastForward(seq) else en.trim(seq)
+  }
   override def stop(): Unit = HttpPushRegistry.stop(name)
 }

@@ -13,10 +13,16 @@ cd "$(dirname "$0")/.."
 fail=0
 for sf in sf0.001 sf0.01 sf0.1; do
   out="/tmp/sweep_${sf}"
+  # a stale dir from a previous sweep must never satisfy the checks
+  # below when THIS run's verify crashed
+  rm -rf "$out"
   echo "=== $sf: verify -> $out ==="
-  if ! sbt -batch "runMain graft.Verify /root/testdata/$sf $out" 2>&1 \
-      | grep -E "\[verify\].*failed|error\]" | grep -v "0 errors"; then
-    : # no error lines is the good case (grep exits 1)
+  vlog="/tmp/sweep_verify_${sf}.log"
+  if ! sbt -batch "runMain graft.Verify /root/testdata/$sf $out" > "$vlog" 2>&1; then
+    echo "SWEEP FAIL [$sf]: verify JVM exited nonzero (see $vlog)"; fail=1
+  fi
+  if grep -E "\[verify\].*failed" "$vlog"; then
+    echo "SWEEP FAIL [$sf]: queries errored during verify (lines above)"; fail=1
   fi
   if [ ! -f "$out/oracle_sql.json" ]; then
     echo "SWEEP FAIL [$sf]: verify produced no oracle_sql.json"; fail=1; continue
