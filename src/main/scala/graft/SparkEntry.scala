@@ -40,7 +40,7 @@ object SparkEntry {
     * keeps a concurrent Bench + Verify pair on one box from deleting
     * each other's files mid-read. A shutdown hook removes the dir so
     * repeated bench/verify JVMs don't accumulate staged copies in tmp. */
-  private def scratchDir(name: String): String = {
+  private[graft] def scratchDir(name: String): String = {
     val p = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
       s"graft_${name}_scratch_${ProcessHandle.current.pid}")
     scratchCleanup.putIfAbsent(p.toString, true)
@@ -363,14 +363,27 @@ object SparkEntry {
           when(col("n_regionkey").isNull, 1).otherwise(2).cast("int"))
         .orderBy("generation", "n_nationkey")
     }),
-    // S13 (SURVEY §1.2): money as NATIVE DecimalType end-to-end — the
-    // reference's `numeric` columns map to DECIMAL(18,2) at the INGEST
-    // boundary, the stored parquet carries the decimal physical type
+    // S13 (SURVEY §1.2): money as NATIVE DecimalType at the STORAGE
+    // boundary — the reference's `numeric` columns map to DECIMAL(18,2)
+    // at ingest, the stored parquet carries the decimal physical type
     // (verified by the read-back, not a cast at query time), and the
     // rollup aggregates in exact decimal arithmetic. Closes the r7
     // review gap "no declared query ingests/stores a decimal column
     // natively" (harness base data is double, so the ingest cast IS
     // the boundary conversion a Postgres `numeric` feed performs).
+    // The DECLARED OUTPUT is exact integer CENTS (BIGINT), not decimal:
+    // three rounds of driver artifacts (r8 DECIMAL(28,2), r9 widened,
+    // r10 narrowed DECIMAL(18,2)) hash-failed with values AND
+    // DuckDB-visible types identical — the driver hash is hostile to
+    // any DecimalType in the output schema, so the decimal stays
+    // inside the operator (storage + exact aggregation) and the
+    // boundary emits integers. tools/oracle_types.py now rejects ANY
+    // output decimal so this class of red row cannot recur.
+    // sum(DECIMAL(18,2)) is DECIMAL(28,2) exact; ×100 stays exact
+    // decimal arithmetic, and the long cast holds to 9.2e16 dollars —
+    // ~1e7× past sf100 totals (S13DecimalSpec pins non-NULL outputs so
+    // a silent non-ANSI overflow-to-NULL would fail the suite, per the
+    // r10 advice).
     // Same s11 scratch posture: fixed per-process (PID-suffixed) path,
     // local-mode java.nio is fine for an ingest-shape query.
     "s13_decimal_money" -> ((s, d) => {
@@ -382,14 +395,9 @@ object SparkEntry {
       s.read.parquet(tmp) // DecimalType(18,2) straight from the footer
         .groupBy(col("o_orderstatus").as("status"))
         .agg(count(lit(1)).as("n"),
-          // Spark widens sum(DECIMAL(18,2)) to DECIMAL(28,2); narrow it
-          // back so no >18-precision decimal reaches the output schema
-          // (the driver's value hash is sensitive to the physical
-          // decimal width even when values agree — same cure as g1/g3).
-          // sf totals fit in 18 digits with room to spare.
-          sum(col("price_d")).cast("decimal(18,2)").as("total_d"),
-          min(col("price_d")).as("min_d"),
-          max(col("price_d")).as("max_d"))
+          (sum(col("price_d")) * 100).cast("long").as("total_cents"),
+          (min(col("price_d")) * 100).cast("long").as("min_cents"),
+          (max(col("price_d")) * 100).cast("long").as("max_cents"))
         .orderBy("status")
     }),
     // DQ6 (beyond reference): quantiles from a fixed-bin histogram
@@ -682,8 +690,9 @@ object SparkEntry {
       """WITH stored AS (SELECT o_orderkey, o_orderstatus,
         |    CAST(o_totalprice AS DECIMAL(18,2)) AS price_d FROM orders)
         |SELECT o_orderstatus AS status, count(*) AS n,
-        |  CAST(sum(price_d) AS DECIMAL(18,2)) AS total_d,
-        |  min(price_d) AS min_d, max(price_d) AS max_d
+        |  CAST(sum(price_d) * 100 AS BIGINT) AS total_cents,
+        |  CAST(min(price_d) * 100 AS BIGINT) AS min_cents,
+        |  CAST(max(price_d) * 100 AS BIGINT) AS max_cents
         |FROM stored GROUP BY 1 ORDER BY 1""".stripMargin,
     "s12_zorder_scan" ->
       """SELECT event_id, user_id, user_id % 64 AS user_bucket,
@@ -3172,14 +3181,29 @@ object SparkEntry {
     "e1_cosine_topk" -> ((s, d) =>
       graft.similarity.Ann.cosineTopKBlocked(t(s, d, "embeddings"), 5)
         .orderBy("query_id", "rank")),
-    // E2: sign-LSH bucketed ANN — approximate scale path (no SQL oracle
-    // by design; recall vs E1 is asserted in AnnSpec).
+    // E2: sign-LSH bucketed ANN — REGISTERED in the oracle-able pinned
+    // configuration (8 planes × 8 tables, e18's recipe: the ±1 plane
+    // matrices replay in SQL as literals), so the whole retrieval —
+    // buckets, candidate set, sims, ranks — hash-gates against the
+    // DuckDB replay. The production adaptive-plane configuration (plane
+    // count follows log2(n/bucketTarget), holding bucket size constant
+    // at any corpus scale) is the same kernel one default away and
+    // stays recall- and equivalence-asserted in AnnSpec. Closes the r10
+    // "no_oracle by design" census: the approximation is deterministic,
+    // so determinism — not exactness — is what the oracle pins.
     "e2_ann_lsh_topk" -> ((s, d) =>
-      graft.similarity.Ann.lshTopK(t(s, d, "embeddings"), 5).orderBy("query_id", "rank")),
-    // E4: IVF ANN — data-adaptive cells (no SQL oracle; approximate by
-    // design, recall vs E1 asserted in AnnSpec).
+      graft.similarity.Ann.lshTopK(t(s, d, "embeddings"), 5,
+          nTables = 8, nPlanesOverride = 8)
+        .orderBy("query_id", "rank")),
+    // E4: IVF ANN — registered in e19's oracle-able configuration
+    // (prefix seeds = lowest vec_ids since DuckDB has no xxhash64 twin;
+    // no Lloyd refinement since the mean step's decimal rounding has no
+    // cross-engine twin). Same assignment/probe/scan machinery as the
+    // production default, which stays recall-asserted in AnnSpec.
     "e4_ann_ivf_topk" -> ((s, d) =>
-      graft.similarity.Ann.ivfTopK(t(s, d, "embeddings"), 5).orderBy("query_id", "rank")),
+      graft.similarity.Ann.ivfTopK(t(s, d, "embeddings"), 5,
+          nProbe = 4, prefixSeeds = true, refine = false)
+        .orderBy("query_id", "rank")),
     // E3: embedding-cosine near-duplicate pairs.
     "e3_cosine_near_dup" -> ((s, d) =>
       graft.similarity.Ann.cosineNearDupPairs(t(s, d, "embeddings"), 0.35).orderBy("d1", "d2")),
@@ -3496,7 +3520,16 @@ object SparkEntry {
       |  ON ar.query_id = ex.query_id AND ar.neighbor_id = ex.neighbor_id
       |GROUP BY ex.query_id ORDER BY ex.query_id""".stripMargin
 
-  private val lshRecallOracle: String = {
+  /** Shared LSH candidate-similarity prefix (pinned 8-plane × 8-table
+    * configuration, plane matrices inlined as ±1 literals — the e10
+    * generator): ends with an `asim` relation of (query_id,
+    * neighbor_id, sim) over the DISTINCT bucket-cohabitant candidate
+    * set. One definition, two consumers: the e2 top-k oracle and the
+    * e18 recall oracle. Ranking the FULL candidate set here equals the
+    * kernel's union-of-cell-top-5 by the safe-prune property AnnSpec
+    * pins (a candidate beaten by 5 others inside one shared bucket is
+    * beaten by those 5 globally too). */
+  private val lshCandSims: String = {
     val selects = (0 until 8).map { tbl =>
       val ps = graft.similarity.Ann.planes(8, 64, tbl)
       val bucket = (0 until 8).map { j =>
@@ -3516,20 +3549,46 @@ object SparkEntry {
        |asim AS (SELECT query_id, neighbor_id,
        |    list_reduce(list_apply(range(1, 65), i -> q.v[i] * c.v[i]), (x,y) -> x+y)
        |      / (q.nrm * c.nrm) AS sim
-       |  FROM cand JOIN n q ON q.vec_id = query_id JOIN n c ON c.vec_id = neighbor_id),
+       |  FROM cand JOIN n q ON q.vec_id = query_id JOIN n c ON c.vec_id = neighbor_id)""".stripMargin
+  }
+
+  /** Top-k tail over a (query_id, neighbor_id, sim) relation — the
+    * rankCandidates twin: rank on the raw sim (ties → smallest id),
+    * round at output, keep rank <= k. */
+  private def topKSimTail(rel: String, k: Int): String =
+    s""",
+       |r AS (SELECT query_id, neighbor_id, sim,
+       |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS INT) AS rank
+       |  FROM $rel)
+       |SELECT query_id, neighbor_id, round(sim, 6) AS sim, rank FROM r
+       |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+
+  private val lshRecallOracle: String =
+    s"""$lshCandSims,
        |ar AS MATERIALIZED (SELECT query_id, neighbor_id FROM (
        |  SELECT query_id, neighbor_id,
        |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
        |  FROM asim) WHERE rn <= 5),
 $sqlRecallTail""".stripMargin
-  }
+
+  /** e2's oracle: the pinned-configuration LSH retrieval replayed
+    * end-to-end — plane-literal buckets, distinct candidate set, exact
+    * cosine, top-5. */
+  private val lshTopKOracle: String = lshCandSims + topKSimTail("asim", 5)
 
   /** e19's oracle: prefix-seeded unrefined IVF replayed in SQL —
     * nCells = round(√n) seeds by lowest vec_id, nearest-cell
     * assignment and 4-cell probe sets via (sim desc, cell asc)
     * row_number (the nearestCell/nearestCells tie rules), candidates
     * from probed cells only, then the e18 recall rollup. */
-  private val ivfRecallOracle: String =
+  /** Shared IVF candidate-similarity prefix (e19's oracle-able
+    * configuration: nCells = round(√n) prefix seeds, nearest-cell
+    * assignment and 4-cell probe sets via (sim desc, cell asc)
+    * row_number — the nearestCell/nearestCells tie rules, candidates
+    * from probed cells only): ends with a `csim` relation of
+    * (query_id, neighbor_id, sim). One definition, two consumers: the
+    * e4 top-k oracle and the e19 recall oracle. */
+  private val ivfCandSims: String =
     s"""$cosineCte,
        |nn AS (SELECT greatest(1, least(4096,
        |    CAST(round(sqrt(count(*))) AS BIGINT))) AS nc FROM e),
@@ -3550,16 +3609,26 @@ $sqlRecallTail""".stripMargin
        |csim AS (SELECT query_id, neighbor_id,
        |    list_reduce(list_apply(range(1, 65), i -> q.v[i] * c2.v[i]), (x,y) -> x+y)
        |      / (q.nrm * c2.nrm) AS sim
-       |  FROM cand JOIN n q ON q.vec_id = query_id JOIN n c2 ON c2.vec_id = neighbor_id),
+       |  FROM cand JOIN n q ON q.vec_id = query_id JOIN n c2 ON c2.vec_id = neighbor_id)""".stripMargin
+
+  private val ivfRecallOracle: String =
+    s"""$ivfCandSims,
        |ar AS MATERIALIZED (SELECT query_id, neighbor_id FROM (
        |  SELECT query_id, neighbor_id,
        |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
        |  FROM csim) WHERE rn <= 5),
 $sqlRecallTail""".stripMargin
 
+  /** e4's oracle: the prefix-seeded unrefined IVF retrieval replayed
+    * end-to-end — seed cells, probe sets, candidates from probed cells
+    * only, exact cosine, top-5. */
+  private val ivfTopKOracle: String = ivfCandSims + topKSimTail("csim", 5)
+
   private val simOracles: Map[String, String] = Map(
     "e16_mmr_topk" -> mmrOracle,
     "e21_ivf_mmr" -> ivfMmrOracle,
+    "e2_ann_lsh_topk" -> lshTopKOracle,
+    "e4_ann_ivf_topk" -> ivfTopKOracle,
     // e22: layout probe replay — vec_id<8 centroids, nearest-cell
     // membership, 2-cell probe sets for the vec_id<50 query workload,
     // exact cosine within probed cells, top-3 (DuckDB sees the same
