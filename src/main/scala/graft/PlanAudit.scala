@@ -98,9 +98,30 @@ object PlanAudit {
         // re-scan detection (the p2 bug class): the same parquet path
         // scanned ≥3× in one plan means a shared frame should have been
         // checkpointed (2× is legitimate: self-joins, hist∪live).
+        // Scans under canonically-IDENTICAL shuffle exchanges don't
+        // count twice: both the non-AQE ReuseExchange rule and AQE
+        // stage reuse execute that map stage once and serve every
+        // consumer from its shuffle files (d14's 4-consumer weighted
+        // posting frame is the r11 case — one scan at runtime).
+        // Exchanges only exist post-EnsureRequirements, so this one
+        // analysis reads the executedPlan (AQE wrapper unwrapped to
+        // its initial plan); `plan` above stays pre-preparation for
+        // the shape counts.
+        val execPlan = fn(spark, dir).queryExecution.executedPlan match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            a.executedPlan
+          case p => p
+        }
+        val dupExchangeScans = execPlan
+          .collect { case e: ShuffleExchangeExec => e }
+          .groupBy(_.canonicalized).values.flatMap(_.drop(1))
+          .flatMap(_.collect { case s: FileSourceScanExec =>
+            s.relation.location.rootPaths.mkString(",") })
+          .groupBy(identity).view.mapValues(_.size).toMap
         val scansPerPath = plan.collect { case s: FileSourceScanExec =>
           s.relation.location.rootPaths.mkString(",")
-        }.groupBy(identity).view.mapValues(_.size)
+        }.groupBy(identity).view.mapValues(_.size).toMap
+          .map { case (p, c) => p -> (c - dupExchangeScans.getOrElse(p, 0)) }
         if (!rescanWhitelist.contains(name))
           scansPerPath.filter(_._2 >= 3).foreach { case (path, n) =>
             flagged ::= s"$name: $n scans of the same input ($path) — checkpoint the shared frame"

@@ -128,19 +128,24 @@ object Dedup {
     // byte-identical subplans, so the exchange is built once and
     // reused rather than re-scanning the corpus per side.
     val n = docs.count()
-    // weighted inverted index, materialized ONCE for its three
-    // consumers (norms + both join sides). Kept SLIM — (doc_id, sh, w)
-    // only; carrying the per-doc norm on every exploded row (a window
-    // over doc_id) measured 2× slower: it adds an exchange AND widens
-    // every row the Σdf² self-join multiplies. Norms are a |docs|-row
-    // aggregate joined back AFTER the pair reduction instead.
+    // weighted inverted index, computed ONCE for its three consumers
+    // (norms + both join sides) — all three read the SAME byte-identical
+    // subplan, so ReusedExchange serves them from one shuffle write
+    // (r11 A/B: the eager localCheckpoint this replaces re-materialized
+    // the frame through the driver's block manager and measured ~1 s
+    // SLOWER warm at sf0.1 — 4.6 vs 3.5 s — because exchange reuse
+    // already gives the sharing, without the materialize barrier).
+    // Kept SLIM — (doc_id, sh, w) only; carrying the per-doc norm on
+    // every exploded row (a window over doc_id) measured 2× slower: it
+    // adds an exchange AND widens every row the Σdf² self-join
+    // multiplies. Norms are a |docs|-row aggregate joined back AFTER
+    // the pair reduction instead.
     val ex = shingleSets(docs).filter(size(col("g")) > 0)
       .select(col("doc_id"), explode(col("g")).as("sh"))
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("sh"))))
       .filter(col("df") <= maxDf)
       .select(col("doc_id"), col("sh"),
         log(lit(n.toDouble) / col("df")).as("w"))
-      .localCheckpoint(true)
     // Exactness via SCALED-LONG quantization (r9): round(w²·1e12) as a
     // BIGINT sum instead of a DECIMAL(28,12) sum. Identical numeric
     // contract — both are 12-dp HALF-UP quantization, both engines

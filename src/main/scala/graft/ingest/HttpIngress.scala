@@ -34,10 +34,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     backpressure; an in-memory collector must bound itself and
   *     lean on sender redelivery instead)
   *
-  * One DOCUMENTED delta vs the reference: a whitelisted post whose body
-  * is invalid JSON is acked 400 AND retained for the dead-letter sink
-  * (the repo's S4/S10 "malformed never lost" posture); the reference
-  * discards it after the 400. Unknown accounts are dropped entirely on
+  * One DOCUMENTED delta vs the reference: a whitelisted post acked 400
+  * (invalid JSON body, or a non-JSON/missing Content-Type) is retained
+  * for the dead-letter sink (the repo's S4/S10 "malformed never lost"
+  * posture); the reference discards it after the 400. Retention follows
+  * the ack: a 400-acked post carries `http_status = 400` in the drained
+  * frame and [[Webhook.dispatchAcked]] routes it to the dead letter
+  * ONLY, never bronze — the sender treats a 400 as undelivered and
+  * redelivers, so a bronze landing would double the event (the
+  * reference's guard is Postgres `ON CONFLICT (id) DO NOTHING`,
+  * webhook_app.py:41-49). Unknown accounts are dropped entirely on
   * both sides — a 200 never acks an event the engine will not store.
   *
   * Scale posture: this is the single-node collector tier, not a Spark
@@ -48,10 +54,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * that log, drained per micro-batch.
   */
 final class HttpIngress(allowedAccounts: Seq[String], port: Int = 0,
-    maxQueued: Int = 100000) {
-
-  /** One collected post — the exact row shape [[Webhook.parsed]] eats. */
-  final case class Post(account: String, body: String, received_at: java.sql.Timestamp)
+    maxQueued: Int = 100000,
+    journal: Option[HttpIngress.Post => Unit] = None) {
+  import HttpIngress.Post
 
   private val allowed = allowedAccounts.toSet
   // bounded: a listener nobody drains must not grow without limit.
@@ -88,12 +93,22 @@ final class HttpIngress(allowedAccounts: Seq[String], port: Int = 0,
           queued.decrementAndGet()
           respond(exchange, 503, """{"error": "Overloaded, retry later"}""")
         } else {
-          // whitelisted: the post is RETAINED whatever the ack — the
-          // dead-letter split downstream keeps the forensic record
-          // (the slot was reserved by the capacity check above)
-          queue.add(Post(account, body,
-            java.sql.Timestamp.from(java.time.Instant.now())))
+          // whitelisted: the post is RETAINED whatever the ack (the
+          // dead-letter split downstream keeps the forensic record),
+          // and it carries ITS ack so downstream routing can honor it —
+          // a 400-acked post will be redelivered by the sender, so it
+          // must never dispatch to bronze (the slot was reserved by the
+          // capacity check above). The journal write happens BEFORE the
+          // ack goes out: in durable (WAL) mode an acked post survives
+          // a crash, and a journal failure falls through to the 500
+          // catch-all so the sender redelivers.
           val eventOpt = parseEvent(contentType, body)
+          val status = if (eventOpt.isEmpty) 400 else 200
+          val p = Post(account, body,
+            java.sql.Timestamp.from(java.time.Instant.now()), status)
+          try retain(p) catch {
+            case e: Exception => queued.decrementAndGet(); throw e
+          }
           eventOpt match {
             case None =>
               respond(exchange, 400, """{"error": "Invalid content type"}""")
@@ -115,13 +130,26 @@ final class HttpIngress(allowedAccounts: Seq[String], port: Int = 0,
             "message", Option(e.getMessage).getOrElse(e.getClass.getName))))
     })
 
-  /** Flask `request.is_json` + `get_json()` in one step: JSON content
-    * type (when a type is sent) and a parseable body. None = the 400
-    * "Invalid content type" route; Some(event) may hold null when
-    * `webhook_event.event` is absent — the 200 success_unhandled route,
-    * mirroring from_json's NULL field. */
+  /** Single retention point: queue the post, journaling first when a
+    * journal is configured. The lock makes journal order and queue
+    * order agree under concurrent handler threads — on WAL replay the
+    * recovered sequence must match the order posts were delivered. */
+  private val retainLock = new Object
+  private def retain(p: Post): Unit = journal match {
+    case Some(j) => retainLock.synchronized { j(p); queue.add(p) }
+    case None => queue.add(p); ()
+  }
+
+  /** Flask `request.is_json` + `get_json()` in one step: a JSON content
+    * type AND a parseable body. A MISSING Content-Type header is a 400
+    * too — Flask's `request.is_json` is False with no header, so the
+    * reference rejects a header-less POST (webhook_app.py:158-159) and
+    * so does this endpoint. None = the 400 "Invalid content type"
+    * route; Some(event) may hold null when `webhook_event.event` is
+    * absent — the 200 success_unhandled route, mirroring from_json's
+    * NULL field. */
   private def parseEvent(contentType: String, body: String): Option[String] = {
-    if (contentType.nonEmpty && !contentType.toLowerCase.contains("json")) None
+    if (!contentType.toLowerCase.contains("json")) None
     else
       try {
         val root = mapper.readTree(body)
@@ -156,12 +184,14 @@ final class HttpIngress(allowedAccounts: Seq[String], port: Int = 0,
     buf.result()
   }
 
-  /** Drained posts as the `(account, body, received_at)` frame the
-    * [[Webhook]] chain consumes. */
+  /** Drained posts as the `(account, body, received_at, http_status)`
+    * frame the [[Webhook]] chain consumes — `http_status` is the ack
+    * each post actually received, so [[Webhook.dispatchAcked]] can keep
+    * 400-acked (to-be-redelivered) posts out of bronze. */
   def drainBatch(spark: SparkSession): DataFrame = {
     import spark.implicits._
-    drainPosts().map(p => (p.account, p.body, p.received_at))
-      .toDF("account", "body", "received_at")
+    drainPosts().map(p => (p.account, p.body, p.received_at, p.http_status))
+      .toDF("account", "body", "received_at", "http_status")
   }
 
   def stop(): Unit = {
@@ -170,4 +200,13 @@ final class HttpIngress(allowedAccounts: Seq[String], port: Int = 0,
     pool.awaitTermination(5, TimeUnit.SECONDS)
     ()
   }
+}
+
+object HttpIngress {
+  /** One collected post — the row shape [[Webhook.parsed]] eats, plus
+    * the ack the sender actually saw (400-acked posts are retained for
+    * forensics but must never dispatch to bronze: the sender redelivers
+    * them). */
+  final case class Post(account: String, body: String,
+      received_at: java.sql.Timestamp, http_status: Int)
 }

@@ -146,6 +146,35 @@ object Webhook {
     * Output adds `http_status` (int) and `ack` (string) per row;
     * AckProtocolSpec pins the routes to [[rejected]]/[[wellFormed]].
     */
+  /** Ack-honoring dispatch of an HTTP-collected batch (the
+    * [[HttpIngress.drainBatch]] frame, which carries the `http_status`
+    * each post was actually acked with): returns `(bronze, deadLetter)`
+    * where bronze is the well-formed envelope of 200-ACKED posts only
+    * and the dead letter keeps every rejected OR 400-acked post.
+    *
+    * The invariant this exists for: a 400-acked post is never
+    * dispatched to bronze, even when its BODY parses — e.g. valid JSON
+    * sent with a `text/plain` Content-Type is 400-acked (Flask
+    * `request.is_json`) although body-only parsing succeeds. The
+    * sender treats the 400 as undelivered and redelivers; without this
+    * routing the redelivery would land the same event in bronze twice
+    * (the reference's guard is Postgres `ON CONFLICT (id) DO NOTHING`,
+    * webhook_app.py:41-49 — the parquet bronze sink has no id-keyed
+    * upsert, so the split must happen at routing time).
+    *
+    * The dead-letter side is a superset union, not a partition: a post
+    * can be both 400-acked and body-rejected (plain-text body) — it
+    * lands once, the predicates being OR-ed on one frame. */
+  def dispatchAcked(batch: DataFrame, allowedAccounts: Seq[String]): (DataFrame, DataFrame) = {
+    val p = parsed(batch, allowedAccounts)
+    val acked200 = col("http_status") === 200
+    val bronze = envelope(p.filter(acked200))
+    val dead = p.filter(!acked200 || col("env").isNull ||
+        !coalesce(col("env.event").isin(knownEvents: _*), lit(false)))
+      .select(col("account"), col("body"), col("received_at"), col("http_status"))
+    (bronze, dead)
+  }
+
   def ackStatus(posts: DataFrame, allowedAccounts: Seq[String]): DataFrame = {
     val env = from_json(col("body"), Schemas.bodySchema).getField("webhook_event")
     val isJson = try_parse_json(col("body")).isNotNull

@@ -51,43 +51,62 @@ class HttpIngressSpec extends SparkSpec {
       // Flask is_json: a JSON body declared as a non-JSON content type is 400
       assert(post(port, "/webhook/midtown", body("lead.creation"),
         contentType = "text/plain").statusCode() == 400)
+      // Flask is_json is also False with NO Content-Type header at all:
+      // a header-less POST is 400 on the reference and must be here too
+      val noCt = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/webhook/midtown"))
+          .POST(HttpRequest.BodyPublishers.ofString(body("lead.creation"))).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(noCt.statusCode() == 400 && noCt.body().contains("content type"),
+        s"header-less POST must 400 like Flask: ${noCt.statusCode()} ${noCt.body()}")
       // method guard
       val get = client.send(
         HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/webhook/midtown"))
           .GET().build(), HttpResponse.BodyHandlers.ofString())
       assert(get.statusCode() == 405)
 
-      // collected = every WHITELISTED post (bad-JSON ones retained for
-      // the dead letter; account 400s dropped entirely) — 6 of the 9
+      // collected = every WHITELISTED post (400-acked ones retained for
+      // the dead letter; account 400s dropped entirely) — 7 of the 10,
+      // each carrying the ack it actually received
       val batch = ingress.drainBatch(spark).cache()
-      assert(batch.count() == 6)
+      assert(batch.count() == 7)
+      assert(batch.columns.contains("http_status"),
+        "drained frame must carry each post's actual ack")
+      assert(batch.filter(col("http_status") === 400).count() == 3,
+        "plain-text body, text/plain CT, and header-less posts are the 400-acked retainees")
       assert(batch.select("account").distinct().as[String].collect().toSet
         == Set("midtown", "uptown"))
 
       // route-for-route equivalence with the Spark-side ack computation
-      // on the very same frame (skipping the text/plain post: ackStatus
-      // cannot see headers, and its body IS valid JSON)
+      // on the very same frame (the text/plain and header-less posts
+      // diverge BY DESIGN: ackStatus cannot see headers and their
+      // bodies ARE valid JSON — which is exactly why dispatchAcked must
+      // honor the transport-level ack, below)
       val acked = Webhook.ackStatus(batch, allowed)
       val counts = acked.groupBy("ack").count().as[(String, Long)].collect().toMap
       assert(counts == Map("invalid_content_type" -> 1L,
-        "success_unhandled" -> 2L, "success" -> 3L))
+        "success_unhandled" -> 2L, "success" -> 4L))
 
-      // dispatch: bronze envelope + dead letter, the engine sinks
-      val parsed = Webhook.parsed(batch, allowed)
+      // dispatch: ack-honoring split — a 400-acked post never reaches
+      // bronze even when its body parses (the sender saw a 400 and WILL
+      // redeliver; bronze has no id-keyed upsert to absorb the copy)
+      val (bronzeDf, dlqDf) = Webhook.dispatchAcked(batch, allowed)
       val bronzeDir = java.nio.file.Files.createTempDirectory("http_bronze").toString
       val dlqDir = java.nio.file.Files.createTempDirectory("http_dlq").toString
-      Webhook.envelope(parsed).write.mode("overwrite").parquet(bronzeDir)
-      Webhook.rejected(parsed)
-        .select(col("account"), col("body"), col("received_at"))
-        .write.mode("overwrite").parquet(dlqDir)
+      bronzeDf.write.mode("overwrite").parquet(bronzeDir)
+      dlqDf.write.mode("overwrite").parquet(dlqDir)
       val bronze = spark.read.parquet(bronzeDir)
       val dlq = spark.read.parquet(dlqDir)
-      assert(bronze.count() == 3) // lead.creation ×2 (one was text/plain-acked) + lead.deleted
+      // ONLY the 200-acked well-formed posts: lead.creation + lead.deleted
+      // (the text/plain and header-less lead.creation posts were 400-acked)
+      assert(bronze.count() == 2)
       assert(bronze.select("event").as[String].collect().sorted.toSeq
-        == Seq("lead.creation", "lead.creation", "lead.deleted"))
-      // dead letter: plain-text body, no_envelope, unknown event
-      assert(dlq.count() == 3)
+        == Seq("lead.creation", "lead.deleted"))
+      // dead letter: plain-text body, no_envelope, unknown event, AND the
+      // two 400-acked parseable posts (retained for forensics, never bronze)
+      assert(dlq.count() == 5)
       assert(dlq.filter(col("body") === "plain text, not json").count() == 1)
+      assert(dlq.filter(col("http_status") === 400).count() == 3)
       batch.unpersist()
 
       // a second drain is empty — each post belongs to one micro-batch

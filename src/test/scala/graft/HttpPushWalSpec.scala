@@ -1,0 +1,127 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardOpenOption}
+
+import graft.sources.http.{HttpPushRegistry, PushWal}
+
+/** Durable mode for the `graft-http-push` source: with the `wal` option
+  * every accepted post is fsync'd to [[PushWal]] BEFORE its 200 ack, so
+  * a checkpoint restart replays acked-but-unprocessed posts instead of
+  * losing them — the reference's commit-to-Postgres-then-respond
+  * durability (webhook_app.py:41-49). The WAL-less twin of this spec
+  * (HttpPushStreamSpec's restart case) pins the documented loss window;
+  * this one pins ZERO lost acked posts. */
+class HttpPushWalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val client = HttpClient.newHttpClient()
+
+  private def post(port: Int, account: String, payload: String): Int =
+    client.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/webhook/$account"))
+        .header("Content-Type", "application/json")
+        .POST(HttpRequest.BodyPublishers.ofString(payload)).build(),
+      HttpResponse.BodyHandlers.ofString()).statusCode()
+
+  private def body(event: String, id: Int): String =
+    s"""{"webhook_event":{"id":$id,"event":"$event","data":{"id":${id * 10},"title":"t"}}}"""
+
+  test("WAL restart loses no acked post: acked-but-unprocessed rows replay after restart") {
+    val name = s"ingress-${java.util.UUID.randomUUID().toString.take(8)}"
+    val dir = Files.createTempDirectory("http_push_wal")
+    val chk = dir.resolve("chk").toString
+    val sink = dir.resolve("out").toString
+    val wal = dir.resolve("wal").toString
+
+    // one incarnation: posts `processed` and drains them through the
+    // engine, then posts `ackedOnly` (acked + journaled, NEVER given a
+    // micro-batch before the stop — the exact window the WAL-less
+    // source documents as lost)
+    def run(processed: Seq[String], ackedOnly: Seq[String]): Unit = {
+      val df = spark.readStream.format("graft-http-push")
+        .option("name", name).option("accounts", "midtown").option("port", "0")
+        .option("wal", wal)
+        .load()
+      val q = df.writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", chk)
+        .outputMode("append").start()
+      try {
+        val deadline = System.nanoTime() + 10e9.toLong
+        def port(): Int =
+          try HttpPushRegistry.boundPort(name)
+          catch {
+            case _: IllegalArgumentException if System.nanoTime() < deadline =>
+              Thread.sleep(50); port()
+          }
+        val p = port()
+        processed.foreach(b => assert(post(p, "midtown", b) == 200))
+        q.processAllAvailable()
+        ackedOnly.foreach(b => assert(post(p, "midtown", b) == 200))
+      } finally { q.stop(); HttpPushRegistry.stop(name) }
+    }
+
+    run(Seq(body("lead.creation", 1), body("lead.creation", 2)),
+      Seq(body("lead.deleted", 3)))
+    // restart: post 3 was acked into the WAL only — it must come out
+    // here, exactly once, alongside the new post
+    run(Seq(body("lead.step.changed", 4)), Seq.empty)
+
+    val out = spark.read.parquet(sink).select("body").as[String].collect().toSeq
+    assert(out.size == 4, s"all four acked posts land exactly once: $out")
+    (1 to 4).foreach { id =>
+      assert(out.count(_.contains(s""""id":$id,""")) == 1,
+        s"post $id must land exactly once across the restart: $out")
+    }
+  }
+
+  test("PushWal drops a torn tail record and compacts once fully committed") {
+    val dir = Files.createTempDirectory("pushwal_unit")
+    val w1 = new PushWal(dir)
+    def p(id: Int) = graft.ingest.HttpIngress.Post("midtown", s"""{"id":$id}""",
+      new java.sql.Timestamp(1700000000000L + id), 200)
+    w1.append(p(0)); w1.append(p(1)); w1.append(p(2))
+    w1.commitFloor(1) // post 0 committed; 1 and 2 still in flight
+    w1.close()
+    // torn append: a crash mid-write leaves a record with no newline —
+    // its ack never went out, so replay must drop it
+    Files.write(dir.resolve("posts.log"),
+      "dG9ybg\ttorn-partial-record".getBytes(StandardCharsets.UTF_8),
+      StandardOpenOption.APPEND)
+
+    val w2 = new PushWal(dir)
+    assert(w2.recoveredBase == 1L)
+    assert(w2.recoveredPosts.map(_._2) == Seq("""{"id":1}""", """{"id":2}"""),
+      s"uncommitted complete records replay, torn tail dropped: ${w2.recoveredPosts}")
+    // committing everything compacts the log to zero bytes while the
+    // absolute numbering survives in the sidecar
+    w2.commitFloor(3)
+    assert(Files.size(dir.resolve("posts.log")) == 0L, "fully-committed log compacts")
+    w2.append(p(9))
+    w2.close()
+    val w3 = new PushWal(dir)
+    assert(w3.recoveredBase == 3L && w3.recoveredPosts.map(_._2) == Seq("""{"id":9}"""),
+      s"post-compaction appends keep absolute sequence: ${w3.recoveredBase} ${w3.recoveredPosts}")
+    w3.close()
+  }
+
+  test("registry getOrCreate rejects a config change on a live stream name") {
+    val name = s"ingress-${java.util.UUID.randomUUID().toString.take(8)}"
+    HttpPushRegistry.getOrCreate(name, Seq("midtown"), 0, None)
+    try {
+      intercept[IllegalArgumentException] {
+        HttpPushRegistry.getOrCreate(name, Seq("uptown"), 0, None)
+      }
+      intercept[IllegalArgumentException] {
+        HttpPushRegistry.getOrCreate(name, Seq("midtown"), 12345, None)
+      }
+      intercept[IllegalArgumentException] {
+        HttpPushRegistry.getOrCreate(name, Seq("midtown"), 0, Some("/tmp/nope"))
+      }
+      // the same config is idempotent (stream restarts in one JVM)
+      HttpPushRegistry.getOrCreate(name, Seq("midtown"), 0, None)
+    } finally HttpPushRegistry.stop(name)
+  }
+}

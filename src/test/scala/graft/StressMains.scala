@@ -335,13 +335,21 @@ object ProfileD16 {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    def time(tag: String)(f: => Long): Unit = {
-      val t0 = System.nanoTime()
-      val n = f
-      println(f"[d16] $tag: ${(System.nanoTime() - t0) / 1e9}%.1f s, $n pairs")
+    def time(tag: String, runs: Int = 1)(f: => Long): Unit = {
+      // min-of-N (r10 verdict: the capped replica number spread
+      // 29.6-62 s across rounds on a box that carries external load —
+      // pin the stress figure the same way Bench pins query times)
+      val timed = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        val n = f
+        (System.nanoTime() - t0) / 1e9 -> n
+      }
+      val (best, n) = timed.minBy(_._1)
+      val spread = timed.map(_._1)
+      println(f"[d16] $tag: $best%.1f s (min of $runs; spread ${spread.min}%.1f-${spread.max}%.1f), $n pairs")
     }
     val docs = Tables.documents(spark, dir)
-    time(s"10x replica, maxFamily=$cap") {
+    time(s"10x replica, maxFamily=$cap", runs = 3) {
       graft.dedup.Dedup.prefixFilterPairs(docs, 0.7, maxFamily = cap).count()
     }
     val sf01 = Tables.documents(spark, "/root/testdata/sf0.1")
@@ -352,5 +360,279 @@ object ProfileD16 {
       graft.dedup.Dedup.prefixFilterPairs(sf01, 0.7, maxFamily = cap).count()
     }
     spark.stop()
+  }
+}
+
+/** Scratch profiler for the d14 pipeline pieces + formulation A/Bs
+  * (test scope): stagewise costs of the sparse-cosine pair query and
+  * the df-via-aggregate-join alternative to the df window. */
+object ProfileD14 {
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark0 = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark0.sparkContext.setLogLevel("WARN")
+    def time[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[d14prof] $label: ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      r
+    }
+    Tables.documents(spark0, dir).count() // warm
+    (1 to 2).foreach { i =>
+      // the registered configuration (4m advisory sub-session)
+      val s2 = spark0.newSession()
+      s2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
+      s2.conf.set("spark.sql.shuffle.partitions", "32")
+      val docs = Tables.documents(s2, dir)
+      import graft.text.TextAnalysis._
+      val sets = graft.dedup.Dedup.shingleSets(docs).filter(size(col("g")) > 0)
+        .select(col("doc_id"), explode(col("g")).as("sh"))
+      time(s"explode count $i")(sets.count())
+      val win = sets.withColumn("df", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("sh"))))
+        .filter(col("df") <= 1000)
+      time(s"df window $i")(win.count())
+      val agg = sets.join(
+        sets.groupBy(col("sh")).agg(count(lit(1)).as("df")).filter(col("df") <= 1000), "sh")
+      time(s"df agg+join $i")(agg.count())
+      time(s"full d14 $i")(
+        Bench.force(SparkEntry.queries("d14_sparse_cosine")(spark0, dir)))
+      spark0.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    }
+    spark0.stop()
+  }
+}
+
+/** d14 conf/formulation A/B (test scope): the registered 4m/32-width
+  * sub-session vs plain session vs no-checkpoint variants. */
+object ProfileD14B {
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark0 = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", math.min(8, cpus.toInt))
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.locality.wait", "0")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark0.sparkContext.setLogLevel("WARN")
+    def time[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[d14b] $label: ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      r
+    }
+    Tables.documents(spark0, dir).count() // warm
+    (1 to 2).foreach { i =>
+      time(s"registered (4m/32) $i")(
+        Bench.force(SparkEntry.queries("d14_sparse_cosine")(spark0, dir)))
+      time(s"plain session     $i")(Bench.force(
+        graft.dedup.Dedup.sparseCosinePairs(
+          Tables.documents(spark0, dir), 0.6).orderBy("d1", "d2")))
+      val s3 = spark0.newSession()
+      s3.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
+      time(s"4m only (8 parts) $i")(Bench.force(
+        graft.dedup.Dedup.sparseCosinePairs(
+          Tables.documents(s3, dir), 0.6).orderBy("d1", "d2")))
+      spark0.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    }
+    spark0.stop()
+  }
+}
+
+/** d14 structural A/B (test scope): checkpoint vs ReusedExchange. */
+object ProfileD14C {
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark0 = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", math.min(8, cpus.toInt))
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.locality.wait", "0")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark0.sparkContext.setLogLevel("WARN")
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.expressions.Window
+    def time[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[d14c] $label: ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      r
+    }
+    def variant(docs: DataFrame, checkpoint: Boolean): DataFrame = {
+      val n = docs.count()
+      val maxDf = 1000
+      val ex0 = graft.dedup.Dedup.shingleSets(docs).filter(size(col("g")) > 0)
+        .select(col("doc_id"), explode(col("g")).as("sh"))
+        .withColumn("df", count(lit(1)).over(Window.partitionBy(col("sh"))))
+        .filter(col("df") <= maxDf)
+        .select(col("doc_id"), col("sh"),
+          log(lit(n.toDouble) / col("df")).as("w"))
+      val ex = if (checkpoint) ex0.localCheckpoint(true) else ex0
+      val norms = ex.groupBy(col("doc_id"))
+        .agg(sqrt(sum(round(col("w") * col("w") * lit(1e12)).cast("long"))
+          .cast("double") / lit(1e12)).as("nrm"))
+      ex.as("x").join(ex.as("y"),
+          col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+        .agg(sum(round(col("x.w") * col("y.w") * lit(1e12)).cast("long")).as("dotq_fp"))
+        .join(broadcast(norms.select(col("doc_id").as("d1"), col("nrm").as("nrm1"))), "d1")
+        .join(broadcast(norms.select(col("doc_id").as("d2"), col("nrm").as("nrm2"))), "d2")
+        .select(col("d1"), col("d2"),
+          round((col("dotq_fp").cast("double") / lit(1e12)) /
+            (col("nrm1") * col("nrm2")), 6).as("cos"))
+        .filter(col("cos") >= lit(0.6))
+        .orderBy("d1", "d2")
+    }
+    Tables.documents(spark0, dir).count() // warm
+    (1 to 2).foreach { i =>
+      val s2 = spark0.newSession()
+      s2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
+      s2.conf.set("spark.sql.shuffle.partitions", "32")
+      time(s"checkpointed (current) $i")(Bench.force(variant(Tables.documents(s2, dir), true)))
+      val s3 = spark0.newSession()
+      s3.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
+      s3.conf.set("spark.sql.shuffle.partitions", "32")
+      time(s"reused-exchange       $i")(Bench.force(variant(Tables.documents(s3, dir), false)))
+      spark0.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    }
+    spark0.stop()
+  }
+}
+
+/** d14 posting-list-kernel A/B (test scope): per-shingle SortedPairs
+  * expansion (dot contribution per shingle is w² — both sides share
+  * the shingle's weight) vs the self-join. */
+object ProfileD14D {
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark0 = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", math.min(8, cpus.toInt))
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.locality.wait", "0")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark0.sparkContext.setLogLevel("WARN")
+    import org.apache.spark.sql.DataFrame
+    def time[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[d14d] $label: ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      r
+    }
+    def kernelVariant(docs: DataFrame): DataFrame = {
+      val n = docs.count()
+      val maxDf = 1000
+      val g = graft.dedup.Dedup.shingleSets(docs).filter(size(col("g")) > 0)
+        .select(col("doc_id"), explode(col("g")).as("sh"))
+        .groupBy(col("sh")).agg(collect_list(col("doc_id")).as("ids"))
+        .filter(size(col("ids")) <= maxDf)
+        .withColumn("w", log(lit(n.toDouble) / size(col("ids"))))
+      val pairs = g.select(
+          round(col("w") * col("w") * lit(1e12)).cast("long").as("q"),
+          explode(graft.functions.PairExpressions.sortedPairs(col("ids"))).as("p"))
+        .groupBy(col("p.u").as("d1"), col("p.v").as("d2"))
+        .agg(sum(col("q")).as("dotq_fp"))
+      val norms = g.select(explode(col("ids")).as("doc_id"),
+          round(col("w") * col("w") * lit(1e12)).cast("long").as("q"))
+        .groupBy(col("doc_id"))
+        .agg(sqrt(sum(col("q")).cast("double") / lit(1e12)).as("nrm"))
+      pairs
+        .join(broadcast(norms.select(col("doc_id").as("d1"), col("nrm").as("nrm1"))), "d1")
+        .join(broadcast(norms.select(col("doc_id").as("d2"), col("nrm").as("nrm2"))), "d2")
+        .select(col("d1"), col("d2"),
+          round((col("dotq_fp").cast("double") / lit(1e12)) /
+            (col("nrm1") * col("nrm2")), 6).as("cos"))
+        .filter(col("cos") >= lit(0.6))
+        .orderBy("d1", "d2")
+    }
+    Tables.documents(spark0, dir).count() // warm
+    (1 to 2).foreach { i =>
+      val s2 = spark0.newSession()
+      s2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
+      s2.conf.set("spark.sql.shuffle.partitions", "32")
+      time(s"kernel (4m/32) $i")(Bench.force(kernelVariant(Tables.documents(s2, dir))))
+      time(s"kernel (plain) $i")(Bench.force(kernelVariant(Tables.documents(spark0, dir))))
+      time(s"registered     $i")(
+        Bench.force(SparkEntry.queries("d14_sparse_cosine")(spark0, dir)))
+      spark0.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    }
+    spark0.stop()
+  }
+}
+
+/** d14 sharing A/B (test scope): localCheckpoint vs persist vs bare
+  * ReusedExchange for the 4-consumer weighted-posting frame. */
+object ProfileD14E {
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark0 = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", math.min(8, cpus.toInt))
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.locality.wait", "0")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark0.sparkContext.setLogLevel("WARN")
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.expressions.Window
+    def time[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[d14e] $label: ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      r
+    }
+    def variant(docs: DataFrame, share: String): DataFrame = {
+      val n = docs.count()
+      val ex0 = graft.dedup.Dedup.shingleSets(docs).filter(size(col("g")) > 0)
+        .select(col("doc_id"), explode(col("g")).as("sh"))
+        .withColumn("df", count(lit(1)).over(Window.partitionBy(col("sh"))))
+        .filter(col("df") <= 1000)
+        .select(col("doc_id"), col("sh"),
+          log(lit(n.toDouble) / col("df")).as("w"))
+      val ex = share match {
+        case "checkpoint" => ex0.localCheckpoint(true)
+        case "persist" => ex0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        case _ => ex0
+      }
+      val norms = ex.groupBy(col("doc_id"))
+        .agg(sqrt(sum(round(col("w") * col("w") * lit(1e12)).cast("long"))
+          .cast("double") / lit(1e12)).as("nrm"))
+      ex.as("x").join(ex.as("y"),
+          col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+        .agg(sum(round(col("x.w") * col("y.w") * lit(1e12)).cast("long")).as("dotq_fp"))
+        .join(broadcast(norms.select(col("doc_id").as("d1"), col("nrm").as("nrm1"))), "d1")
+        .join(broadcast(norms.select(col("doc_id").as("d2"), col("nrm").as("nrm2"))), "d2")
+        .select(col("d1"), col("d2"),
+          round((col("dotq_fp").cast("double") / lit(1e12)) /
+            (col("nrm1") * col("nrm2")), 6).as("cos"))
+        .filter(col("cos") >= lit(0.6))
+        .orderBy("d1", "d2")
+    }
+    Tables.documents(spark0, dir).count() // warm
+    (1 to 2).foreach { i =>
+      Seq("checkpoint", "persist", "reuse").foreach { m =>
+        val s2 = spark0.newSession()
+        s2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
+        s2.conf.set("spark.sql.shuffle.partitions", "32")
+        time(f"$m%-10s $i")(Bench.force(variant(Tables.documents(s2, dir), m)))
+        spark0.sharedState.cacheManager.clearCache()
+        spark0.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      }
+    }
+    spark0.stop()
   }
 }

@@ -122,6 +122,57 @@ class TopKSpec extends SparkSpec {
     } finally spark.conf.unset(graft.plans.TopKPerKey.FlushBytesKey)
   }
 
+  test("adversarial wide-row near-unique-key input: DEFAULT byte bound flushes and the result stays exact") {
+    // The spill-pressure case the byte accounting exists for: ~1 KB
+    // rows, EVERY key unique, one input partition. Unbounded, the
+    // partial heap map would retain the whole ~140 MB partition (the
+    // 4M ROW bound is untouchable at 150k rows — a count proxy never
+    // fires); the 64 MB DEFAULT byte bound must fire instead, holding
+    // any epoch's retained heap under the bound the SortExec spill
+    // path this operator replaces would have enforced. No conf
+    // override here — this pins the DEFAULT guard.
+    val n = 150000
+    val pad = concat_ws("", (0 until 24).map(i =>
+      md5(concat(col("id").cast("string"), lit(s"_$i")))): _*)
+    val wide = spark.range(n).select(
+      concat(lit("k"), col("id")).as("g"),
+      (col("id") % 997).cast("int").as("v"),
+      col("id"),
+      pad.as("pad")).repartition(1)
+    val got = TopK.perKey(wide, Seq("g"), Seq(col("v").desc, col("id").asc), 2)
+    // run got's OWN plan to completion so ITS metrics accrue (wrapping
+    // it in an agg would execute a fresh QueryExecution instead)
+    assert(got.queryExecution.toRdd.count() == n,
+      "every row of a unique-key input survives top-k")
+    // unique keys → the exact result is the input itself; compare as
+    // an aggregate checksum (collecting 140 MB to the driver proves
+    // nothing about the operator)
+    def sig(d: org.apache.spark.sql.DataFrame): (Long, Long) =
+      d.agg(count(lit(1)), bit_xor(xxhash64(col("g"), col("v"), col("id"), col("pad"))))
+        .as[(Long, Long)].head()
+    assert(sig(got) == sig(wide), "unique-key top-k must be the identity")
+    // metrics accrue on THIS executed plan
+    def allNodes(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] =
+      p.collect { case nd => nd }.flatMap {
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          q +: allNodes(q.plan)
+        case nd => Seq(nd)
+      }
+    val plan = got.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val partials = allNodes(plan).collect { case e: TopKPerKeyExec if e.isPartial => e }
+    assert(partials.nonEmpty)
+    assert(partials.head.flushBytes == graft.plans.TopKPerKey.DefaultFlushBytes,
+      "no override in play — this must be the default bound")
+    assert(partials.head.metrics("numFlushes").value >= 1,
+      s"~140 MB retained against the 64 MB default byte bound must flush " +
+        s"(got ${partials.head.metrics("numFlushes").value})")
+  }
+
   test("malformed flush conf fails fast with the key in the message") {
     try {
       spark.conf.set(graft.plans.TopKPerKey.FlushRowsKey, "4m")

@@ -1,0 +1,97 @@
+#!/usr/bin/env python3
+"""Per-query Spark-vs-DuckDB perf gate (the round-close rule, automated).
+
+The suite-level bar is "Spark total <= 2x single-threaded DuckDB on the
+same oracle suite"; the per-query rule this enforces is: any query where
+Spark exceeds 2x its DuckDB twin AND the absolute cost is outside the
+documented fixed-constant band (> ABS_BAND seconds) must be flagged
+loudly — those are real per-query gaps, not the ~0.3-2.3 s Spark
+job-scheduling constant over tiny data that the round-6 variance study
+characterized (sub-band members are reported as an informational count
+only).
+
+Usage:
+  python3 tools/perf_gate.py <spark_bench_output> <duck_bench_output>
+
+Both arguments are raw stdout captures: the Spark side's
+`{"metric":"detail",...}` line and the DuckDB side's
+`{"metric":"duckdb_oracle_suite",...}` line are located in the noise
+(sbt "[info] " prefixes tolerated). Exit 1 if any query is flagged.
+"""
+import json, re, sys
+
+ABS_BAND = 2.5   # seconds: the fixed-constant band's upper edge
+RATIO = 2.0
+
+# Documented per-query exceptions: queries whose >2x-and-above-band
+# showing is analyzed and accepted (PLANS.md carries the analysis).
+# An excepted query prints a loud WARN instead of failing the gate —
+# every entry must name WHY the absolute number is a constant, not a
+# scaling defect.
+EXCEPTIONS = {
+    "d14_sparse_cosine":
+        "multi-stage constant, not volume: Σdf² pair volume at sf0.1 is "
+        "1.3M rows (max df 25), intermediates ~5 MB; the ~3.0 s floor "
+        "(min-of-3 after the r11 ReusedExchange rewrite, from 3.55 s) is "
+        "scan+shingle CPU plus 4 stage barriers vs DuckDB's 1.8 s "
+        "single-process pipeline. The slim-row exchange-reused shape is "
+        "the one that survives 100 TB (PLANS.md r11); kernel and "
+        "agg-join A/Bs both measured slower.",
+}
+
+def find_json(path, marker):
+    found = None
+    for line in open(path, errors="replace"):
+        line = re.sub(r"^\[info\] ", "", line.strip())
+        if line.startswith("{") and marker in line:
+            try:
+                found = json.loads(line)
+            except json.JSONDecodeError:
+                pass
+    if found is None:
+        raise SystemExit(f"perf_gate: no line with {marker} in {path}")
+    return found
+
+def main():
+    spark = find_json(sys.argv[1], '"metric":"detail"')
+    duck = find_json(sys.argv[2], '"duckdb_oracle_suite"')
+    sq, dq = spark["queries"], duck["queries"]
+    common = sorted(set(sq) & set(dq))
+    flagged, in_band, spark_wins = [], [], 0
+    for name in common:
+        s, d = sq[name], dq[name]
+        if d > 0 and s > RATIO * d:
+            if s > ABS_BAND:
+                flagged.append((name, s, d))
+            else:
+                in_band.append((name, s, d))
+        if s > 0 and d > RATIO * s:
+            spark_wins += 1
+    st, dt = sum(sq[n] for n in common), sum(dq[n] for n in common)
+    print(f"perf_gate: {len(common)} common queries; Spark {st:.1f} s vs "
+          f"DuckDB {dt:.1f} s (ratio {st / dt:.2f}x, bar 2.0x); "
+          f"{len(in_band)} queries >2x DuckDB inside the <= {ABS_BAND} s "
+          f"fixed-constant band (informational); Spark >2x faster on "
+          f"{spark_wins}")
+    calib = spark.get("calib")
+    if calib:
+        print(f"perf_gate: contention sentinel start={calib['start']} "
+              f"end={calib['end']} (quiet box ~0.4)")
+    if st > RATIO * dt:
+        print(f"perf_gate: FAIL suite ratio {st / dt:.2f}x exceeds the 2x bar")
+    hard = []
+    for name, s, d in flagged:
+        if name in EXCEPTIONS:
+            print(f"perf_gate: WARN {name}: spark {s:.2f} s > 2x duckdb "
+                  f"{d:.2f} s — documented exception: {EXCEPTIONS[name]}")
+        else:
+            hard.append(name)
+            print(f"perf_gate: FAIL {name}: spark {s:.2f} s > 2x duckdb "
+                  f"{d:.2f} s and above the {ABS_BAND} s band — a real "
+                  f"per-query gap, profile or document it")
+    if hard or st > RATIO * dt:
+        sys.exit(1)
+    print("perf_gate: PASS" + (" (with documented-exception warns)" if flagged else ""))
+
+if __name__ == "__main__":
+    main()

@@ -41,3 +41,27 @@ if [ "$fail" -ne 0 ]; then
   echo "SWEEP: RED — fix before round close"; exit 1
 fi
 echo "SWEEP: all SFs green"
+
+# Perf stage (round-close rule, automated): full Spark bench + DuckDB
+# twin suite at sf0.1, then the per-query gate — any query >2x its
+# DuckDB twin ABOVE the 2.5 s fixed-constant band fails loudly, as does
+# a suite ratio >2x. Skipped when SPARK_GRAFT_ONLY scopes the sweep to
+# changed queries (the perf rule is a whole-suite property) or when
+# SPARK_GRAFT_SWEEP_NOPERF=1.
+if [ -n "${SPARK_GRAFT_ONLY:-}" ] || [ "${SPARK_GRAFT_SWEEP_NOPERF:-}" = "1" ]; then
+  echo "SWEEP: perf stage skipped (scoped run)"; exit 0
+fi
+echo "=== perf: Spark bench (sf0.1) ==="
+blog="/tmp/sweep_bench.log"
+if ! SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt -batch "runMain graft.Bench" > "$blog" 2>/dev/null; then
+  echo "SWEEP FAIL [perf]: bench exited nonzero (see $blog)"; exit 1
+fi
+echo "=== perf: DuckDB twin suite (sf0.1) ==="
+dlog="/tmp/sweep_duck.log"
+if ! python3 tools/duck_bench.py /tmp/sweep_sf0.1/oracle_sql.json /root/testdata/sf0.1 > "$dlog"; then
+  echo "SWEEP FAIL [perf]: duck_bench exited nonzero (see $dlog)"; exit 1
+fi
+if ! python3 tools/perf_gate.py "$blog" "$dlog"; then
+  echo "SWEEP: RED — per-query perf gap above the band (see flags above)"; exit 1
+fi
+echo "SWEEP: perf gate green"
