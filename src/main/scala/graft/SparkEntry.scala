@@ -34,6 +34,13 @@ object SparkEntry {
   private def t(s: SparkSession, d: String, n: String): DataFrame =
     if (n == "events") Tables.events(s, d) else Tables.table(s, d, n)
 
+  /** ts6's geometric EWMA weights (α = 0.3, horizon 14), quantized to
+    * 9-dp longs HERE and inlined as literals into both the Spark plan
+    * and the oracle SQL — one definition, so neither engine ever
+    * evaluates pow() and the two sides cannot drift. */
+  private val ewmaWeightsQ: Seq[Long] =
+    (0 until 14).map(i => Math.round(0.3 * math.pow(0.7, i) * 1e9))
+
   /** Scratch dir for queries that stage their own parquet (s11/s12/
     * s13): fixed WITHIN a process (bench repeats overwrite in place,
     * no per-call leak) but unique ACROSS processes — the PID suffix
@@ -2050,6 +2057,35 @@ object SparkEntry {
             .cast("int").as("is_anomaly"))
         .orderBy("event_type", "day")
     }),
+    // TS6 (beyond reference): bounded-horizon EWMA smoothing — per
+    // event type, each day's exponentially-weighted average over its
+    // trailing 14 observed days (α = 0.3, missing days renormalized
+    // out of the denominator). Exactness recipe: the 14 geometric
+    // weights are PRECOMPUTED in Scala, quantized to 9-dp longs, and
+    // inlined as literals into BOTH the Spark plan and the oracle SQL
+    // — the only float step is one final division of two exact BIGINT
+    // sums, so no cross-engine pow/accumulation drift is possible.
+    // Plan shape: a bounded band self-join of the |types|×|days| DAILY
+    // rollup on the type key (≤14 partners per row after the range
+    // filter — the j8/j10 equi-key + range-post-filter posture), never
+    // the fact table; at 100 TB the rollup is the only thing that
+    // shuffles.
+    "ts6_ewma_forecast" -> ((s, d) => {
+      val daily = t(s, d, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val wq = array(ewmaWeightsQ.map(lit): _*)
+      daily.as("a").join(daily.as("b"),
+          col("a.event_type") === col("b.event_type") &&
+            datediff(col("a.day"), col("b.day")).between(0, 13))
+        .withColumn("w_q", element_at(wq, datediff(col("a.day"), col("b.day")) + 1))
+        .groupBy(col("a.event_type").as("event_type"),
+          col("a.day").as("day"), col("a.n").as("n"))
+        .agg(sum(col("w_q") * col("b.n")).as("num_q"), sum(col("w_q")).as("den_q"))
+        .select(col("event_type"), col("day"), col("n"),
+          (col("num_q").cast("double") / col("den_q").cast("double")).as("ewma"))
+        .orderBy("event_type", "day")
+    }),
     // W13 (beyond reference): month-over-month growth — the header
     // metric of every revenue dashboard. Monthly sums stay DECIMAL;
     // the growth ratio is one double division of two exact values
@@ -2105,6 +2141,23 @@ object SparkEntry {
         |    (sqrt(CAST(n_days * sxx - sx * sx AS DOUBLE)) *
         |     sqrt(CAST(n_days * syy - sy * sy AS DOUBLE))) AS xcorr
         |FROM m ORDER BY type_a, type_b""".stripMargin,
+    "ts6_ewma_forecast" -> {
+      val cases = ewmaWeightsQ.zipWithIndex
+        .map { case (w, i) => s"WHEN $i THEN CAST($w AS BIGINT)" }.mkString(" ")
+      s"""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+         |  FROM events GROUP BY 1, 2),
+         |j AS (SELECT a.event_type, a.day, a.n,
+         |    CASE (a.day - b.day) $cases END AS w_q, b.n AS bn
+         |  FROM daily a JOIN daily b
+         |    ON a.event_type = b.event_type
+         |   AND a.day - b.day BETWEEN 0 AND 13),
+         |g AS (SELECT event_type, day, n,
+         |    sum(w_q * bn) AS num_q, sum(w_q) AS den_q
+         |  FROM j GROUP BY 1, 2, 3)
+         |SELECT event_type, day, n,
+         |  CAST(num_q AS DOUBLE) / CAST(den_q AS DOUBLE) AS ewma
+         |FROM g ORDER BY event_type, day""".stripMargin
+    },
     "ts5_rolling_anomaly" ->
       """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
         |  FROM events GROUP BY 1, 2),
@@ -5145,6 +5198,31 @@ $sqlRecallTail""".stripMargin
         .groupBy(col("c_count")).agg(count(lit(1)).as("custdist"))
         .orderBy(col("custdist").desc, col("c_count").desc)
     }),
+    // X22 (TPC-H Q11 shape): significant parts — parts whose revenue
+    // share exceeds 1.4× the average part's share (Q11's fixed fraction
+    // made SCALE-FREE: a fraction constant goes empty or non-selective
+    // as the part count changes across SFs; the harness generator's
+    // per-part revenue is near-uniform — max share ≈ 1.8× average at
+    // every SF — so 1.4× keeps the top ~1-2% of parts at all scales). The scalar-subquery-HAVING
+    // pattern done scale-right: ONE fact scan builds the per-part
+    // DECIMAL rollup, the global (total, n_parts) is then a one-row
+    // aggregate OF THE ROLLUP (never a second fact pass), broadcast
+    // back as a bounded scalar; the threshold compare stays in exact
+    // integer/decimal arithmetic (5·value·n > 7·total, the exact 7/5
+    // form of 1.4 — no float fraction), and only the display column
+    // casts to double.
+    "x22_significant_parts" -> ((s, d) => {
+      val rev = t(s, d, "lineitem")
+        .groupBy(col("l_partkey"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1) - col("l_discount").cast("decimal(4,2)"))).as("value_d"))
+      val total = rev.agg(sum(col("value_d")).as("total_d"),
+        count(lit(1)).as("n_parts"))
+      rev.join(broadcast(total))
+        .filter(col("value_d") * col("n_parts") * 5 > col("total_d") * 7)
+        .select(col("l_partkey"), col("value_d").cast("double").as("value"))
+        .orderBy(col("value").desc, col("l_partkey"))
+    }),
     // X16 (TPC-H Q22 shape): dormant rich customers — acctbal above
     // the positive-balance average (a broadcast scalar, decimal-exact)
     // AND no recent orders (anti join against a pushed-down date
@@ -5273,6 +5351,15 @@ $sqlRecallTail""".stripMargin
         |  CAST(sum(CASE WHEN supp_nation = 'NATION_5' THEN vol
         |    ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) / CAST(sum(vol) AS DOUBLE) AS mkt_share
         |FROM vol GROUP BY 1 ORDER BY o_year""".stripMargin,
+    "x22_significant_parts" ->
+      """WITH rev AS (SELECT l_partkey,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |        (1 - CAST(l_discount AS DECIMAL(4,2)))) AS value_d
+        |  FROM lineitem GROUP BY 1),
+        |tot AS (SELECT sum(value_d) AS total_d, count(*) AS n_parts FROM rev)
+        |SELECT l_partkey, CAST(value_d AS DOUBLE) AS value
+        |FROM rev, tot WHERE value_d * n_parts * 5 > total_d * 7
+        |ORDER BY value DESC, l_partkey""".stripMargin,
     "x21_custdist" ->
       """SELECT c_count, count(*) AS custdist FROM (
         |  SELECT c_custkey, count(o_orderkey) AS c_count
