@@ -34,12 +34,15 @@ object SparkEntry {
   private def t(s: SparkSession, d: String, n: String): DataFrame =
     if (n == "events") Tables.events(s, d) else Tables.table(s, d, n)
 
-  /** ts6's geometric EWMA weights (α = 0.3, horizon 14), quantized to
-    * 9-dp longs HERE and inlined as literals into both the Spark plan
-    * and the oracle SQL — one definition, so neither engine ever
-    * evaluates pow() and the two sides cannot drift. */
-  private val ewmaWeightsQ: Seq[Long] =
-    (0 until 14).map(i => Math.round(0.3 * math.pow(0.7, i) * 1e9))
+  /** ts6/st20's geometric EWMA weights — see [[graft.functions.Ewma]]
+    * (one definition for the batch plan, the streaming fold, and the
+    * oracle SQL, so no twin can drift). */
+  private val ewmaWeightsQ: Seq[Long] = graft.functions.Ewma.weightsQ
+
+  /** The ts6/st20 oracle's weight lookup: `CASE (a.day - b.day) WHEN i
+    * THEN w_i ...` built from the same literals the Spark plans inline. */
+  private def ewmaCaseSql: String = ewmaWeightsQ.zipWithIndex
+    .map { case (w, i) => s"WHEN $i THEN CAST($w AS BIGINT)" }.mkString(" ")
 
   /** Scratch dir for queries that stage their own parquet (s11/s12/
     * s13): fixed WITHIN a process (bench repeats overwrite in place,
@@ -2142,8 +2145,7 @@ object SparkEntry {
         |     sqrt(CAST(n_days * syy - sy * sy AS DOUBLE))) AS xcorr
         |FROM m ORDER BY type_a, type_b""".stripMargin,
     "ts6_ewma_forecast" -> {
-      val cases = ewmaWeightsQ.zipWithIndex
-        .map { case (w, i) => s"WHEN $i THEN CAST($w AS BIGINT)" }.mkString(" ")
+      val cases = ewmaCaseSql
       s"""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
          |  FROM events GROUP BY 1, 2),
          |j AS (SELECT a.event_type, a.day, a.n,
@@ -2681,10 +2683,32 @@ object SparkEntry {
     // microseconds.
     "st16_hopping_twin" -> ((s, d) =>
       graft.streaming.StreamIngest.hoppingCounts(t(s, d, "events"))
-        .orderBy("win_start", "event_type"))
+        .orderBy("win_start", "event_type")),
+    // ST20 (beyond reference): the standing streaming-EWMA row — per
+    // type, the latest observed day's count smoothed over the trailing
+    // 14-day band (ts6's arithmetic; StreamIngest.ewmaStream folds it
+    // incrementally with ≤14 (day, n) state rows per type, and
+    // StreamIngestSpec proves the 3-batch fold equals this build).
+    // Like st15/st19 the twin verifies the standing STATE itself, so
+    // the streaming path is hash-gated, not just spec-tested.
+    "st20_ewma_state_twin" -> ((s, d) =>
+      graft.streaming.StreamIngest.ewmaBatchTwin(t(s, d, "events")))
   )
 
   private val streamTwinOracles: Map[String, String] = Map(
+    "st20_ewma_state_twin" -> {
+      s"""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+         |  FROM events GROUP BY 1, 2),
+         |l AS (SELECT event_type AS et, max(day) AS latest FROM daily GROUP BY 1),
+         |j AS (SELECT a.event_type, l.latest, a.day, a.n,
+         |    CASE (l.latest - a.day) $ewmaCaseSql END AS w_q
+         |  FROM daily a JOIN l ON a.event_type = l.et
+         |   AND l.latest - a.day BETWEEN 0 AND 13)
+         |SELECT event_type, latest AS day,
+         |  CAST(sum(CASE WHEN j.day = j.latest THEN j.n ELSE 0 END) AS BIGINT) AS n,
+         |  CAST(sum(w_q * j.n) AS DOUBLE) / CAST(sum(w_q) AS DOUBLE) AS ewma
+         |FROM j GROUP BY 1, 2 ORDER BY event_type""".stripMargin
+    },
     "st19_kmv_state_twin" ->
       """WITH src AS (SELECT event_type AS g, CAST(user_id AS VARCHAR) AS v FROM events),
         |h AS (SELECT DISTINCT g, ('0x' || substr(md5('kmv:' || v), 1, 15))::BIGINT AS h

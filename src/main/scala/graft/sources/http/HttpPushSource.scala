@@ -117,6 +117,26 @@ object HttpPushRegistry {
     private[http] def fastForward(to: Long): Unit = synchronized {
       if (to > base) base = to
     }
+
+    /** Recovery-time alignment (deserializeOffset before the first
+      * latestOffset). DURABLE mode must be a strict NO-OP: the WAL's
+      * absolute numbering is authoritative, and every checkpointed
+      * offset refers to that same sequence. In the crash window where
+      * the checkpoint floor outran the WAL sidecar (commit-log written,
+      * sidecar persist lost), the recovered buffer's leading rows sit
+      * BELOW the checkpoint floor — `slice` naturally skips them (they
+      * were delivered pre-crash) and the next commit's `trim` retires
+      * them, so neither renumbering (fastForward — would redeliver them
+      * as fresh rows: duplicates) nor eager dropping (would also drop
+      * rows of an UNCOMMITTED offset-WAL batch end that deserializes
+      * through here before replay: loss) is allowed. A checkpoint
+      * pointing past a DELETED WAL is handled by planInputPartitions'
+      * out-of-range guard. WAL-less mode keeps the renumbering
+      * contract (the buffer only ever holds posts the NEW incarnation
+      * acked, which have no durable numbering to preserve). */
+    private[http] def realignRecovered(to: Long): Unit = synchronized {
+      if (wal.isEmpty && to > base) base = to
+    }
     private[http] def close(): Unit = {
       ingress.stop()
       wal.foreach(_.close())
@@ -217,11 +237,13 @@ private final class HttpPushScan(name: String, accounts: Seq[String], port: Int,
     // WAL-less mode: realign the fresh entry's sequence so latestOffset
     // is monotone from the engine's very first call and posts the NEW
     // incarnation acked are renumbered past the checkpointed range,
-    // never trimmed as if they had been delivered. Durable mode: the
-    // WAL replay already restored the true sequence, so fastForward is
-    // a no-op (checkpointed offsets land inside [base, total]).
+    // never trimmed as if they had been delivered. Durable mode: rows
+    // below a checkpoint floor that outran the WAL sidecar (the
+    // commit-log-vs-sidecar crash window) were already delivered —
+    // realignRecovered DROPS them instead of renumbering them into
+    // duplicates; normally it is a no-op (offsets land in [base, total]).
     val seq = json.toLong
-    if (!started) entry.fastForward(seq)
+    if (!started) entry.realignRecovered(seq)
     SeqOffset(seq)
   }
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {

@@ -164,6 +164,84 @@ object StreamIngest {
       }
   }
 
+  /** ST20 output: the standing smoothed-rate row per type. */
+  final case class EwmaRow(event_type: String, day: java.sql.Date,
+      n: Long, ewma: Double)
+
+  /** ST20: streaming bounded-horizon EWMA — the continuous form of the
+    * ts6 daily smoother. State per type is the last ≤14 OBSERVED days'
+    * counts (day-distance ≤ 13 from the latest observed day — the same
+    * band the ts6 self-join keeps), a bounded map that only shrinks as
+    * the window advances. Each micro-batch folds its per-day deltas
+    * into the map and re-emits the latest day's smoothed value; the
+    * arithmetic replicates ts6 exactly — the shared
+    * [[graft.functions.Ewma.weightsQ]] literals, BIGINT Σ w·n and Σ w,
+    * one double division — so `st20_ewma_state_twin` hash-gates the
+    * same construction in batch and StreamIngestSpec proves the
+    * 3-micro-batch fold equals it. */
+  def ewmaStream(spark: SparkSession, events: Dataset[Ev]): Dataset[EwmaRow] = {
+    import spark.implicits._
+    val w = graft.functions.Ewma.weightsQ
+    val daily = events
+      .select(col("event_type"), to_date(col("ts")).as("day"))
+      .as[(String, java.sql.Date)]
+    daily.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (tp: String, it: Iterator[(String, java.sql.Date)],
+            state: GroupState[Map[Long, Long]]) =>
+          val m = scala.collection.mutable.Map[Long, Long]() ++
+            state.getOption.getOrElse(Map.empty[Long, Long])
+          it.foreach { case (_, d) =>
+            val ed = d.toLocalDate.toEpochDay
+            m(ed) = m.getOrElse(ed, 0L) + 1L
+          }
+          if (m.isEmpty) Iterator.empty
+          else {
+            val latest = m.keys.max
+            // horizon retention: distances only grow, so dropping
+            // beyond-band days is monotone and the state stays ≤14 rows
+            val kept = m.filter { case (ed, _) => latest - ed <= 13L }
+            state.update(kept.toMap)
+            var numQ = 0L
+            var denQ = 0L
+            kept.foreach { case (ed, n) =>
+              val wq = w((latest - ed).toInt)
+              numQ += wq * n
+              denQ += wq
+            }
+            Iterator(EwmaRow(tp,
+              java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(latest)),
+              kept(latest), graft.functions.Ewma.smooth(numQ, denQ)))
+          }
+      }
+  }
+
+  /** The st20 batch twin — the SAME standing row the stream converges
+    * to, built relationally: per type, the latest day's count smoothed
+    * over the trailing band (shared weight literals, exact BIGINT
+    * sums). Lives here so SparkEntry's registration and
+    * StreamIngestSpec's comparison cannot diverge. */
+  def ewmaBatchTwin(events: DataFrame): DataFrame = {
+    val wq = array(graft.functions.Ewma.weightsQ.map(lit): _*)
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val latest = daily.groupBy(col("event_type").as("et"))
+      .agg(max(col("day")).as("latest"))
+    daily.as("a")
+      .join(latest.as("l"), col("a.event_type") === col("l.et") &&
+        datediff(col("l.latest"), col("a.day")).between(0, 13))
+      .withColumn("w_q",
+        element_at(wq, datediff(col("l.latest"), col("a.day")) + 1))
+      .groupBy(col("a.event_type").as("event_type"), col("l.latest").as("day"))
+      .agg(sum(col("w_q") * col("a.n")).as("num_q"), sum(col("w_q")).as("den_q"),
+        sum(when(col("a.day") === col("l.latest"), col("a.n"))
+          .otherwise(lit(0L))).as("n"))
+      .select(col("event_type"), col("day"), col("n"),
+        (col("num_q").cast("double") / col("den_q").cast("double")).as("ewma"))
+      .orderBy("event_type")
+  }
+
   /** ST8: watermarked tumbling-window event-time aggregation — counts
     * per (1-day window, event_type). Late rows inside the watermark
     * still land in their event-time bucket; state for a window is

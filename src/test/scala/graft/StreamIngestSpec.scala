@@ -727,6 +727,44 @@ class StreamIngestSpec extends SparkSpec {
     assert(fin.exists(t => t._1 == "view" && t._2 == 4))
   }
 
+  test("ST20: streaming EWMA fold equals the batch twin across micro-batches") {
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = StreamIngest.ewmaStream(spark, in.toDS())
+      .writeStream.format("memory").queryName("st20_out").outputMode("update").start()
+    // two types; "view" spans 16 days so the oldest days fall OUT of
+    // the 14-day band; day 5 is a gap (missing days renormalize)
+    def ev(id: Long, day: Int, tp: String) =
+      Ev(id, ts(f"2024-01-$day%02d 10:00:00"), 100 + id, tp, 1.0)
+    val evs = Seq(
+      ev(1, 1, "view"), ev(2, 1, "view"), ev(3, 2, "view"),
+      ev(4, 3, "click"), ev(5, 4, "view"), ev(6, 4, "view"),
+      ev(7, 6, "view"), ev(8, 16, "view"), ev(9, 16, "view"),
+      ev(10, 16, "click"), ev(11, 17, "view"))
+    in.addData(evs.take(4): _*)
+    q.processAllAvailable()
+    in.addData(evs.slice(4, 8): _*)
+    q.processAllAvailable()
+    in.addData(evs.drop(8): _*)
+    q.processAllAvailable()
+    // the standing row per type = the LAST emitted row
+    val fin = spark.table("st20_out")
+      .as[graft.streaming.StreamIngest.EwmaRow].collect()
+      .zipWithIndex
+      .groupBy(_._1.event_type).view
+      .mapValues(_.maxBy(_._2)._1).values
+      .map(r => (r.event_type, r.day.toString, r.n, r.ewma)).toSet
+    q.stop()
+    val batch = StreamIngest.ewmaBatchTwin(evs.toDF())
+      .as[(String, java.sql.Date, Long, Double)].collect()
+      .map(r => (r._1, r._2.toString, r._3, r._4)).toSet
+    assert(fin == batch, s"streaming fold $fin must equal batch twin $batch")
+    // the 14-day band really engaged: view's latest day is Jan 17, so
+    // Jan 1-2 (distance 15-16) are out of state and out of the smooth
+    assert(fin.exists(t => t._1 == "view" && t._2 == "2024-01-17"))
+  }
+
   test("ST18: leaderboard state survives a checkpoint restart") {
     import org.apache.spark.sql.functions.{col, lit}
     val dir = java.nio.file.Files.createTempDirectory("graft_topk_restart")

@@ -37,6 +37,19 @@ EXCEPTIONS = {
         "single-process pipeline. The slim-row exchange-reused shape is "
         "the one that survives 100 TB (PLANS.md r11); kernel and "
         "agg-join A/Bs both measured slower.",
+    "mb1_copurchase_pairs":
+        "oscillates 2.3-3.0 s across runs on either side of the band "
+        "edge (r8's seven-run study). The co-partitioned self-join was "
+        "A/B'd against a SortedPairs basket-kernel at BOTH scales: the "
+        "kernel wins ~25% at sf0.1 but LOSES ~25% at the 10x replica, "
+        "so the join is kept per the scale-first criterion (PLANS.md "
+        "r8); the scoped 2 MB advisory conf is already applied.",
+    "x2_fact_fact_join":
+        "the deliberately-plain fact-fact shuffle join control at "
+        "1.7-2.2 s: its bucketed zero-exchange escape (BucketingSpec) "
+        "and Bloom-pruned form (x10, green) are both registered and "
+        "proven — this query exists to show the unoptimized shape the "
+        "escapes beat (PLANS.md r10 plan audit).",
 }
 
 def find_json(path, marker):
