@@ -56,7 +56,12 @@ object PlanAudit {
     "d12_incremental_admit" ->
       ("batch and corpus both derive from the harness documents table; in deployment the " +
         "corpus contributes only its persisted dedupKeys index and a candidate-pruned " +
-        "verify fetch — the batch-side scans are over the small arriving batch"))
+        "verify fetch — the batch-side scans are over the small arriving batch"),
+    "e24_incremental_semdedup" ->
+      ("batch and corpus both derive from the harness embeddings table; one scan is the " +
+        "corpus membership pass (amortized in deployment: the cell index persists from " +
+        "the original build) and the other three are over the SMALL arriving batch " +
+        "(seniors-as-members, probes, output spine) — the d12 posture in embedding space"))
 
   /** A nested-loop join is the legitimate scale pattern when its
     * broadcast side is provably bounded: a global aggregate (exactly

@@ -3284,6 +3284,20 @@ object SparkEntry {
     // E3: embedding-cosine near-duplicate pairs.
     "e3_cosine_near_dup" -> ((s, d) =>
       graft.similarity.Ann.cosineNearDupPairs(t(s, d, "embeddings"), 0.35).orderBy("d1", "d2")),
+    // E24: incremental SEMANTIC admission — d12's batch-vs-corpus
+    // steady state in embedding space: reject a batch vector whose
+    // cosine to any corpus vector (or more-senior batch vector —
+    // first-wins) reaches τ=0.4, candidates IVF-cell-pruned (the e4
+    // machinery in the oracle-able prefix-seed config), exact verify
+    // on cohabitants only. The oracle replays the same pruned
+    // candidate set, so the approximate admission is hash-gated
+    // end-to-end. Batch = vec_id ≡ 4 (mod 5) — a scale-free 20% slice.
+    "e24_incremental_semdedup" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      graft.similarity.Ann.incrementalSemAdmit(
+        emb.filter(col("vec_id") % 5 =!= 4),
+        emb.filter(col("vec_id") % 5 === 4), 0.4)
+    }),
     // E5: int8 embedding quantization (vector storage path).
     "e5_quantize_int8" -> ((s, d) =>
       graft.similarity.Ann.quantizeInt8(t(s, d, "embeddings")).orderBy("vec_id")),
@@ -3701,7 +3715,46 @@ $sqlRecallTail""".stripMargin
     * only, exact cosine, top-5. */
   private val ivfTopKOracle: String = ivfCandSims + topKSimTail("csim", 5)
 
+  /** e24's oracle: the prefix-seeded IVF admission replayed — corpus
+    * seeds, everyone's cell assignment, batch probe sets, candidates =
+    * probed-cell cohabitants (corpus any, batch seniors only), exact
+    * cosine ≥ τ, per-batch-vector min-match rollup. */
+  private val incrementalSemOracle: String =
+    s"""$cosineCte,
+       |corp AS (SELECT * FROM n WHERE vec_id % 5 <> 4),
+       |bat AS (SELECT * FROM n WHERE vec_id % 5 = 4),
+       |nn AS (SELECT greatest(1, least(4096,
+       |    CAST(round(sqrt(count(*))) AS BIGINT))) AS nc FROM corp),
+       |c AS (SELECT vec_id AS cell, v AS cv, nrm AS cn FROM (
+       |    SELECT corp.*, row_number() OVER (ORDER BY vec_id) AS r FROM corp)
+       |  WHERE r <= (SELECT nc FROM nn)),
+       |asim AS (SELECT n.vec_id, c.cell,
+       |    list_reduce(list_apply(range(1, 65), i -> n.v[i] * c.cv[i]), (a,b) -> a+b)
+       |      / (n.nrm * c.cn) AS sim
+       |  FROM n CROSS JOIN c),
+       |ranked AS (SELECT vec_id, cell,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn
+       |  FROM asim),
+       |member AS MATERIALIZED (SELECT vec_id, cell FROM ranked WHERE rn = 1),
+       |probe AS MATERIALIZED (SELECT vec_id AS bid, cell FROM ranked
+       |  WHERE rn <= 4 AND vec_id % 5 = 4),
+       |cand AS (SELECT DISTINCT p.bid, m.vec_id AS mid
+       |  FROM probe p JOIN member m ON m.cell = p.cell
+       |  WHERE (m.vec_id % 5 <> 4 AND m.vec_id <> p.bid)
+       |     OR (m.vec_id % 5 = 4 AND m.vec_id < p.bid)),
+       |msim AS (SELECT bid, mid,
+       |    list_reduce(list_apply(range(1, 65), i -> q.v[i] * c2.v[i]), (x,y) -> x+y)
+       |      / (q.nrm * c2.nrm) AS sim
+       |  FROM cand JOIN n q ON q.vec_id = bid JOIN n c2 ON c2.vec_id = mid),
+       |mt AS (SELECT bid, min(mid) AS matched_id, count(*) AS n_matches
+       |  FROM msim WHERE sim >= 0.4 GROUP BY 1)
+       |SELECT b.vec_id, CAST(mt.bid IS NULL AS INT) AS admitted,
+       |  mt.matched_id, coalesce(mt.n_matches, 0) AS n_matches
+       |FROM bat b LEFT JOIN mt ON mt.bid = b.vec_id
+       |ORDER BY b.vec_id""".stripMargin
+
   private val simOracles: Map[String, String] = Map(
+    "e24_incremental_semdedup" -> incrementalSemOracle,
     "e16_mmr_topk" -> mmrOracle,
     "e21_ivf_mmr" -> ivfMmrOracle,
     "e2_ann_lsh_topk" -> lshTopKOracle,
@@ -4478,6 +4531,64 @@ $sqlRecallTail""".stripMargin
         .select(col("doc_id"), col("lang"), col("n_tok"), col("cum_tok"))
         .orderBy("doc_id")
     }),
+    // SA11 (beyond reference): repetition-capped token-budget
+    // WATERFILLING — the allocation step of a pretraining mix: each
+    // domain wants budget ∝ its configured priority weight, but no
+    // domain may exceed its repetition cap (max_epochs × its own
+    // tokens; 2 epochs here), and budget displaced by capped domains
+    // redistributes ∝ weight among the uncapped until the level
+    // settles. Closed form, no iteration: sort domains by cap/weight
+    // (the level at which each caps), take k = the largest prefix
+    // whose boundary condition holds — all comparisons are EXACT
+    // integer cross-multiplications (cap·W_rem ≤ w·T_rem), the ratio
+    // is used only as a sort key, and uncapped allocations are one
+    // integer `div` at the common level. Weights stand in for a
+    // configured sampling-weight table (DoReMi-style output) as the
+    // domain's name rank; budget = 1.5× the corpus, so the caps
+    // genuinely bind (Sa11 spec asserts 0 < k < n plus the waterfill
+    // invariants). Scale shape: ONE distributed rollup over the
+    // corpus; everything after runs on |domains| rows with the
+    // one-row scalar broadcasts PlanAudit recognizes as bounded.
+    "sa11_budget_waterfill" -> ((s, d) => {
+      val dom = t(s, d, "documents")
+        .groupBy(col("source"))
+        .agg(sum(size(split(col("text"), " ")).cast("long")).as("tokens_d"))
+      val wt = dom
+        .withColumn("weight",
+          row_number().over(Window.orderBy(col("source"))).cast("long"))
+        .withColumn("cap_d", col("tokens_d") * 2)
+      val ord = Window.orderBy(
+          col("cap_d").cast("double") / col("weight").cast("double"), col("source"))
+      val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val rk = wt
+        .withColumn("j", row_number().over(ord).cast("long"))
+        .withColumn("s_j", sum(col("cap_d")).over(cum))
+        .withColumn("w_j", sum(col("weight")).over(cum))
+      val tot = wt.agg(sum(col("tokens_d")).as("tot_tokens"),
+        sum(col("weight")).as("w_all"))
+      val withTot = rk.join(broadcast(tot))
+        .withColumn("budget_t", expr("(tot_tokens * 3) div 2"))
+      // boundary: largest prefix j where row j still caps at the level
+      // the remaining budget sets — exact integer cross-multiply
+      val kSel = withTot
+        .filter(col("cap_d") * (col("w_all") - col("w_j")) <=
+          col("weight") * (col("budget_t") - col("s_j")))
+        .select(col("j").as("k"), col("s_j").as("s_k"), col("w_j").as("w_k"))
+      val kFinal = kSel
+        .unionByName(s.range(1).select(lit(0L).as("k"),
+          lit(0L).as("s_k"), lit(0L).as("w_k")))
+        .orderBy(col("k").desc).limit(1)
+      withTot.join(broadcast(kFinal))
+        .withColumn("alloc", when(col("j") <= col("k"), col("cap_d"))
+          .otherwise(expr(
+            "((budget_t - s_k) * weight) div greatest(w_all - w_k, 1)")))
+        .withColumn("is_capped", (col("j") <= col("k")).cast("int"))
+        .withColumn("epochs",
+          col("alloc").cast("double") / col("tokens_d").cast("double"))
+        .select(col("source"), col("tokens_d"), col("weight"), col("cap_d"),
+          col("alloc"), col("is_capped"), col("epochs"))
+        .orderBy("source")
+    }),
     // SA10 (beyond reference): WEIGHTED sampling without replacement —
     // Efraimidis-Spirakis exponential sort keys (ln(u)/w with u a
     // deterministic salted-hash uniform), so a document's inclusion
@@ -4687,6 +4798,38 @@ $sqlRecallTail""".stripMargin
          |    ORDER BY ${sqlHash60("sa6", "CAST(doc_id AS VARCHAR)")}, doc_id) AS INT) AS rk
          |  FROM documents)
          |WHERE rk <= 20 ORDER BY lang, rk""".stripMargin,
+    "sa11_budget_waterfill" ->
+      """WITH dom AS (SELECT source,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens_d
+        |  FROM documents GROUP BY 1),
+        |wt AS (SELECT source, tokens_d,
+        |    CAST(row_number() OVER (ORDER BY source) AS BIGINT) AS weight,
+        |    tokens_d * 2 AS cap_d FROM dom),
+        |tot AS (SELECT CAST(sum(tokens_d) AS BIGINT) AS tot_tokens,
+        |    CAST(sum(weight) AS BIGINT) AS w_all FROM wt),
+        |rk AS (SELECT source, tokens_d, weight, cap_d,
+        |    CAST(row_number() OVER ord AS BIGINT) AS j,
+        |    CAST(sum(cap_d) OVER (ord ROWS UNBOUNDED PRECEDING) AS BIGINT) AS s_j,
+        |    CAST(sum(weight) OVER (ord ROWS UNBOUNDED PRECEDING) AS BIGINT) AS w_j
+        |  FROM wt
+        |  WINDOW ord AS (ORDER BY CAST(cap_d AS DOUBLE) / CAST(weight AS DOUBLE), source)),
+        |kf AS (SELECT coalesce(max(CASE WHEN cap_d * (w_all - w_j) <=
+        |      weight * ((tot_tokens * 3) // 2 - s_j) THEN j END), 0) AS k
+        |  FROM rk, tot),
+        |lvl AS (SELECT kf.k,
+        |    (SELECT (tot_tokens * 3) // 2 FROM tot) -
+        |      coalesce((SELECT s_j FROM rk WHERE j = kf.k), 0) AS t_rem,
+        |    (SELECT w_all FROM tot) -
+        |      coalesce((SELECT w_j FROM rk WHERE j = kf.k), 0) AS w_rem
+        |  FROM kf)
+        |SELECT source, tokens_d, weight, cap_d,
+        |  CASE WHEN j <= k THEN cap_d
+        |       ELSE (t_rem * weight) // greatest(w_rem, 1) END AS alloc,
+        |  CAST(j <= k AS INT) AS is_capped,
+        |  CAST(CASE WHEN j <= k THEN cap_d
+        |       ELSE (t_rem * weight) // greatest(w_rem, 1) END AS DOUBLE) /
+        |    CAST(tokens_d AS DOUBLE) AS epochs
+        |FROM rk, lvl ORDER BY source""".stripMargin,
     "sa10_weighted_sample" ->
       s"""WITH s AS (SELECT doc_id, lang, n_chars,
          |    CAST(${sqlHash60("sa10", "CAST(doc_id AS VARCHAR)")} + 1 AS DOUBLE)

@@ -1169,4 +1169,85 @@ object Ann {
       .select(col("sub").cast("long").as("sub"), col("centroid_id"), col("dim"),
         col("n"), round(col("sx").cast("double") / col("n"), 6).as("mean_x"))
   }
+
+  /** E24: INCREMENTAL SEMANTIC ADMISSION — d12's steady-state batch
+    * admission transplanted to embedding space: a batch vector is
+    * REJECTED when its cosine to any already-curated CORPUS vector, or
+    * to a more-senior batch vector (lower vec_id — first-wins, the
+    * d12/[[graft.ingest.Events.dedupFirstWins]] posture), reaches
+    * `tau`. Candidates come from the e4 IVF machinery, never all
+    * pairs: corpus + seniors assign to prefix-seeded cells, each batch
+    * vector probes its `nProbe` nearest cells, and only cohabitants
+    * are exactly verified — the oracle replays the SAME pruned
+    * candidate set, so the approximation is deterministic and
+    * hash-gated end-to-end (the e2/e4 r11 recipe).
+    *
+    * Scale shape: the corpus contributes only its cell assignment (in
+    * production persisted from the original index build, amortized
+    * across batches); batch probes fan out nProbe rows per vector; the
+    * per-cell verify kernel touches cohabitants only. Corpus bodies
+    * never shuffle — members/probes group on the cell key.
+    *
+    * Output per batch vector: `(vec_id, admitted, matched_id,
+    * n_matches)` with `matched_id` = the smallest rejecting id (NULL
+    * when admitted) — the audit row an admission log keeps. */
+  def incrementalSemAdmit(corpus: DataFrame, batch: DataFrame, tau: Double,
+      nProbe: Int = 4, maxCells: Int = 4096): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cv = prepared(corpus).select(col("vec_id"), col("v"), col("nrm")).as[PreparedVec]
+    val bv = prepared(batch).select(col("vec_id"), col("v"), col("nrm")).as[PreparedVec]
+    val allBatch = bv.select(col("vec_id"))
+    val n = cv.count()
+    if (n == 0)
+      return allBatch.select(col("vec_id"), lit(1).as("admitted"),
+        lit(null).cast("long").as("matched_id"), lit(0L).as("n_matches"))
+        .orderBy("vec_id")
+    val nCells = math.max(1, math.min(maxCells, math.round(math.sqrt(n.toDouble)).toInt))
+    // prefix seeds, no refinement — the oracle-able configuration
+    val seeds = cv.orderBy(col("vec_id")).limit(nCells).collect()
+    val bcCent = spark.sparkContext.broadcast((seeds.map(_.v), seeds.map(_.nrm)))
+    // members carry their origin flag IN the row (a broadcast id-set
+    // would collect the whole batch to the driver — not 100 TB-safe)
+    def assign(ds: org.apache.spark.sql.Dataset[PreparedVec], isBatch: Boolean) =
+      ds.map { p =>
+        val (cs, cns) = bcCent.value
+        (nearestCell(p.v, p.nrm, cs, cns), p.vec_id, p.v, p.nrm, isBatch)
+      }
+    val members = assign(cv, isBatch = false)
+      .union(assign(bv, isBatch = true)) // seniors act as corpus
+    val probes = bv.flatMap { p =>
+      val (cs, cns) = bcCent.value
+      nearestCells(p.v, p.nrm, cs, cns, nProbe)
+        .map(c => CellProbe(c, p.vec_id, p.v, p.nrm))
+    }
+    val hits = probes.groupByKey(_.cell).cogroup(members.groupByKey(_._1)) {
+      (_: Int, qs: Iterator[CellProbe],
+          ms: Iterator[(Int, Long, Array[Double], Double, Boolean)]) =>
+        val arr = ms.toArray
+        if (arr.isEmpty) Iterator.empty
+        else qs.flatMap { q =>
+          arr.iterator.filter { case (_, mid, _, _, isBatch) =>
+            // corpus: any id; batch cohabitant: seniors only
+            if (isBatch) mid < q.query_id else mid != q.query_id
+          }.flatMap { case (_, mid, mv, mn, _) =>
+            // ascending strict fold — the oracle's list_reduce order
+            var acc = 0.0
+            var i = 0
+            val d = math.min(q.qv.length, mv.length)
+            while (i < d) { acc += q.qv(i) * mv(i); i += 1 }
+            val sim = acc / (q.qn * mn)
+            if (sim >= tau) Iterator.single((q.query_id, mid)) else Iterator.empty
+          }
+        }
+    }.toDF("bid", "mid").distinct() // a pair can cohabit several probed cells
+    val matches = hits.groupBy(col("bid"))
+      .agg(min(col("mid")).as("matched_id"), count(lit(1)).as("n_matches"))
+    allBatch.join(matches, col("vec_id") === col("bid"), "left")
+      .select(col("vec_id"),
+        col("bid").isNull.cast("int").as("admitted"),
+        col("matched_id"),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"))
+      .orderBy("vec_id")
+  }
 }

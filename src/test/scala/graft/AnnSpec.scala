@@ -360,4 +360,40 @@ class AnnSpec extends SparkSpec {
       assert(picks.find(_._2 == 1).get._3 == best._2, s"query $q round-1 pick")
     }
   }
+
+  test("E24: incremental semantic admission — rejections justified, seniors only, empty corpus admits all") {
+    val corpus = emb.filter(col("vec_id") % 5 =!= 4)
+    val batch = emb.filter(col("vec_id") % 5 === 4)
+    val out = Ann.incrementalSemAdmit(corpus, batch, 0.4)
+      .as[(Long, Int, Option[Long], Long)].collect()
+    assert(out.length == batch.count())
+    val rejected = out.filter(_._2 == 0)
+    assert(rejected.nonEmpty && rejected.length < out.length,
+      s"non-trivial split at $sfDir: ${rejected.length}/${out.length} rejected")
+    // soundness: every rejection names a justifying match with TRUE
+    // cosine >= tau (recomputed exactly from the raw vectors), and a
+    // batch-side match is always SENIOR (first-wins)
+    val vecs = emb.select(col("vec_id"),
+        col("embedding").cast("array<double>")).as[(Long, Array[Double])]
+      .collect().toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    rejected.foreach { case (bid, _, matched, nm) =>
+      assert(matched.isDefined && nm >= 1, s"$bid: rejection must name a match")
+      val mid = matched.get
+      assert(cos(vecs(bid), vecs(mid)) >= 0.4 - 1e-9, s"$bid vs $mid below tau")
+      if (mid % 5 == 4) assert(mid < bid, s"$bid: batch match $mid must be senior")
+    }
+    // admitted rows carry no match
+    out.filter(_._2 == 1).foreach { case (bid, _, matched, nm) =>
+      assert(matched.isEmpty && nm == 0, s"$bid: admitted row with a match")
+    }
+    // empty corpus: everything admits (the cold-start path)
+    val cold = Ann.incrementalSemAdmit(corpus.filter(lit(false)), batch, 0.4)
+      .agg(sum(col("admitted"))).as[Long].head()
+    assert(cold == out.length, "empty corpus admits the whole batch")
+  }
 }
