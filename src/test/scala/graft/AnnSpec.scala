@@ -395,5 +395,19 @@ class AnnSpec extends SparkSpec {
     val cold = Ann.incrementalSemAdmit(corpus.filter(lit(false)), batch, 0.4)
       .agg(sum(col("admitted"))).as[Long].head()
     assert(cold == out.length, "empty corpus admits the whole batch")
+    // pruning recall floor: the IVF-pruned admission must catch at
+    // least half of the rejections a brute-force (all-candidates)
+    // verify finds — the e18/e19 posture applied to admission (the
+    // oracle pins WHAT the pruned config computes; this pins that the
+    // pruning is a useful approximation, not a vacuous one)
+    val brute = out.count { case (bid, _, _, _) =>
+      vecs.exists { case (mid, mv) =>
+        (mid != bid) && (mid % 5 != 4 || mid < bid) && cos(vecs(bid), mv) >= 0.4
+      }
+    }
+    assert(rejected.length * 2 >= brute,
+      s"pruned admission caught ${rejected.length} of $brute brute-force rejections (< 50%)")
+    assert(rejected.length <= brute,
+      "pruned rejections must be a subset of the brute-force rejections")
   }
 }
