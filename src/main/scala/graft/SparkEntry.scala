@@ -2898,6 +2898,12 @@ object SparkEntry {
           docs.filter(col("doc_id") % 10 === 0))
         .orderBy("doc_id")
     }),
+    // T18 (beyond reference): n-gram novelty — the fraction of each
+    // doc's distinct 8-grams FIRST seen in that doc (smallest doc_id =
+    // arrival order). The freshness signal a curation pass ranks by;
+    // one shingle-keyed min + join-back, linear (Dedup.ngramNovelty).
+    "t18_ngram_novelty" -> ((s, d) =>
+      graft.dedup.Dedup.ngramNovelty(t(s, d, "documents")).orderBy("doc_id")),
     // D11: passage-level exact dedup (Lee et al. exact-substring shape)
     // — repeated 20-token passages keep only their globally-first
     // occurrence; docs are rebuilt from surviving passages.
@@ -3153,6 +3159,21 @@ object SparkEntry {
            |WHERE bit_count(xor(x.simhash, y.simhash)) <= ${graft.dedup.Dedup.SIMHASH_MAX_HAMMING}
            |ORDER BY d1, d2""".stripMargin
       },
+      "t18_ngram_novelty" ->
+        """WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+          |tg AS (SELECT doc_id,
+          |  list_distinct([array_to_string(w[i:i+7], ' ') for i in range(1, len(w) - 6)]) g
+          |  FROM t),
+          |tx AS (SELECT doc_id, unnest(g) AS g FROM tg WHERE len(g) > 0),
+          |f AS (SELECT g, min(doc_id) AS first_doc FROM tx GROUP BY 1),
+          |agg AS (SELECT tx.doc_id, count(*) AS n_ngrams,
+          |    CAST(sum(CASE WHEN f.first_doc = tx.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+          |  FROM tx JOIN f ON f.g = tx.g GROUP BY 1)
+          |SELECT tg.doc_id, coalesce(n_ngrams, 0) AS n_ngrams,
+          |  coalesce(n_novel, 0) AS n_novel,
+          |  round(CAST(n_novel AS DOUBLE) / nullif(n_ngrams, 0), 6) AS novelty
+          |FROM tg LEFT JOIN agg ON agg.doc_id = tg.doc_id
+          |ORDER BY tg.doc_id""".stripMargin,
       "t10_contamination" ->
         """WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
           |tg AS (SELECT doc_id,

@@ -449,6 +449,34 @@ object Dedup {
         round(col("n_hit").cast("double") / nullif(col("n_ngrams"), lit(0)), 4))
   }
 
+  /** T18: n-gram NOVELTY score — for every document, the fraction of
+    * its distinct `n`-gram windows whose globally FIRST occurrence
+    * (smallest doc_id — the corpus's arrival order) is this document.
+    * The freshness/diversity signal a curation pass ranks by: a doc of
+    * recycled text scores ~0 even when no single source passes the
+    * near-dup bar (the graded sibling of [[contaminationStats]], with
+    * the corpus itself as the reference set).
+    *
+    * Scale: one explode + a shingle-keyed min (map-side combined) +
+    * one equality join back on the shingle key + a doc_id rollup —
+    * linear, no self-interaction beyond the shingle index. Docs with
+    * fewer than `n` words have no windows: reported with n_ngrams = 0,
+    * NULL novelty (the contaminationStats posture). */
+  def ngramNovelty(docs: DataFrame, n: Int = 8): DataFrame = {
+    import graft.functions.TextExpressions.wordShingles
+    import graft.text.TextAnalysis.words
+    val ng = docs.select(col("doc_id"),
+      explode_outer(array_distinct(wordShingles(words(col("text")), n))).as("g"))
+    val first = ng.filter(col("g").isNotNull)
+      .groupBy(col("g")).agg(min(col("doc_id")).as("first_doc"))
+    ng.join(first, Seq("g"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(col("g")).as("n_ngrams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty",
+        round(col("n_novel").cast("double") / nullif(col("n_ngrams"), lit(0)), 6))
+  }
+
   /** D12: incremental admission — dedup a NEW batch of documents
     * against an already-curated corpus, the steady-state operation of a
     * continuously-fed training pipeline (the corpus was deduped once;
