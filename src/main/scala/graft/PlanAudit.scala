@@ -96,7 +96,8 @@ object PlanAudit {
     println(f"${"query"}%-32s scans exch smj nlj")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
-        val plan = fn(spark, dir).queryExecution.sparkPlan
+        val qe = fn(spark, dir).queryExecution
+        val plan = qe.sparkPlan
         val scans = plan.collect { case s: FileSourceScanExec => s }.size
         val exch = plan.collect { case e: ShuffleExchangeExec => e }.size
         val smj = plan.collect { case j: SortMergeJoinExec => j }.size
@@ -108,11 +109,16 @@ object PlanAudit {
         // stage reuse execute that map stage once and serve every
         // consumer from its shuffle files (d14's 4-consumer weighted
         // posting frame is the r11 case — one scan at runtime).
-        // Exchanges only exist post-EnsureRequirements, so this one
-        // analysis reads the executedPlan (AQE wrapper unwrapped to
-        // its initial plan); `plan` above stays pre-preparation for
-        // the shape counts.
-        val execPlan = fn(spark, dir).queryExecution.executedPlan match {
+        // Exchanges only exist post-EnsureRequirements, so the whole
+        // re-scan analysis reads the executedPlan — and BOTH the
+        // per-path scan counts and the duplicate-exchange credit come
+        // from the SAME executedPlan instance of the SAME
+        // QueryExecution (the r11 ADVICE: two separate fn() plans can
+        // differ in scan multiplicity, letting the subtraction
+        // over-suppress a real re-scan; one QueryExecution also means
+        // each audited query plans once, not twice). `plan` above stays
+        // pre-preparation for the shape counts.
+        val execPlan = qe.executedPlan match {
           case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
             a.executedPlan
           case p => p
@@ -123,7 +129,7 @@ object PlanAudit {
           .flatMap(_.collect { case s: FileSourceScanExec =>
             s.relation.location.rootPaths.mkString(",") })
           .groupBy(identity).view.mapValues(_.size).toMap
-        val scansPerPath = plan.collect { case s: FileSourceScanExec =>
+        val scansPerPath = execPlan.collect { case s: FileSourceScanExec =>
           s.relation.location.rootPaths.mkString(",")
         }.groupBy(identity).view.mapValues(_.size).toMap
           .map { case (p, c) => p -> (c - dupExchangeScans.getOrElse(p, 0)) }

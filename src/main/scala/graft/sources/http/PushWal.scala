@@ -20,21 +20,37 @@ import graft.ingest.HttpIngress
   *
   * Layout under `dir`:
   *   - `posts.log`  — one record per accepted post, append-only:
-  *     `b64(account)\tb64(body)\tmicros\thttp_status\n` (base64 keeps
-  *     arbitrary bodies newline-safe). A torn final record (crash
-  *     mid-append) is dropped on replay: its ack never went out, so the
-  *     sender redelivers — nothing acked is lost.
+  *     `seq\tb64(account)\tb64(body)\tmicros\thttp_status\n`. `seq` is
+  *     the record's ABSOLUTE sequence number, written into the record
+  *     itself so replay numbering never depends on the sidecar's
+  *     `logStart` being in sync with the log's physical content (the
+  *     compaction crash window below). Base64 keeps arbitrary bodies
+  *     newline-safe. A torn FINAL record (crash mid-append) is dropped
+  *     on replay: its ack never went out, so the sender redelivers —
+  *     nothing acked is lost. A malformed or out-of-sequence INTERIOR
+  *     record is corruption, not a torn write, and replay REFUSES to
+  *     open the WAL rather than silently renumbering every record after
+  *     it (which would skip or redeliver the wrong posts relative to
+  *     the committed floor).
   *   - `committed`  — two longs `floor logStart`: `floor` is the count
   *     of posts (since the stream's birth) the engine has committed;
-  *     `logStart` is the absolute sequence of `posts.log`'s first
-  *     record. Written atomically (tmp + ATOMIC_MOVE) at every source
-  *     commit.
+  *     `logStart` is the absolute sequence the log is INTENDED to start
+  *     at. Written atomically (tmp + force + ATOMIC_MOVE) at every
+  *     source commit.
   *
   * Compaction: when a commit leaves nothing uncommitted (`floor` ==
-  * append count), the log is truncated and `logStart` jumps to the
-  * floor — steady-state disk usage is one in-flight batch, matching the
-  * in-memory buffer's contract. Absolute sequence numbers never reset,
-  * so checkpointed offsets from any incarnation stay meaningful.
+  * append count), the sidecar is atomically persisted with `logStart`
+  * jumped to the floor FIRST, and only then is the log truncated —
+  * steady-state disk usage is one in-flight batch, matching the
+  * in-memory buffer's contract. Ordering matters: a crash between the
+  * two steps leaves old records in the log with in-record sequences
+  * BELOW the published `logStart`; replay skips them by their own
+  * sequence numbers and `appended` still lands on the true floor. (The
+  * reverse order — truncate first — would leave an EMPTY log with a
+  * STALE sidecar on the same crash, resetting `appended` below the
+  * engine's checkpointed offset and silently never delivering posts
+  * acked after restart.) Absolute sequence numbers never reset, so
+  * checkpointed offsets from any incarnation stay meaningful.
   *
   * Thread safety: appends come from listener handler threads (already
   * serialized by [[HttpIngress]]'s retain lock), commits from the
@@ -45,7 +61,7 @@ final class PushWal(dir: Path) {
   private val logPath = dir.resolve("posts.log")
   private val committedPath = dir.resolve("committed")
 
-  /** Absolute sequence of the first record in posts.log. */
+  /** Absolute sequence the log is intended to start at (sidecar). */
   private var logStart: Long = 0L
   /** Committed floor (absolute). */
   private var floor: Long = 0L
@@ -67,7 +83,8 @@ final class PushWal(dir: Path) {
       logStart = if (parts.length > 1) parts(1).toLong else 0L
     }
     val rows = Seq.newBuilder[(String, String, Long, Int)]
-    var seq = logStart
+    var firstDelivered = -1L
+    var next = -1L // expected sequence of the next record; -1 until the first is read
     if (Files.exists(logPath)) {
       val bytes = Files.readAllBytes(logPath)
       val text = new String(bytes, StandardCharsets.UTF_8)
@@ -75,33 +92,47 @@ final class PushWal(dir: Path) {
       // its ack never went out, the sender redelivers
       val complete = text.lastIndexOf('\n')
       if (complete >= 0) {
-        text.substring(0, complete).split("\n").foreach { line =>
-          if (line.nonEmpty) {
-            val f = line.split("\t", -1)
-            if (f.length == 4) {
-              if (seq >= floor) {
-                rows += ((new String(Base64.getDecoder.decode(f(0)), StandardCharsets.UTF_8),
-                  new String(Base64.getDecoder.decode(f(1)), StandardCharsets.UTF_8),
-                  f(2).toLong, f(3).toInt))
-              }
-              seq += 1
-            }
+        text.substring(0, complete).split("\n", -1).foreach { line =>
+          // every complete interior line MUST parse — a malformed one is
+          // corruption, and absorbing it would renumber everything after
+          // it relative to the committed floor (wrong posts skipped or
+          // redelivered). Refuse to open instead.
+          val f = line.split("\t", -1)
+          if (f.length != 5)
+            throw new IllegalStateException(
+              s"corrupt WAL: interior record with ${f.length} fields in $logPath " +
+                "(only a torn FINAL record is recoverable)")
+          val seq =
+            try f(0).toLong
+            catch { case _: NumberFormatException =>
+              throw new IllegalStateException(
+                s"corrupt WAL: unparseable sequence '${f(0)}' in $logPath") }
+          if (next >= 0 && seq != next)
+            throw new IllegalStateException(
+              s"corrupt WAL: sequence gap in $logPath (expected $next, found $seq)")
+          if (seq >= floor) {
+            if (firstDelivered < 0) firstDelivered = seq
+            rows += ((new String(Base64.getDecoder.decode(f(1)), StandardCharsets.UTF_8),
+              new String(Base64.getDecoder.decode(f(2)), StandardCharsets.UTF_8),
+              f(3).toLong, f(4).toInt))
           }
+          next = seq + 1
         }
       }
     }
-    appended = seq
+    appended = if (next >= 0) next else math.max(floor, logStart)
     // the committed floor can exceed the replayed records only if the
     // sidecar outlived a deleted log — trust the floor (those rows were
     // committed; nothing uncommitted can be recovered from a lost log)
     if (floor > appended) appended = floor
-    (math.max(floor, logStart), rows.result())
+    (if (firstDelivered >= 0) firstDelivered else appended, rows.result())
   }
 
   /** Durable append — fsync'd before returning, so the caller may ack. */
   def append(p: HttpIngress.Post): Unit = synchronized {
     val micros = p.received_at.getTime * 1000L + (p.received_at.getNanos / 1000L) % 1000L
-    val line = Base64.getEncoder.encodeToString(p.account.getBytes(StandardCharsets.UTF_8)) +
+    val line = appended.toString +
+      "\t" + Base64.getEncoder.encodeToString(p.account.getBytes(StandardCharsets.UTF_8)) +
       "\t" + Base64.getEncoder.encodeToString(p.body.getBytes(StandardCharsets.UTF_8)) +
       "\t" + micros + "\t" + p.http_status + "\n"
     ch.write(ByteBuffer.wrap(line.getBytes(StandardCharsets.UTF_8)))
@@ -109,19 +140,31 @@ final class PushWal(dir: Path) {
     appended += 1
   }
 
-  /** Persist the committed floor; compact when nothing is uncommitted. */
+  /** Persist the committed floor; compact when nothing is uncommitted.
+    * The sidecar (with the post-compaction `logStart`) is forced to disk
+    * and atomically published BEFORE the log is truncated — see the
+    * class doc for why the reverse order loses acked posts. */
   def commitFloor(newFloor: Long): Unit = synchronized {
     if (newFloor > floor) floor = newFloor
-    if (floor >= appended && logStart < appended) {
-      // everything in the log is committed — truncate and restart the
-      // log at the floor (absolute numbering is preserved by logStart)
-      ch.truncate(0L)
-      logStart = appended
-    }
+    val compact = floor >= appended && logStart < appended
+    val newLogStart = if (compact) appended else logStart
     val tmp = dir.resolve("committed.tmp")
-    Files.write(tmp, s"$floor $logStart".getBytes(StandardCharsets.UTF_8))
+    val tc = FileChannel.open(tmp, StandardOpenOption.CREATE,
+      StandardOpenOption.WRITE, StandardOpenOption.TRUNCATE_EXISTING)
+    try {
+      tc.write(ByteBuffer.wrap(
+        s"$floor $newLogStart".getBytes(StandardCharsets.UTF_8)))
+      tc.force(true)
+    } finally tc.close()
     Files.move(tmp, committedPath, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
+    logStart = newLogStart
+    if (compact) {
+      // crash-safe: if we die right here, the log still holds records
+      // whose in-record sequences are below the published logStart —
+      // replay skips them by seq, numbering unaffected
+      ch.truncate(0L)
+    }
   }
 
   def close(): Unit = synchronized { ch.close() }

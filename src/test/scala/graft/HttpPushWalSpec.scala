@@ -107,6 +107,68 @@ class HttpPushWalSpec extends SparkSpec {
     w3.close()
   }
 
+  test("compaction crash window loses nothing: sidecar published, truncate lost") {
+    // commitFloor persists the sidecar (floor, logStart=appended) BEFORE
+    // truncating. Simulate a crash exactly between the two steps: the
+    // log still physically holds fully-committed records whose
+    // in-record sequences sit BELOW the published logStart. Replay must
+    // skip them by their own sequence numbers and land `appended` on
+    // the true floor — NOT renumber them (duplicates) and NOT reset
+    // appended below the engine's checkpointed offset (acked posts
+    // numbered into the committed range = silent loss, the round-11
+    // ADVICE scenario for the old truncate-first ordering).
+    val dir = Files.createTempDirectory("pushwal_crashwin")
+    val w1 = new PushWal(dir)
+    def p(id: Int) = graft.ingest.HttpIngress.Post("midtown", s"""{"id":$id}""",
+      new java.sql.Timestamp(1700000000000L + id), 200)
+    w1.append(p(0)); w1.append(p(1)); w1.append(p(2))
+    w1.close()
+    // hand-publish the compaction sidecar the real commitFloor(3) would
+    // write first — the log keeps records 0..2 (the "truncate lost" half)
+    Files.write(dir.resolve("committed"), "3 3".getBytes(StandardCharsets.UTF_8))
+
+    val w2 = new PushWal(dir)
+    assert(w2.recoveredBase == 3L && w2.recoveredPosts.isEmpty,
+      s"committed-below-logStart records skip by in-record seq: " +
+        s"${w2.recoveredBase} ${w2.recoveredPosts}")
+    // posts acked after the restart must number AT the floor, never below
+    w2.append(p(7))
+    w2.close()
+    val w3 = new PushWal(dir)
+    assert(w3.recoveredBase == 3L && w3.recoveredPosts.map(_._2) == Seq("""{"id":7}"""),
+      s"post-crash appends continue the absolute numbering: " +
+        s"${w3.recoveredBase} ${w3.recoveredPosts}")
+    w3.close()
+  }
+
+  test("replay refuses a malformed or out-of-sequence INTERIOR record") {
+    // only a torn FINAL record is a recoverable crash artifact; a
+    // malformed complete line is corruption, and silently absorbing it
+    // would renumber every later record relative to the committed floor
+    def p(id: Int) = graft.ingest.HttpIngress.Post("midtown", s"""{"id":$id}""",
+      new java.sql.Timestamp(1700000000000L + id), 200)
+
+    val d1 = Files.createTempDirectory("pushwal_corrupt")
+    val a = new PushWal(d1)
+    a.append(p(0)); a.append(p(1)); a.close()
+    val log = Files.readAllLines(d1.resolve("posts.log"))
+    Files.write(d1.resolve("posts.log"),
+      (Seq(log.get(0), "garbage-complete-line") ++ Seq(log.get(1)))
+        .mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+    val e1 = intercept[IllegalStateException] { new PushWal(d1) }
+    assert(e1.getMessage.contains("corrupt WAL"), e1.getMessage)
+
+    val d2 = Files.createTempDirectory("pushwal_gap")
+    val b = new PushWal(d2)
+    b.append(p(0)); b.append(p(1)); b.append(p(2)); b.close()
+    val lines = Files.readAllLines(d2.resolve("posts.log"))
+    Files.write(d2.resolve("posts.log"),
+      Seq(lines.get(0), lines.get(2)) // drop the middle record: a seq gap
+        .mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+    val e2 = intercept[IllegalStateException] { new PushWal(d2) }
+    assert(e2.getMessage.contains("sequence gap"), e2.getMessage)
+  }
+
   test("registry getOrCreate rejects a config change on a live stream name") {
     val name = s"ingress-${java.util.UUID.randomUUID().toString.take(8)}"
     HttpPushRegistry.getOrCreate(name, Seq("midtown"), 0, None)

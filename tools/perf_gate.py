@@ -22,6 +22,10 @@ import json, re, sys
 
 ABS_BAND = 2.5   # seconds: the fixed-constant band's upper edge
 RATIO = 2.0
+# Contention sentinel constants — MUST match Bench.scala's calibrate()
+# documentation (quiet-box 0.84 s measured on this CPU, warn at 1.3 s)
+CALIB_QUIET = 0.84
+CALIB_WARN = 1.3
 
 # Documented per-query exceptions: queries whose >2x-and-above-band
 # showing is analyzed and accepted (PLANS.md carries the analysis).
@@ -89,7 +93,12 @@ def main():
     calib = spark.get("calib")
     if calib:
         print(f"perf_gate: contention sentinel start={calib['start']} "
-              f"end={calib['end']} (quiet box ~0.4)")
+              f"end={calib['end']} (quiet box ~{CALIB_QUIET} s, "
+              f"warn > {CALIB_WARN} s — Bench.scala's measured constants)")
+        if max(calib['start'], calib['end']) > CALIB_WARN:
+            print("perf_gate: WARN contention sentinel above threshold — "
+                  "treat the Spark totals as contended, re-measure on a "
+                  "quiet box before acting on ratios")
     if st > RATIO * dt:
         print(f"perf_gate: FAIL suite ratio {st / dt:.2f}x exceeds the 2x bar")
     hard = []
