@@ -49,6 +49,25 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** Scheduler-path probe: a fixed tiny Spark job (8 tasks, codegen
+    * already warm) timed between query blocks. The ALU sentinel above
+    * has a measured blind spot: the r11 driver artifact inflated the
+    * alphabetically-contiguous t/u/w query families 2–4× while BOTH
+    * calib ends read quiet — the box's stall mode is kernel/dispatch
+    * -bound (~1.4% user / ~6.7% system CPU, PLANS.md "bench variance"),
+    * which never touches a register-resident serial loop but multiplies
+    * every task dispatch. This probe rides the exact path that stalls.
+    * Quiet-box: ~0.26–0.43 s at local[32] (measured; the dispatch of 8
+    * tasks dominates). A probe > max(0.5 s, 5× the run's own
+    * quietest probe) marks the adjacent block as measured-under-stall;
+    * those queries get ONE deferred re-run after the suite (when the
+    * window has typically passed) and report the min. */
+  private def schedProbe(spark: SparkSession): Double = {
+    val t0 = System.nanoTime()
+    spark.range(0L, 2000000L, 1L, 8).selectExpr("sum(id * 3 + 1)").collect()
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -118,6 +137,10 @@ object Bench {
     // contribute its fail-fast 0.05 s as if it ran (round 7's bench of
     // record silently counted 7 broken queries that way).
     val failed = scala.collection.mutable.LinkedHashMap[String, String]()
+    // scheduler probes: (count of queries finished when sampled, secs)
+    val probes = scala.collection.mutable.ArrayBuffer[(Int, Double)]()
+    probes += ((0, schedProbe(spark)))
+    var done = 0
     val timed = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (name, _) => excluded.contains(name) }
       .filter { case (name, _) => only.forall(_.contains(name)) }
@@ -186,9 +209,45 @@ object Bench {
         if (ok) failed.remove(name) // a retry succeeded — transient, keep the timing
         System.err.println(f"[bench] $name%-28s $secs%8.2fs rows=$n" +
           (if (ok) "" else "  FAILED"))
-        (name, secs, ok)
+        done += 1
+        if (done % 8 == 0) probes += ((done, schedProbe(spark)))
+        (name, fn, secs, ok)
       }
-    val results = timed.collect { case (name, secs, true) => name -> secs }
+    probes += ((done, schedProbe(spark)))
+    // Deferred re-runs: a query whose timed pair ran inside a stalled
+    // probe window re-measures ONCE after the suite (stall windows on
+    // this box are transient, minutes-long — by suite end they have
+    // typically passed; if the closing probe still reads stalled the
+    // slowness is systemic and a re-run can't fix it, so skip). Min
+    // over all runs is reported, same as the in-loop retry policy.
+    val probeMin = probes.map(_._2).min
+    val stallThresh = math.max(0.5, 5.0 * probeMin)
+    val stalledAt = probes.filter(_._2 > stallThresh).map(_._1).toSet
+    def suspect(idx: Int): Boolean = {
+      // probes sampled at done-counts 0, 8, 16, …: query idx (0-based)
+      // sits between the probes at (idx/8)*8 and (idx/8+1)*8
+      val lo = (idx / 8) * 8
+      stalledAt.contains(lo) || stalledAt.contains(lo + 8) ||
+        stalledAt.exists(p => p > lo && p < lo + 8) // the final partial probe
+    }
+    var rescued = 0
+    val finalTimed = timed.zipWithIndex.map { case ((name, fn, secs, ok), idx) =>
+      if (ok && suspect(idx) && rescued < 30 &&
+          schedProbe(spark) <= stallThresh) {
+        rescued += 1
+        val t0 = System.nanoTime()
+        val redo = try { force(fn(spark, sfDir)); (System.nanoTime() - t0) / 1e9 }
+          catch { case _: Throwable => Double.MaxValue }
+        spark.sharedState.cacheManager.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+        val best = math.min(secs, redo)
+        if (redo < secs) System.err.println(
+          f"[bench] $name%-28s re-measured post-stall: $secs%.2fs -> $redo%.2fs")
+        (name, best, ok)
+      } else (name, secs, ok)
+    }
+    val results = finalTimed.collect { case (name, secs, true) => name -> secs }
     // Locale.ROOT: the f"" interpolator formats with the JVM default
     // locale — a comma-decimal locale would emit unparseable JSON.
     def num(fmt: String, v: Double): String =
@@ -219,11 +278,22 @@ object Bench {
     // external load shared the cores during the run — read the totals
     // with that flag up.
     val calibEnd = math.min(calibrate(), calibrate())
-    val calib = s""""calib":{"start":${num("%.2f", calibStart)},"end":${num("%.2f", calibEnd)}}"""
+    // sched: the dispatch-path sentinel's summary — min/max probe time,
+    // how many probes read stalled, and how many suspect queries were
+    // re-measured post-suite. max ≫ min with quiet ALU calib is the
+    // r11-artifact signature (kernel/dispatch stall, cores idle).
+    val probeMax = probes.map(_._2).max
+    val calib = s""""calib":{"start":${num("%.2f", calibStart)},"end":${num("%.2f", calibEnd)},""" +
+      s""""schedMin":${num("%.3f", probeMin)},"schedMax":${num("%.3f", probeMax)},""" +
+      s""""schedStalled":${stalledAt.size},"rescued":$rescued}"""
     if (math.max(calibStart, calibEnd) > 1.3)
       System.err.println(f"[bench] WARNING: contention sentinel inflated " +
         f"(start=$calibStart%.2fs end=$calibEnd%.2fs, quiet-box 0.84s) — " +
         "this run shared the box with external load; totals are upper bounds")
+    if (stalledAt.nonEmpty)
+      System.err.println(f"[bench] WARNING: ${stalledAt.size} scheduler probe(s) " +
+        f"stalled (min=$probeMin%.3fs max=$probeMax%.3fs, threshold " +
+        f"$stallThresh%.2fs); $rescued suspect queries re-measured post-suite")
     println(s"""{"metric":"detail","value":${num("%.3f", total)},"unit":"sec","queries":$qs,"failed":$failedArr,$calib,"sf":"$sfDir"}""")
     println(s"""{"metric":"total","value":${num("%.3f", total)},"unit":"sec","n_queries":${results.size},"failed":$failedArr,$calib,"sf":"$sfDir"}""")
     spark.stop()

@@ -95,6 +95,17 @@ def main():
         print(f"perf_gate: contention sentinel start={calib['start']} "
               f"end={calib['end']} (quiet box ~{CALIB_QUIET} s, "
               f"warn > {CALIB_WARN} s — Bench.scala's measured constants)")
+        if calib.get("schedMin", 0) and calib["schedMin"] > 1.0:
+            print(f"perf_gate: WARN schedMin={calib['schedMin']} s "
+                  "(quiet ~0.26-0.43 s at local[32]) — dispatch was slow for "
+                  "the WHOLE run; totals are upper bounds")
+        if calib.get("schedStalled", 0) > 0:
+            print(f"perf_gate: WARN {calib['schedStalled']} scheduler probe(s) "
+                  f"stalled mid-suite (schedMin={calib.get('schedMin')} "
+                  f"schedMax={calib.get('schedMax')}, {calib.get('rescued', 0)} "
+                  "queries re-measured post-suite) — dispatch-path contention "
+                  "the ALU sentinel cannot see; affected queries already "
+                  "carry their post-stall minimum")
         if max(calib['start'], calib['end']) > CALIB_WARN:
             print("perf_gate: WARN contention sentinel above threshold — "
                   "treat the Spark totals as contended, re-measure on a "
