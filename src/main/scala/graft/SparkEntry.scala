@@ -3466,6 +3466,15 @@ object SparkEntry {
           k = 5, shortlist = 20, nProbe = 4,
           prefixSeeds = true, refine = false)
         .orderBy("query_id", "rank")),
+    // E25: the composed IVF-PQ retriever (IVFADC + exact refine — the
+    // FAISS billion-scale architecture): IVF probe-pruned candidates,
+    // ADC scoring from m-byte codes only, exact rerank of the 20-deep
+    // shortlist. Registered in the oracle-able configuration end-to-end
+    // (prefix seeds, vec_id<16 codebook, 12-dp scaled-long ADC), so
+    // the full composition hash-gates against the SQL replay.
+    "e25_ivfpq_topk" -> ((s, d) =>
+      graft.similarity.Ann.ivfPqTopK(t(s, d, "embeddings"))
+        .orderBy("query_id", "rank")),
     // E22 (beyond reference): the IVF index AS A STORAGE LAYOUT — the
     // 100 TB posture where cell membership is materialized as the
     // parquet partitioning itself, so a probe never scans the corpus:
@@ -3736,6 +3745,45 @@ $sqlRecallTail""".stripMargin
     * only, exact cosine, top-5. */
   private val ivfTopKOracle: String = ivfCandSims + topKSimTail("csim", 5)
 
+  /** e25's oracle: the composed IVF-PQ retrieval replayed end-to-end —
+    * the `cand` relation from [[ivfCandSims]] (prefix-seed cells,
+    * 4-cell probes) restricted to the vec_id<50 query workload, PQ
+    * codes and per-query scaled-long distance tables from e12's
+    * recipe, ADC ranking to a 20-deep shortlist, then the exact-cosine
+    * rerank to top-5. (`csim` inside ivfCandSims is lazily unused —
+    * DuckDB only evaluates non-MATERIALIZED CTEs that are referenced.) */
+  private val ivfPqOracle: String =
+    s"""$ivfCandSims,
+       |psub AS (SELECT vec_id, j AS sub, v[j*8+1 : j*8+8] AS sv
+       |  FROM e, (SELECT unnest(range(8)) AS j)),
+       |pcb AS (SELECT sub, vec_id AS centroid_id, sv AS cv FROM psub WHERE vec_id < 16),
+       |pdist AS (SELECT s.vec_id, s.sub, c3.centroid_id,
+       |    list_reduce(list_apply(range(1, 9),
+       |      i -> (s.sv[i] - c3.cv[i]) * (s.sv[i] - c3.cv[i])), (a,b) -> a+b) AS d2
+       |  FROM psub s JOIN pcb c3 USING (sub)),
+       |codes AS MATERIALIZED (SELECT vec_id AS neighbor_id, sub, centroid_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, centroid_id) AS rn
+       |    FROM pdist)
+       |  WHERE rn = 1),
+       |dt AS (SELECT vec_id AS query_id, sub, centroid_id,
+       |    CAST(round(d2 * 1000000000000) AS BIGINT) AS qd2_fp
+       |  FROM pdist WHERE vec_id < 50),
+       |adc AS (SELECT cand.query_id, cand.neighbor_id, sum(dt.qd2_fp) AS adc_fp
+       |  FROM cand JOIN codes USING (neighbor_id)
+       |  JOIN dt ON dt.query_id = cand.query_id AND dt.sub = codes.sub
+       |    AND dt.centroid_id = codes.centroid_id
+       |  WHERE cand.query_id < 50
+       |  GROUP BY 1, 2),
+       |short AS (SELECT query_id, neighbor_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc_fp, neighbor_id) AS rn
+       |    FROM adc)
+       |  WHERE rn <= 20),
+       |rsim AS (SELECT query_id, neighbor_id,
+       |    list_reduce(list_apply(range(1, 65), i -> q.v[i] * c2.v[i]), (x,y) -> x+y)
+       |      / (q.nrm * c2.nrm) AS sim
+       |  FROM short JOIN n q ON q.vec_id = query_id JOIN n c2 ON c2.vec_id = neighbor_id)""".stripMargin +
+      topKSimTail("rsim", 5)
+
   /** e24's oracle: the prefix-seeded IVF admission replayed — corpus
     * seeds, everyone's cell assignment, batch probe sets, candidates =
     * probed-cell cohabitants (corpus any, batch seniors only), exact
@@ -3778,6 +3826,7 @@ $sqlRecallTail""".stripMargin
     "e24_incremental_semdedup" -> incrementalSemOracle,
     "e16_mmr_topk" -> mmrOracle,
     "e21_ivf_mmr" -> ivfMmrOracle,
+    "e25_ivfpq_topk" -> ivfPqOracle,
     "e2_ann_lsh_topk" -> lshTopKOracle,
     "e4_ann_ivf_topk" -> ivfTopKOracle,
     // e22: layout probe replay — vec_id<8 centroids, nearest-cell

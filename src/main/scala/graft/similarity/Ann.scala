@@ -751,6 +751,101 @@ object Ann {
         round(col("adc_fp").cast("double") / lit(1e12), 6).as("adc_dist2"), col("rank"))
   }
 
+  /** E25: the composed IVF-PQ retriever — Jégou et al. 2011's IVFADC
+    * with an exact refine stage, the FAISS `IVFPQ(,refine)` production
+    * architecture and the standard shape for billion-vector corpora:
+    *  1. IVF restricts each query's candidate set to the members of
+    *     its `nProbe` probed cells (√n prefix-seed cells, e4/e19's
+    *     oracle-able configuration — no Lloyd refinement);
+    *  2. ADC scores ONLY those candidates from their m-byte PQ codes
+    *     (e7/e12's vec_id<kCode codebook) — no corpus floats are read
+    *     in the scoring pass;
+    *  3. the exact cosine reranks just the per-query `shortlist` ADC
+    *     survivors (nQueries·shortlist pairs).
+    * Every stage is deterministic (prefix seeds, 12-dp scaled-long ADC
+    * sums, id tie-breaks), so cells, probes, codes, ADC ranks, AND the
+    * exact rerank replay row-for-row in the DuckDB oracle — the e21
+    * recipe applied to the PQ index family.
+    *
+    * Scale: the only broadcast structures are the ≤4096-row centroid
+    * table, the m·kCode-row codebook, the nQueries·nProbe probe set,
+    * and the nQueries·m·kCode distance tables — all corpus-size-free.
+    * The corpus contributes three linear passes (cell assignment, PQ
+    * encoding, the candidate-code join keyed on neighbor_id) and never
+    * self-joins; ADC volume is |probed-cell members| · m per query,
+    * the quantity IVF exists to bound, and the float-touching rerank
+    * is nQueries·shortlist rows. At 100 TB both the codes and the cell
+    * layout persist (e22's partitionBy("cell") posture) and steps 1–2
+    * become probe-pruned scans of the code index alone. */
+  def ivfPqTopK(embeddings: DataFrame, nQueries: Int = 50, m: Int = 8,
+      kCode: Int = 16, nProbe: Int = 4, shortlist: Int = 20, topK: Int = 5,
+      maxCells: Int = 4096): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    // one eager materialization feeds every consumer (seeds, members,
+    // probes, PQ slices, both rerank sides) — without it the parquet
+    // would scan 6× (PlanAudit's p2 bug class)
+    val e = prepared(embeddings).localCheckpoint(true)
+    val vecs = e.select(col("vec_id"), col("v"), col("nrm")).as[PreparedVec]
+    val n = e.count()
+    if (n == 0)
+      return rankCandidates(
+        spark.emptyDataset[(Long, Long, Double)].toDF("query_id", "neighbor_id", "sim"), topK)
+    val nCells = math.max(1, math.min(maxCells, math.round(math.sqrt(n.toDouble)).toInt))
+    val seeds = vecs.orderBy(col("vec_id")).limit(nCells).collect()
+    val bcCent = spark.sparkContext.broadcast((seeds.map(_.v), seeds.map(_.nrm)))
+    // corpus → cells: one map-side pass against the broadcast centroids
+    val members = vecs.map { p =>
+      val (cs, cns) = bcCent.value
+      (nearestCell(p.v, p.nrm, cs, cns), p.vec_id)
+    }.toDF("cell", "neighbor_id")
+    // query workload → probe sets (nQueries·nProbe rows — broadcast)
+    val probes = vecs.filter(_.vec_id < nQueries).flatMap { p =>
+      val (cs, cns) = bcCent.value
+      nearestCells(p.v, p.nrm, cs, cns, nProbe).map(c => (c, p.vec_id))
+    }.toDF("cell", "query_id")
+    val cand = members.join(broadcast(probes), "cell")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"))
+    // PQ codes for the corpus + scaled-long distance tables per query
+    // (the e12 machinery verbatim: same slices, codebook, argmin, and
+    // 12-dp quantization, so the two operators cannot drift)
+    val sub = subSlices(e, m).localCheckpoint(true)
+    val codebook = sub.filter(col("vec_id") < kCode)
+      .select(col("sub"), col("vec_id").as("centroid_id"), col("sv").as("cv"))
+    val codes = sub.join(broadcast(codebook), "sub")
+      .select(col("vec_id"), col("sub"), col("centroid_id"), subDist2.as("d2"))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min(struct(col("d2"), col("centroid_id"))).as("best"))
+      .select(col("vec_id").as("neighbor_id"), col("sub"),
+        col("best.centroid_id").as("centroid_id"))
+    val dtable = sub.filter(col("vec_id") < nQueries)
+      .join(broadcast(codebook), "sub")
+      .select(col("vec_id").as("query_id"), col("sub"), col("centroid_id"),
+        round(subDist2 * lit(1e12)).cast("long").as("qd2_fp"))
+    // candidate side is workload-bounded (nQueries·nProbe·avgCell ≈
+    // 200·√n rows at the defaults — sublinear in the corpus), so it
+    // broadcasts and the corpus-sized codes never sort or re-shuffle
+    // for this join (a plain shuffle here planned as the suite's only
+    // sort-merge join)
+    val adc = codes.join(broadcast(cand), "neighbor_id")
+      .join(broadcast(dtable), Seq("query_id", "sub", "centroid_id"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("qd2_fp")).as("adc_fp"))
+    val short = graft.operators.TopK.perKey(adc, Seq("query_id"),
+        Seq(col("adc_fp").asc, col("neighbor_id").asc), shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    // exact rerank touches only the shortlist survivors
+    val sims = short
+      .join(e.select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn")), "query_id")
+      .join(e.select(col("vec_id").as("neighbor_id"), col("v").as("cv"),
+        col("nrm").as("cn")), "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("sim"))
+    rankCandidates(sims, topK)
+  }
+
   /** E13: Matryoshka truncated-dimension cosine top-k — run the exact
     * [[cosineTopKBlocked]] pipeline on only the FIRST `dims` of each
     * embedding (Kusupati et al. 2022: MRL embeddings front-load

@@ -334,6 +334,60 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("E25: IVF-PQ composed retriever — recall floor, dense ranks, exact rerank sims") {
+    val got = Ann.ivfPqTopK(emb)
+      .select("query_id", "neighbor_id", "sim", "rank")
+      .as[(Long, Long, Double, Int)].collect()
+    // 50-query workload, dense ranks 1..k
+    val byQ = got.groupBy(_._1)
+    assert(byQ.keySet == (0L until 50L).toSet, "every workload query answers")
+    byQ.foreach { case (q, rs) =>
+      assert(rs.map(_._4).sorted.toSeq == (1 to rs.length), s"ranks dense for $q")
+    }
+    // recall floor vs exact top-5 on the same workload: IVF probes
+    // 4 of ~√n cells (the e4 noise-recall regime) and the 20-deep ADC
+    // shortlist + exact rerank recovers most of what the probes cover
+    // (measured 0.46 at sf0.01 / 0.48 at sf0.1)
+    val exact = Ann.cosineTopKBlocked(emb, 5)
+      .filter(col("query_id") < 50)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = got.map(r => (r._1, r._2)).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.3, s"IVF-PQ recall@5 too low: $recall")
+    // the refine stage is EXACT: every returned sim equals the
+    // brute-force cosine for that pair (PQ only selects, never scores
+    // the output)
+    val full = Ann.cosineTopKBlocked(emb, emb.count().toInt - 1)
+      .filter(col("query_id") < 50)
+      .select("query_id", "neighbor_id", "sim")
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    got.foreach { r =>
+      assert(math.abs(full((r._1, r._2)) - r._3) < 1e-9,
+        s"rerank sim must be the exact cosine for (${r._1}, ${r._2})")
+    }
+  }
+
+  test("E25: IVF-PQ recall is high on clustered data") {
+    // clusters: probes find the right cells, the codebook (first 16
+    // vectors = ~all 10 centers' neighborhoods) separates clusters in
+    // code space, and the exact rerank fixes any ADC ordering noise
+    val rnd = new scala.util.Random(11)
+    val centers = Array.fill(10, 64)(rnd.nextGaussian().toFloat)
+    val vecs = (0 until 200).map { i =>
+      val c = centers(i % 10)
+      (i.toLong, c.map(x => x + 0.15f * rnd.nextGaussian().toFloat))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val exact1 = Ann.cosineTopKBlocked(df, 1)
+      .filter(col("query_id") < 50)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val got1 = Ann.ivfPqTopK(df, topK = 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact1 & got1).size.toDouble / exact1.size
+    assert(recall >= 0.8, s"clustered IVF-PQ recall@1 too low: $recall")
+  }
+
   test("E21: composed IVF→MMR retriever (production config) — picks come from the IVF shortlist, rank 1 is pure relevance") {
     // PRODUCTION configuration (hash seeds + one Lloyd refinement) —
     // the registered e21 query pins the oracle-able config; this pins

@@ -636,3 +636,24 @@ object ProfileD14E {
     spark0.stop()
   }
 }
+
+/** One-off: measure e25 recall vs exact on the harness corpus (not a test). */
+object ProbeE25Recall {
+  def main(args: Array[String]): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    for (sf <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val emb = graft.Tables.embeddings(spark, sf)
+      val exact = graft.similarity.Ann.cosineTopKBlocked(emb, 5)
+        .filter(org.apache.spark.sql.functions.col("query_id") < 50)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      val got = graft.similarity.Ann.ivfPqTopK(emb)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      println(s"$sf recall@5(q<50) = ${(exact & got).size.toDouble / exact.size} (n=${emb.count})")
+    }
+    spark.stop()
+  }
+}
