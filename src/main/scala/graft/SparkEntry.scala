@@ -2909,6 +2909,11 @@ object SparkEntry {
     // occurrence; docs are rebuilt from surviving passages.
     "d11_passage_dedup" -> ((s, d) =>
       graft.dedup.Dedup.passageDedup(t(s, d, "documents")).orderBy("doc_id")),
+    // D17: sliding-window repeated-span coverage — the substring-dedup
+    // removal mask (Lee et al. 2022) as a per-doc fraction; windows at
+    // stride 1 so repeats at ANY alignment are caught (d11/t16 tile).
+    "d17_repeated_spans" -> ((s, d) =>
+      graft.dedup.Dedup.repeatedSpanCoverage(t(s, d, "documents")).orderBy("doc_id")),
     // D12: incremental admission — the arriving batch (doc_id % 3 = 0)
     // deduped against the standing corpus (doc_id % 3 ≠ 0) plus
     // first-wins within itself; broadcast batch, corpus index only.
@@ -3222,6 +3227,29 @@ object SparkEntry {
           |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
           |  string_agg(CASE WHEN rn = 1 THEN passage END, ' ' ORDER BY pos) AS clean_text
           |FROM r2 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      "d17_repeated_spans" ->
+        """WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+          |b AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens, w FROM t),
+          |win AS (SELECT doc_id, CAST(i AS INT) AS pos,
+          |    array_to_string(w[(i+1):(i+15)], ' ') AS s
+          |  FROM b, unnest(range(0, greatest(n_tokens - 14, 0))) AS u(i)),
+          |rep AS (SELECT doc_id, pos FROM (
+          |    SELECT doc_id, pos, count(*) OVER (PARTITION BY s) AS n_occ FROM win)
+          |  WHERE n_occ > 1),
+          |cov0 AS (SELECT doc_id, pos,
+          |    max(pos + 15) OVER (PARTITION BY doc_id ORDER BY pos
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+          |  FROM rep),
+          |cov AS (SELECT doc_id,
+          |    CAST(sum(greatest(0, pos + 15 - greatest(coalesce(prev_end, pos), pos))) AS BIGINT)
+          |      AS covered_tokens,
+          |    count(*) AS n_rep_windows
+          |  FROM cov0 GROUP BY doc_id)
+          |SELECT b.doc_id, b.n_tokens,
+          |  coalesce(n_rep_windows, 0) AS n_rep_windows,
+          |  coalesce(covered_tokens, 0) AS covered_tokens,
+          |  round(coalesce(covered_tokens, 0) * 1.0 / nullif(b.n_tokens, 0), 6) AS covered_frac
+          |FROM b LEFT JOIN cov USING (doc_id) ORDER BY doc_id""".stripMargin,
       "d13_containment_pairs" ->
         s"""$shingleCte,
            |ds AS (SELECT doc_id, g, len(g) AS n_a FROM sh WHERE len(g) > 0),

@@ -621,6 +621,62 @@ object Dedup {
           x => x.getField("passage"))), lit("")).as("clean_text"))
   }
 
+  /** D17: substring-level duplicate-span coverage — the Lee et al.
+    * 2022 ("Deduplicating Training Data Makes Language Models Better")
+    * ExactSubstr signal at fixed window granularity: slide a
+    * `windowTokens`-token window at STRIDE 1 over every document, mark
+    * windows whose exact content occurs at ≥ 2 (doc, pos) positions
+    * corpus-wide (intra-doc repeats count, as in the suffix-array
+    * formulation), and report per document how much of it lies inside
+    * ANY repeated span — the interval-union coverage of its repeated
+    * window starts. This is the removal mask a substring-dedup pass
+    * would cut, surfaced as a fraction so curation can threshold.
+    * Differs from d11/t16 (NON-overlapping 20-token tiles, whole-tile
+    * dedup/boilerplate): sliding windows detect repeats at any
+    * alignment, and coverage unions overlapping hits instead of
+    * counting tiles.
+    *
+    * Scale: windows are ≤ |tokens| rows per doc; ONE content-keyed
+    * exchange scores global occurrence counts (window function over
+    * the content key — the d14 df pattern) and one doc-keyed rollup
+    * computes coverage; nothing is pairwise (documents sharing a span
+    * never join each other). The interval union is a running-max
+    * window over each doc's repeated starts — exact integer
+    * arithmetic: contribution of start s = max(0, s+W − max(prev_end,
+    * s)). At PB scale the exchange key becomes hash60(window) (the
+    * d11 note) and the window build is the tokenizer stage of ingest. */
+  def repeatedSpanCoverage(docs: DataFrame, windowTokens: Int = 15): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val W = windowTokens
+    val base = docs.select(col("doc_id"),
+      size(words(col("text"))).cast("long").as("n_tokens"), words(col("text")).as("tk"))
+    val wins = base.filter(col("n_tokens") >= W)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), (col("n_tokens") - W).cast("int")),
+          i => concat_ws(" ", slice(col("tk"), i + 1, lit(W))))))
+      .toDF("doc_id", "pos", "win")
+    val rep = wins
+      .withColumn("n_occ", count(lit(1)).over(Window.partitionBy(col("win"))))
+      .filter(col("n_occ") > 1)
+      .select(col("doc_id"), col("pos"))
+    val prevEnd = max(col("pos") + W).over(
+      Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        .rowsBetween(Window.unboundedPreceding, -1))
+    val covered = rep
+      .withColumn("contrib", greatest(lit(0),
+        col("pos") + W - greatest(coalesce(prevEnd, col("pos")), col("pos"))))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("contrib")).cast("long").as("covered_tokens"),
+        count(lit(1)).as("n_rep_windows"))
+    base.select(col("doc_id"), col("n_tokens"))
+      .join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_rep_windows"), lit(0L)).as("n_rep_windows"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
+        round(coalesce(col("covered_tokens"), lit(0L)).cast("double") /
+          nullif(col("n_tokens"), lit(0L)), 6).as("covered_frac"))
+  }
+
   /** D16: prefix-filtered set-similarity join (Chaudhuri et al. 2006 /
     * Xiao et al. 2008 "PPJoin" candidate generation) — the third
     * candidate-generation family next to MinHash-LSH (d3) and the

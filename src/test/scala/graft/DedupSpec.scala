@@ -320,4 +320,31 @@ class DedupSpec extends SparkSpec {
       .select("d1", "d2").as[(Long, Long)].collect().toSet
     assert(generous == uncapped)
   }
+
+  test("D17: repeated-span coverage unions overlapping windows; intra-doc repeats count") {
+    def toks(a: Int, b: Int) = (a until b).map(i => s"w$i").mkString(" ")
+    val run16 = toks(0, 16) // 16 shared tokens = 2 overlapping 15-windows
+    val docs = Seq(
+      // doc 1: the 16-token run + unique tail. Both its windows (pos 0,
+      // 1) repeat in doc 2 → coverage unions [0,15)+[1,16) = 16 tokens,
+      // NOT 30
+      (1L, run16 + " " + (100 until 104).map(i => s"u$i").mkString(" ")),
+      // doc 2: unique head + the same 16-token run → covered 16 of 21
+      (2L, (200 until 205).map(i => s"v$i").mkString(" ") + " " + run16),
+      // doc 3: an INTRA-doc repeat — the same 15-gram twice, nothing
+      // shared with other docs → both occurrences covered (30 of 30)
+      (3L, toks(300, 315) + " " + toks(300, 315)),
+      // doc 4: all unique, long enough to window → zero coverage
+      (4L, toks(400, 430)),
+      // doc 5: shorter than the window → no windows, zero coverage
+      (5L, toks(500, 510))).toDF("doc_id", "text")
+    val got = Dedup.repeatedSpanCoverage(docs)
+      .select("doc_id", "n_tokens", "n_rep_windows", "covered_tokens")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == (1L, 20L, 2L, 16L), s"doc 1: ${got(1L)}")
+    assert(got(2L) == (2L, 21L, 2L, 16L), s"doc 2: ${got(2L)}")
+    assert(got(3L) == (3L, 30L, 2L, 30L), s"doc 3: ${got(3L)}")
+    assert(got(4L) == (4L, 30L, 0L, 0L), s"doc 4: ${got(4L)}")
+    assert(got(5L) == (5L, 10L, 0L, 0L), s"doc 5: ${got(5L)}")
+  }
 }
