@@ -2089,6 +2089,29 @@ object SparkEntry {
           (col("num_q").cast("double") / col("den_q").cast("double")).as("ewma"))
         .orderBy("event_type", "day")
     }),
+    // TS7 (beyond reference): Theil–Sen robust trend slope — per event
+    // type, the LOWER MEDIAN of all pairwise daily-count slopes
+    // (n_j−n_i)/(day_j−day_i). The robust-trend twin of ts5's outlier
+    // FLAGS and dq7/a20's robust location stats: one wild day moves an
+    // OLS slope arbitrarily but cannot move the pairwise-slope median
+    // (breakdown point ~29%). Exactness: each slope is ONE IEEE double
+    // division of two exact integers (identical literally in both
+    // engines), and the median is an explicit row_number selection at
+    // (cnt+1) div 2 — deterministic even under slope ties, no
+    // cross-engine interpolation (percentile_cont would interpolate).
+    // Plan shape: the pair self-join runs on the |types|×|days| DAILY
+    // rollup, never the facts — |days| is bounded by the calendar, not
+    // the corpus, so pair volume is VOLUME-INVARIANT (the ts6 posture;
+    // a 10× replica multiplies events per day, not days).
+    "ts7_theil_sen" -> ((s, d) => {
+      val daily = t(s, d, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      graft.analytics.TimeSeries
+        .theilSen(daily, col("event_type"), col("day"), col("n"))
+        .withColumnRenamed("k", "event_type")
+        .orderBy("event_type")
+    }),
     // W13 (beyond reference): month-over-month growth — the header
     // metric of every revenue dashboard. Monthly sums stay DECIMAL;
     // the growth ratio is one double division of two exact values
@@ -2108,6 +2131,19 @@ object SparkEntry {
   )
 
   private val windowOracles: Map[String, String] = Map(
+    "ts7_theil_sen" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |p AS (SELECT a.event_type,
+        |    CAST(b.n - a.n AS DOUBLE) / date_diff('day', a.day, b.day) AS slope
+        |  FROM daily a JOIN daily b
+        |    ON a.event_type = b.event_type AND a.day < b.day),
+        |r AS (SELECT event_type, slope,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY slope) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS cnt
+        |  FROM p)
+        |SELECT event_type, cnt AS n_pairs, round(slope, 6) AS slope
+        |FROM r WHERE rn = (cnt + 1) // 2 ORDER BY event_type""".stripMargin,
     "ts2_seasonal_mae" ->
       """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
         |  FROM events GROUP BY 1, 2)
@@ -3503,6 +3539,20 @@ object SparkEntry {
     "e25_ivfpq_topk" -> ((s, d) =>
       graft.similarity.Ann.ivfPqTopK(t(s, d, "embeddings"))
         .orderBy("query_id", "rank")),
+    // E26: the e18/e19 recall pin for the COMPOSED IVF-PQ retriever —
+    // per-query |e25-top5 ∩ exact-top5| / 5 on the 50-query workload.
+    // The composed index's recall becomes a hash-gated regression
+    // number, not just a spec floor. Checkpointed: the exact pass and
+    // the e25 pipeline both consume the corpus.
+    "e26_ivfpq_recall" -> ((s, d) => {
+      val emb = t(s, d, "embeddings").localCheckpoint(true)
+      val exact = graft.similarity.Ann.cosineTopKBlocked(emb, 5)
+        .filter(col("query_id") < 50)
+        .select(col("query_id"), col("neighbor_id"))
+      val approx = graft.similarity.Ann.ivfPqTopK(emb)
+        .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+      recallRollup(exact, approx)
+    }),
     // E22 (beyond reference): the IVF index AS A STORAGE LAYOUT — the
     // 100 TB posture where cell membership is materialized as the
     // parquet partitioning itself, so a probe never scans the corpus:
@@ -3780,7 +3830,7 @@ $sqlRecallTail""".stripMargin
     * recipe, ADC ranking to a 20-deep shortlist, then the exact-cosine
     * rerank to top-5. (`csim` inside ivfCandSims is lazily unused —
     * DuckDB only evaluates non-MATERIALIZED CTEs that are referenced.) */
-  private val ivfPqOracle: String =
+  private val ivfPqCandChain: String =
     s"""$ivfCandSims,
        |psub AS (SELECT vec_id, j AS sub, v[j*8+1 : j*8+8] AS sv
        |  FROM e, (SELECT unnest(range(8)) AS j)),
@@ -3809,8 +3859,35 @@ $sqlRecallTail""".stripMargin
        |rsim AS (SELECT query_id, neighbor_id,
        |    list_reduce(list_apply(range(1, 65), i -> q.v[i] * c2.v[i]), (x,y) -> x+y)
        |      / (q.nrm * c2.nrm) AS sim
-       |  FROM short JOIN n q ON q.vec_id = query_id JOIN n c2 ON c2.vec_id = neighbor_id)""".stripMargin +
-      topKSimTail("rsim", 5)
+       |  FROM short JOIN n q ON q.vec_id = query_id JOIN n c2 ON c2.vec_id = neighbor_id)""".stripMargin
+
+  private val ivfPqOracle: String = ivfPqCandChain + topKSimTail("rsim", 5)
+
+  /** e26's oracle: the e18/e19 recall pin for the COMPOSED IVF-PQ
+    * retriever — per-query |e25-top5 ∩ exact-top5| / 5, exact side
+    * restricted to the vec_id<50 workload e25 serves. Makes the
+    * composed index's recall itself a hash-gated regression number. */
+  private val ivfPqRecallOracle: String =
+    s"""$ivfPqCandChain,
+       |ar AS MATERIALIZED (SELECT query_id, neighbor_id FROM (
+       |  SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
+       |  FROM rsim) WHERE rn <= 5),
+       |esim AS (SELECT q.vec_id AS query_id, c9.vec_id AS neighbor_id,
+       |    list_reduce(list_apply(range(1, 65), i -> q.v[i] * c9.v[i]), (x,y) -> x+y)
+       |      / (q.nrm * c9.nrm) AS sim
+       |  FROM n q JOIN n c9 ON q.vec_id <> c9.vec_id WHERE q.vec_id < 50),
+       |ex AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
+       |  FROM esim) WHERE rn <= 5)
+       |SELECT ex.query_id, count(*) AS k_exact,
+       |  CAST(sum(CASE WHEN ar.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       |  round(CAST(sum(CASE WHEN ar.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / count(*), 6) AS recall
+       |FROM ex LEFT JOIN ar
+       |  ON ar.query_id = ex.query_id AND ar.neighbor_id = ex.neighbor_id
+       |GROUP BY ex.query_id ORDER BY ex.query_id""".stripMargin
 
   /** e24's oracle: the prefix-seeded IVF admission replayed — corpus
     * seeds, everyone's cell assignment, batch probe sets, candidates =
@@ -3855,6 +3932,7 @@ $sqlRecallTail""".stripMargin
     "e16_mmr_topk" -> mmrOracle,
     "e21_ivf_mmr" -> ivfMmrOracle,
     "e25_ivfpq_topk" -> ivfPqOracle,
+    "e26_ivfpq_recall" -> ivfPqRecallOracle,
     "e2_ann_lsh_topk" -> lshTopKOracle,
     "e4_ann_ivf_topk" -> ivfTopKOracle,
     // e22: layout probe replay — vec_id<8 centroids, nearest-cell

@@ -67,4 +67,35 @@ object TimeSeries {
       .withColumn("p",
         col("n").cast("double") / sum(col("n")).over(rowTotal).cast("double"))
   }
+
+  /** TS7: Theil–Sen robust trend slope per key — the LOWER MEDIAN of
+    * all pairwise slopes (n_j − n_i)/(day_j − day_i) over a (key, day,
+    * n) daily series. One wild day moves an OLS slope arbitrarily but
+    * cannot move the pairwise-slope median (breakdown point ~29%) —
+    * the robust-TREND companion of the robust location/outlier stats
+    * (dq7/a20) and ts5's anomaly flags.
+    *
+    * Exactness: each slope is one IEEE double division of two exact
+    * integers (identical in any engine), and the median is an explicit
+    * row_number pick at (cnt+1) div 2 — deterministic under slope ties
+    * and free of percentile interpolation differences.
+    *
+    * Scale: the pair self-join runs on the |keys|×|days| DAILY rollup,
+    * never the facts; |days| is bounded by the calendar, not the
+    * corpus, so pair volume is volume-invariant. Keys with a single
+    * day have no pairs and are absent by construction. */
+  def theilSen(daily: DataFrame, key: Column, day: Column, n: Column): DataFrame = {
+    val d = daily.select(key.as("k"), day.as("day"), n.as("n"))
+    val pairs = d.as("a").join(d.as("b"),
+        col("a.k") === col("b.k") && col("a.day") < col("b.day"))
+      .select(col("a.k").as("k"),
+        ((col("b.n") - col("a.n")).cast("double") /
+          datediff(col("b.day"), col("a.day")).cast("double")).as("slope"))
+    pairs
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("k")).orderBy(col("slope"))))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("k"))))
+      .filter(col("rn") === ((col("cnt") + lit(1L)) / lit(2L)).cast("long"))
+      .select(col("k"), col("cnt").as("n_pairs"), round(col("slope"), 6).as("slope"))
+  }
 }

@@ -29,6 +29,28 @@ class TimeSeriesSpec extends SparkSpec {
       (2L, Date.valueOf("2024-01-02"), Some(1.0), 1.0, 0)))
   }
 
+  test("Theil-Sen: hand-computed median slope; one outlier day cannot move it") {
+    def d(s: String) = Date.valueOf(s)
+    // key 1: perfectly linear n = 2·day → every pairwise slope is 2
+    val lin = Seq(1, 2, 3, 4, 5).map(i => (1L, d(f"2024-01-0$i"), 2L * i))
+    // key 2: the same line with day 5 replaced by a wild outlier
+    // (n=1000). Of the C(5,2)=10 pairwise slopes, only the 4 touching
+    // day 5 are contaminated; the lower median (5th of 10 sorted) is
+    // still an uncontaminated slope of 2. An OLS fit on the same data
+    // gives slope ~197 — this pin IS the robustness property.
+    val out = Seq((2L, d("2024-01-01"), 2L), (2L, d("2024-01-02"), 4L),
+      (2L, d("2024-01-03"), 6L), (2L, d("2024-01-04"), 8L),
+      (2L, d("2024-01-05"), 1000L))
+    // key 3: single day → no pairs → absent from the output
+    val single = Seq((3L, d("2024-01-01"), 7L))
+    val daily = (lin ++ out ++ single).toDF("k", "day", "n")
+    val got = TimeSeries.theilSen(daily, col("k"), col("day"), col("n"))
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == (1L, 10L, 2.0), s"linear series: ${got(1L)}")
+    assert(got(2L) == (2L, 10L, 2.0), s"outlier-contaminated series: ${got(2L)}")
+    assert(!got.contains(3L), "single-day key emits no slope")
+  }
+
   test("transition matrix rows are counts of adjacent pairs and probabilities sum to 1") {
     val df = Seq(
       (1L, 1L, "a"), (1L, 2L, "b"), (1L, 3L, "a"), (1L, 4L, "b"),
