@@ -3530,6 +3530,24 @@ object SparkEntry {
           k = 5, shortlist = 20, nProbe = 4,
           prefixSeeds = true, refine = false)
         .orderBy("query_id", "rank")),
+    // E27: hybrid retrieval — RRF fusion of the TWO approximate index
+    // families (IVF cells + sign-LSH buckets), each in its pinned
+    // oracle-able configuration (e4's prefix seeds / e2's 8×8 planes).
+    // e15 fuses exact with truncated-exact; THIS is the production
+    // hybrid: two cheap indexes with uncorrelated failure modes (IVF
+    // cells adapt to density, LSH buckets are distribution-free), so
+    // the fusion's recall exceeds either alone where their misses
+    // don't overlap. Rank-based fusion needs no score calibration
+    // between the families. Checkpointed: both families scan the
+    // corpus (the e19 posture).
+    "e27_hybrid_rrf" -> ((s, d) => {
+      val emb = t(s, d, "embeddings").localCheckpoint(true)
+      graft.similarity.Ann.rrfFuse(
+          graft.similarity.Ann.ivfTopK(emb, 5, nProbe = 4,
+            prefixSeeds = true, refine = false),
+          graft.similarity.Ann.lshTopK(emb, 5, nTables = 8, nPlanesOverride = 8))
+        .orderBy("query_id", "rank")
+    }),
     // E25: the composed IVF-PQ retriever (IVFADC + exact refine — the
     // FAISS billion-scale architecture): IVF probe-pruned candidates,
     // ADC scoring from m-byte codes only, exact rerank of the 20-deep
@@ -3810,6 +3828,72 @@ $sqlRecallTail""".stripMargin
        |      / (q.nrm * c2.nrm) AS sim
        |  FROM cand JOIN n q ON q.vec_id = query_id JOIN n c2 ON c2.vec_id = neighbor_id)""".stripMargin
 
+  /** e27's oracle: both pinned index families replayed side by side
+    * (CTEs prefixed l-/i- to avoid name collisions), top-5 per family
+    * on the raw sims (the e2/e4 tie rules), then e15's RRF arithmetic
+    * — 1/(60+rank) doubles, full-outer on the pair key, (rrf desc, id)
+    * final rank, top-3. */
+  private val ivfLshRrfOracle: String = {
+    val selects = (0 until 8).map { tbl =>
+      val ps = graft.similarity.Ann.planes(8, 64, tbl)
+      val bucket = (0 until 8).map { j =>
+        val dotStr = ps(j).zipWithIndex.map { case (sgn, i) =>
+          (if (sgn > 0) "+" else "-") + s"v[${i + 1}]" }.mkString
+        s"(CASE WHEN (0$dotStr) > 0 THEN ${1 << j} ELSE 0 END)"
+      }.mkString(" + ")
+      s"SELECT vec_id, $tbl AS tbl, $bucket AS bucket FROM e"
+    }.mkString("\nUNION ALL\n")
+    s"""$cosineCte,
+       |lbk AS MATERIALIZED (
+       |$selects
+       |),
+       |lcand AS (SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
+       |  FROM lbk a JOIN lbk b ON a.tbl = b.tbl AND a.bucket = b.bucket
+       |    AND a.vec_id <> b.vec_id),
+       |lasim AS (SELECT query_id, neighbor_id,
+       |    list_reduce(list_apply(range(1, 65), i -> q.v[i] * c.v[i]), (x,y) -> x+y)
+       |      / (q.nrm * c.nrm) AS sim
+       |  FROM lcand JOIN n q ON q.vec_id = query_id JOIN n c ON c.vec_id = neighbor_id),
+       |fb AS (SELECT query_id, neighbor_id, rank FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+       |    FROM lasim) WHERE rank <= 5),
+       |nn AS (SELECT greatest(1, least(4096,
+       |    CAST(round(sqrt(count(*))) AS BIGINT))) AS nc FROM e),
+       |c0 AS (SELECT vec_id AS cell, v AS cv, nrm AS cn FROM (
+       |    SELECT n.*, row_number() OVER (ORDER BY vec_id) AS r FROM n)
+       |  WHERE r <= (SELECT nc FROM nn)),
+       |iasim AS (SELECT n.vec_id, c0.cell,
+       |    list_reduce(list_apply(range(1, 65), i -> n.v[i] * c0.cv[i]), (a,b) -> a+b)
+       |      / (n.nrm * c0.cn) AS sim
+       |  FROM n CROSS JOIN c0),
+       |iranked AS (SELECT vec_id, cell,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn
+       |  FROM iasim),
+       |imember AS MATERIALIZED (SELECT vec_id, cell FROM iranked WHERE rn = 1),
+       |iprobe AS MATERIALIZED (SELECT vec_id AS query_id, cell FROM iranked WHERE rn <= 4),
+       |icand AS (SELECT p.query_id, m.vec_id AS neighbor_id
+       |  FROM iprobe p JOIN imember m ON m.cell = p.cell AND m.vec_id <> p.query_id),
+       |icsim AS (SELECT query_id, neighbor_id,
+       |    list_reduce(list_apply(range(1, 65), i -> q.v[i] * c2.v[i]), (x,y) -> x+y)
+       |      / (q.nrm * c2.nrm) AS sim
+       |  FROM icand JOIN n q ON q.vec_id = query_id JOIN n c2 ON c2.vec_id = neighbor_id),
+       |fa AS (SELECT query_id, neighbor_id, rank FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+       |    FROM icsim) WHERE rank <= 5),
+       |fused AS (SELECT coalesce(fa.query_id, fb.query_id) AS query_id,
+       |    coalesce(fa.neighbor_id, fb.neighbor_id) AS neighbor_id,
+       |    coalesce(1.0 / (60 + fa.rank), 0.0) + coalesce(1.0 / (60 + fb.rank), 0.0) AS rrf
+       |  FROM fa FULL OUTER JOIN fb
+       |    ON fa.query_id = fb.query_id AND fa.neighbor_id = fb.neighbor_id),
+       |rr AS (SELECT query_id, neighbor_id, rrf,
+       |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, neighbor_id) AS INT) AS rank
+       |  FROM fused)
+       |SELECT query_id, neighbor_id, round(rrf, 6) AS rrf, rank FROM rr
+       |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+  }
+
   private val ivfRecallOracle: String =
     s"""$ivfCandSims,
        |ar AS MATERIALIZED (SELECT query_id, neighbor_id FROM (
@@ -3933,6 +4017,7 @@ $sqlRecallTail""".stripMargin
     "e21_ivf_mmr" -> ivfMmrOracle,
     "e25_ivfpq_topk" -> ivfPqOracle,
     "e26_ivfpq_recall" -> ivfPqRecallOracle,
+    "e27_hybrid_rrf" -> ivfLshRrfOracle,
     "e2_ann_lsh_topk" -> lshTopKOracle,
     "e4_ann_ivf_topk" -> ivfTopKOracle,
     // e22: layout probe replay — vec_id<8 centroids, nearest-cell

@@ -388,6 +388,39 @@ class AnnSpec extends SparkSpec {
     assert(recall >= 0.8, s"clustered IVF-PQ recall@1 too low: $recall")
   }
 
+  test("E27: hybrid RRF — picks come from the family top-5 union, scores recompute exactly") {
+    val ivf = Ann.ivfTopK(emb, 5, nProbe = 4, prefixSeeds = true, refine = false)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect()
+    val lsh = Ann.lshTopK(emb, 5, nTables = 8, nPlanesOverride = 8)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect()
+    val ra = ivf.map(r => (r._1, r._2) -> r._3).toMap
+    val rb = lsh.map(r => (r._1, r._2) -> r._3).toMap
+    val fused = SparkEntry.queries("e27_hybrid_rrf")(spark, sfDir)
+      .select("query_id", "neighbor_id", "rrf", "rank")
+      .as[(Long, Long, Double, Int)].collect()
+    assert(fused.nonEmpty)
+    fused.foreach { case (q, nb, rrf, _) =>
+      val key = (q, nb)
+      assert(ra.contains(key) || rb.contains(key),
+        s"fused pick $key must come from one family's top-5")
+      val expect = ra.get(key).map(r => 1.0 / (60 + r)).getOrElse(0.0) +
+        rb.get(key).map(r => 1.0 / (60 + r)).getOrElse(0.0)
+      assert(math.abs(rrf - expect) < 1e-6, s"rrf for $key: $rrf vs $expect")
+    }
+    // dense ranks 1..k per query
+    fused.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.map(_._4).sorted.toSeq == (1 to rs.length), s"ranks dense for $q")
+    }
+    // the fusion property: a pair ranked by BOTH families outranks a
+    // pair ranked the same by only one — verify at least one fused
+    // rank-1 pick is a both-family pair on the harness corpus
+    val bothCount = fused.count { case (q, nb, _, rank) =>
+      rank == 1 && ra.contains((q, nb)) && rb.contains((q, nb)) }
+    assert(bothCount > 0, "some rank-1 pick should be endorsed by both families")
+  }
+
   test("E21: composed IVF→MMR retriever (production config) — picks come from the IVF shortlist, rank 1 is pure relevance") {
     // PRODUCTION configuration (hash seeds + one Lloyd refinement) —
     // the registered e21 query pins the oracle-able config; this pins
