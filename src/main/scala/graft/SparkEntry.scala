@@ -2728,10 +2728,35 @@ object SparkEntry {
     // Like st15/st19 the twin verifies the standing STATE itself, so
     // the streaming path is hash-gated, not just spec-tested.
     "st20_ewma_state_twin" -> ((s, d) =>
-      graft.streaming.StreamIngest.ewmaBatchTwin(t(s, d, "events")))
+      graft.streaming.StreamIngest.ewmaBatchTwin(t(s, d, "events"))),
+    // ST21: the standing robust-trend row theilSenStream converges to
+    // — per type, the lower-median pairwise slope over the trailing
+    // 30-day band (ts7's conventions on the banded frame). The
+    // streaming fold is proven equal in StreamIngestSpec; THIS
+    // registration hash-gates the standing state against the SQL
+    // replay (the st19/st20 recipe).
+    "st21_theil_sen_twin" -> ((s, d) =>
+      graft.streaming.StreamIngest.theilSenBatchTwin(t(s, d, "events")))
   )
 
   private val streamTwinOracles: Map[String, String] = Map(
+    "st21_theil_sen_twin" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |l AS (SELECT event_type AS et, max(day) AS latest FROM daily GROUP BY 1),
+        |band AS (SELECT a.event_type, l.latest, a.day, a.n
+        |  FROM daily a JOIN l ON a.event_type = l.et
+        |    AND date_diff('day', a.day, l.latest) BETWEEN 0 AND 29),
+        |p AS (SELECT x.event_type, x.latest AS day,
+        |    CAST(y.n - x.n AS DOUBLE) / date_diff('day', x.day, y.day) AS slope
+        |  FROM band x JOIN band y
+        |    ON x.event_type = y.event_type AND x.day < y.day),
+        |r AS (SELECT event_type, day, slope,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY slope) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS cnt
+        |  FROM p)
+        |SELECT event_type, day, cnt AS n_pairs, round(slope, 6) AS slope
+        |FROM r WHERE rn = (cnt + 1) // 2 ORDER BY event_type""".stripMargin,
     "st20_ewma_state_twin" -> {
       s"""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
          |  FROM events GROUP BY 1, 2),

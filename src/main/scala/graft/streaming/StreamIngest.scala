@@ -242,6 +242,100 @@ object StreamIngest {
       .orderBy("event_type")
   }
 
+  /** One standing robust-trend row per event type (ST21). */
+  final case class TheilSenRow(event_type: String, day: java.sql.Date,
+      n_pairs: Long, slope: Double)
+
+  /** ST21: ts7's Theil–Sen robust trend as STREAMING STATE — per type
+    * the trailing ≤30 observed days' counts (the same bounded-band
+    * retention as [[ewmaStream]]), re-emitting after each micro-batch
+    * the latest day plus the LOWER MEDIAN of all pairwise slopes over
+    * the band. The monitoring deployment of ts7: an anomaly in today's
+    * volume (ts5's flag) asks "is the TREND still what it was?" and a
+    * single wild day cannot move this answer.
+    *
+    * Arithmetic is convention-shared with [[theilSenBatchTwin]] /
+    * `TimeSeries.theilSen`: each slope ONE IEEE double division of two
+    * exact longs, the median an explicit lower-median pick at position
+    * (cnt+1) div 2 of the ascending sort (ties irrelevant — the VALUE
+    * at the position is unique), HALF_UP 6-dp rounding at emission
+    * only. State is a ≤30-entry day→count map; pair work per emission
+    * is ≤ C(30,2) = 435 slopes — O(1) regardless of volume. A
+    * single-day band emits nothing (no pairs), matching the batch
+    * twin's absence-by-construction. */
+  def theilSenStream(spark: SparkSession, events: Dataset[Ev]): Dataset[TheilSenRow] = {
+    import spark.implicits._
+    val daily = events
+      .select(col("event_type"), to_date(col("ts")).as("day"))
+      .as[(String, java.sql.Date)]
+    daily.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (tp: String, it: Iterator[(String, java.sql.Date)],
+            state: GroupState[Map[Long, Long]]) =>
+          val m = scala.collection.mutable.Map[Long, Long]() ++
+            state.getOption.getOrElse(Map.empty[Long, Long])
+          it.foreach { case (_, d) =>
+            val ed = d.toLocalDate.toEpochDay
+            m(ed) = m.getOrElse(ed, 0L) + 1L
+          }
+          if (m.isEmpty) Iterator.empty
+          else {
+            val latest = m.keys.max
+            val kept = m.filter { case (ed, _) => latest - ed <= 29L }
+            state.update(kept.toMap)
+            val ds = kept.toArray.sortBy(_._1)
+            val slopes = (for {
+              i <- ds.indices.iterator
+              j <- (i + 1) until ds.length
+            } yield (ds(j)._2 - ds(i)._2).toDouble /
+              (ds(j)._1 - ds(i)._1).toDouble).toArray
+            if (slopes.isEmpty) Iterator.empty
+            else {
+              java.util.Arrays.sort(slopes)
+              val pick = slopes(((slopes.length + 1) / 2) - 1)
+              val rounded = new java.math.BigDecimal(
+                  java.lang.Double.toString(pick))
+                .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+              Iterator(TheilSenRow(tp,
+                java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(latest)),
+                slopes.length, rounded))
+            }
+          }
+      }
+  }
+
+  /** The st21 batch twin — the standing row [[theilSenStream]]
+    * converges to, built relationally: per type, all pairwise slopes
+    * among the days within 29 of the latest day, lower median by
+    * row_number pick (the ts7 conventions over the banded frame).
+    * Lives here so SparkEntry's registration and StreamIngestSpec's
+    * comparison cannot diverge. */
+  def theilSenBatchTwin(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val latest = daily.groupBy(col("event_type").as("et"))
+      .agg(max(col("day")).as("latest"))
+    val band = daily.as("a")
+      .join(latest.as("l"), col("a.event_type") === col("l.et") &&
+        datediff(col("l.latest"), col("a.day")).between(0, 29))
+      .select(col("a.event_type").as("event_type"), col("l.latest").as("latest"),
+        col("a.day").as("day"), col("a.n").as("n"))
+    band.as("x").join(band.as("y"),
+        col("x.event_type") === col("y.event_type") &&
+          col("x.day") < col("y.day"))
+      .select(col("x.event_type").as("event_type"), col("x.latest").as("day"),
+        ((col("y.n") - col("x.n")).cast("double") /
+          datediff(col("y.day"), col("x.day")).cast("double")).as("slope"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("event_type")).orderBy(col("slope"))))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+      .filter(col("rn") === ((col("cnt") + lit(1L)) / lit(2L)).cast("long"))
+      .select(col("event_type"), col("day"), col("cnt").as("n_pairs"),
+        round(col("slope"), 6).as("slope"))
+      .orderBy("event_type")
+  }
+
   /** ST8: watermarked tumbling-window event-time aggregation — counts
     * per (1-day window, event_type). Late rows inside the watermark
     * still land in their event-time bucket; state for a window is

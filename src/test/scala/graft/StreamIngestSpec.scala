@@ -727,6 +727,54 @@ class StreamIngestSpec extends SparkSpec {
     assert(fin.exists(t => t._1 == "view" && t._2 == 4))
   }
 
+  test("ST21: streaming Theil-Sen fold equals the batch twin; outlier day cannot move it") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = StreamIngest.theilSenStream(spark, in.toDS())
+      .writeStream.format("memory").queryName("st21_out").outputMode("update").start()
+    // "view": a clean slope-2 daily ramp (1,3,5,7 events on days 1-4),
+    // then a 40-day gap to day 44 — the ramp falls OUT of the 30-day
+    // band, so the standing slope is computed over days 44-46 only.
+    // "click": linear days 1-4 plus an outlier day 5 (100 events) —
+    // the lower median over C(5,2)=10 slopes stays uncontaminated.
+    def evs(day: Int, tp: String, n: Int, base: Long) = {
+      val d = java.time.LocalDate.of(2024, 1, 1).plusDays(day - 1L)
+      (0 until n).map(i => Ev(base + i, ts(s"$d 10:00:00"), 100, tp, 1.0))
+    }
+    val b1 = evs(1, "view", 1, 1000) ++ evs(2, "view", 3, 2000) ++
+      evs(1, "click", 2, 3000) ++ evs(2, "click", 4, 4000)
+    val b2 = evs(3, "view", 5, 5000) ++ evs(4, "view", 7, 6000) ++
+      evs(3, "click", 6, 7000) ++ evs(4, "click", 8, 8000)
+    val b3 = evs(44, "view", 2, 9000) ++ evs(45, "view", 9, 10000) ++
+      evs(46, "view", 4, 11000) ++ evs(5, "click", 100, 12000)
+    in.addData(b1: _*); q.processAllAvailable()
+    in.addData(b2: _*); q.processAllAvailable()
+    in.addData(b3: _*); q.processAllAvailable()
+    val fin = spark.table("st21_out")
+      .as[graft.streaming.StreamIngest.TheilSenRow].collect()
+      .zipWithIndex
+      .groupBy(_._1.event_type).view
+      .mapValues(_.maxBy(_._2)._1).values
+      .map(r => (r.event_type, r.day.toString, r.n_pairs, r.slope)).toSet
+    q.stop()
+    val all = b1 ++ b2 ++ b3
+    val batch = StreamIngest.theilSenBatchTwin(all.toDF())
+      .as[(String, java.sql.Date, Long, Double)].collect()
+      .map(r => (r._1, r._2.toString, r._3, r._4)).toSet
+    assert(fin == batch, s"streaming fold $fin must equal batch twin $batch")
+    // band expiry engaged: view's standing slope uses days 44-46
+    // (= 2024-02-13..15) only — 3 days, 3 pairs; slopes {7, -5, 1},
+    // lower median 1.0 — the expired slope-2 ramp contributes nothing
+    val view = fin.find(_._1 == "view").get
+    assert(view._2 == "2024-02-15" && view._3 == 3L && view._4 == 1.0,
+      s"view band: $view")
+    // robustness: click's lower median over C(5,2)=10 slopes ignores
+    // the day-5 outlier (100 events) — the uncontaminated slope is 2.0
+    val click = fin.find(_._1 == "click").get
+    assert(click._2 == "2024-01-05" && click._3 == 10L && click._4 == 2.0,
+      s"click robust slope: $click")
+  }
+
   test("ST20: streaming EWMA fold equals the batch twin across micro-batches") {
     import org.apache.spark.sql.functions.col
     implicit val sqlCtx = spark.sqlContext
