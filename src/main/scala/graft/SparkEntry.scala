@@ -2112,6 +2112,20 @@ object SparkEntry {
         .withColumnRenamed("k", "event_type")
         .orderBy("event_type")
     }),
+    // TS8 (beyond reference): CUSUM changepoint — the day each event
+    // type's cumulative deviation from its mean daily volume peaks
+    // (level-shift detection for ingest monitoring). Exact integer
+    // statistic (deviations pre-scaled by the day count), earliest-day
+    // tie-break — see TimeSeries.cusumChangepoint.
+    "ts8_cusum_changepoint" -> ((s, d) => {
+      val daily = t(s, d, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      graft.analytics.TimeSeries
+        .cusumChangepoint(daily, col("event_type"), col("day"), col("n"))
+        .withColumnRenamed("k", "event_type")
+        .orderBy("event_type")
+    }),
     // W13 (beyond reference): month-over-month growth — the header
     // metric of every revenue dashboard. Monthly sums stay DECIMAL;
     // the growth ratio is one double division of two exact values
@@ -2127,10 +2141,57 @@ object SparkEntry {
           (lit(100.0) * (col("rev") - col("prev")).cast("double") /
             col("prev").cast("double")).as("growth_pct"))
         .orderBy("month_start")
+    }),
+    // W15 (beyond reference): gaps-and-islands — maximal runs of
+    // CONSECUTIVE active days per user (streak detection; the
+    // engagement twin of w5's time-gap sessionization). The classic
+    // rewrite: within a user, epoch_day − row_number(day) is constant
+    // exactly on a consecutive-day run, so one window + one aggregate
+    // finds every island — no self-join, no recursion. Scale: the
+    // window partitions by user over the DISTINCT (user, day) presence
+    // table (≪ raw events, bounded by the calendar per user), one
+    // shuffle end to end. Integer day arithmetic — no date
+    // interpolation to drift cross-engine.
+    "w15_gap_islands" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      t(s, d, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+        .withColumn("grp",
+          datediff(col("day"), lit("1970-01-01").cast("date")).cast("long") -
+            row_number().over(w))
+        .groupBy(col("user_id"), col("grp"))
+        .agg(min(col("day")).as("island_start"), max(col("day")).as("island_end"),
+          count(lit(1)).as("n_days"))
+        .select(col("user_id"), col("island_start"), col("island_end"), col("n_days"))
+        .orderBy("user_id", "island_start")
     })
   )
 
   private val windowOracles: Map[String, String] = Map(
+    "w15_gap_islands" ->
+      """WITH dd AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |r AS (SELECT user_id, day,
+        |  CAST(day - DATE '1970-01-01' AS BIGINT)
+        |    - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+        |FROM dd)
+        |SELECT user_id, min(day) AS island_start, max(day) AS island_end,
+        |  count(*) AS n_days
+        |FROM r GROUP BY user_id, grp ORDER BY user_id, island_start""".stripMargin,
+    "ts8_cusum_changepoint" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |tot AS (SELECT event_type, day, n,
+        |  count(*) OVER (PARTITION BY event_type) AS dd,
+        |  sum(n) OVER (PARTITION BY event_type) AS tt FROM daily),
+        |cu AS (SELECT event_type, day, dd, tt,
+        |  sum(n * dd - tt) OVER (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cusum FROM tot),
+        |pick AS (SELECT event_type, day, dd, tt, cusum,
+        |  row_number() OVER (PARTITION BY event_type
+        |    ORDER BY abs(cusum) DESC, day) AS rn FROM cu)
+        |SELECT event_type, day AS change_day, abs(cusum) AS cusum_peak,
+        |  dd AS n_days, tt AS total
+        |FROM pick WHERE rn = 1 ORDER BY event_type""".stripMargin,
     "ts7_theil_sen" ->
       """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
         |  FROM events GROUP BY 1, 2),
@@ -5959,6 +6020,16 @@ $sqlRecallTail""".stripMargin
     // ≤7 lines; real deployments cap k).
     "mb1_copurchase_pairs" -> ((s, d) =>
       copurchase(s, d).orderBy("u", "v")),
+    // MB2 (beyond reference): association rules over the same baskets —
+    // support/confidence/lift on DISTINCT-basket co-occurrence (mb1
+    // counts line pairs; rules need P(b|a) over baskets). Directed:
+    // each surviving pair yields a→b and b→a, whose confidences
+    // differ. See analytics.MarketBasket.
+    "mb2_association_rules" -> ((s, d) =>
+      graft.analytics.MarketBasket.rules(
+          t(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey")),
+          minSupport = 2)
+        .orderBy("antecedent", "consequent")),
     // G2: triangle count on the co-purchase graph via degree-ordered
     // wedge enumeration (O(m^1.5) candidates instead of Σdeg² — the
     // celebrity-node guard). Oracle is the canonical a<b<c triple
@@ -6069,6 +6140,26 @@ $sqlRecallTail""".stripMargin
         |       FROM edges e JOIN r2 ON e.u = r2.u JOIN deg ON e.u = deg.u GROUP BY e.v)
         |SELECT u AS node_id, CAST(r AS BIGINT) AS rank_fp FROM r3
         |ORDER BY rank_fp DESC, node_id""".stripMargin,
+    "mb2_association_rules" ->
+      """WITH p AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem),
+        |pairs AS (
+        |  SELECT a.item AS u, b.item AS v, count(*) AS support
+        |  FROM p a JOIN p b ON a.basket = b.basket AND a.item < b.item
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |directed AS (
+        |  SELECT u AS antecedent, v AS consequent, support FROM pairs
+        |  UNION ALL
+        |  SELECT v AS antecedent, u AS consequent, support FROM pairs),
+        |item_n AS (SELECT item, count(*) AS n FROM p GROUP BY item),
+        |total AS (SELECT count(DISTINCT basket) AS n_baskets FROM p)
+        |SELECT antecedent, consequent, support, na.n AS n_ante, nc.n AS n_cons,
+        |  round(CAST(support AS DOUBLE) / na.n, 4) AS confidence,
+        |  round(CAST(support AS DOUBLE) * n_baskets / (na.n * nc.n), 4) AS lift
+        |FROM directed
+        |JOIN item_n na ON na.item = antecedent
+        |JOIN item_n nc ON nc.item = consequent
+        |CROSS JOIN total
+        |ORDER BY antecedent, consequent""".stripMargin,
     "mb1_copurchase_pairs" ->
       """SELECT a.l_partkey AS u, b.l_partkey AS v, count(*) AS support
         |FROM lineitem a JOIN lineitem b

@@ -1,0 +1,69 @@
+package graft.analytics
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Association-rule mining over basket co-occurrence — the classic
+  * support / confidence / lift triple (Agrawal-Srikant a-priori at the
+  * 2-itemset level), the "customers who bought A also bought B" engine
+  * behind the reference README's cross-sell dashboard ambitions.
+  *
+  * Semantics are set-based: support counts DISTINCT baskets containing
+  * both items (duplicate lines of the same item in one basket count
+  * once), so the numbers are probabilities over baskets —
+  * conf(a→b) = P(b|a), lift = P(a,b)/(P(a)P(b)).
+  *
+  * Scale posture: the basket→pair expansion rides the same
+  * collect-per-basket + in-row pair enumeration as mb1 (bounded by the
+  * largest basket, never a shuffled self-join); item counts are one
+  * aggregate over the deduplicated presence table; the basket total is
+  * ONE scalar broadcast. All counts are exact integers — conf/lift are
+  * single double divisions of exact integers, rounded at 4dp for
+  * display only.
+  */
+object MarketBasket {
+
+  /** Directed 2-item association rules.
+    *
+    * @param presence   deduplicated basket membership: (basket, item) —
+    *                   first two columns, castable to long.
+    * @param minSupport minimum distinct-basket co-occurrence count for
+    *                   a pair to produce rules.
+    * @return (antecedent, consequent, support, n_ante, n_cons,
+    *         confidence, lift) — two directed rows per surviving pair.
+    */
+  def rules(presence: DataFrame, minSupport: Long): DataFrame = {
+    val c = presence.columns
+    val p = presence
+      .select(col(c(0)).as("basket"), col(c(1)).cast("long").as("item"))
+      .distinct()
+    val pairs = p.groupBy(col("basket"))
+      .agg(collect_list(col("item")).as("items"))
+      .select(explode(
+        graft.functions.PairExpressions.sortedPairs(col("items"))).as("q"))
+      .select(col("q.u").as("u"), col("q.v").as("v"))
+      .groupBy("u", "v").agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSupport)
+    val itemN = p.groupBy(col("item")).agg(count(lit(1)).as("n"))
+    val total = p.select(countDistinct(col("basket")).as("n_baskets"))
+    // both rule directions from one undirected pair row; item counts
+    // broadcast (bounded by the item catalog), the basket total is a
+    // single-row broadcast cross join — no extra shuffle past the pair
+    // aggregate itself.
+    val directed = pairs
+      .select(col("u").as("antecedent"), col("v").as("consequent"), col("support"))
+      .union(pairs
+        .select(col("v").as("antecedent"), col("u").as("consequent"), col("support")))
+    directed
+      .join(broadcast(itemN.select(col("item").as("antecedent"), col("n").as("n_ante"))),
+        "antecedent")
+      .join(broadcast(itemN.select(col("item").as("consequent"), col("n").as("n_cons"))),
+        "consequent")
+      .crossJoin(broadcast(total))
+      .select(col("antecedent"), col("consequent"), col("support"),
+        col("n_ante"), col("n_cons"),
+        round(col("support").cast("double") / col("n_ante"), 4).as("confidence"),
+        round(col("support").cast("double") * col("n_baskets") /
+          (col("n_ante") * col("n_cons")), 4).as("lift"))
+  }
+}

@@ -98,4 +98,39 @@ object TimeSeries {
       .filter(col("rn") === ((col("cnt") + lit(1L)) / lit(2L)).cast("long"))
       .select(col("k"), col("cnt").as("n_pairs"), round(col("slope"), 6).as("slope"))
   }
+
+  /** TS8: CUSUM changepoint over a per-key daily series — the day
+    * where the cumulative deviation from the series mean peaks (Page's
+    * cumulative-sum statistic; the standard level-shift detector for
+    * ingest-volume monitoring).
+    *
+    * All arithmetic is EXACT 64-bit integer: the deviation of day d is
+    * scaled by the day count D (n_d·D − T instead of n_d − T/D), so
+    * the running sum is an integer in both engines and the argmax is
+    * bit-identical — no float accumulation order to drift. Ties on
+    * |cusum| break to the EARLIEST day (explicit row_number order).
+    *
+    * Scale: runs on the |keys|×|days| daily rollup, never the facts;
+    * per-key windows are calendar-bounded. Two window passes (per-key
+    * totals, then the running sum) over one shuffle by key.
+    *
+    * @return (k, change_day, cusum_peak, n_days, total) — cusum_peak
+    *         is |Σ(n·D−T)| at the peak, in D-scaled units.
+    */
+  def cusumChangepoint(daily: DataFrame, key: Column, day: Column,
+      n: Column): DataFrame = {
+    val d = daily.select(key.as("k"), day.as("day"), n.cast("long").as("n"))
+    val perKey = Window.partitionBy(col("k"))
+    val run = Window.partitionBy(col("k")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d.withColumn("dd", count(lit(1)).over(perKey))
+      .withColumn("tt", sum(col("n")).over(perKey))
+      .withColumn("cusum", sum(col("n") * col("dd") - col("tt")).over(run))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("k")).orderBy(abs(col("cusum")).desc, col("day"))))
+      .filter(col("rn") === 1)
+      .select(col("k"), col("day").as("change_day"),
+        abs(col("cusum")).as("cusum_peak"), col("dd").as("n_days"),
+        col("tt").as("total"))
+  }
 }

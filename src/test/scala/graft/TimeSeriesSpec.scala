@@ -73,4 +73,36 @@ class TimeSeriesSpec extends SparkSpec {
     assert(TimeSeries.transitionMatrix(df, col("k"), Seq(col("seq")), col("s"))
       .count() === 0L)
   }
+
+  test("CUSUM changepoint lands on the level shift and ties break earliest") {
+    // key 1: level shift after day 3 (10,10,10 then 20,20,20) — the
+    // cumulative deviation |Σ(n·D−T)| peaks at the last low day.
+    // D=6, T=90: dev(low)=10·6−90=−30, dev(high)=+30 → cusum
+    // −30,−60,−90,−60,−30,0 → peak |−90| on day 3.
+    // key 2: constant series — every cusum is 0, tie on all days →
+    // earliest day wins by the explicit row_number order.
+    val daily = Seq(
+      (1L, Date.valueOf("2024-01-01"), 10L), (1L, Date.valueOf("2024-01-02"), 10L),
+      (1L, Date.valueOf("2024-01-03"), 10L), (1L, Date.valueOf("2024-01-04"), 20L),
+      (1L, Date.valueOf("2024-01-05"), 20L), (1L, Date.valueOf("2024-01-06"), 20L),
+      (2L, Date.valueOf("2024-02-01"), 5L), (2L, Date.valueOf("2024-02-02"), 5L))
+      .toDF("k", "day", "n")
+    val got = TimeSeries.cusumChangepoint(daily, col("k"), col("day"), col("n"))
+      .as[(Long, Date, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) === ((1L, Date.valueOf("2024-01-03"), 90L, 6L, 90L)))
+    assert(got(2L) === ((2L, Date.valueOf("2024-02-01"), 0L, 2L, 10L)))
+  }
+
+  test("CUSUM statistic is invariant to input row order") {
+    val rows = Seq(
+      (1L, Date.valueOf("2024-01-04"), 20L), (1L, Date.valueOf("2024-01-01"), 10L),
+      (1L, Date.valueOf("2024-01-03"), 10L), (1L, Date.valueOf("2024-01-06"), 20L),
+      (1L, Date.valueOf("2024-01-02"), 10L), (1L, Date.valueOf("2024-01-05"), 20L))
+    val a = TimeSeries.cusumChangepoint(rows.toDF("k", "day", "n"),
+      col("k"), col("day"), col("n")).collect().toSeq
+    val b = TimeSeries.cusumChangepoint(
+      rows.reverse.toDF("k", "day", "n").repartition(7),
+      col("k"), col("day"), col("n")).collect().toSeq
+    assert(a === b)
+  }
 }
