@@ -2797,10 +2797,36 @@ object SparkEntry {
     // registration hash-gates the standing state against the SQL
     // replay (the st19/st20 recipe).
     "st21_theil_sen_twin" -> ((s, d) =>
-      graft.streaming.StreamIngest.theilSenBatchTwin(t(s, d, "events")))
+      graft.streaming.StreamIngest.theilSenBatchTwin(t(s, d, "events"))),
+    // ST22: the standing changepoint row cusumStream converges to —
+    // ts8's exact-integer CUSUM pick over the trailing 30-day band.
+    // The streaming fold is proven equal in StreamIngestSpec; THIS
+    // registration hash-gates the standing state against the SQL
+    // replay (the st19/st20/st21 recipe).
+    "st22_cusum_state_twin" -> ((s, d) =>
+      graft.streaming.StreamIngest.cusumBatchTwin(t(s, d, "events")))
   )
 
   private val streamTwinOracles: Map[String, String] = Map(
+    "st22_cusum_state_twin" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |l AS (SELECT event_type AS et, max(day) AS latest FROM daily GROUP BY 1),
+        |band AS (SELECT a.event_type, a.day, a.n
+        |  FROM daily a JOIN l ON a.event_type = l.et
+        |    AND date_diff('day', a.day, l.latest) BETWEEN 0 AND 29),
+        |tot AS (SELECT event_type, day, n,
+        |  count(*) OVER (PARTITION BY event_type) AS dd,
+        |  sum(n) OVER (PARTITION BY event_type) AS tt FROM band),
+        |cu AS (SELECT event_type, day, dd, tt,
+        |  sum(n * dd - tt) OVER (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cusum FROM tot),
+        |pick AS (SELECT event_type, day, dd, tt, cusum,
+        |  row_number() OVER (PARTITION BY event_type
+        |    ORDER BY abs(cusum) DESC, day) AS rn FROM cu)
+        |SELECT event_type, day AS change_day, abs(cusum) AS cusum_peak,
+        |  dd AS n_days, tt AS total
+        |FROM pick WHERE rn = 1 ORDER BY event_type""".stripMargin,
     "st21_theil_sen_twin" ->
       """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
         |  FROM events GROUP BY 1, 2),
@@ -3026,6 +3052,12 @@ object SparkEntry {
     // one shingle-keyed min + join-back, linear (Dedup.ngramNovelty).
     "t18_ngram_novelty" -> ((s, d) =>
       graft.dedup.Dedup.ngramNovelty(t(s, d, "documents")).orderBy("doc_id")),
+    // T19: lexical diversity — type-token ratio + hapax fraction (the
+    // vocabulary-side repetition/gibberish signals; see
+    // TextAnalysis.lexicalDiversity).
+    "t19_lexical_diversity" -> ((s, d) =>
+      graft.text.TextAnalysis.lexicalDiversity(t(s, d, "documents"))
+        .orderBy("doc_id")),
     // D11: passage-level exact dedup (Lee et al. exact-substring shape)
     // — repeated 20-token passages keep only their globally-first
     // occurrence; docs are rebuilt from surviving passages.
@@ -3286,6 +3318,16 @@ object SparkEntry {
            |WHERE bit_count(xor(x.simhash, y.simhash)) <= ${graft.dedup.Dedup.SIMHASH_MAX_HAMMING}
            |ORDER BY d1, d2""".stripMargin
       },
+      "t19_lexical_diversity" ->
+        """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+          |c AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY 1, 2)
+          |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+          |  count(*) AS n_types,
+          |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+          |  round(CAST(count(*) AS DOUBLE) / sum(c), 4) AS ttr,
+          |  round(CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4)
+          |    AS hapax_frac
+          |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
       "t18_ngram_novelty" ->
         """WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
           |tg AS (SELECT doc_id,
@@ -3448,6 +3490,20 @@ object SparkEntry {
     // no Lloyd refinement since the mean step's decimal rounding has no
     // cross-engine twin). Same assignment/probe/scan machinery as the
     // production default, which stays recall-asserted in AnnSpec.
+    // E28: tombstone-aware IVF serving — top-5 over a STALE index
+    // after deleting the vec_id ≡ 3 (mod 7) slice (~14%, scale-free):
+    // centroid seeds stay full-corpus (deletes never move the coarse
+    // quantizer), the mask drops deleted vectors from the MEMBER side
+    // before the per-cell kernel, queries restrict to live vectors.
+    // Pinned oracle config (prefix seeds, no refinement) so the whole
+    // rebuild-free delete path is hash-gated — see
+    // Ann.ivfTopKTombstoned.
+    "e28_ivf_tombstones" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      graft.similarity.Ann.ivfTopKTombstoned(
+          emb, emb.filter(col("vec_id") % 7 === 3).select("vec_id"), k = 5)
+        .orderBy("query_id", "rank")
+    }),
     "e4_ann_ivf_topk" -> ((s, d) =>
       graft.similarity.Ann.ivfTopK(t(s, d, "embeddings"), 5,
           nProbe = 4, prefixSeeds = true, refine = false)
@@ -4106,6 +4162,32 @@ $sqlRecallTail""".stripMargin
     "e27_hybrid_rrf" -> ivfLshRrfOracle,
     "e2_ann_lsh_topk" -> lshTopKOracle,
     "e4_ann_ivf_topk" -> ivfTopKOracle,
+    // e28: the e4 replay with the tombstone mask — seeds/cells from
+    // the FULL corpus, member/probe sides restricted to live vectors.
+    "e28_ivf_tombstones" ->
+      (s"""$cosineCte,
+         |nn AS (SELECT greatest(1, least(4096,
+         |    CAST(round(sqrt(count(*))) AS BIGINT))) AS nc FROM e),
+         |c AS (SELECT vec_id AS cell, v AS cv, nrm AS cn FROM (
+         |    SELECT n.*, row_number() OVER (ORDER BY vec_id) AS r FROM n)
+         |  WHERE r <= (SELECT nc FROM nn)),
+         |live AS (SELECT * FROM n WHERE vec_id % 7 <> 3),
+         |asim AS (SELECT live.vec_id, live.v, live.nrm, c.cell,
+         |    list_reduce(list_apply(range(1, 65), i -> live.v[i] * c.cv[i]), (a,b) -> a+b)
+         |      / (live.nrm * c.cn) AS sim
+         |  FROM live CROSS JOIN c),
+         |ranked AS (SELECT vec_id, cell,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn
+         |  FROM asim),
+         |member AS MATERIALIZED (SELECT vec_id, cell FROM ranked WHERE rn = 1),
+         |probe AS MATERIALIZED (SELECT vec_id AS query_id, cell FROM ranked WHERE rn <= 4),
+         |cand AS (SELECT p.query_id, m.vec_id AS neighbor_id
+         |  FROM probe p JOIN member m ON m.cell = p.cell AND m.vec_id <> p.query_id),
+         |csim AS (SELECT query_id, neighbor_id,
+         |    list_reduce(list_apply(range(1, 65), i -> q.v[i] * c2.v[i]), (x,y) -> x+y)
+         |      / (q.nrm * c2.nrm) AS sim
+         |  FROM cand JOIN n q ON q.vec_id = query_id JOIN n c2 ON c2.vec_id = neighbor_id)"""
+        .stripMargin + topKSimTail("csim", 5)),
     // e22: layout probe replay — vec_id<8 centroids, nearest-cell
     // membership, 2-cell probe sets for the vec_id<50 query workload,
     // exact cosine within probed cells, top-3 (DuckDB sees the same

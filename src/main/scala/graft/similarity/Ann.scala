@@ -413,6 +413,76 @@ object Ann {
     rankCandidates(partial.toDF("query_id", "neighbor_id", "sim"), k)
   }
 
+  /** E28: tombstone-aware IVF serving — query a STALE index after
+    * deletions without rebuilding it. The two index-maintenance facts
+    * this encodes:
+    *  - centroids do NOT move on delete (rebuilds are batched in real
+    *    deployments — FAISS `remove_ids` leaves the coarse quantizer
+    *    untouched), so cell seeds come from the FULL corpus;
+    *  - the tombstone mask applies to the MEMBER side BEFORE the
+    *    per-cell kernel, and queries are restricted to live vectors.
+    *    Post-filtering a finished top-k instead would silently
+    *    under-fill any query whose shortlist was dominated by deleted
+    *    vectors (the e17 post-filter trap, again).
+    *
+    * Pinned to the oracle-able configuration (prefix seeds, no Lloyd
+    * refinement — the e4/e19 recipe), so the whole serving path
+    * including the mask replays in SQL and hash-matches.
+    *
+    * Scale: the mask is one anti join on vec_id before the cell
+    * cogroup — at 100 TB the tombstone set is ≪ corpus and broadcasts;
+    * everything downstream is [[ivfTopK]]'s bounded per-cell kernel.
+    */
+  def ivfTopKTombstoned(embeddings: DataFrame, tombstones: DataFrame,
+      k: Int, nProbe: Int = 4, maxCells: Int = 4096): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    // materialized once: the tombstone set is ≪ corpus by assumption,
+    // and callers often derive it from the SAME table being served —
+    // without this the member/probe sides would each re-scan the
+    // corpus through the anti join (PlanAudit's ≥3-scan flag).
+    val tomb = tombstones
+      .select(col(tombstones.columns.head).cast("long").as("vec_id"))
+      .localCheckpoint(true)
+    val n = embeddings.count()
+    if (n == 0)
+      return rankCandidates(
+        spark.emptyDataset[(Long, Long, Double)].toDF("query_id", "neighbor_id", "sim"), k)
+    val nCells = math.max(1, math.min(maxCells, math.round(math.sqrt(n.toDouble)).toInt))
+    // seeds over the FULL corpus — the stale-quantizer property; a
+    // deleted vector can still BE a centroid seed, it just can't be
+    // returned.
+    val seeds: Array[PreparedVec] = prepared(embeddings)
+      .select(col("vec_id"), col("v"), col("nrm")).as[PreparedVec]
+      .orderBy(col("vec_id")).limit(nCells).collect()
+    val live = prepared(embeddings)
+      .join(tomb, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("v"), col("nrm")).as[PreparedVec]
+    val sc = spark.sparkContext
+    val bcCent = sc.broadcast((seeds.map(_.v), seeds.map(_.nrm)))
+    val members = live.map { p =>
+      val (cs, cns) = bcCent.value
+      CellVec(nearestCell(p.v, p.nrm, cs, cns), p.vec_id, p.v, p.nrm)
+    }
+    val probes = live.flatMap { p =>
+      val (cs, cns) = bcCent.value
+      nearestCells(p.v, p.nrm, cs, cns, nProbe)
+        .map(c => CellProbe(c, p.vec_id, p.v, p.nrm))
+    }
+    val partial = probes.groupByKey(_.cell).cogroup(members.groupByKey(_.cell)) {
+      (_: Int, qs: Iterator[CellProbe], ms: Iterator[CellVec]) =>
+        val arr = ms.toArray
+        if (arr.isEmpty) Iterator.empty
+        else {
+          val cids = arr.map(_.vec_id)
+          val cvs = arr.map(_.v)
+          val cns = arr.map(_.nrm)
+          qs.flatMap(q => topKAgainst(q.query_id, q.qv, q.qn, cids, cvs, cns, k))
+        }
+    }
+    rankCandidates(partial.toDF("query_id", "neighbor_id", "sim"), k)
+  }
+
   /** Sharded IVF — the composition that survives past `maxCells`² ≈
     * 16M vectors (PLANS.md "IVF beyond 16M vectors", escape (b)).
     *

@@ -336,6 +336,84 @@ object StreamIngest {
       .orderBy("event_type")
   }
 
+  /** One standing changepoint row per event type (ST22). */
+  final case class CusumRow(event_type: String, change_day: java.sql.Date,
+      cusum_peak: Long, n_days: Long, total: Long)
+
+  /** ST22: ts8's CUSUM changepoint as STREAMING STATE — per type the
+    * trailing ≤30 observed days' counts (the same bounded-band
+    * retention as [[theilSenStream]]), re-emitting after each
+    * micro-batch the day within the band where the cumulative
+    * deviation from the band mean peaks. The monitoring deployment of
+    * ts8: a level shift in ingest volume surfaces as a standing "the
+    * break was HERE" row that sharpens as post-shift days arrive.
+    *
+    * Arithmetic is convention-shared with
+    * `TimeSeries.cusumChangepoint`: deviations pre-scaled by the band
+    * day count (n·D − T), the running statistic an exact 64-bit
+    * integer, the peak an explicit (|cusum| desc, day asc) pick —
+    * bit-identical to the batch twin on the same band. State is a
+    * ≤30-entry day→count map; per-emission work is one sorted walk of
+    * ≤30 entries — O(1) regardless of volume. */
+  def cusumStream(spark: SparkSession, events: Dataset[Ev]): Dataset[CusumRow] = {
+    import spark.implicits._
+    val daily = events
+      .select(col("event_type"), to_date(col("ts")).as("day"))
+      .as[(String, java.sql.Date)]
+    daily.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (tp: String, it: Iterator[(String, java.sql.Date)],
+            state: GroupState[Map[Long, Long]]) =>
+          val m = scala.collection.mutable.Map[Long, Long]() ++
+            state.getOption.getOrElse(Map.empty[Long, Long])
+          it.foreach { case (_, d) =>
+            val ed = d.toLocalDate.toEpochDay
+            m(ed) = m.getOrElse(ed, 0L) + 1L
+          }
+          if (m.isEmpty) Iterator.empty
+          else {
+            val latest = m.keys.max
+            val kept = m.filter { case (ed, _) => latest - ed <= 29L }
+            state.update(kept.toMap)
+            val ds = kept.toArray.sortBy(_._1)
+            val dd = ds.length.toLong
+            val tt = ds.map(_._2).sum
+            var cus = 0L
+            var bestAbs = -1L
+            var bestDay = 0L
+            ds.foreach { case (ed, n) =>
+              cus += n * dd - tt
+              val a = math.abs(cus)
+              if (a > bestAbs) { bestAbs = a; bestDay = ed } // ties keep earliest
+            }
+            Iterator(CusumRow(tp,
+              java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(bestDay)),
+              bestAbs, dd, tt))
+          }
+      }
+  }
+
+  /** The st22 batch twin — the standing row [[cusumStream]] converges
+    * to: ts8's exact-integer CUSUM pick over the days within 29 of
+    * each type's latest day. Lives here so SparkEntry's registration
+    * and StreamIngestSpec's comparison cannot diverge. */
+  def cusumBatchTwin(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val latest = daily.groupBy(col("event_type").as("et"))
+      .agg(max(col("day")).as("latest"))
+    val band = daily.as("a")
+      .join(latest.as("l"), col("a.event_type") === col("l.et") &&
+        datediff(col("l.latest"), col("a.day")).between(0, 29))
+      .select(col("a.event_type").as("event_type"), col("a.day").as("day"),
+        col("a.n").as("n"))
+    graft.analytics.TimeSeries
+      .cusumChangepoint(band, col("event_type"), col("day"), col("n"))
+      .withColumnRenamed("k", "event_type")
+      .orderBy("event_type")
+  }
+
   /** ST8: watermarked tumbling-window event-time aggregation — counts
     * per (1-day window, event_type). Late rows inside the watermark
     * still land in their event-time bucket; state for a window is

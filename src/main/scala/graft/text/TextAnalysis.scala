@@ -243,6 +243,27 @@ object TextAnalysis {
       .withColumn("n_bpe_tokens",
         graft.functions.TextExpressions.bpeTokenCount(col("text")))
 
+  /** T19: lexical-diversity quality signals — type-token ratio and
+    * hapax-legomenon fraction per document. Low TTR flags templated /
+    * repetitive text (the t8 repetition signal from the vocabulary
+    * side); a high hapax fraction flags OCR noise and gibberish
+    * (every "word" unique). Both are standard corpus-QA features next
+    * to the Gopher rules (t11).
+    *
+    * Two-level aggregate — (doc, token) counts, then a per-doc rollup
+    * — so every stage has map-side partial aggregation and nothing
+    * collects a vocabulary list per row. Counts are exact integers;
+    * the two ratios are single divisions rounded 4dp for display. */
+  def lexicalDiversity(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(words(col("text"))).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_types"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("doc_id"), col("n_tokens"), col("n_types"), col("n_hapax"),
+        round(col("n_types").cast("double") / col("n_tokens"), 4).as("ttr"),
+        round(col("n_hapax").cast("double") / col("n_types"), 4).as("hapax_frac"))
+
   /** Document fingerprint: position-salted rolling-style hash folded
     * with BIT_XOR — order-sensitive (token swaps change it) yet
     * aggregation-order-independent, so it distributes with no sort.

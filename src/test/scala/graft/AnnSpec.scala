@@ -497,4 +497,29 @@ class AnnSpec extends SparkSpec {
     assert(rejected.length <= brute,
       "pruned rejections must be a subset of the brute-force rejections")
   }
+
+  test("E28: tombstoned IVF never returns a deleted id and degrades to e4 on no deletes") {
+    val tomb = emb.filter(col("vec_id") % 7 === 3).select("vec_id")
+    val deleted = tomb.as[Long].collect().toSet
+    assert(deleted.nonEmpty, "test slice must delete something")
+    val got = Ann.ivfTopKTombstoned(emb, tomb, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (q, nb) =>
+      assert(!deleted.contains(q), s"deleted vector $q used as a query")
+      assert(!deleted.contains(nb), s"deleted vector $nb returned as a neighbor")
+    }
+    // mask applied BEFORE the kernel: queries still fill to k when
+    // live candidates exist (post-filtering would under-fill)
+    val fills = Ann.ivfTopKTombstoned(emb, tomb, k = 5)
+      .groupBy("query_id").count().as[(Long, Long)].collect()
+    assert(fills.forall(_._2 == 5L),
+      s"under-filled queries: ${fills.filter(_._2 != 5L).take(3).mkString(",")}")
+    // empty tombstone set ≡ the e4 prefix-seed/no-refine index
+    val noTomb = Ann.ivfTopKTombstoned(emb, tomb.filter(lit(false)), k = 5)
+      .collect().map(_.toSeq).toSet
+    val e4 = Ann.ivfTopK(emb, 5, nProbe = 4, prefixSeeds = true, refine = false)
+      .collect().map(_.toSeq).toSet
+    assert(noTomb === e4, "no-delete serving must equal the e4 index")
+  }
 }

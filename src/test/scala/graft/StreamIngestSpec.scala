@@ -775,6 +775,52 @@ class StreamIngestSpec extends SparkSpec {
       s"click robust slope: $click")
   }
 
+  test("ST22: streaming CUSUM fold equals the batch twin; band expiry engaged") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = StreamIngest.cusumStream(spark, in.toDS())
+      .writeStream.format("memory").queryName("st22_out").outputMode("update").start()
+    def evs(day: Int, tp: String, n: Int, base: Long) = {
+      val d = java.time.LocalDate.of(2024, 1, 1).plusDays(day - 1L)
+      (0 until n).map(i => Ev(base + i, ts(s"$d 10:00:00"), 100, tp, 1.0))
+    }
+    // "view": low level (10,10,10) then a shift to 20s — but the low
+    // days land 40+ days before the final ones, so the band EXPIRES
+    // them and the standing row is computed over days 44-46 only.
+    // "click": the clean level shift inside one band — 10,10,10 then
+    // 20,20,20; the peak |Σ(n·D−T)| sits on the last low day (day 3).
+    val b1 = evs(1, "view", 10, 1000) ++ evs(2, "view", 10, 2000) ++
+      evs(1, "click", 10, 3000) ++ evs(2, "click", 10, 4000)
+    val b2 = evs(3, "view", 10, 5000) ++
+      evs(3, "click", 10, 6000) ++ evs(4, "click", 20, 7000)
+    val b3 = evs(44, "view", 20, 8000) ++ evs(45, "view", 20, 9000) ++
+      evs(46, "view", 20, 10000) ++
+      evs(5, "click", 20, 11000) ++ evs(6, "click", 20, 12000)
+    in.addData(b1: _*); q.processAllAvailable()
+    in.addData(b2: _*); q.processAllAvailable()
+    in.addData(b3: _*); q.processAllAvailable()
+    val fin = spark.table("st22_out")
+      .as[graft.streaming.StreamIngest.CusumRow].collect()
+      .zipWithIndex
+      .groupBy(_._1.event_type).view
+      .mapValues(_.maxBy(_._2)._1).values
+      .map(r => (r.event_type, r.change_day.toString, r.cusum_peak, r.n_days, r.total))
+      .toSet
+    q.stop()
+    val all = b1 ++ b2 ++ b3
+    val batch = StreamIngest.cusumBatchTwin(all.toDF())
+      .as[(String, java.sql.Date, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2.toString, r._3, r._4, r._5)).toSet
+    assert(fin == batch, s"streaming fold $fin must equal batch twin $batch")
+    // click: D=6, T=90 → cusum −30,−60,−90,−60,−30,0 → peak 90 on day 3
+    val click = fin.find(_._1 == "click").get
+    assert(click == (("click", "2024-01-03", 90L, 6L, 90L)), s"click: $click")
+    // view: constant 20s inside the band → every cusum 0, earliest
+    // band day wins — the expired low-level days contribute nothing
+    val view = fin.find(_._1 == "view").get
+    assert(view == (("view", "2024-02-13", 0L, 3L, 60L)), s"view: $view")
+  }
+
   test("ST20: streaming EWMA fold equals the batch twin across micro-batches") {
     import org.apache.spark.sql.functions.col
     implicit val sqlCtx = spark.sqlContext
