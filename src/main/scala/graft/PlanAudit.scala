@@ -26,7 +26,12 @@ object PlanAudit {
   /** Documented quadratic baselines (SURVEY §2.9 / PLANS.md): the only
     * queries allowed an UNBOUNDED nested-loop or cartesian join. */
   private val quadraticBaselines = Set(
-    "d2_ngram_jaccard_pairs", "e1_cosine_topk", "e3_cosine_near_dup")
+    "d2_ngram_jaccard_pairs", "e1_cosine_topk", "e3_cosine_near_dup",
+    // e29 is e1's scan posture over the int8 CODE tier (the operator
+    // demonstrated is the quantized scoring path, exactly oracled);
+    // at scale the same codes sit inside IVF cells — Ann.int8TopK
+    // scaladoc names the composition (e25 is the composed shape).
+    "e29_int8_topk")
 
   /** Joins whose broadcast side is bounded by construction in a way
     * the physical plan cannot show (a filter on a key, not a limit):

@@ -3528,6 +3528,13 @@ object SparkEntry {
     // E5: int8 embedding quantization (vector storage path).
     "e5_quantize_int8" -> ((s, d) =>
       graft.similarity.Ann.quantizeInt8(t(s, d, "embeddings")).orderBy("vec_id")),
+    // E29: retrieval FROM the e5 int8 codes — cosine of code vectors
+    // (the per-vector descale factor cancels), integer-exact sims so
+    // the quantized serving tier hash-gates end to end; see
+    // Ann.int8TopK.
+    "e29_int8_topk" -> ((s, d) =>
+      graft.similarity.Ann.int8TopK(t(s, d, "embeddings"), 5)
+        .orderBy("query_id", "rank")),
     // E6: IVF build step — nearest-centroid assignment (deterministic
     // seeds ⇒ exact oracle, unlike the end-to-end approximate e4).
     "e6_centroid_assign" -> ((s, d) =>
@@ -4397,6 +4404,18 @@ $sqlRecallTail""".stripMargin
          |SELECT vec_id, centroid_id, round(sim, 6) AS sim FROM (
          |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) AS rn FROM p)
          |WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+    "e29_int8_topk" ->
+      ("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+         |q AS (SELECT vec_id, list_transform(v, x ->
+         |    round(x * (127.0 / list_max(list_transform(v, y -> abs(y)))))) AS v
+         |  FROM e),
+         |n AS (SELECT vec_id, v,
+         |  sqrt(list_reduce(list_apply(v, x -> x*x), (a,b) -> a+b)) AS nrm FROM q),
+         |p AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |    list_reduce(list_apply(range(1, 65), i -> a.v[i] * b.v[i]), (x,y) -> x+y)
+         |      / (a.nrm * b.nrm) AS sim
+         |  FROM n a JOIN n b ON a.vec_id <> b.vec_id)""".stripMargin
+        + topKSimTail("p", 5)),
     "e5_quantize_int8" ->
       """SELECT vec_id, scale,
         |  array_to_string(list_transform(v, x -> CAST(round(x * scale) AS INT)), ',') AS q_csv,
@@ -4739,6 +4758,19 @@ $sqlRecallTail""".stripMargin
           col("meta.width").as("width"), col("meta.height").as("height"),
           col("meta.n_frames").as("n_frames"))
         .orderBy("asset_id")),
+    // MM6: magic-byte MIME sniffing — detect the container format
+    // from the blob's leading bytes (signed fabrication: real
+    // PNG/JPEG/GIF/RIFF-WEBP signatures by doc_id mod 5, one class
+    // unsigned). The oracle replays the GROUND-TRUTH assignment, so a
+    // detector misread on any byte pattern hash-fails; see
+    // Media.sniffMime.
+    "mm6_magic_sniff" -> ((s, d) => {
+      val a = graft.multimodal.Media.signedAssets(t(s, d, "documents"))
+      a.select(col("asset_id"),
+          graft.multimodal.Media.sniffMime(col("content")).as("mime"),
+          length(col("content")).as("n_bytes"))
+        .orderBy("asset_id")
+    }),
     // MM2: frame sampling (every 4th frame) as a pure array op.
     "mm2_frame_sample" -> ((s, d) => {
       val frames = graft.text.TextAnalysis.words(col("text"))
@@ -4807,6 +4839,15 @@ $sqlRecallTail""".stripMargin
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
         |  count(*) AS n_copies, CAST(max(octet_length(encode(text))) AS INT) AS n_bytes
         |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
+    "mm6_magic_sniff" ->
+      """SELECT doc_id AS asset_id,
+        |  CASE doc_id % 5 WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/jpeg'
+        |    WHEN 2 THEN 'image/gif' WHEN 3 THEN 'image/webp'
+        |    ELSE 'application/octet-stream' END AS mime,
+        |  CAST(octet_length(encode(text)) +
+        |    CASE doc_id % 5 WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 6
+        |      WHEN 3 THEN 12 ELSE 0 END AS INT) AS n_bytes
+        |FROM documents ORDER BY asset_id""".stripMargin,
     "mm1_binary_meta" ->
       """SELECT doc_id AS asset_id,
         |  CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'video' END AS media_type,

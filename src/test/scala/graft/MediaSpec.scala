@@ -80,4 +80,28 @@ class MediaSpec extends SparkSpec {
     assert(got(1) === ((2L, 5, 3, 1)))
     assert(got(2) === ((3L, -1, -1, 0))) // undecodable -> sentinel, never a throw
   }
+
+  test("MM6: magic sniffing rejects lookalikes the fabricated oracle never shows") {
+    def b(s: String) = s.getBytes("ISO-8859-1")
+    val rows = Seq(
+      (1L, Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A, 'x').map(_.toByte)),
+      (2L, Array(0xFF, 0xD8, 0xFF, 0xDB).map(_.toByte)), // JPEG, non-JFIF marker
+      (3L, b("GIF89a-payload")),
+      (4L, b("RIFF") ++ b("1234") ++ b("WEBPdata")),
+      (5L, b("RIFF") ++ b("1234") ++ b("WAVEdata")), // RIFF but NOT webp
+      (6L, Array(0x89, 'P', 'N', 'G').map(_.toByte)), // truncated PNG header
+      (7L, Array.empty[Byte]),
+      (8L, b("GIF87a-old"))) // 87a variant: not the 89a signature
+      .toDF("asset_id", "content")
+    val got = rows.select(col("asset_id"), Media.sniffMime(col("content")).as("m"))
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) == "image/png")
+    assert(got(2L) == "image/jpeg")
+    assert(got(3L) == "image/gif")
+    assert(got(4L) == "image/webp")
+    assert(got(5L) == "application/octet-stream", s"WAV sniffed as ${got(5L)}")
+    assert(got(6L) == "application/octet-stream", "truncated header must not match")
+    assert(got(7L) == "application/octet-stream")
+    assert(got(8L) == "application/octet-stream", "GIF87a is not the 89a signature")
+  }
 }
