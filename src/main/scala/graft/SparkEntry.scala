@@ -2142,6 +2142,21 @@ object SparkEntry {
             col("prev").cast("double")).as("growth_pct"))
         .orderBy("month_start")
     }),
+    // W16 (beyond reference): distribution window functions —
+    // percent_rank + cume_dist per market segment over account
+    // balance (the "you are in the top X%" tiles). Both are exact
+    // rank ratios — (rank−1)/(n−1) and rows_≤/n, single IEEE
+    // divisions of small integers, ANSI-identical cross-engine
+    // including tie plateaus (the order key is the VALUE, so equal
+    // balances share their percentile by definition).
+    "w16_dist_functions" -> ((s, d) => {
+      val w = Window.partitionBy(col("c_mktsegment")).orderBy(col("c_acctbal"))
+      t(s, d, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cume"))
+        .orderBy("c_mktsegment", "c_custkey")
+    }),
     // W15 (beyond reference): gaps-and-islands — maximal runs of
     // CONSECUTIVE active days per user (streak detection; the
     // engagement twin of w5's time-gap sessionization). The classic
@@ -2168,6 +2183,11 @@ object SparkEntry {
   )
 
   private val windowOracles: Map[String, String] = Map(
+    "w16_dist_functions" ->
+      """SELECT c_custkey, c_mktsegment, c_acctbal,
+        |  percent_rank() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal) AS pct_rank,
+        |  cume_dist() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal) AS cume
+        |FROM customer ORDER BY c_mktsegment, c_custkey""".stripMargin,
     "w15_gap_islands" ->
       """WITH dd AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
         |r AS (SELECT user_id, day,
@@ -3027,6 +3047,24 @@ object SparkEntry {
       graft.dedup.Clusters.survivors(t(s, d, "documents"), 0.7, iterations = 4)
         .select(col("doc_id"), length(col("text")).as("text_len"))
         .orderBy("doc_id")),
+    // D18: quality-aware survivor selection — per duplicate family
+    // keep the BEST document (longest, tie → lowest id) instead of
+    // d8's min-id representative. The policy every production dedup
+    // actually ships (the kept copy should be the most complete one);
+    // selection runs through the ArgExtremum partial-combine aggregate
+    // (its 4th production call site), so the shuffle carries one
+    // combined row per family, never the membership list.
+    "d18_quality_survivors" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val A = graft.functions.AggExpressions
+      graft.dedup.Clusters.duplicateClusters(docs, 0.7, iterations = 4)
+        .join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
+        .groupBy(col("cluster_id"))
+        .agg(A.argMax(col("n_chars"), col("doc_id")).as("keeper_id"),
+          max(col("n_chars")).as("keeper_chars"),
+          count(lit(1)).as("cluster_size"))
+        .orderBy("cluster_id")
+    }),
     // D9: eval-set decontamination — train docs that exactly or nearly
     // match a held-out eval doc (doc_id % 10 = 0 here) are removed.
     "d9_decontaminate" -> ((s, d) => {
@@ -3231,6 +3269,35 @@ object SparkEntry {
            |SELECT node AS doc_id, lbl AS cluster_id,
            |  count(*) OVER (PARTITION BY lbl) AS n_members
            |FROM l4 ORDER BY doc_id""".stripMargin
+      },
+      "d18_quality_survivors" -> {
+        // d7's pipeline verbatim, then the quality argmax per family:
+        // keep the longest member, ties to the lowest doc_id (the
+        // ArgExtremum tie rule).
+        val steps = (1 to 4).map { k =>
+          s"""l$k AS MATERIALIZED (SELECT l.node, least(l.lbl, min(n.lbl)) AS lbl
+             |  FROM l${k - 1} l JOIN edges e ON e.src = l.node JOIN l${k - 1} n ON n.node = e.dst
+             |  GROUP BY l.node, l.lbl)""".stripMargin
+        }.mkString(",\n")
+        s"""$shingleCte,
+           |ex AS (SELECT doc_id, ('0x' || substr(md5(unnest(g)), 1, 7))::BIGINT AS base FROM sh),
+           |sig AS (SELECT doc_id, $minExprs FROM ex GROUP BY doc_id),
+           |bands AS ($bandSelects),
+           |cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+           |  FROM bands x JOIN bands y ON x.band = y.band AND x.s = y.s AND x.doc_id < y.doc_id),
+           |pairs AS MATERIALIZED (SELECT d1, d2 FROM (
+           |  SELECT d1, d2, $sqlJaccard AS jaccard
+           |  FROM cand JOIN sh a ON a.doc_id = d1 JOIN sh b ON b.doc_id = d2)
+           |  WHERE jaccard >= 0.7),
+           |edges AS MATERIALIZED (SELECT d1 AS src, d2 AS dst FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
+           |l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS lbl FROM edges),
+           |$steps
+           |SELECT cluster_id, keeper_id, keeper_chars, cluster_size FROM (
+           |  SELECT lbl AS cluster_id, node AS keeper_id, d.n_chars AS keeper_chars,
+           |    count(*) OVER (PARTITION BY lbl) AS cluster_size,
+           |    row_number() OVER (PARTITION BY lbl ORDER BY d.n_chars DESC, node) AS rn
+           |  FROM l4 JOIN documents d ON d.doc_id = node)
+           |WHERE rn = 1 ORDER BY cluster_id""".stripMargin
       },
       "d10_cc_converged" -> {
         // Same verified-pair graph as d7, but labels from a recursive
@@ -6136,6 +6203,20 @@ $sqlRecallTail""".stripMargin
       graft.graph.PageRank.fixedPoint(edges, iterations = 3)
         .orderBy(col("rank_fp").desc, col("node_id"))
     }),
+    // G5 (beyond reference): bounded-round BFS reachability — min-hop
+    // distances from a seed account set over the g1 trade graph
+    // ("blast radius within 3 hops"). Exact-integer fixed-round
+    // recurrence, so the iterative result hash-matches its unrolled
+    // SQL replay — see graph.Bfs.
+    "g5_bfs_hops" -> ((s, d) => {
+      val edges = t(s, d, "lineitem")
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("u"), (col("l_suppkey") * 2 + 1).as("v"))
+      val seeds = t(s, d, "customer")
+        .filter(col("c_custkey") < 10).select((col("c_custkey") * 2).as("node"))
+      graft.graph.Bfs.hops(edges, seeds, maxHops = 3)
+        .orderBy("node_id")
+    }),
     // MB1 (beyond reference): market-basket co-occurrence — part pairs
     // ordered together with support ≥ 2. One self-equi-join on the
     // order key (co-partitioned shuffle) + count; per-basket pair
@@ -6263,6 +6344,26 @@ $sqlRecallTail""".stripMargin
         |       FROM edges e JOIN r2 ON e.u = r2.u JOIN deg ON e.u = deg.u GROUP BY e.v)
         |SELECT u AS node_id, CAST(r AS BIGINT) AS rank_fp FROM r3
         |ORDER BY rank_fp DESC, node_id""".stripMargin,
+    "g5_bfs_hops" -> {
+      // the g1 edge CTE, then 3 unrolled min-hop folds (matches
+      // Bfs.hops; MATERIALIZED for the same lineage reason as d7).
+      val steps = (1 to 3).map { k =>
+        s"""d$k AS MATERIALIZED (SELECT node, min(hops) AS hops FROM (
+           |  SELECT node, hops FROM d${k - 1}
+           |  UNION ALL
+           |  SELECT e.v AS node, d.hops + 1 AS hops
+           |  FROM edges e JOIN d${k - 1} d ON d.node = e.u)
+           |GROUP BY node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e0 AS (SELECT DISTINCT o_custkey*2 AS u, l_suppkey*2+1 AS v
+         |            FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |edges AS MATERIALIZED (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+         |d0 AS MATERIALIZED (SELECT DISTINCT c_custkey*2 AS node, CAST(0 AS BIGINT) AS hops
+         |  FROM customer WHERE c_custkey < 10),
+         |$steps
+         |SELECT node AS node_id, CAST(hops AS BIGINT) AS hops
+         |FROM d3 ORDER BY node_id""".stripMargin
+    },
     "mb2_association_rules" ->
       """WITH p AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem),
         |pairs AS (

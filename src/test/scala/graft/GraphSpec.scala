@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.graph.PageRank
+import graft.graph.{Bfs, PageRank}
 
 /** Fixed-point PageRank: the properties that make an iterative graph
   * computation trustworthy at scale — determinism under repartitioning
@@ -82,5 +82,21 @@ class GraphSpec extends SparkSpec {
     // floor loss per iteration is < |E|+|V| units of 10^-12
     assert(r._1 > PageRank.Scale - 1000L)
     assert(r._2 > 0L)
+  }
+
+  test("BFS hops: min distances, round bound, unreachable nodes absent") {
+    // path 1-2-3-4 plus a shortcut 1-3 (min must win: hops(3)=1, not
+    // 2), an isolated component 8-9, and seed 7 with no edges at all
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 3L), (8L, 9L))
+      .toDF("u", "v")
+    val seeds = Seq(1L, 7L).toDF("node")
+    val got = Bfs.hops(edges, seeds, maxHops = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 2L, 7L -> 0L))
+    // the round bound truncates: from seed 4, node 1 is 2 hops via the
+    // shortcut — with maxHops = 1 only the direct neighbor appears
+    val bounded = Bfs.hops(edges, Seq(4L).toDF("node"), maxHops = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(bounded === Map(4L -> 0L, 3L -> 1L))
   }
 }
