@@ -34,18 +34,26 @@ object MarketBasket {
     */
   def rules(presence: DataFrame, minSupport: Long): DataFrame = {
     val c = presence.columns
-    val p = presence
+    // ONE shuffle by basket builds the deduplicated item-set table
+    // (collect_set collapses duplicate lines in-aggregate — a separate
+    // distinct would shuffle the presence rows a second time);
+    // materialized because pair expansion, item counts, and the basket
+    // total all read it, and it is the post-aggregation SMALL frame
+    // (one row per basket).
+    val baskets = presence
       .select(col(c(0)).as("basket"), col(c(1)).cast("long").as("item"))
-      .distinct()
-    val pairs = p.groupBy(col("basket"))
-      .agg(collect_list(col("item")).as("items"))
+      .groupBy(col("basket"))
+      .agg(collect_set(col("item")).as("items"))
+      .localCheckpoint(true)
+    val pairs = baskets
       .select(explode(
         graft.functions.PairExpressions.sortedPairs(col("items"))).as("q"))
       .select(col("q.u").as("u"), col("q.v").as("v"))
       .groupBy("u", "v").agg(count(lit(1)).as("support"))
       .filter(col("support") >= minSupport)
-    val itemN = p.groupBy(col("item")).agg(count(lit(1)).as("n"))
-    val total = p.select(countDistinct(col("basket")).as("n_baskets"))
+    val itemN = baskets.select(explode(col("items")).as("item"))
+      .groupBy(col("item")).agg(count(lit(1)).as("n"))
+    val total = baskets.select(count(lit(1)).as("n_baskets"))
     // both rule directions from one undirected pair row; item counts
     // broadcast (bounded by the item catalog), the basket total is a
     // single-row broadcast cross join — no extra shuffle past the pair
