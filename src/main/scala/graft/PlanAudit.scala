@@ -27,11 +27,12 @@ object PlanAudit {
     * queries allowed an UNBOUNDED nested-loop or cartesian join. */
   private val quadraticBaselines = Set(
     "d2_ngram_jaccard_pairs", "e1_cosine_topk", "e3_cosine_near_dup",
-    // e29 is e1's scan posture over the int8 CODE tier (the operator
-    // demonstrated is the quantized scoring path, exactly oracled);
-    // at scale the same codes sit inside IVF cells — Ann.int8TopK
-    // scaladoc names the composition (e25 is the composed shape).
-    "e29_int8_topk")
+    // e29/e30 are e1's scan posture over the int8 / binary CODE tiers
+    // (the operator demonstrated is the quantized scoring path,
+    // exactly oracled); at scale the same codes sit inside IVF cells —
+    // the Ann.int8TopK / Ann.hammingTopK scaladocs name the
+    // composition (e25 is the composed shape).
+    "e29_int8_topk", "e30_hamming_topk")
 
   /** Joins whose broadcast side is bounded by construction in a way
     * the physical plan cannot show (a filter on a key, not a limit):

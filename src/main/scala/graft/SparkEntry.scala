@@ -3047,6 +3047,20 @@ object SparkEntry {
       graft.dedup.Clusters.survivors(t(s, d, "documents"), 0.7, iterations = 4)
         .select(col("doc_id"), length(col("text")).as("text_len"))
         .orderBy("doc_id")),
+    // D19: Bloom-filter admission membership — an arriving batch of
+    // NEW docs (doc_id ≡ 0 mod 10, absent from the corpus) mixed with
+    // RE-DELIVERED corpus docs (doc_id ≡ 5 mod 20 — the at-least-once
+    // delivery case the filter exists to catch) probed against the
+    // train corpus's 64 Ki-bit / 3-hash Bloom filter. Ground truth
+    // rides in the output, so the no-false-negative contract is
+    // itself hash-gated; see Dedup.bloomMembership.
+    "d19_bloom_membership" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      graft.dedup.Dedup.bloomMembership(
+          docs.filter(col("doc_id") % 10 =!= 0),
+          docs.filter(col("doc_id") % 10 === 0 || col("doc_id") % 20 === 5))
+        .orderBy("doc_id")
+    }),
     // D18: quality-aware survivor selection — per duplicate family
     // keep the BEST document (longest, tie → lowest id) instead of
     // d8's min-id representative. The policy every production dedup
@@ -3269,6 +3283,27 @@ object SparkEntry {
            |SELECT node AS doc_id, lbl AS cluster_id,
            |  count(*) OVER (PARTITION BY lbl) AS n_members
            |FROM l4 ORDER BY doc_id""".stripMargin
+      },
+      "d19_bloom_membership" -> {
+        val pos = (fp: String) => (0 until 3).map(i =>
+          s"${sqlHash60(s"bloom$i", fp)} % 65536").toList
+        s"""WITH cfp AS (SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id % 10 <> 0),
+           |bits AS (SELECT DISTINCT pos FROM (
+           |  ${pos("fp").map(p => s"SELECT $p AS pos FROM cfp").mkString("\n  UNION ALL ")})),
+           |probes AS (SELECT doc_id, md5(text) AS fp FROM documents
+           |  WHERE doc_id % 10 = 0 OR doc_id % 20 = 5),
+           |ppos AS (
+           |  ${pos("fp").map(p => s"SELECT doc_id, $p AS pos FROM probes").mkString("\n  UNION ALL ")}),
+           |hits AS (SELECT p.doc_id, count(b.pos) AS n_hits
+           |  FROM ppos p LEFT JOIN bits b ON b.pos = p.pos GROUP BY 1),
+           |truth AS (SELECT p.doc_id,
+           |    CASE WHEN c.fp IS NOT NULL THEN 1 ELSE 0 END AS actually_present
+           |  FROM probes p LEFT JOIN cfp c ON c.fp = p.fp)
+           |SELECT h.doc_id, h.n_hits,
+           |  CASE WHEN h.n_hits = 3 THEN 1 ELSE 0 END AS maybe_present,
+           |  t.actually_present
+           |FROM hits h JOIN truth t ON t.doc_id = h.doc_id
+           |ORDER BY h.doc_id""".stripMargin
       },
       "d18_quality_survivors" -> {
         // d7's pipeline verbatim, then the quality argmax per family:
@@ -3595,6 +3630,13 @@ object SparkEntry {
     // E5: int8 embedding quantization (vector storage path).
     "e5_quantize_int8" -> ((s, d) =>
       graft.similarity.Ann.quantizeInt8(t(s, d, "embeddings")).orderBy("vec_id")),
+    // E30: binary-code retrieval — sign-binarized 64-bit signatures
+    // ranked by Hamming popcount (16 bytes/vector; the ranked form of
+    // e2's sign-LSH family and the bottom code tier under e29/e12).
+    // All-integer, SQL-replayable end to end; see Ann.hammingTopK.
+    "e30_hamming_topk" -> ((s, d) =>
+      graft.similarity.Ann.hammingTopK(t(s, d, "embeddings"), 5)
+        .orderBy("query_id", "rank")),
     // E29: retrieval FROM the e5 int8 codes — cosine of code vectors
     // (the per-vector descale factor cancels), integer-exact sims so
     // the quantized serving tier hash-gates end to end; see
@@ -4471,6 +4513,23 @@ $sqlRecallTail""".stripMargin
          |SELECT vec_id, centroid_id, round(sim, 6) AS sim FROM (
          |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) AS rn FROM p)
          |WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+    "e30_hamming_topk" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+        |w AS (SELECT vec_id,
+        |  CAST(list_sum(list_transform(range(1, 33), i ->
+        |    CASE WHEN v[i] > 0 THEN (1::BIGINT << (i - 1)) ELSE 0::BIGINT END)) AS BIGINT) AS w1,
+        |  CAST(list_sum(list_transform(range(33, 65), i ->
+        |    CASE WHEN v[i] > 0 THEN (1::BIGINT << (i - 33)) ELSE 0::BIGINT END)) AS BIGINT) AS w2
+        |  FROM e),
+        |p AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |    CAST(bit_count(xor(a.w1, b.w1)) + bit_count(xor(a.w2, b.w2)) AS BIGINT) AS hamming
+        |  FROM w a JOIN w b ON a.vec_id <> b.vec_id),
+        |r AS (SELECT query_id, neighbor_id, hamming,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY hamming, neighbor_id) AS INT) AS rank
+        |  FROM p)
+        |SELECT query_id, neighbor_id, hamming, rank FROM r
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "e29_int8_topk" ->
       ("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
          |q AS (SELECT vec_id, list_transform(v, x ->

@@ -776,4 +776,49 @@ object Dedup {
         round(col("n_common").cast("double") /
           (col("s1") + col("s2") - col("n_common")), 4).as("jaccard"))
   }
+
+  /** D19: Bloom-filter membership test — "has this exact content been
+    * ingested before?" answered from a bit set instead of the corpus
+    * (the classic at-scale admission structure: a 100 TB corpus's
+    * digests don't fit an executor, its Bloom filter does). Zero false
+    * NEGATIVES by construction — a present digest always sets all its
+    * bits — so `actually_present = 1 ⇒ maybe_present = 1`; false
+    * positives are the tunable trade (k·|corpus| bits over m).
+    *
+    * Everything is deterministic md5-derived arithmetic (the minhash
+    * oracle recipe), so the filter's exact bit pattern and every
+    * membership verdict replay in SQL — an approximate STRUCTURE with
+    * an exact oracle. The filter materializes as a distinct-positions
+    * table (≤ min(m, k·|corpus|) rows) and BROADCASTS to the probe
+    * side; probes are one linear pass with a k-way position explode.
+    *
+    * @return (doc_id, n_hits, maybe_present, actually_present) per
+    *         batch document — `actually_present` is the exact-digest
+    *         ground truth, carried so the output itself certifies the
+    *         no-false-negative contract.
+    */
+  def bloomMembership(corpus: DataFrame, batch: DataFrame,
+      mBits: Long = 65536L, kHash: Int = 3): DataFrame = {
+    import graft.text.TextAnalysis.hash60
+    def positions(fp: Column): Seq[Column] =
+      (0 until kHash).map(i => pmod(hash60(fp, s"bloom$i"), lit(mBits)))
+    val corpusFps = corpus.select(md5(col("text")).as("fp"))
+      .distinct().localCheckpoint(true)
+    val bits = corpusFps
+      .select(explode(array(positions(col("fp")): _*)).as("pos"))
+      .distinct()
+    val probes = batch.select(col("doc_id"), md5(col("text")).as("fp"))
+    val hits = probes
+      .select(col("doc_id"), explode(array(positions(col("fp")): _*)).as("pos"))
+      .join(broadcast(bits.withColumn("hit", lit(1L))), Seq("pos"), "left")
+      .groupBy(col("doc_id"))
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+    val truth = probes
+      .join(corpusFps.withColumn("actually", lit(1)), Seq("fp"), "left")
+      .select(col("doc_id"), coalesce(col("actually"), lit(0)).as("actually_present"))
+    hits.join(truth, "doc_id")
+      .select(col("doc_id"), col("n_hits"),
+        (col("n_hits") === kHash).cast("int").as("maybe_present"),
+        col("actually_present"))
+  }
 }

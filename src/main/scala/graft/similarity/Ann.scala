@@ -1044,6 +1044,47 @@ object Ann {
     cosineTopKAgainst(codes, codes, k)
   }
 
+  /** E30: binary-code retrieval — each 64-dim embedding sign-binarized
+    * into two 32-bit words (16 bytes/vector, 16× below float32; the
+    * bottom rung of the code-tier ladder under int8/e29 and PQ/e12)
+    * and ranked by HAMMING distance, whose popcount arithmetic is
+    * exactly what sign-LSH (e2) thresholds — this is the ranked form
+    * of that family. All-integer (binarize → xor → popcount → rank),
+    * so the whole tier replays in SQL bit-identically.
+    *
+    * Scan posture: e1's baseline shape over the binary tier (the
+    * operator demonstrated is the code arithmetic; binary scans ARE
+    * linear in production — 16 bytes/vector is the point — and at
+    * cluster scale the words sit inside IVF cells like any code tier,
+    * the e25/e29 composition). AnnSpec pins recall overlap vs float
+    * cosine. */
+  def hammingTopK(embeddings: DataFrame, k: Int): DataFrame = {
+    def word(lo: Int): Column = expr(
+      s"""aggregate(sequence($lo, ${lo + 31}), CAST(0 AS BIGINT),
+         |  (acc, i) -> acc + IF(element_at(v, i + 1) > 0D,
+         |    shiftleft(CAST(1 AS BIGINT), i - $lo), CAST(0 AS BIGINT)))""".stripMargin)
+    // 16 bytes/vector: the whole code table is small by construction —
+    // materialize once, read as both query and corpus side.
+    val words = embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .select(col("vec_id"), word(0).as("w1"), word(32).as("w2"))
+      .localCheckpoint(true)
+    val q = words.select(col("vec_id").as("query_id"),
+      col("w1").as("q1"), col("w2").as("q2"))
+    val c = words.select(col("vec_id").as("neighbor_id"),
+      col("w1").as("c1"), col("w2").as("c2"))
+    val scored = q.join(broadcast(c), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (expr("bit_count(q1 ^ c1)") + expr("bit_count(q2 ^ c2)"))
+          .cast("long").as("hamming"))
+    graft.operators.TopK.perKey(scored, Seq("query_id"),
+        Seq(col("hamming").asc, col("neighbor_id").asc), k)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("hamming"), col("neighbor_id"))))
+      .select(col("query_id"), col("neighbor_id"), col("hamming"), col("rank"))
+  }
+
   /** E16: Maximal Marginal Relevance (Carbonell & Goldstein, SIGIR'98)
     * — diversified top-k: greedily select `k` of each query's
     * `shortlist` candidates maximizing

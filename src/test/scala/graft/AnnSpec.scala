@@ -545,4 +545,25 @@ class AnnSpec extends SparkSpec {
     assert(drift.nonEmpty && drift.max < 0.05,
       s"max quantized-sim drift ${drift.max} exceeds the int8 error bound")
   }
+
+  test("E30: Hamming codes rank a copy first and beat chance recall on isotropic noise") {
+    // a vector's exact copy shares every sign bit — hamming 0, rank 1
+    val df = Seq(
+      (1L, Array(0.3f, -0.2f, 0.7f, -0.1f).padTo(64, 0.01f)),
+      (2L, Array(0.3f, -0.2f, 0.7f, -0.1f).padTo(64, 0.01f)),
+      (3L, Array(-0.3f, 0.2f, -0.7f, 0.1f).padTo(64, -0.01f)))
+      .toDF("vec_id", "embedding")
+    val top1 = Ann.hammingTopK(df, 1).filter(col("query_id") === 1).head()
+    assert(top1.getAs[Long]("neighbor_id") === 2L)
+    assert(top1.getAs[Long]("hamming") === 0L)
+    // recall@5 vs float cosine on the near-isotropic harness corpus:
+    // measured ≈0.20 with 64 one-bit codes (chance is ≈0.025 — k/n);
+    // 0.12 is the regression floor, 5× above chance.
+    val exact = Ann.cosineTopK(emb, 5).select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    val ham = Ann.hammingTopK(emb, 5).select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    val recall = (exact & ham).size.toDouble / exact.size
+    assert(recall >= 0.12, s"binary-code recall@5 unexpectedly low: $recall")
+  }
 }

@@ -347,4 +347,31 @@ class DedupSpec extends SparkSpec {
     assert(got(4L) == (4L, 30L, 0L, 0L), s"doc 4: ${got(4L)}")
     assert(got(5L) == (5L, 10L, 0L, 0L), s"doc 5: ${got(5L)}")
   }
+
+  test("D19: Bloom membership never false-negatives; a saturated filter false-positives") {
+    import org.apache.spark.sql.functions.col
+    val corpus = (1L to 40L).map(i => (i, s"corpus document number $i"))
+      .toDF("doc_id", "text")
+    // probes: 10 re-delivered corpus texts + 30 genuinely new ones
+    val probes = ((101L to 110L).map(i => (i, s"corpus document number ${i - 100}")) ++
+      (201L to 230L).map(i => (i, s"fresh document $i")))
+      .toDF("doc_id", "text")
+    // adversarially tiny filter (64 bits, 3 hashes, 40 keys) — heavily
+    // saturated, so false positives MUST appear while the
+    // no-false-negative contract still holds
+    val tiny = Dedup.bloomMembership(corpus, probes, mBits = 64L, kHash = 3)
+      .as[(Long, Long, Int, Int)].collect()
+    tiny.filter(_._4 == 1).foreach { r =>
+      assert(r._3 == 1, s"false negative on re-delivered doc ${r._1}")
+    }
+    val fp = tiny.count(r => r._3 == 1 && r._4 == 0)
+    assert(fp > 0, "a 64-bit filter over 40 keys must produce false positives")
+    // production-sized filter: same contract, and the new docs all clear
+    val big = Dedup.bloomMembership(corpus, probes)
+      .as[(Long, Long, Int, Int)].collect()
+    assert(big.count(_._4 == 1) == 10)
+    big.foreach { r => assert((r._4 == 1) <= (r._3 == 1)) }
+    assert(big.count(r => r._3 == 1 && r._4 == 0) == 0,
+      "64Ki bits over 40 keys should not false-positive on 30 probes")
+  }
 }
