@@ -5145,6 +5145,17 @@ $sqlRecallTail""".stripMargin
     // invariants). Scale shape: ONE distributed rollup over the
     // corpus; everything after runs on |domains| rows with the
     // one-row scalar broadcasts PlanAudit recognizes as bounded.
+    // SA12: epoch-based upsampling MATERIALIZED — the physical
+    // repeated-row output of a repetition-capped equal-budget mix
+    // (sa11 computes budgets; this emits the rows a training run
+    // reads). Copies = floor(epochs) + a salted-hash coin at
+    // P = frac(epochs) — deterministic integer basis points; see
+    // Sampling.epochUpsample.
+    "sa12_epoch_upsample" -> ((s, d) =>
+      graft.sampling.Sampling.epochUpsample(
+          t(s, d, "documents"), col("doc_id"), col("source"),
+          size(split(col("text"), " ")))
+        .orderBy("id", "copy")),
     "sa11_budget_waterfill" -> ((s, d) => {
       val dom = t(s, d, "documents")
         .groupBy(col("source"))
@@ -5394,6 +5405,22 @@ $sqlRecallTail""".stripMargin
          |    ORDER BY ${sqlHash60("sa6", "CAST(doc_id AS VARCHAR)")}, doc_id) AS INT) AS rk
          |  FROM documents)
          |WHERE rk <= 20 ORDER BY lang, rk""".stripMargin,
+    "sa12_epoch_upsample" ->
+      """WITH d AS (SELECT doc_id AS id, source AS stratum,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tok FROM documents),
+        |dom AS (SELECT stratum, sum(tok) AS dom_tok FROM d GROUP BY 1),
+        |tot AS (SELECT CAST(sum(dom_tok) AS BIGINT) AS total, count(*) AS n_dom FROM dom),
+        |rates AS (SELECT stratum,
+        |    CAST(least(300, (100 * (total // n_dom)) // dom_tok) AS BIGINT) AS epochs_x100
+        |  FROM dom CROSS JOIN tot),
+        |c AS (SELECT id, d.stratum, epochs_x100,
+        |    epochs_x100 // 100 + CAST(CASE WHEN
+        |      ('0x' || substr(md5('epoch:' || id), 1, 7))::BIGINT % 100 < epochs_x100 % 100
+        |      THEN 1 ELSE 0 END AS BIGINT) AS n_copies
+        |  FROM d JOIN rates ON rates.stratum = d.stratum)
+        |SELECT id, stratum, epochs_x100, n_copies,
+        |  CAST(unnest(range(1, n_copies + 1)) AS BIGINT) AS copy
+        |FROM c WHERE n_copies > 0 ORDER BY id, copy""".stripMargin,
     "sa11_budget_waterfill" ->
       """WITH dom AS (SELECT source,
         |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens_d

@@ -142,4 +142,47 @@ object Sampling {
         .drop("stratum_key", "stratum_cnt", "min_cnt")
     }
   }
+
+  /** SA12: epoch-based upsampling MATERIALIZED — the physical output
+    * of a repetition-capped equal-budget mix (sa11 computes budgets;
+    * this op actually emits the repeated rows a training run reads).
+    * Every stratum targets an equal share of the total token budget;
+    * its epoch rate is capped (default 3.0 — the "don't repeat data
+    * past a few epochs" rule), and each document materializes
+    * `floor(e)` copies plus one more on a salted-hash coin with
+    * P = frac(e) — so the EXPECTED stratum volume hits the target
+    * while every decision is a deterministic integer comparison
+    * (reshard-stable, replayable, no RNG state).
+    *
+    * Scale: stratum rates are a broadcast |strata|-row table; copy
+    * explosion is a per-row `sequence` bounded by the epoch cap —
+    * output size is budget-bounded by construction. All arithmetic is
+    * integer basis points (epochs ×100).
+    *
+    * @return one row per MATERIALIZED COPY: (id, stratum,
+    *         epochs_x100, n_copies, copy).
+    */
+  def epochUpsample(docs: DataFrame, id: Column, stratum: Column,
+      tokens: Column, maxEpochsX100: Long = 300L,
+      salt: String = "epoch"): DataFrame = {
+    val d = docs.select(id.as("id"), stratum.as("stratum"),
+      tokens.cast("long").as("tok"))
+    // |strata| rows — materialized once so the budget scalar and the
+    // per-stratum rates don't each re-scan the corpus rollup
+    val dom = d.groupBy(col("stratum")).agg(sum(col("tok")).as("dom_tok"))
+      .localCheckpoint(true)
+    val tot = dom.agg(sum(col("dom_tok")).as("total"),
+      count(lit(1)).as("n_dom"))
+    val rates = dom.crossJoin(broadcast(tot))
+      .withColumn("budget", expr("total DIV n_dom"))
+      .withColumn("epochs_x100",
+        least(lit(maxEpochsX100), expr("(100 * budget) DIV dom_tok")))
+      .select(col("stratum"), col("epochs_x100"))
+    d.join(broadcast(rates), "stratum")
+      .withColumn("n_copies", expr("epochs_x100 DIV 100") +
+        (bucket(col("id"), salt) < col("epochs_x100") % 100).cast("long"))
+      .filter(col("n_copies") > 0)
+      .select(col("id"), col("stratum"), col("epochs_x100"), col("n_copies"),
+        explode(sequence(lit(1L), col("n_copies"))).as("copy"))
+  }
 }
