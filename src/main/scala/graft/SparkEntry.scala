@@ -2431,6 +2431,27 @@ object SparkEntry {
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
         .select(col("o_orderkey"), col("o_totalprice"))
         .offset(10).limit(100)),
+    // O4 (beyond reference): KEYSET pagination (the seek method) —
+    // page N+1 starts strictly after the last key of page N via a
+    // composite-key predicate instead of OFFSET. o1's OFFSET form
+    // must SORT past every skipped row (page 10 000 sorts 1M rows at
+    // 100 TB); here the filter drops them before the
+    // TakeOrderedAndProject, and a service that passes the persisted
+    // cursor as a LITERAL (this query computes it in-plan for the
+    // oracle) additionally gets parquet min/max pushdown on the price
+    // column — the pagination every large-result API actually ships.
+    "o4_keyset_page" -> ((s, d) => {
+      val cur = t(s, d, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .select(col("o_totalprice").as("cp"), col("o_orderkey").as("ck"))
+        .offset(109).limit(1)
+      t(s, d, "orders").crossJoin(broadcast(cur))
+        .filter(col("o_totalprice") < col("cp") ||
+          (col("o_totalprice") === col("cp") && col("o_orderkey") > col("ck")))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .limit(100)
+    }),
     // O2 (beyond reference): 2-D skyline — parts no other part beats
     // on BOTH price (lower) and size (larger). The banded prefix-max
     // formulation is linear (operators.Skyline); the oracle is the
@@ -2460,6 +2481,12 @@ object SparkEntry {
     "o1_sort_limit_offset" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100 OFFSET 10""".stripMargin,
+    "o4_keyset_page" ->
+      """WITH cur AS (SELECT o_totalprice AS cp, o_orderkey AS ck FROM orders
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 1 OFFSET 109)
+        |SELECT o_orderkey, o_totalprice FROM orders CROSS JOIN cur
+        |WHERE o_totalprice < cp OR (o_totalprice = cp AND o_orderkey > ck)
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
     "o2_skyline" ->
       """SELECT p_partkey, p_retailprice, p_size FROM part p
         |WHERE NOT EXISTS (SELECT 1 FROM part q
