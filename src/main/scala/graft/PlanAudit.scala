@@ -49,7 +49,14 @@ object PlanAudit {
     "e17_filtered_ann" ->
       ("documented segment-fits-memory baseline (Ann.cosineTopKAgainst scaladoc): the " +
         "broadcast side is the metadata-FILTERED corpus segment; beyond memory, the " +
-        "same filter composes into the IVF/LSH cell scan as in e14"))
+        "same filter composes into the IVF/LSH cell scan as in e14"),
+    "w17_rolling_corr" ->
+      ("every non-equi/cross join runs on CALENDAR- or KEY-CATALOG-bounded frames, " +
+        "never the facts: the span scalar is one aggregated row, the key-pair grid is " +
+        "|event types|² (k1 < k2 over the distinct key catalog), and the pair-day " +
+        "product joins the |keys|×|days| daily rollup to itself on the day key — " +
+        "TimeSeries.rollingCorr scaladoc (volume-invariant: 10× the events changes " +
+        "the n values, not the row counts)"))
 
   /** Queries allowed ≥3 scans of one path, with why the repeats are not
     * repeated work. */

@@ -2142,6 +2142,21 @@ object SparkEntry {
             col("prev").cast("double")).as("growth_pct"))
         .orderBy("month_start")
     }),
+    // W17 (beyond reference): trailing-window Pearson correlation
+    // between every event-type pair's daily volumes — ts4's global
+    // answer as a standing daily monitor ("did clicks decouple from
+    // views this week?"). Exact integer sufficient statistics via the
+    // w12/w14 presence fan-out (no RANGE frames, no spine BNLJ);
+    // see TimeSeries.rollingCorr.
+    "w17_rolling_corr" -> ((s, d) => {
+      val daily = t(s, d, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      graft.analytics.TimeSeries
+        .rollingCorr(daily, col("event_type"), col("day"), col("n"),
+          windowDays = 14)
+        .orderBy("k1", "k2", "day")
+    }),
     // W16 (beyond reference): distribution window functions —
     // percent_rank + cume_dist per market segment over account
     // balance (the "you are in the top X%" tiles). Both are exact
@@ -2183,6 +2198,37 @@ object SparkEntry {
   )
 
   private val windowOracles: Map[String, String] = Map(
+    "w17_rolling_corr" ->
+      """WITH daily AS (SELECT event_type AS k, CAST(ts AS DATE) AS day, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |span AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+        |spine AS (SELECT unnest(generate_series(d0::TIMESTAMP, d1::TIMESTAMP,
+        |    INTERVAL 1 DAY))::DATE AS day FROM span),
+        |keys AS (SELECT DISTINCT k FROM daily),
+        |dense AS (SELECT keys.k, spine.day, CAST(coalesce(daily.n, 0) AS BIGINT) AS n
+        |  FROM spine CROSS JOIN keys
+        |  LEFT JOIN daily ON daily.k = keys.k AND daily.day = spine.day),
+        |st AS (SELECT k, day,
+        |    CAST(sum(n) OVER w AS BIGINT) AS sx,
+        |    CAST(sum(n * n) OVER w AS BIGINT) AS sxx,
+        |    count(*) OVER w AS cnt
+        |  FROM dense
+        |  WINDOW w AS (PARTITION BY k ORDER BY day ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)),
+        |pr AS (SELECT a.k AS k1, b.k AS k2, a.day,
+        |    CAST(sum(a.n * b.n) OVER pw AS BIGINT) AS sxy
+        |  FROM dense a JOIN dense b ON a.day = b.day AND a.k < b.k
+        |  WINDOW pw AS (PARTITION BY a.k, b.k ORDER BY a.day
+        |    ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+        |SELECT k1, k2, pr.day, CAST(14 AS BIGINT) AS n_days,
+        |  round(CAST(14 * sxy - s1.sx * s2.sx AS DOUBLE) /
+        |    sqrt(CASE WHEN (14 * s1.sxx - s1.sx * s1.sx) * (14 * s2.sxx - s2.sx * s2.sx) > 0
+        |      THEN CAST((14 * s1.sxx - s1.sx * s1.sx) * (14 * s2.sxx - s2.sx * s2.sx) AS DOUBLE)
+        |      ELSE NULL END), 6) AS corr
+        |FROM pr
+        |JOIN st s1 ON s1.k = pr.k1 AND s1.day = pr.day
+        |JOIN st s2 ON s2.k = pr.k2 AND s2.day = pr.day
+        |WHERE s1.cnt = 14
+        |ORDER BY k1, k2, pr.day""".stripMargin,
     "w16_dist_functions" ->
       """SELECT c_custkey, c_mktsegment, c_acctbal,
         |  percent_rank() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal) AS pct_rank,
@@ -2209,8 +2255,8 @@ object SparkEntry {
         |pick AS (SELECT event_type, day, dd, tt, cusum,
         |  row_number() OVER (PARTITION BY event_type
         |    ORDER BY abs(cusum) DESC, day) AS rn FROM cu)
-        |SELECT event_type, day AS change_day, abs(cusum) AS cusum_peak,
-        |  dd AS n_days, tt AS total
+        |SELECT event_type, day AS change_day, CAST(abs(cusum) AS BIGINT) AS cusum_peak,
+        |  dd AS n_days, CAST(tt AS BIGINT) AS total
         |FROM pick WHERE rn = 1 ORDER BY event_type""".stripMargin,
     "ts7_theil_sen" ->
       """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
@@ -2871,8 +2917,8 @@ object SparkEntry {
         |pick AS (SELECT event_type, day, dd, tt, cusum,
         |  row_number() OVER (PARTITION BY event_type
         |    ORDER BY abs(cusum) DESC, day) AS rn FROM cu)
-        |SELECT event_type, day AS change_day, abs(cusum) AS cusum_peak,
-        |  dd AS n_days, tt AS total
+        |SELECT event_type, day AS change_day, CAST(abs(cusum) AS BIGINT) AS cusum_peak,
+        |  dd AS n_days, CAST(tt AS BIGINT) AS total
         |FROM pick WHERE rn = 1 ORDER BY event_type""".stripMargin,
     "st21_theil_sen_twin" ->
       """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n

@@ -99,6 +99,82 @@ object TimeSeries {
       .select(col("k"), col("cnt").as("n_pairs"), round(col("slope"), 6).as("slope"))
   }
 
+  /** W17: trailing-window Pearson correlation between every pair of
+    * per-key daily series — "did clicks decouple from views this
+    * month?" as a standing daily table (ts4 answers it once,
+    * globally; this answers it per trailing window, the monitoring
+    * form).
+    *
+    * A day with no events is a true zero (counts), so every window
+    * has exactly `windowDays` points and the five sufficient
+    * statistics (Σx, Σy, Σx², Σy², Σxy) are EXACT integers — missing
+    * days simply contribute nothing to the sums. Each daily row fans
+    * out to the ≤`windowDays` anchors it contributes to (the w12/w14
+    * presence-fan-out trick — no COUNT-over-RANGE frame, no spine
+    * nested-loop join); cross products are built per DAY first
+    * (|days|·|pairs| rows, calendar-bounded), then fanned the same
+    * way. The final Pearson value is one IEEE expression over exact
+    * integers — deterministic cross-engine; zero-variance windows are
+    * NULL by definition.
+    *
+    * Scale: every frame is bounded by |calendar| × |keys|² — volume
+    * -invariant (10× the events changes the n values, not the row
+    * counts). Shuffles are keyed by (key, anchor) or (pair, anchor).
+    *
+    * @return (k1, k2, day, n_days, corr) for every key pair (k1 < k2)
+    *         and every anchor day with a FULL trailing window.
+    */
+  def rollingCorr(daily: DataFrame, key: Column, day: Column, n: Column,
+      windowDays: Int = 28): DataFrame = {
+    val w = windowDays
+    val d = daily.select(key.as("k"), day.as("day"), n.cast("long").as("n"))
+      .localCheckpoint(true) // small rollup, read by 4 frames below
+    val span = d.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    // anchors with a full trailing window; each daily row contributes
+    // to anchors [day, day+w-1] clamped to that range
+    def fanned(src: DataFrame): DataFrame = src
+      .crossJoin(broadcast(span))
+      .withColumn("anchor", explode(expr(
+        s"""CASE WHEN least(date_add(day, ${w - 1}), d1) >=
+           |  greatest(day, date_add(d0, ${w - 1}))
+           |THEN sequence(greatest(day, date_add(d0, ${w - 1})),
+           |  least(date_add(day, ${w - 1}), d1))
+           |ELSE CAST(array() AS ARRAY<DATE>) END""".stripMargin)))
+      .drop("d0", "d1", "day")
+    val stats = fanned(d)
+      .groupBy(col("k"), col("anchor"))
+      .agg(sum(col("n")).as("sx"), sum(col("n") * col("n")).as("sxx"))
+      .localCheckpoint(true) // |keys|×|days| — read as both pair sides
+    val prod = fanned(
+        d.as("a").join(d.as("b"), col("a.day") === col("b.day") &&
+            col("a.k") < col("b.k"))
+          .select(col("a.k").as("k1"), col("b.k").as("k2"), col("a.day").as("day"),
+            (col("a.n") * col("b.n")).as("p")))
+      .groupBy(col("k1"), col("k2"), col("anchor"))
+      .agg(sum(col("p")).as("sxy"))
+    // full pair × anchor grid so all-zero windows still emit (NULL corr)
+    val keys = d.select(col("k")).distinct()
+    val grid = keys.as("x").join(keys.as("y"), col("x.k") < col("y.k"))
+      .select(col("x.k").as("k1"), col("y.k").as("k2"))
+      .crossJoin(stats.select(col("anchor")).distinct())
+    grid
+      .join(stats.select(col("k").as("k1"), col("anchor"),
+        col("sx").as("sx1"), col("sxx").as("sxx1")), Seq("k1", "anchor"), "left")
+      .join(stats.select(col("k").as("k2"), col("anchor"),
+        col("sx").as("sx2"), col("sxx").as("sxx2")), Seq("k2", "anchor"), "left")
+      .join(prod, Seq("k1", "k2", "anchor"), "left")
+      .select(col("k1"), col("k2"), col("anchor").as("day"), lit(w.toLong).as("n_days"),
+        round({
+          val sx1 = coalesce(col("sx1"), lit(0L))
+          val sx2 = coalesce(col("sx2"), lit(0L))
+          val dx = lit(w) * coalesce(col("sxx1"), lit(0L)) - sx1 * sx1
+          val dy = lit(w) * coalesce(col("sxx2"), lit(0L)) - sx2 * sx2
+          val den2 = (dx * dy).cast("double")
+          (lit(w) * coalesce(col("sxy"), lit(0L)) - sx1 * sx2).cast("double") /
+            sqrt(when(den2 > 0.0, den2)) // zero variance → NULL corr
+        }, 6).as("corr"))
+  }
+
   /** TS8: CUSUM changepoint over a per-key daily series — the day
     * where the cumulative deviation from the series mean peaks (Page's
     * cumulative-sum statistic; the standard level-shift detector for

@@ -74,6 +74,33 @@ class TimeSeriesSpec extends SparkSpec {
       .count() === 0L)
   }
 
+  test("rolling correlation: perfect/anti/zero-variance windows; missing day is a true zero") {
+    def d(i: Int) = Date.valueOf(f"2024-01-$i%02d")
+    // 4-day window over 5 days; c = 2a (perfect +1), b anti-moves a,
+    // z is constant (zero variance → NULL). Day 3 is MISSING for a
+    // and c (a true zero) and present for b/z.
+    val daily = Seq(
+      ("a", d(1), 1L), ("a", d(2), 2L), ("a", d(4), 4L), ("a", d(5), 5L),
+      ("c", d(1), 2L), ("c", d(2), 4L), ("c", d(4), 8L), ("c", d(5), 10L),
+      ("b", d(1), 9L), ("b", d(2), 8L), ("b", d(3), 10L), ("b", d(4), 6L), ("b", d(5), 4L),
+      ("z", d(1), 7L), ("z", d(2), 7L), ("z", d(3), 7L), ("z", d(4), 7L), ("z", d(5), 7L))
+      .toDF("k", "day", "n")
+    val got = TimeSeries.rollingCorr(daily, col("k"), col("day"), col("n"),
+        windowDays = 4)
+      .as[(String, String, Date, Long, Option[Double])].collect()
+      .map(r => (r._1, r._2, r._3.toString) -> r._5).toMap
+    // full-window anchors are days 4 and 5 only
+    assert(got.size == 12, s"pairs×anchors: ${got.size}")
+    assert(got(("a", "c", "2024-01-05")).contains(1.0), "scaled copy must correlate +1")
+    assert(got(("a", "c", "2024-01-04")).contains(1.0))
+    // zero-variance partner → NULL, never NaN/divide-by-zero
+    assert(got(("a", "z", "2024-01-05")).isEmpty)
+    // the missing day-3 zero DRIVES the a/b correlation negative at
+    // day 5's window {2,0,4,5} vs {8,10,6,4}: hand value -0.989778
+    assert(got(("a", "b", "2024-01-05")).contains(-0.989778),
+      s"got ${got(("a", "b", "2024-01-05"))}")
+  }
+
   test("CUSUM changepoint lands on the level shift and ties break earliest") {
     // key 1: level shift after day 3 (10,10,10 then 20,20,20) — the
     // cumulative deviation |Σ(n·D−T)| peaks at the last low day.
