@@ -63,6 +63,10 @@ object PlanAudit {
   private val rescanWhitelist = Map(
     "u1_union_offices" ->
       "3 DISJOINT office slices of one table — partition-pruned, one logical pass",
+    "a30_window_funnel" ->
+      ("the funnel's 3 stage frames are DISJOINT event_type slices of one table " +
+        "(view/click/purchase) — each scan carries its pushed type filter (the u1 " +
+        "posture); on a type-partitioned layout all three prune to their own files"),
     "d9_decontaminate" ->
       ("train and eval both derive from the harness documents table; the scans are " +
         "1 full output pass + 2 candidate-PRUNED verify scans, different datasets in deployment"),

@@ -1513,10 +1513,72 @@ object SparkEntry {
         .agg((sum(when(col("cum") * 100 < col("threshold") * col("total"), 1L)
           .otherwise(0L)) + 1L).as("n_customers"))
         .orderBy("threshold")
+    }),
+    // A30 (beyond reference): windowed funnel (the ClickHouse
+    // windowFunnel semantic) — max funnel depth view→click→purchase
+    // per user where each stage lands AT-OR-AFTER the previous one
+    // and the whole chain fits in 1 h of the anchoring view. Differs
+    // from a14 (order only, no time budget) and a28 (first-pair time,
+    // no chain). The chain is deterministic: each stage picks the
+    // EARLIEST qualifying event (the AsOf forward pick), so depth is
+    // well-defined and SQL-replayable. Both stage hops ride
+    // operators.AsOf (its 3rd call site) — one union-merge shuffle
+    // per hop, never a views×clicks range join.
+    "a30_window_funnel" -> ((s, d) => {
+      val T = 3600000000L // 1 h in µs
+      val ev = t(s, d, "events")
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"), col("event_id"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("us").as("v_us"),
+          col("event_id").as("view_event_id"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("us").as("c_us"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("us").as("p_us"))
+      val s1 = graft.operators.AsOf
+        .asOfForward(views, clicks, Seq("user_id"), "v_us", "c_us")
+        .withColumn("c_ok",
+          col("c_us").isNotNull && col("c_us") <= col("v_us") + T)
+      val s2 = graft.operators.AsOf
+        .asOfForward(s1.filter(col("c_ok")).drop("c_ok"),
+          purchases, Seq("user_id"), "c_us", "p_us")
+        .withColumn("p_ok",
+          col("p_us").isNotNull && col("p_us") <= col("v_us") + T)
+      s1.filter(!col("c_ok"))
+        .select(col("user_id"), col("view_event_id"), lit(1).as("depth"))
+        .union(s2.select(col("user_id"), col("view_event_id"),
+          when(col("p_ok"), 3).otherwise(2).as("depth")))
+        .groupBy(col("user_id"))
+        .agg(max(col("depth")).as("max_depth"), count(lit(1)).as("n_views"))
+        .orderBy("user_id")
     })
   )
 
   private val aggOracles: Map[String, String] = Map(
+    "a30_window_funnel" ->
+      """WITH v AS (SELECT user_id, event_id, epoch_us(ts) AS vus
+        |  FROM events WHERE event_type = 'view'),
+        |s1 AS (SELECT v.*,
+        |    (SELECT min(epoch_us(c.ts)) FROM events c
+        |     WHERE c.user_id = v.user_id AND c.event_type = 'click'
+        |       AND epoch_us(c.ts) >= v.vus) AS cus
+        |  FROM v),
+        |s1w AS (SELECT *, CASE WHEN cus IS NOT NULL AND cus <= vus + 3600000000
+        |    THEN 1 ELSE 0 END AS c_ok FROM s1),
+        |s2 AS (SELECT s.*,
+        |    (SELECT min(epoch_us(p.ts)) FROM events p
+        |     WHERE p.user_id = s.user_id AND p.event_type = 'purchase'
+        |       AND epoch_us(p.ts) >= s.cus) AS pus
+        |  FROM s1w s WHERE c_ok = 1),
+        |d AS (SELECT user_id, event_id, 1 AS depth FROM s1w WHERE c_ok = 0
+        |  UNION ALL
+        |  SELECT user_id, event_id,
+        |    CASE WHEN pus IS NOT NULL AND pus <= vus + 3600000000 THEN 3 ELSE 2 END
+        |  FROM s2)
+        |SELECT user_id, CAST(max(depth) AS INT) AS max_depth,
+        |  count(*) AS n_views
+        |FROM d GROUP BY user_id ORDER BY user_id""".stripMargin,
     "a29_pareto_concentration" ->
       """WITH pc AS (SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
         |  FROM orders GROUP BY 1),

@@ -48,6 +48,18 @@ EXCEPTIONS = {
         "kernel wins ~25% at sf0.1 but LOSES ~25% at the 10x replica, "
         "so the join is kept per the scale-first criterion (PLANS.md "
         "r8); the scoped 2 MB advisory conf is already applied.",
+    "g5_bfs_hops":
+        "multi-stage constant, not volume: ~3.1 s is the 1.17M-edge "
+        "build (join+distinct over 600k lineitem, the g1/g3 edge cost) "
+        "plus 3 fixed BFS rounds, each a broadcast-join + min-fold "
+        "stage pair over the persisted edge list — ~10 dependent "
+        "stages of Spark's scheduling floor at sf0.1, vs DuckDB's "
+        "single-process unrolled pipeline (0.4 s). The r12 stress "
+        "table pins the 10x slope at 1.3x (distance table is "
+        "node-bounded), so the absolute number is the stage constant; "
+        "at cluster scale a frontier-delta formulation (messages "
+        "proportional to newly-reached x degree) is the documented "
+        "next rung (PLANS.md r12).",
     "x2_fact_fact_join":
         "the deliberately-plain fact-fact shuffle join control at "
         "1.7-2.2 s: its bucketed zero-exchange escape (BucketingSpec) "
