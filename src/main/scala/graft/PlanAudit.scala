@@ -31,8 +31,12 @@ object PlanAudit {
     // (the operator demonstrated is the quantized scoring path,
     // exactly oracled); at scale the same codes sit inside IVF cells —
     // the Ann.int8TopK / Ann.hammingTopK scaladocs name the
-    // composition (e25 is the composed shape).
-    "e29_int8_topk", "e30_hamming_topk")
+    // composition (e25 is the composed shape). e31/e32 are their
+    // recall MEASUREMENTS and ride the same serving shapes (the e26
+    // posture: recall evaluation runs on a sampled corpus in
+    // deployment).
+    "e29_int8_topk", "e30_hamming_topk",
+    "e31_int8_recall", "e32_hamming_recall")
 
   /** Joins whose broadcast side is bounded by construction in a way
     * the physical plan cannot show (a filter on a key, not a limit):

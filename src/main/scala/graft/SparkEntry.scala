@@ -536,6 +536,18 @@ object SparkEntry {
     // and identical in DuckDB), so the match verdict is an integer
     // comparison, never a float tolerance. One fact rollup co-keyed
     // with the header join; report is |status| rows.
+    // DQ15 (beyond reference): sequence-gap audit — the missing runs
+    // of an id sequence after routing drops (here: the non-error
+    // stream, so every gap is a dead-lettered id range). The
+    // registered oracle is the GLOBAL lead() definition; the
+    // implementation is the bucketed two-level rewrite (per-bucket
+    // windows + summary-table boundary stitch) that survives 100 TB —
+    // the hash match proves the rewrite exact. See operators.Sequence.
+    "dq15_id_gap_audit" -> ((s, d) =>
+      graft.operators.Sequence.gaps(
+          t(s, d, "events").filter(col("event_type") =!= "error"),
+          col("event_id"), bucketSize = 1000L)
+        .orderBy("gap_start")),
     "dq14_order_reconciliation" -> ((s, d) => {
       // per-line amount in 1e-10-dollar units: cents*(1e4-disc_bp)*(1e4+tax_bp)
       val lineTotals = t(s, d, "lineitem")
@@ -779,6 +791,13 @@ object SparkEntry {
          |${fd("orders.o_custkey->o_orderpriority", "orders", "o_custkey", "o_orderpriority")}
          |) ORDER BY dependency""".stripMargin
     },
+    "dq15_id_gap_audit" ->
+      """WITH ids AS (SELECT DISTINCT event_id AS id FROM events
+        |  WHERE event_type <> 'error'),
+        |g AS (SELECT id, lead(id) OVER (ORDER BY id) AS nxt FROM ids)
+        |SELECT id + 1 AS gap_start, nxt - 1 AS gap_end,
+        |  nxt - 1 - id AS n_missing
+        |FROM g WHERE nxt > id + 1 ORDER BY gap_start""".stripMargin,
     "dq14_order_reconciliation" ->
       """WITH lt AS (SELECT l_orderkey,
         |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
@@ -2651,6 +2670,20 @@ object SparkEntry {
           li.filter(col("l_returnflag") === "R").distinct(), "n")
         .orderBy("l_orderkey", "l_returnflag")
     }),
+    // U8 (beyond reference): INTERSECT ALL — bag intersection with
+    // true multiplicities (least of the two sides' counts), the
+    // missing third of the multiset family next to u5's EXCEPT ALL
+    // and u4's set INTERSECT. Same single-shuffle side-tag posture
+    // (operators.SetOps.intersectAllCounts): one union, one
+    // aggregation, no join.
+    "u8_intersect_all" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_returnflag"))
+      SetOps.intersectAllCounts(li,
+          t(s, d, "lineitem").filter(col("l_quantity") > 25)
+            .select(col("l_orderkey"), col("l_returnflag")), "n")
+        .orderBy("l_orderkey", "l_returnflag")
+    }),
     // U6 (beyond reference): CDC snapshot diff — per-user latest state
     // at two points in time, classified insert/update/delete. The old
     // snapshot sees everything before Jan 15; the new one is an
@@ -2690,6 +2723,14 @@ object SparkEntry {
         |INTERSECT
         |SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey % 3 = 0
         |ORDER BY o_orderkey""".stripMargin,
+    "u8_intersect_all" ->
+      """WITH l AS (SELECT l_orderkey, l_returnflag, count(*) AS lc
+        |  FROM lineitem GROUP BY 1, 2),
+        |r AS (SELECT l_orderkey, l_returnflag, count(*) AS rc
+        |  FROM lineitem WHERE l_quantity > 25 GROUP BY 1, 2)
+        |SELECT l.l_orderkey, l.l_returnflag, CAST(least(lc, rc) AS BIGINT) AS n
+        |FROM l JOIN r USING (l_orderkey, l_returnflag)
+        |ORDER BY 1, 2""".stripMargin,
     "u5_except_all" ->
       """WITH li AS (SELECT l_orderkey, l_returnflag FROM lineitem),
         |rem AS (
@@ -3955,6 +3996,31 @@ object SparkEntry {
     // The composed index's recall becomes a hash-gated regression
     // number, not just a spec floor. Checkpointed: the exact pass and
     // the e25 pipeline both consume the corpus.
+    // E31/E32: the e18/e19/e26 recall pin applied to the two new code
+    // tiers — recall@5 of int8 (e29) and binary-Hamming (e30) serving
+    // vs float cosine, per query on the 50-query workload, the recall
+    // number itself hash-gated. Quantization recall becomes a
+    // regression number, not just a spec floor.
+    "e31_int8_recall" -> ((s, d) => {
+      val emb = t(s, d, "embeddings").localCheckpoint(true)
+      val exact = graft.similarity.Ann.cosineTopKBlocked(emb, 5)
+        .filter(col("query_id") < 50)
+        .select(col("query_id"), col("neighbor_id"))
+      val approx = graft.similarity.Ann.int8TopK(emb, 5)
+        .filter(col("query_id") < 50)
+        .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+      recallRollup(exact, approx)
+    }),
+    "e32_hamming_recall" -> ((s, d) => {
+      val emb = t(s, d, "embeddings").localCheckpoint(true)
+      val exact = graft.similarity.Ann.cosineTopKBlocked(emb, 5)
+        .filter(col("query_id") < 50)
+        .select(col("query_id"), col("neighbor_id"))
+      val approx = graft.similarity.Ann.hammingTopK(emb, 5)
+        .filter(col("query_id") < 50)
+        .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+      recallRollup(exact, approx)
+    }),
     "e26_ivfpq_recall" -> ((s, d) => {
       val emb = t(s, d, "embeddings").localCheckpoint(true)
       val exact = graft.similarity.Ann.cosineTopKBlocked(emb, 5)
@@ -4344,6 +4410,56 @@ $sqlRecallTail""".stripMargin
     * retriever — per-query |e25-top5 ∩ exact-top5| / 5, exact side
     * restricted to the vec_id<50 workload e25 serves. Makes the
     * composed index's recall itself a hash-gated regression number. */
+  /** Shared tail of the e31/e32 recall oracles: approx top-5 (`ar`),
+    * float-exact top-5 for the same 50 queries (`ex`), rollup. */
+  private def codeTierRecallTail(approxSims: String, approxOrder: String): String =
+    s"""ar AS MATERIALIZED (SELECT query_id, neighbor_id FROM (
+       |  SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY $approxOrder) AS rn
+       |  FROM $approxSims) WHERE rn <= 5),
+       |nf AS (SELECT vec_id, v,
+       |  sqrt(list_reduce(list_apply(v, x -> x*x), (a,b) -> a+b)) AS nrm FROM e),
+       |esim AS (SELECT q.vec_id AS query_id, c9.vec_id AS neighbor_id,
+       |    list_reduce(list_apply(range(1, 65), i -> q.v[i] * c9.v[i]), (x,y) -> x+y)
+       |      / (q.nrm * c9.nrm) AS sim
+       |  FROM nf q JOIN nf c9 ON q.vec_id <> c9.vec_id WHERE q.vec_id < 50),
+       |ex AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
+       |  FROM esim) WHERE rn <= 5)
+       |SELECT ex.query_id, count(*) AS k_exact,
+       |  CAST(sum(CASE WHEN ar.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       |  round(CAST(sum(CASE WHEN ar.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / count(*), 6) AS recall
+       |FROM ex LEFT JOIN ar
+       |  ON ar.query_id = ex.query_id AND ar.neighbor_id = ex.neighbor_id
+       |GROUP BY ex.query_id ORDER BY ex.query_id""".stripMargin
+
+  private val int8RecallOracle: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+       |qz AS (SELECT vec_id, list_transform(v, x ->
+       |    round(x * (127.0 / list_max(list_transform(v, y -> abs(y)))))) AS v FROM e),
+       |nq AS (SELECT vec_id, v,
+       |  sqrt(list_reduce(list_apply(v, x -> x*x), (a,b) -> a+b)) AS nrm FROM qz),
+       |asim AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |    list_reduce(list_apply(range(1, 65), i -> a.v[i] * b.v[i]), (x,y) -> x+y)
+       |      / (a.nrm * b.nrm) AS sim
+       |  FROM nq a JOIN nq b ON a.vec_id <> b.vec_id WHERE a.vec_id < 50),
+       |${codeTierRecallTail("asim", "sim DESC, neighbor_id")}""".stripMargin
+
+  private val hammingRecallOracle: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+       |w AS (SELECT vec_id,
+       |  CAST(list_sum(list_transform(range(1, 33), i ->
+       |    CASE WHEN v[i] > 0 THEN (1::BIGINT << (i - 1)) ELSE 0::BIGINT END)) AS BIGINT) AS w1,
+       |  CAST(list_sum(list_transform(range(33, 65), i ->
+       |    CASE WHEN v[i] > 0 THEN (1::BIGINT << (i - 33)) ELSE 0::BIGINT END)) AS BIGINT) AS w2
+       |  FROM e),
+       |asim AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |    bit_count(xor(a.w1, b.w1)) + bit_count(xor(a.w2, b.w2)) AS hamming
+       |  FROM w a JOIN w b ON a.vec_id <> b.vec_id WHERE a.vec_id < 50),
+       |${codeTierRecallTail("asim", "hamming, neighbor_id")}""".stripMargin
+
   private val ivfPqRecallOracle: String =
     s"""$ivfPqCandChain,
        |ar AS MATERIALIZED (SELECT query_id, neighbor_id FROM (
@@ -4410,6 +4526,8 @@ $sqlRecallTail""".stripMargin
     "e21_ivf_mmr" -> ivfMmrOracle,
     "e25_ivfpq_topk" -> ivfPqOracle,
     "e26_ivfpq_recall" -> ivfPqRecallOracle,
+    "e31_int8_recall" -> int8RecallOracle,
+    "e32_hamming_recall" -> hammingRecallOracle,
     "e27_hybrid_rrf" -> ivfLshRrfOracle,
     "e2_ann_lsh_topk" -> lshTopKOracle,
     "e4_ann_ivf_topk" -> ivfTopKOracle,
