@@ -2223,6 +2223,29 @@ object SparkEntry {
             col("prev").cast("double")).as("growth_pct"))
         .orderBy("month_start")
     }),
+    // TS9 (beyond reference): peak session concurrency per day — the
+    // +1/−1 boundary stream of w5's 30-min sessions, whose GLOBAL
+    // running sum is decomposed into per-day windows + a day-prefix
+    // offset (operators.Timeline; the dq15 recipe for cumulative
+    // sums). The oracle is the global-window definition, so the hash
+    // match proves the decomposition exact. End-inclusive boundaries,
+    // −1-before-+1 ties.
+    "ts9_max_concurrency" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+      val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val sessions = t(s, d, "events")
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("prev", lag(col("us"), 1).over(w))
+        .withColumn("new_s",
+          when(col("prev").isNull || col("us") - col("prev") > 1800000000L, 1L)
+            .otherwise(0L))
+        .withColumn("sid", sum(col("new_s")).over(wRun))
+        .groupBy(col("user_id"), col("sid"))
+        .agg(min(col("us")).as("a"), max(col("us")).as("b"))
+      graft.operators.Timeline
+        .maxConcurrencyPerDay(sessions, col("a"), col("b"))
+        .orderBy("day")
+    }),
     // W17 (beyond reference): trailing-window Pearson correlation
     // between every event-type pair's daily volumes — ts4's global
     // answer as a standing daily monitor ("did clicks decouple from
@@ -2279,6 +2302,27 @@ object SparkEntry {
   )
 
   private val windowOracles: Map[String, String] = Map(
+    "ts9_max_concurrency" ->
+      """WITH o AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev
+        |  FROM events),
+        |x AS (SELECT user_id, event_id, us,
+        |    CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1 ELSE 0 END AS ns
+        |  FROM o),
+        |y AS (SELECT user_id, us,
+        |    sum(ns) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM x),
+        |s AS (SELECT user_id, sid, min(us) AS a, max(us) AS b FROM y GROUP BY 1, 2),
+        |d AS (SELECT a AS us, 1 AS delta FROM s
+        |  UNION ALL SELECT b + 1, -1 FROM s),
+        |r AS (SELECT us, delta,
+        |    sum(delta) OVER (ORDER BY us, delta
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
+        |  FROM d)
+        |SELECT CAST(make_timestamp(us) AS DATE) AS day,
+        |  CAST(max(conc) AS BIGINT) AS max_concurrent
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
     "w17_rolling_corr" ->
       """WITH daily AS (SELECT event_type AS k, CAST(ts AS DATE) AS day, count(*) AS n
         |  FROM events GROUP BY 1, 2),
