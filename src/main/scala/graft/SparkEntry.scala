@@ -2319,10 +2319,14 @@ object SparkEntry {
         |r AS (SELECT us, delta,
         |    sum(delta) OVER (ORDER BY us, delta
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
-        |  FROM d)
-        |SELECT CAST(make_timestamp(us) AS DATE) AS day,
-        |  CAST(max(conc) AS BIGINT) AS max_concurrent
-        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+        |  FROM d),
+        |r2 AS (SELECT us, delta, conc, CAST(make_timestamp(us) AS DATE) AS day,
+        |    row_number() OVER (PARTITION BY CAST(make_timestamp(us) AS DATE)
+        |      ORDER BY us, delta) AS rn
+        |  FROM r)
+        |SELECT day, CAST(greatest(max(conc),
+        |    max(CASE WHEN rn = 1 THEN conc - delta END)) AS BIGINT) AS max_concurrent
+        |FROM r2 GROUP BY day ORDER BY day""".stripMargin,
     "w17_rolling_corr" ->
       """WITH daily AS (SELECT event_type AS k, CAST(ts AS DATE) AS day, count(*) AS n
         |  FROM events GROUP BY 1, 2),

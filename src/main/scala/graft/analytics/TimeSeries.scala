@@ -152,11 +152,18 @@ object TimeSeries {
             (col("a.n") * col("b.n")).as("p")))
       .groupBy(col("k1"), col("k2"), col("anchor"))
       .agg(sum(col("p")).as("sxy"))
-    // full pair × anchor grid so all-zero windows still emit (NULL corr)
+    // full pair × DENSE anchor grid so all-zero windows still emit
+    // (NULL corr) — dense from the calendar span, not from observed
+    // windows, or an all-keys-quiet gap longer than the window would
+    // drop its anchors while the global-definition oracle emits them
     val keys = d.select(col("k")).distinct()
     val grid = keys.as("x").join(keys.as("y"), col("x.k") < col("y.k"))
       .select(col("x.k").as("k1"), col("y.k").as("k2"))
-      .crossJoin(stats.select(col("anchor")).distinct())
+      .crossJoin(broadcast(span))
+      .select(col("k1"), col("k2"), explode(expr(
+        s"""CASE WHEN d1 >= date_add(d0, ${w - 1})
+           |THEN sequence(date_add(d0, ${w - 1}), d1)
+           |ELSE CAST(array() AS ARRAY<DATE>) END""".stripMargin)).as("anchor"))
     grid
       .join(stats.select(col("k").as("k1"), col("anchor"),
         col("sx").as("sx1"), col("sxx").as("sxx1")), Seq("k1", "anchor"), "left")
@@ -165,12 +172,17 @@ object TimeSeries {
       .join(prod, Seq("k1", "k2", "anchor"), "left")
       .select(col("k1"), col("k2"), col("anchor").as("day"), lit(w.toLong).as("n_days"),
         round({
-          val sx1 = coalesce(col("sx1"), lit(0L))
-          val sx2 = coalesce(col("sx2"), lit(0L))
-          val dx = lit(w) * coalesce(col("sxx1"), lit(0L)) - sx1 * sx1
-          val dy = lit(w) * coalesce(col("sxx2"), lit(0L)) - sx2 * sx2
-          val den2 = (dx * dy).cast("double")
-          (lit(w) * coalesce(col("sxy"), lit(0L)) - sx1 * sx2).cast("double") /
+          // the SUMS are exact longs; the variance/covariance algebra
+          // runs in double so dx·dy cannot wrap 64-bit at large daily
+          // volumes (each factor is < 2⁵³ long before any overflow, so
+          // the double products are single-rounded — identical to the
+          // oracle's HUGEINT-then-cast path at any realistic scale)
+          val sx1 = coalesce(col("sx1"), lit(0L)).cast("double")
+          val sx2 = coalesce(col("sx2"), lit(0L)).cast("double")
+          val dx = lit(w.toDouble) * coalesce(col("sxx1"), lit(0L)).cast("double") - sx1 * sx1
+          val dy = lit(w.toDouble) * coalesce(col("sxx2"), lit(0L)).cast("double") - sx2 * sx2
+          val den2 = dx * dy
+          (lit(w.toDouble) * coalesce(col("sxy"), lit(0L)).cast("double") - sx1 * sx2) /
             sqrt(when(den2 > 0.0, den2)) // zero variance → NULL corr
         }, 6).as("corr"))
   }

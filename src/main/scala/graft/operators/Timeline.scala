@@ -44,8 +44,12 @@ object Timeline {
         sum(col("tot")).over(Window.orderBy(col("day"))
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col("day"), col("prior"))
+    // the day's peak must also consider the CARRY-IN concurrency at
+    // midnight (`prior`): a day whose only boundaries are −1s (open
+    // sessions closing) peaks before its first boundary row
     intra.join(prefix, "day")
       .groupBy(col("day"))
-      .agg(max(col("prior") + col("run")).as("max_concurrent"))
+      .agg(greatest(max(col("prior") + col("run")), max(col("prior")))
+        .as("max_concurrent"))
   }
 }

@@ -1035,7 +1035,11 @@ object Ann {
     * code tier — the operator demonstrated is the quantized SCORING
     * path. At scale the same codes live inside IVF cells and the
     * kernel scans probed cells only (e25 is that composed shape; PQ
-    * there, scalar-int8 here — interchangeable code tiers). */
+    * there, scalar-int8 here — interchangeable code tiers).
+    *
+    * Precondition (shared with every cosine operator here): vectors
+    * are non-zero — a zero vector has no cosine direction and its
+    * 127/max|x| scale is undefined; filter such rows upstream. */
   def int8TopK(embeddings: DataFrame, k: Int): DataFrame = {
     val v = col("embedding").cast("array<double>")
     val codes = embeddings.select(col("vec_id"),

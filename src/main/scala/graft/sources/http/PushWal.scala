@@ -91,6 +91,16 @@ final class PushWal(dir: Path) {
       // records end in '\n'; a torn tail (no terminator) is dropped —
       // its ack never went out, the sender redelivers
       val complete = text.lastIndexOf('\n')
+      // the torn bytes must also be PHYSICALLY truncated: the append
+      // channel opens in APPEND mode, so a logically-dropped tail left
+      // in place would fuse with the next record into one malformed
+      // interior line and the strict corruption check above would
+      // refuse to open on the NEXT restart — turning the one declared
+      // -recoverable crash artifact into a permanent failure.
+      if (complete + 1 < bytes.length) {
+        val t = FileChannel.open(logPath, StandardOpenOption.WRITE)
+        try { t.truncate(complete + 1L); t.force(false) } finally t.close()
+      }
       if (complete >= 0) {
         text.substring(0, complete).split("\n", -1).foreach { line =>
           // every complete interior line MUST parse — a malformed one is

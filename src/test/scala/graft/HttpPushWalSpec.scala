@@ -107,6 +107,30 @@ class HttpPushWalSpec extends SparkSpec {
     w3.close()
   }
 
+  test("PushWal physically truncates a torn tail so post-recovery appends never fuse with it") {
+    // the append channel opens in APPEND mode: if replay only dropped
+    // the torn bytes logically, the next append would fuse with them
+    // into one malformed interior line and the FOLLOWING restart's
+    // strict corruption check would permanently refuse the WAL.
+    val dir = Files.createTempDirectory("pushwal_torn_append")
+    def p(id: Int) = graft.ingest.HttpIngress.Post("midtown", s"""{"id":$id}""",
+      new java.sql.Timestamp(1700000000000L + id), 200)
+    val w1 = new PushWal(dir)
+    w1.append(p(0)); w1.append(p(1))
+    w1.close()
+    Files.write(dir.resolve("posts.log"),
+      "dG9ybg\ttorn-partial".getBytes(StandardCharsets.UTF_8),
+      StandardOpenOption.APPEND)
+    val w2 = new PushWal(dir) // replay truncates the torn bytes
+    w2.append(p(2)) // lands directly after record 1, NOT after the torn bytes
+    w2.close()
+    val w3 = new PushWal(dir) // the formerly-fatal second restart
+    assert(w3.recoveredPosts.map(_._2) ==
+      Seq("""{"id":0}""", """{"id":1}""", """{"id":2}"""),
+      s"clean replay after torn-tail + append: ${w3.recoveredPosts}")
+    w3.close()
+  }
+
   test("compaction crash window loses nothing: sidecar published, truncate lost") {
     // commitFloor persists the sidecar (floor, logStart=appended) BEFORE
     // truncating. Simulate a crash exactly between the two steps: the

@@ -23,6 +23,16 @@ class TimelineSpec extends SparkSpec {
     assert(got.map(_._1.toString) === Seq("1970-01-01", "1970-01-02"))
   }
 
+  test("concurrency: a decay-only day reports its midnight carry-in, not the post-close count") {
+    // two sessions open on day 0 and close early on day 1 with no
+    // day-1 starts: day 1's true peak is the carry-in 2 (both active
+    // from midnight until the first close), not the post-close 1/0
+    val iv = Seq((10L, Day + 100L), (20L, Day + 200L)).toDF("a", "b")
+    val got = Timeline.maxConcurrencyPerDay(iv, col("a"), col("b"))
+      .orderBy("day").as[(java.sql.Date, Long)].collect().toSeq
+    assert(got.map(_._2) === Seq(2L, 2L), s"got $got")
+  }
+
   test("concurrency: a session ending when another starts overlaps it (end-inclusive)") {
     val iv = Seq((0L, 100L), (100L, 200L)).toDF("a", "b")
     val got = Timeline.maxConcurrencyPerDay(iv, col("a"), col("b"))
@@ -40,9 +50,13 @@ class TimelineSpec extends SparkSpec {
       val deltas = (xs.map(x => (x._1, 1L)) ++ xs.map(x => (x._2 + 1, -1L)))
         .sortBy(t => (t._1, t._2))
       var c = 0L
-      deltas.map { case (us, d) =>
+      // each day's peak candidates: every in-day running value PLUS
+      // the carry-in concurrency at midnight (c before the first row)
+      deltas.flatMap { case (us, d) =>
+        val day = java.time.LocalDate.ofEpochDay(us / Day).toString
+        val carryIn = day -> c
         c += d
-        java.time.LocalDate.ofEpochDay(us / Day).toString -> c
+        Seq(carryIn, day -> c)
       }.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
     }
     val got = Timeline.maxConcurrencyPerDay(
