@@ -2718,6 +2718,26 @@ object SparkEntry {
           li.filter(col("l_returnflag") === "R").distinct(), "n")
         .orderBy("l_orderkey", "l_returnflag")
     }),
+    // U5-BUCKETED (beyond reference): the same EXCEPT ALL bag
+    // arithmetic on the BUCKETED warehouse layout, folded into one
+    // grouped pass: the right side is `distinct(left where flag='R')`,
+    // so per (orderkey, flag) group the surplus is count − (flag='R').
+    // Bucketing by l_orderkey satisfies the aggregation's required
+    // clustering (a subset of the grouping keys), so the whole compute
+    // path runs with ZERO hash exchange — the only repartitioning in
+    // the plan is the presentation ORDER BY (BucketingSpec
+    // plan-asserts this). u5's union form is the layout-agnostic
+    // fallback; this is what the same query costs when the fact table
+    // was bucket-loaded — the 100 TB posture.
+    "u5_except_all_bucketed" -> ((s, d) => {
+      graft.sources.Bucketed.table(s, d, "lineitem", "l_orderkey")
+        .select(col("l_orderkey"), col("l_returnflag"))
+        .groupBy(col("l_orderkey"), col("l_returnflag"))
+        .agg((count(lit(1)) -
+          when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("n"))
+        .filter(col("n") > 0)
+        .orderBy("l_orderkey", "l_returnflag")
+    }),
     // U8 (beyond reference): INTERSECT ALL — bag intersection with
     // true multiplicities (least of the two sides' counts), the
     // missing third of the multiset family next to u5's EXCEPT ALL
@@ -2780,6 +2800,16 @@ object SparkEntry {
         |FROM l JOIN r USING (l_orderkey, l_returnflag)
         |ORDER BY 1, 2""".stripMargin,
     "u5_except_all" ->
+      """WITH li AS (SELECT l_orderkey, l_returnflag FROM lineitem),
+        |rem AS (
+        |  SELECT * FROM li
+        |  EXCEPT ALL
+        |  SELECT DISTINCT l_orderkey, l_returnflag FROM li WHERE l_returnflag = 'R')
+        |SELECT l_orderkey, l_returnflag, count(*) AS n
+        |FROM rem GROUP BY 1, 2 ORDER BY l_orderkey, l_returnflag""".stripMargin,
+    // the bucketed variant answers the IDENTICAL question on the
+    // bucketed layout — same oracle text as u5_except_all
+    "u5_except_all_bucketed" ->
       """WITH li AS (SELECT l_orderkey, l_returnflag FROM lineitem),
         |rem AS (
         |  SELECT * FROM li
@@ -5713,7 +5743,7 @@ $sqlRecallTail""".stripMargin
         |tot AS (SELECT CAST(sum(dom_tok) AS BIGINT) AS total, count(*) AS n_dom FROM dom),
         |rates AS (SELECT stratum,
         |    CAST(least(300, (100 * (total // n_dom)) // dom_tok) AS BIGINT) AS epochs_x100
-        |  FROM dom CROSS JOIN tot),
+        |  FROM dom CROSS JOIN tot WHERE dom_tok > 0),
         |c AS (SELECT id, d.stratum, epochs_x100,
         |    epochs_x100 // 100 + CAST(CASE WHEN
         |      ('0x' || substr(md5('epoch:' || id), 1, 7))::BIGINT % 100 < epochs_x100 % 100
@@ -5882,6 +5912,28 @@ $sqlRecallTail""".stripMargin
     "x2_fact_fact_join" -> ((s, d) =>
       t(s, d, "lineitem")
         .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, d, "customer")), col("o_custkey") === col("c_custkey"))
+        .groupBy(date_trunc("month", col("o_orderdate")).as("month_start"),
+          col("c_mktsegment").as("segment"))
+        .agg(
+          sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1) - col("l_discount").cast("decimal(4,2)"))).cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("month_start", "segment")),
+    // X2-BUCKETED (beyond reference): the same fact⋈fact revenue
+    // rollup on the BUCKETED warehouse layout — both facts
+    // hash-clustered and sorted by order key at load time, so the
+    // sort-merge join runs straight off the scans with ZERO exchange
+    // and ZERO sort (the `merge` hint pins the strategy the 100 TB
+    // plan takes; at bench SF the planner would otherwise broadcast).
+    // The only exchanges left are the tiny post-join rollup on
+    // (month, segment) and the presentation sort — BucketingSpec
+    // plan-asserts no exchange under the join.
+    "x2_fact_fact_bucketed" -> ((s, d) =>
+      graft.sources.Bucketed.table(s, d, "lineitem", "l_orderkey")
+        .hint("merge")
+        .join(graft.sources.Bucketed.table(s, d, "orders", "o_orderkey"),
+          col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(t(s, d, "customer")), col("o_custkey") === col("c_custkey"))
         .groupBy(date_trunc("month", col("o_orderdate")).as("month_start"),
           col("c_mktsegment").as("segment"))
@@ -6490,6 +6542,16 @@ $sqlRecallTail""".stripMargin
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |GROUP BY 1, 2 ORDER BY month_start, segment""".stripMargin,
+    // the bucketed variant answers the IDENTICAL question on the
+    // bucketed layout — same oracle text as x2_fact_fact_join
+    "x2_fact_fact_bucketed" ->
+      """SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+        |  c_mktsegment AS segment,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1, 2 ORDER BY month_start, segment""".stripMargin,
     "x3_star_join_topk" ->
       """SELECT n_name, p_brand, revenue, rnk FROM (
         |  SELECT n_name, p_brand, revenue,
@@ -6594,7 +6656,12 @@ $sqlRecallTail""".stripMargin
     // distances from a seed account set over the g1 trade graph
     // ("blast radius within 3 hops"). Exact-integer fixed-round
     // recurrence, so the iterative result hash-matches its unrolled
-    // SQL replay — see graph.Bfs.
+    // SQL replay — see graph.Bfs. dedupEdges stays on even though the
+    // trade graph is near-simple (dup factor 1.022 at sf0.1): the
+    // dedup exchange is ALSO what widens the persisted edge list past
+    // the scan's single 11 MB input split — without it every round's
+    // probe runs as one task (measured: dedup=false is ~0.9 s SLOWER
+    // here despite skipping the shuffle).
     "g5_bfs_hops" -> ((s, d) => {
       val edges = t(s, d, "lineitem")
         .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
@@ -6765,7 +6832,8 @@ $sqlRecallTail""".stripMargin
         |total AS (SELECT count(DISTINCT basket) AS n_baskets FROM p)
         |SELECT antecedent, consequent, support, na.n AS n_ante, nc.n AS n_cons,
         |  round(CAST(support AS DOUBLE) / na.n, 4) AS confidence,
-        |  round(CAST(support AS DOUBLE) * n_baskets / (na.n * nc.n), 4) AS lift
+        |  round(CAST(support AS DOUBLE) * n_baskets /
+        |    (CAST(na.n AS DOUBLE) * CAST(nc.n AS DOUBLE)), 4) AS lift
         |FROM directed
         |JOIN item_n na ON na.item = antecedent
         |JOIN item_n nc ON nc.item = consequent

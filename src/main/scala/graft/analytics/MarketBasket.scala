@@ -71,7 +71,12 @@ object MarketBasket {
       .select(col("antecedent"), col("consequent"), col("support"),
         col("n_ante"), col("n_cons"),
         round(col("support").cast("double") / col("n_ante"), 4).as("confidence"),
+        // denominator factors cast to double BEFORE the multiply: at
+        // billions of baskets per item the long×long product would
+        // silently wrap 64-bit (DuckDB's HUGEINT would not), diverging
+        // at exactly the scale the oracle can't reach
         round(col("support").cast("double") * col("n_baskets") /
-          (col("n_ante") * col("n_cons")), 4).as("lift"))
+          (col("n_ante").cast("double") * col("n_cons").cast("double")), 4)
+          .as("lift"))
   }
 }

@@ -172,18 +172,24 @@ object TimeSeries {
       .join(prod, Seq("k1", "k2", "anchor"), "left")
       .select(col("k1"), col("k2"), col("anchor").as("day"), lit(w.toLong).as("n_days"),
         round({
-          // the SUMS are exact longs; the variance/covariance algebra
-          // runs in double so dx·dy cannot wrap 64-bit at large daily
-          // volumes (each factor is < 2⁵³ long before any overflow, so
-          // the double products are single-rounded — identical to the
-          // oracle's HUGEINT-then-cast path at any realistic scale)
-          val sx1 = coalesce(col("sx1"), lit(0L)).cast("double")
-          val sx2 = coalesce(col("sx2"), lit(0L)).cast("double")
-          val dx = lit(w.toDouble) * coalesce(col("sxx1"), lit(0L)).cast("double") - sx1 * sx1
-          val dy = lit(w.toDouble) * coalesce(col("sxx2"), lit(0L)).cast("double") - sx2 * sx2
+          // the variance/covariance algebra runs EXACTLY in
+          // decimal(38,0) — Spark's 128-bit exact type, the same width
+          // as the oracle's HUGEINT — and casts to double ONCE, at the
+          // same point DuckDB casts. A double-per-product path would
+          // round each product before subtracting and the 6-dp corr
+          // could diverge once a window sum exceeds ~2²⁶·⁵
+          // (~9.5e7 events/window); here both engines stay exact to
+          // 10³⁸, far past any physical daily volume.
+          def dec(c: Column) = c.cast("decimal(19,0)")
+          val wD = lit(w.toLong).cast("decimal(19,0)")
+          val sx1 = dec(coalesce(col("sx1"), lit(0L)))
+          val sx2 = dec(coalesce(col("sx2"), lit(0L)))
+          val dx = wD * dec(coalesce(col("sxx1"), lit(0L))) - sx1 * sx1
+          val dy = wD * dec(coalesce(col("sxx2"), lit(0L))) - sx2 * sx2
           val den2 = dx * dy
-          (lit(w.toDouble) * coalesce(col("sxy"), lit(0L)).cast("double") - sx1 * sx2) /
-            sqrt(when(den2 > 0.0, den2)) // zero variance → NULL corr
+          val num = wD * dec(coalesce(col("sxy"), lit(0L))) - sx1 * sx2
+          num.cast("double") /
+            sqrt(when(den2 > lit(0), den2.cast("double"))) // zero variance → NULL corr
         }, 6).as("corr"))
   }
 

@@ -173,7 +173,12 @@ object Sampling {
       .localCheckpoint(true)
     val tot = dom.agg(sum(col("dom_tok")).as("total"),
       count(lit(1)).as("n_dom"))
-    val rates = dom.crossJoin(broadcast(tot))
+    // dom_tok > 0 BEFORE the rate: a zero-token stratum would make the
+    // integer division NULL under non-ANSI Spark and least() skips
+    // NULLs, silently granting the full epoch cap where the oracle
+    // errors on divide-by-zero — empty strata emit nothing instead
+    // (n_dom still counts them: the equal-share budget is unchanged)
+    val rates = dom.filter(col("dom_tok") > 0L).crossJoin(broadcast(tot))
       .withColumn("budget", expr("total DIV n_dom"))
       .withColumn("epochs_x100",
         least(lit(maxEpochsX100), expr("(100 * budget) DIV dom_tok")))

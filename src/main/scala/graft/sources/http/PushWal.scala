@@ -87,10 +87,18 @@ final class PushWal(dir: Path) {
     var next = -1L // expected sequence of the next record; -1 until the first is read
     if (Files.exists(logPath)) {
       val bytes = Files.readAllBytes(logPath)
-      val text = new String(bytes, StandardCharsets.UTF_8)
       // records end in '\n'; a torn tail (no terminator) is dropped —
-      // its ack never went out, the sender redelivers
-      val complete = text.lastIndexOf('\n')
+      // its ack never went out, the sender redelivers. The scan is over
+      // RAW BYTES: a char index from the decoded string would only equal
+      // the byte offset while every byte is ASCII, and external
+      // corruption injecting non-ASCII bytes would shift the decode and
+      // make the truncate below cut into the last complete acked record.
+      var complete = -1
+      var bi = bytes.length - 1
+      while (bi >= 0 && complete < 0) {
+        if (bytes(bi) == '\n') complete = bi
+        bi -= 1
+      }
       // the torn bytes must also be PHYSICALLY truncated: the append
       // channel opens in APPEND mode, so a logically-dropped tail left
       // in place would fuse with the next record into one malformed
@@ -102,7 +110,10 @@ final class PushWal(dir: Path) {
         try { t.truncate(complete + 1L); t.force(false) } finally t.close()
       }
       if (complete >= 0) {
-        text.substring(0, complete).split("\n", -1).foreach { line =>
+        // decode only the bytes BEFORE the last terminator — the torn
+        // tail (possibly invalid UTF-8) never reaches the decoder
+        val text = new String(bytes, 0, complete, StandardCharsets.UTF_8)
+        text.split("\n", -1).foreach { line =>
           // every complete interior line MUST parse — a malformed one is
           // corruption, and absorbing it would renumber everything after
           // it relative to the committed floor (wrong posts skipped or

@@ -29,10 +29,14 @@ class BucketingSpec extends SparkSpec {
       val joined = spark.table("orders_b")
         .join(spark.table("lineitem_b"), col("o_orderkey") === col("l_orderkey"))
         .select(col("o_orderkey"), col("l_extendedprice"))
-      val plan = joined.queryExecution.sparkPlan
-      assert(plan.collect { case j: SortMergeJoinExec => j }.nonEmpty,
+      // assert on the EXECUTED plan: exchanges are inserted by
+      // EnsureRequirements during preparation — `sparkPlan` never
+      // carries distribution-required exchanges, so a no-exchange
+      // assert there would pass vacuously even for an unbucketed join
+      val plan = joined.queryExecution.executedPlan
+      assert(plan.toString.contains("SortMergeJoin"),
         "precondition: fact-fact equi-join plans as SMJ")
-      assert(plan.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+      assert(!plan.toString.contains("Exchange hashpartitioning"),
         "bucketed layout must satisfy the join's distribution — no exchange")
       // and the result is the same as the unbucketed join
       val expected = Tables.table(spark, sfDir, "orders")
@@ -44,6 +48,33 @@ class BucketingSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS orders_b")
       spark.sql("DROP TABLE IF EXISTS lineitem_b")
     }
+  }
+
+  test("registered bucketed variants run their compute path with zero hash exchange") {
+    // x2_fact_fact_bucketed: the SMJ must sit directly on the bucketed
+    // scans — no exchange, no sort between them. The plan still carries
+    // the tiny post-join rollup exchange and the presentation sort; the
+    // claim is that the FACT-FACT join itself never repartitions.
+    val x2 = SparkEntry.queries("x2_fact_fact_bucketed")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(x2.contains("SortMergeJoin"), s"x2 bucketed must SMJ:\n$x2")
+    assert(!x2.contains("Exchange hashpartitioning(l_orderkey") &&
+      !x2.contains("Exchange hashpartitioning(o_orderkey"),
+      s"bucketed fact-fact join must not repartition on the order key:\n$x2")
+    // u5_except_all_bucketed: the whole aggregation rides the bucketed
+    // clustering — the ONLY repartitioning in the plan is the
+    // presentation ORDER BY (range), zero hash exchanges anywhere.
+    val u5 = SparkEntry.queries("u5_except_all_bucketed")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!u5.contains("Exchange hashpartitioning"),
+      s"bucketed multiset aggregation must run with zero hash exchange:\n$u5")
+    // and both variants agree with their layout-agnostic twins
+    val x2Rows = SparkEntry.queries("x2_fact_fact_bucketed")(spark, sfDir).collect()
+    val x2Base = SparkEntry.queries("x2_fact_fact_join")(spark, sfDir).collect()
+    assert(x2Rows.toSeq == x2Base.toSeq, "bucketed x2 must equal unbucketed x2")
+    val u5Rows = SparkEntry.queries("u5_except_all_bucketed")(spark, sfDir).collect()
+    val u5Base = SparkEntry.queries("u5_except_all")(spark, sfDir).collect()
+    assert(u5Rows.toSeq == u5Base.toSeq, "bucketed u5 must equal unbucketed u5")
   }
 
   test("salted aggregation is exactly the direct aggregation") {

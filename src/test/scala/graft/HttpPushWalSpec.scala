@@ -131,6 +131,40 @@ class HttpPushWalSpec extends SparkSpec {
     w3.close()
   }
 
+  test("PushWal torn tail with non-ASCII bytes never truncates into an acked record") {
+    // replay finds the last record terminator by scanning RAW BYTES: a
+    // char index from the UTF-8 decode only equals the byte offset while
+    // every byte is ASCII, and a torn tail carrying multi-byte or
+    // invalid-UTF-8 garbage would shift the decode — the truncate could
+    // then cut INTO the last complete acked record, losing durable data.
+    val dir = Files.createTempDirectory("pushwal_nonascii")
+    def p(id: Int) = graft.ingest.HttpIngress.Post("midtown", s"""{"id":$id}""",
+      new java.sql.Timestamp(1700000000000L + id), 200)
+    val w1 = new PushWal(dir)
+    w1.append(p(0)); w1.append(p(1))
+    w1.close()
+    val cleanLen = Files.size(dir.resolve("posts.log"))
+    // torn tail: 2-byte UTF-8 chars plus a lone continuation byte
+    // (invalid UTF-8 — decodes to replacement chars, shrinking/shifting
+    // any char-indexed offset relative to the byte offset)
+    Files.write(dir.resolve("posts.log"),
+      Array[Byte]('9', '\t', 0xC3.toByte, 0xA9.toByte, 0xC3.toByte,
+        0xA9.toByte, 0xBF.toByte, 0xC3.toByte),
+      StandardOpenOption.APPEND)
+    val w2 = new PushWal(dir)
+    assert(w2.recoveredPosts.map(_._2) == Seq("""{"id":0}""", """{"id":1}"""),
+      s"both acked records survive a non-ASCII torn tail: ${w2.recoveredPosts}")
+    assert(Files.size(dir.resolve("posts.log")) == cleanLen,
+      "truncate lands exactly on the last record terminator, byte-exact")
+    w2.append(p(2))
+    w2.close()
+    val w3 = new PushWal(dir)
+    assert(w3.recoveredPosts.map(_._2) ==
+      Seq("""{"id":0}""", """{"id":1}""", """{"id":2}"""),
+      s"clean replay after non-ASCII torn tail + append: ${w3.recoveredPosts}")
+    w3.close()
+  }
+
   test("compaction crash window loses nothing: sidecar published, truncate lost") {
     // commitFloor persists the sidecar (floor, logStart=appended) BEFORE
     // truncating. Simulate a crash exactly between the two steps: the
