@@ -3841,6 +3841,21 @@ object SparkEntry {
       graft.similarity.Ann.lshTopK(t(s, d, "embeddings"), 5,
           nTables = 8, nPlanesOverride = 8)
         .orderBy("query_id", "rank")),
+    // E2-ADAPTIVE: the PRODUCTION LSH configuration, now hash-gated —
+    // plane count follows log2(n/bucketTarget) so expected bucket
+    // occupancy stays ~constant as the corpus grows (the pinned e2
+    // face's occupancy grows linearly with n; PLANS.md carried that
+    // 10× slope as the one e-family scale caveat). The SQL replay
+    // applies the SAME adaptive rule: its plane-count thresholds are
+    // generated FROM Ann.adaptivePlanes (integer CASE boundaries —
+    // the replay cannot drift from the engine's float rounding) and
+    // its bucket bits gate on j < np over 16-row plane-literal
+    // matrices (row j is plane-count-independent). Checkpointed: the
+    // adaptive rule counts the corpus, then buckets it.
+    "e2_adaptive_lsh_topk" -> ((s, d) =>
+      graft.similarity.Ann
+        .lshTopK(t(s, d, "embeddings").localCheckpoint(true), 5)
+        .orderBy("query_id", "rank")),
     // E4: IVF ANN — registered in e19's oracle-able configuration
     // (prefix seeds = lowest vec_ids since DuckDB has no xxhash64 twin;
     // no Lloyd refinement since the mean step's decimal rounding has no
@@ -4006,6 +4021,20 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"))
       val approx = graft.similarity.Ann
         .lshTopK(emb, 5, nTables = 8, nPlanesOverride = 8)
+        .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+      recallRollup(exact, approx)
+    }),
+    // E33: the e18 recall pin on the ADAPTIVE configuration (e2's
+    // production face) — recall under the occupancy-stable plane rule
+    // becomes its own hash-gated regression number, so a future change
+    // to the adaptive formula cannot silently trade recall for bucket
+    // size. Checkpointed: count + exact pass + LSH all consume the
+    // corpus (the e19 posture).
+    "e33_lsh_adaptive_recall" -> ((s, d) => {
+      val emb = t(s, d, "embeddings").localCheckpoint(true)
+      val exact = graft.similarity.Ann.cosineTopKBlocked(emb, 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val approx = graft.similarity.Ann.lshTopK(emb, 5)
         .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
       recallRollup(exact, approx)
     }),
@@ -4306,6 +4335,55 @@ object SparkEntry {
        |  FROM cand JOIN n q ON q.vec_id = query_id JOIN n c ON c.vec_id = neighbor_id)""".stripMargin
   }
 
+  /** Adaptive-plane LSH candidate sims — the PRODUCTION configuration
+    * (plane count follows log2(n/bucketTarget), holding expected
+    * bucket occupancy ~constant as the corpus grows) replayed in SQL.
+    * Two generator tricks make the adaptive rule oracle-able:
+    *  1. the plane-count rule replays as an integer CASE whose
+    *     thresholds are binary-searched FROM [[graft.similarity.Ann
+    *     .adaptivePlanes]] itself — the SQL can never drift from the
+    *     engine's float rounding, for ANY corpus size;
+    *  2. bucket bits gate on `j < np` over 16-row plane-literal
+    *     matrices — row j of planes(16,·) IS row j of planes(np,·)
+    *     (the LCG is per-cell), so one literal matrix serves every
+    *     plane count the rule can pick. */
+  private val lshAdaptiveCandSims: String = {
+    // largest corpus size for which adaptivePlanes picks <= k planes
+    def maxNfor(k: Int): Long = {
+      var lo = 1L
+      var hi = 1L << 30
+      while (lo < hi) {
+        val mid = (lo + hi + 1) >>> 1
+        if (graft.similarity.Ann.adaptivePlanes(mid, 64) <= k) lo = mid
+        else hi = mid - 1
+      }
+      lo
+    }
+    val npCase = (2 to 15).map(k => s"WHEN cnt <= ${maxNfor(k)} THEN $k")
+      .mkString("CASE ", " ", " ELSE 16 END")
+    val selects = (0 until 8).map { tbl =>
+      val ps = graft.similarity.Ann.planes(16, 64, tbl)
+      val bucket = (0 until 16).map { j =>
+        val dotStr = ps(j).zipWithIndex.map { case (sgn, i) =>
+          (if (sgn > 0) "+" else "-") + s"v[${i + 1}]" }.mkString
+        s"(CASE WHEN $j < (SELECT np FROM np) AND (0$dotStr) > 0 THEN ${1 << j} ELSE 0 END)"
+      }.mkString(" + ")
+      s"SELECT vec_id, $tbl AS tbl, $bucket AS bucket FROM e"
+    }.mkString("\nUNION ALL\n")
+    s"""$cosineCte,
+       |np AS (SELECT $npCase AS np FROM (SELECT count(*) AS cnt FROM e)),
+       |bk AS MATERIALIZED (
+       |$selects
+       |),
+       |cand AS (SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
+       |  FROM bk a JOIN bk b ON a.tbl = b.tbl AND a.bucket = b.bucket
+       |    AND a.vec_id <> b.vec_id),
+       |asim AS (SELECT query_id, neighbor_id,
+       |    list_reduce(list_apply(range(1, 65), i -> q.v[i] * c.v[i]), (x,y) -> x+y)
+       |      / (q.nrm * c.nrm) AS sim
+       |  FROM cand JOIN n q ON q.vec_id = query_id JOIN n c ON c.vec_id = neighbor_id)""".stripMargin
+  }
+
   /** Top-k tail over a (query_id, neighbor_id, sim) relation — the
     * rankCandidates twin: rank on the raw sim (ties → smallest id),
     * round at output, keep rank <= k. */
@@ -4329,6 +4407,20 @@ $sqlRecallTail""".stripMargin
     * end-to-end — plane-literal buckets, distinct candidate set, exact
     * cosine, top-5. */
   private val lshTopKOracle: String = lshCandSims + topKSimTail("asim", 5)
+
+  /** e2_adaptive's oracle: the ADAPTIVE-plane retrieval replayed
+    * end-to-end (same tail as e2 over the adaptive candidate set). */
+  private val lshAdaptiveTopKOracle: String =
+    lshAdaptiveCandSims + topKSimTail("asim", 5)
+
+  /** e33's oracle: the e18 recall pin on the adaptive configuration. */
+  private val lshAdaptiveRecallOracle: String =
+    s"""$lshAdaptiveCandSims,
+       |ar AS MATERIALIZED (SELECT query_id, neighbor_id FROM (
+       |  SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
+       |  FROM asim) WHERE rn <= 5),
+$sqlRecallTail""".stripMargin
 
   /** e19's oracle: prefix-seeded unrefined IVF replayed in SQL —
     * nCells = round(√n) seeds by lowest vec_id, nearest-cell
@@ -4608,6 +4700,8 @@ $sqlRecallTail""".stripMargin
     "e32_hamming_recall" -> hammingRecallOracle,
     "e27_hybrid_rrf" -> ivfLshRrfOracle,
     "e2_ann_lsh_topk" -> lshTopKOracle,
+    "e2_adaptive_lsh_topk" -> lshAdaptiveTopKOracle,
+    "e33_lsh_adaptive_recall" -> lshAdaptiveRecallOracle,
     "e4_ann_ivf_topk" -> ivfTopKOracle,
     // e28: the e4 replay with the tombstone mask — seeds/cells from
     // the FULL corpus, member/probe sides restricted to live vectors.

@@ -251,6 +251,45 @@ object MakeReplica10 {
   }
 }
 
+/** Bounded-family 10× replica of the DOCUMENTS table — the realistic
+  * post-exact-dedup stress axis for the d-family. MakeReplica10's
+  * exact-copy replicas multiply every duplicate FAMILY 10× as well as
+  * the volume, so output-bound operators (d17 span coverage, d18
+  * survivor picks) scale with |family|² effects that a real corpus
+  * (exact-deduped first — both operators' documented precondition)
+  * never exhibits. Here each replica inserts its own marker token
+  * every 10 tokens, so no 15-token window, shingle set, or exact
+  * digest is replica-invariant: families keep their sf0.1 sizes while
+  * doc count and bytes grow 10× — "more documents", not "more copies".
+  * Usage: Test/runMain graft.MakeReplicaBoundedDocs /tmp/graft10x_docs
+  */
+object MakeReplicaBoundedDocs {
+  def main(args: Array[String]): Unit = {
+    val out = if (args.nonEmpty) args(0) else "/tmp/graft10x_docs"
+    val src = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = Tables.documents(spark, src)
+    (0 until 10).map { i =>
+      val tk = split(col("text"), " ")
+      val marked = concat_ws(" ", transform(
+        sequence(lit(0), ((size(tk) + 9) / 10 - 1).cast("int")),
+        g => concat_ws(" ", concat(array(lit(s"repmark$i")),
+          slice(tk, g * 10 + 1, lit(10))))))
+      docs.withColumn("doc_id", col("doc_id") + lit(i * 100000000L))
+        .withColumn("text", marked)
+    }.reduce(_ union _)
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    println(s"[replica] wrote bounded-family 10x documents to $out")
+    spark.stop()
+  }
+}
+
 /** A/B: per-key top-k — TopKPerKey heap operator vs the row_number
   * window plan, orders (10 rows/key) and lineitem (denser keys), at
   * sf0.1 and the 10× replica (test scope; findings in PLANS.md). */
