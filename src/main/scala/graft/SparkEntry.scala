@@ -973,6 +973,42 @@ object SparkEntry {
   // ---- J: joins -----------------------------------------------------------
 
   private val joinQueries: Map[String, Q] = Map(
+    // J8 (beyond reference): banded point-in-interval join — view
+    // events attributed to the purchase session (30-min-gap sessions
+    // over purchase events only) of the same user that contains them
+    // ("browsing during a buying session"). The plain formulation is
+    // an equi-join on user only, leaving per-user points × intervals
+    // nested loops at the mercy of hot-user skew at 100 TB; the
+    // operator makes the TIME axis part of the equi-key by exploding
+    // each interval to the hour bands it overlaps and joining on
+    // (user, band) — pure hash-join machinery, skew-immune, exact
+    // after the residual BETWEEN (operators.Intervals scaladoc).
+    // Sessions per user are disjoint, so each view matches ≤ 1.
+    "j8_interval_attribution" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val sessions = ev.filter(col("event_type") === "purchase")
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("prev", lag(col("us"), 1).over(w))
+        .withColumn("new_s", when(col("prev").isNull ||
+          col("us") - col("prev") > 1800000000L, 1L).otherwise(0L))
+        .withColumn("session_id", sum(col("new_s")).over(wRun))
+        .groupBy(col("user_id"), col("session_id"))
+        // attribution window: the session span padded by the same
+        // 30-min inactivity gap on both sides (a view 29 min before
+        // the first purchase belongs to the journey)
+        .agg((min(col("us")) - 1800000000L).as("lo_us"),
+          (max(col("us")) + 1800000000L).as("hi_us"))
+        .select(col("user_id").as("s_user"), col("session_id"),
+          col("lo_us"), col("hi_us"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("p_us"))
+      graft.operators.Intervals.bandedContainmentJoin(
+          views, "user_id", "p_us", sessions, "s_user", "lo_us", "hi_us")
+        .select(col("event_id"), col("user_id"), col("session_id"))
+        .orderBy("event_id", "session_id")
+    }),
     // J1: generated calendar dim, broadcast-joined to facts.
     "j1_calendar_join" -> ((s, d) => {
       val cal = Dims.calendar(s, "1995-01-01", "2000-12-31")
@@ -1105,6 +1141,28 @@ object SparkEntry {
   )
 
   private val joinOracles: Map[String, String] = Map(
+    // the oracle is the PLAIN containment join — the banded rewrite
+    // must be invisible in the result
+    "j8_interval_attribution" ->
+      """WITH p AS (SELECT user_id, event_id, epoch_us(ts) AS us
+        |  FROM events WHERE event_type = 'purchase'),
+        |x AS (SELECT user_id, us, event_id,
+        |    CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1 ELSE 0 END AS ns
+        |  FROM (SELECT user_id, event_id, us,
+        |      lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev
+        |    FROM p)),
+        |y AS (SELECT user_id, us,
+        |    CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+        |  FROM x),
+        |s AS (SELECT user_id, sid AS session_id,
+        |    min(us) - 1800000000 AS lo, max(us) + 1800000000 AS hi
+        |  FROM y GROUP BY 1, 2),
+        |v AS (SELECT event_id, user_id, epoch_us(ts) AS us
+        |  FROM events WHERE event_type = 'view')
+        |SELECT v.event_id, v.user_id, s.session_id
+        |FROM v JOIN s ON s.user_id = v.user_id AND v.us BETWEEN s.lo AND s.hi
+        |ORDER BY event_id, session_id""".stripMargin,
     "j1_calendar_join" ->
       s"""WITH cal AS (
          |  SELECT unnest(generate_series(DATE '1995-01-01', DATE '2000-12-31', INTERVAL 1 DAY))::DATE AS cal_date)
@@ -5581,6 +5639,22 @@ $sqlRecallTail""".stripMargin
           t(s, d, "documents"), col("doc_id"), col("source"),
           size(split(col("text"), " ")))
         .orderBy("id", "copy")),
+    // SA13 (beyond reference): EXACT-k per-stratum uniform sample via
+    // deterministic bottom-k — rank every doc by a salted content hash
+    // and keep the k smallest per stratum. Rate-based sampling (sa2's
+    // bucket < pct) gives a BINOMIAL sample size; bottom-k gives
+    // exactly k, the contract an eval-set or per-domain quota needs.
+    // Reshard-stable and engine-replayable (md5 hash order, ties by
+    // id); runs on the engine's TopKPerKey heap operator — each task
+    // keeps ≤ k per stratum before the exchange, so the shuffle
+    // carries O(strata·k·tasks) rows, never the corpus.
+    "sa13_bottomk_sample" -> ((s, d) =>
+      graft.operators.TopK.perKey(
+          t(s, d, "documents").select(col("doc_id"), col("source"),
+            graft.text.TextAnalysis.hash28(
+              concat(lit("bk:"), col("doc_id").cast("string"))).as("h")),
+          Seq("source"), Seq(col("h").asc, col("doc_id").asc), 20)
+        .orderBy("source", "h", "doc_id")),
     "sa11_budget_waterfill" -> ((s, d) => {
       val dom = t(s, d, "documents")
         .groupBy(col("source"))
@@ -5830,6 +5904,13 @@ $sqlRecallTail""".stripMargin
          |    ORDER BY ${sqlHash60("sa6", "CAST(doc_id AS VARCHAR)")}, doc_id) AS INT) AS rk
          |  FROM documents)
          |WHERE rk <= 20 ORDER BY lang, rk""".stripMargin,
+    "sa13_bottomk_sample" ->
+      """WITH h AS (SELECT doc_id, source,
+        |    ('0x' || substr(md5('bk:' || doc_id), 1, 7))::BIGINT AS h FROM documents),
+        |r AS (SELECT doc_id, source, h,
+        |    row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rn FROM h)
+        |SELECT doc_id, source, h FROM r WHERE rn <= 20
+        |ORDER BY source, h, doc_id""".stripMargin,
     "sa12_epoch_upsample" ->
       """WITH d AS (SELECT doc_id AS id, source AS stratum,
         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tok FROM documents),
@@ -6788,6 +6869,14 @@ $sqlRecallTail""".stripMargin
     // join, so the hash match proves the oriented rewrite exact.
     "g2_triangle_count" -> ((s, d) =>
       graft.graph.Triangles.stats(copurchase(s, d).select(col("u"), col("v")))),
+    // G6 (beyond reference): per-node local clustering coefficient —
+    // triangles through each node over its possible neighbor pairs
+    // (clique-ness; bot-ring/spam-farm signal). Same O(m^1.5) oriented
+    // wedge enumeration as g2, plus one narrow 3·|triangles| corner
+    // explode — see Triangles.perNode.
+    "g6_clustering_coeff" -> ((s, d) =>
+      graft.graph.Triangles.perNode(copurchase(s, d).select(col("u"), col("v")))
+        .orderBy("node_id")),
     // G3: weighted PageRank on the same graph — rank mass flows in
     // proportion to co-purchase support, so a part ordered with
     // another FIVE times pulls 5× the mass of a one-off pairing. Same
@@ -6951,6 +7040,28 @@ $sqlRecallTail""".stripMargin
         |  (SELECT count(*) FROM pairs ab
         |     JOIN pairs bc ON ab.v = bc.u
         |     JOIN pairs ac ON ac.u = ab.u AND ac.v = bc.v) AS n_triangles""".stripMargin,
+    "g6_clustering_coeff" ->
+      """WITH pairs AS (
+        |  SELECT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |adj AS (SELECT u AS node, v AS nb FROM pairs
+        |        UNION ALL SELECT v AS node, u AS nb FROM pairs),
+        |deg AS (SELECT node, count(*) AS degree FROM adj GROUP BY node),
+        |tri AS (SELECT ab.u AS a, ab.v AS b, bc.v AS c
+        |  FROM pairs ab JOIN pairs bc ON ab.v = bc.u
+        |  JOIN pairs ac ON ac.u = ab.u AND ac.v = bc.v),
+        |corners AS (SELECT unnest([a, b, c]) AS node FROM tri),
+        |tc AS (SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+        |  FROM corners GROUP BY node)
+        |SELECT deg.node AS node_id, deg.degree,
+        |  CAST(coalesce(tc.n_triangles, 0) AS BIGINT) AS n_triangles,
+        |  CASE WHEN deg.degree >= 2
+        |    THEN round(coalesce(tc.n_triangles, 0) * 2.0 / (deg.degree * (deg.degree - 1)), 6)
+        |    ELSE 0.0 END AS clustering_coeff
+        |FROM deg LEFT JOIN tc ON tc.node = deg.node
+        |ORDER BY node_id""".stripMargin,
     "g3_weighted_pagerank" ->
       """WITH e0 AS (SELECT a.l_partkey AS u, b.l_partkey AS v, count(*) AS w
         |  FROM lineitem a JOIN lineitem b

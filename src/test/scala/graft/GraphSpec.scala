@@ -16,6 +16,31 @@ class GraphSpec extends SparkSpec {
     (1L, 2L), (2L, 3L), (3L, 4L),
     (5L, 1L), (5L, 2L), (5L, 3L), (5L, 4L)).toDF("a", "b")
 
+  test("per-node clustering coefficient: triangle corners, wedges-only nodes, leaves") {
+    // triangle 1-2-3 plus a pendant 4 off node 3 and an isolated edge 5-6
+    val g = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (5L, 6L))
+      .toDF("a", "b")
+    val cc = graft.graph.Triangles.perNode(g)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(cc(1L) === ((2L, 1L, 1.0)))       // in the triangle, fully closed
+    assert(cc(2L) === ((2L, 1L, 1.0)))
+    assert(cc(3L) === ((3L, 1L, round6(2.0 / 6.0)))) // 1 of 3 neighbor pairs closed
+    assert(cc(4L) === ((1L, 0L, 0.0)))       // leaf: degree < 2 reports 0
+    assert(cc(5L) === ((1L, 0L, 0.0)))
+    // duplicate + reversed edges collapse before counting
+    val dup = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (1L, 3L))
+      .toDF("a", "b")
+    val cc2 = graft.graph.Triangles.perNode(dup)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(cc2.forall(r => r._2 == 2L && r._3 == 1L && r._4 == 1.0),
+      s"clean triangle from noisy edges: ${cc2.toSeq}")
+  }
+
+  private def round6(x: Double): Double =
+    new java.math.BigDecimal(java.lang.Double.toString(x))
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
   test("hub node ranks first; every incident node appears exactly once") {
     val r = PageRank.fixedPoint(toyPairs, iterations = 3)
       .orderBy(col("rank_fp").desc, col("node_id"))

@@ -122,6 +122,30 @@ class SamplingSpec extends SparkSpec {
     assert(sample(docs.repartition(13)) === got, "sample must not depend on sharding")
   }
 
+  test("SA13: heap bottom-k sample equals the window formulation and is reshard-stable") {
+    def prepared(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"), col("lang"),
+        graft.text.TextAnalysis.hash28(
+          concat(lit("bk:"), col("doc_id").cast("string"))).as("h"))
+    val heap = graft.operators.TopK.perKey(prepared(docs), Seq("lang"),
+        Seq(col("h").asc, col("doc_id").asc), 7)
+      .select("lang", "doc_id").as[(String, Long)].collect().toSet
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+      .orderBy(col("h"), col("doc_id"))
+    val window = prepared(docs).withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 7)
+      .select("lang", "doc_id").as[(String, Long)].collect().toSet
+    assert(heap === window, "heap bottom-k must equal the window formulation")
+    val resharded = graft.operators.TopK.perKey(prepared(docs.repartition(13)),
+        Seq("lang"), Seq(col("h").asc, col("doc_id").asc), 7)
+      .select("lang", "doc_id").as[(String, Long)].collect().toSet
+    assert(resharded === heap, "sample must not depend on sharding")
+    val strata = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    heap.groupBy(_._1).foreach { case (lang, rows) =>
+      assert(rows.size === math.min(7L, strata(lang)), s"$lang exact-k")
+    }
+  }
+
   test("SA12: epoch upsampling caps repetition, fills budget, and is reshard-stable") {
     // tiny stratum (100 tokens) vs huge (900) → budget 500 each:
     // tiny's uncapped rate is 5.0 epochs → capped at 3.0 (exactly 3

@@ -257,10 +257,20 @@ object MakeReplica10 {
   * the volume, so output-bound operators (d17 span coverage, d18
   * survivor picks) scale with |family|² effects that a real corpus
   * (exact-deduped first — both operators' documented precondition)
-  * never exhibits. Here each replica inserts its own marker token
-  * every 10 tokens, so no 15-token window, shingle set, or exact
-  * digest is replica-invariant: families keep their sf0.1 sizes while
-  * doc count and bytes grow 10× — "more documents", not "more copies".
+  * never exhibits. The construction is a TOKEN-SPACE ISOMORPHISM per
+  * replica: every token is uniformly renamed tok→tok_rI, so within a
+  * replica every shingle/window/digest relationship is EXACTLY the
+  * original corpus's (equality is preserved under a bijective token
+  * rename), while across replicas no shingle, window, or digest can
+  * ever match — families keep their sf0.1 sizes and multiply in
+  * COUNT, not in size: "more documents", not "more copies". (Two
+  * rejected cuts, kept for the record: a per-REPLICA marker token
+  * inserted every 10 tokens MANUFACTURED new within-replica shingle
+  * collisions — the "bounded" corpus measured HARDER than the
+  * exact-copy one, d18 9.07 s vs 7.53 s; a per-DOCUMENT marker
+  * diluted within-replica Jaccard below the 0.7 threshold and
+  * DISSOLVED the families instead — d18 found 51 clusters where the
+  * isomorphism predicts 10×232.)
   * Usage: Test/runMain graft.MakeReplicaBoundedDocs /tmp/graft10x_docs
   */
 object MakeReplicaBoundedDocs {
@@ -276,13 +286,10 @@ object MakeReplicaBoundedDocs {
     spark.sparkContext.setLogLevel("WARN")
     val docs = Tables.documents(spark, src)
     (0 until 10).map { i =>
-      val tk = split(col("text"), " ")
-      val marked = concat_ws(" ", transform(
-        sequence(lit(0), ((size(tk) + 9) / 10 - 1).cast("int")),
-        g => concat_ws(" ", concat(array(lit(s"repmark$i")),
-          slice(tk, g * 10 + 1, lit(10))))))
+      val renamed = concat_ws(" ",
+        transform(split(col("text"), " "), t => concat(t, lit(s"_r$i"))))
       docs.withColumn("doc_id", col("doc_id") + lit(i * 100000000L))
-        .withColumn("text", marked)
+        .withColumn("text", renamed)
     }.reduce(_ union _)
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
     println(s"[replica] wrote bounded-family 10x documents to $out")

@@ -49,23 +49,36 @@ EXCEPTIONS = {
         "so the join is kept per the scale-first criterion (PLANS.md "
         "r8); the scoped 2 MB advisory conf is already applied.",
     "g5_bfs_hops":
-        "multi-stage constant, not volume: ~3.1 s is the 1.17M-edge "
-        "build (join+distinct over 600k lineitem, the g1/g3 edge cost) "
-        "plus 3 fixed BFS rounds, each a broadcast-join + min-fold "
-        "stage pair over the persisted edge list — ~10 dependent "
-        "stages of Spark's scheduling floor at sf0.1, vs DuckDB's "
-        "single-process unrolled pipeline (0.4 s). The r12 stress "
-        "table pins the 10x slope at 1.3x (distance table is "
-        "node-bounded), so the absolute number is the stage constant; "
-        "at cluster scale a frontier-delta formulation (messages "
-        "proportional to newly-reached x degree) is the documented "
-        "next rung (PLANS.md r12).",
+        "multi-stage constant, not volume: ~2.1 s (r12: 3.1 s) after "
+        "the r13 frontier-delta rewrite — messages only from "
+        "newly-reached nodes, visited anti-join, count-driven "
+        "broadcast hints. Instrumented breakdown (PLANS.md r13): "
+        "~1.0 s edge build (join + dedup exchange + persist of 1.17M "
+        "rows, the g1/g3 edge cost), 3 delta rounds at ~0.25 s each "
+        "(two broadcast builds + probe wave + node-dedup reduce + "
+        "eager checkpoint), ~0.2 s driver-side frontier counts — "
+        "~14 dependent stage waves of scheduling floor vs DuckDB's "
+        "single-process unrolled pipeline (0.4 s). 10x slope ~1.0x "
+        "(2.32 s sf0.1 vs 2.13 s replica: distance table is "
+        "node-bounded and delta rounds shrink as frontiers saturate).",
+    "g6_clustering_coeff":
+        "inherits mb1's documented pair-build constant (~2 s: the "
+        "co-partitioned lineitem self-join kept per the r8 scale-first "
+        "A/B) plus ~0.8 s of triangle machinery — orientation joins, "
+        "wedge self-join, corner explode, cc rollup — across ~6 "
+        "dependent stage waves over a 3.8k-edge graph; oscillates "
+        "2.7-3.5 s with the mb1 band. The r13 stress row pins the 10x "
+        "slope at 1.2x (O(m^1.5) wedge bound holds), so the absolute "
+        "number is the stage constant, not a scaling defect. An "
+        "eager-checkpoint A/B of the shared frames measured SLOWER "
+        "(3.48 s) than ReuseExchange serving the wedge branches.",
     "x2_fact_fact_join":
         "the deliberately-plain fact-fact shuffle join control at "
-        "1.7-2.2 s: its bucketed zero-exchange escape (BucketingSpec) "
-        "and Bloom-pruned form (x10, green) are both registered and "
-        "proven — this query exists to show the unoptimized shape the "
-        "escapes beat (PLANS.md r10 plan audit).",
+        "1.7-2.2 s: its bucketed zero-exchange escape is now a "
+        "REGISTERED query (x2_fact_fact_bucketed, r13 — SMJ straight "
+        "off the bucketed scans, plan-asserted in BucketingSpec) and "
+        "the Bloom-pruned form (x10) is green — this query exists to "
+        "show the unoptimized shape the escapes beat (PLANS.md r10).",
 }
 
 def find_json(path, marker):
