@@ -973,7 +973,7 @@ object SparkEntry {
   // ---- J: joins -----------------------------------------------------------
 
   private val joinQueries: Map[String, Q] = Map(
-    // J8 (beyond reference): banded point-in-interval join — view
+    // J10 (beyond reference): banded point-in-interval join — view
     // events attributed to the purchase session (30-min-gap sessions
     // over purchase events only) of the same user that contains them
     // ("browsing during a buying session"). The plain formulation is
@@ -984,7 +984,7 @@ object SparkEntry {
     // (user, band) — pure hash-join machinery, skew-immune, exact
     // after the residual BETWEEN (operators.Intervals scaladoc).
     // Sessions per user are disjoint, so each view matches ≤ 1.
-    "j8_interval_attribution" -> ((s, d) => {
+    "j10_banded_interval" -> ((s, d) => {
       val ev = t(s, d, "events")
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
       val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -1143,7 +1143,7 @@ object SparkEntry {
   private val joinOracles: Map[String, String] = Map(
     // the oracle is the PLAIN containment join — the banded rewrite
     // must be invisible in the result
-    "j8_interval_attribution" ->
+    "j10_banded_interval" ->
       """WITH p AS (SELECT user_id, event_id, epoch_us(ts) AS us
         |  FROM events WHERE event_type = 'purchase'),
         |x AS (SELECT user_id, us, event_id,
@@ -6869,6 +6869,15 @@ $sqlRecallTail""".stripMargin
     // join, so the hash match proves the oriented rewrite exact.
     "g2_triangle_count" -> ((s, d) =>
       graft.graph.Triangles.stats(copurchase(s, d).select(col("u"), col("v")))),
+    // G7 (beyond reference): bounded-round k-core decomposition — the
+    // survivors of 4 peels of degree < 3 over the co-purchase graph
+    // (dense-subgraph extraction; one degree filter is NOT the k-core,
+    // peeling must iterate). Fixed rounds ⇒ the unrolled SQL oracle
+    // replays the exact result (the g5/d7 recipe) — see graph.KCore.
+    "g7_kcore" -> ((s, d) =>
+      graft.graph.KCore.kcore(copurchase(s, d).select(col("u"), col("v")),
+          k = 3, rounds = 4)
+        .orderBy("node_id")),
     // G6 (beyond reference): per-node local clustering coefficient —
     // triangles through each node over its possible neighbor pairs
     // (clique-ness; bot-ring/spam-farm signal). Same O(m^1.5) oriented
@@ -7040,6 +7049,28 @@ $sqlRecallTail""".stripMargin
         |  (SELECT count(*) FROM pairs ab
         |     JOIN pairs bc ON ab.v = bc.u
         |     JOIN pairs ac ON ac.u = ab.u AND ac.v = bc.v) AS n_triangles""".stripMargin,
+    "g7_kcore" -> {
+      // 4 unrolled peel rounds (matches KCore.kcore; MATERIALIZED for
+      // the same lineage reason as d7/g5)
+      val steps = (1 to 4).map { r =>
+        s"""d$r AS (SELECT node, count(*) AS d FROM (
+           |  SELECT u AS node FROM e${r - 1} UNION ALL SELECT v FROM e${r - 1}) GROUP BY node),
+           |k$r AS MATERIALIZED (SELECT node FROM d$r WHERE d >= 3),
+           |e$r AS MATERIALIZED (SELECT u, v FROM e${r - 1}
+           |  WHERE u IN (SELECT node FROM k$r) AND v IN (SELECT node FROM k$r))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH pairs AS (
+         |  SELECT a.l_partkey AS u, b.l_partkey AS v
+         |  FROM lineitem a JOIN lineitem b
+         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         |  GROUP BY 1, 2 HAVING count(*) >= 2),
+         |e0 AS MATERIALIZED (SELECT u, v FROM pairs),
+         |$steps,
+         |df AS (SELECT node, count(*) AS d FROM (
+         |  SELECT u AS node FROM e4 UNION ALL SELECT v FROM e4) GROUP BY node)
+         |SELECT node AS node_id, CAST(d AS BIGINT) AS degree FROM df
+         |WHERE d >= 3 ORDER BY node_id""".stripMargin
+    },
     "g6_clustering_coeff" ->
       """WITH pairs AS (
         |  SELECT a.l_partkey AS u, b.l_partkey AS v

@@ -22,6 +22,13 @@ object Verify {
     // local-iteration subset (comma-separated names); full dump by default
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // local-iteration denylist: lets an sf0.1 dump skip the labeled
+    // O(n²) baselines (d2 runs hours at 5k docs — Bench excludes it
+    // for the same reason). Skipped queries still dump their oracle
+    // SQL, so duck_bench sees the full suite. Unset in driver runs.
+    val skip = sys.env.get("SPARK_GRAFT_SKIP")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
     // Failures must be LOUD: a swallowed exception here makes the
     // driver's correctness file silently OMIT the query (round 7 shipped
     // 7 analysis-time failures that way — a green-looking artifact with
@@ -29,7 +36,7 @@ object Verify {
     // oracle_sql.json, and the run exits non-zero.
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries
-      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .filter { case (name, _) => only.forall(_.contains(name)) && !skip(name) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

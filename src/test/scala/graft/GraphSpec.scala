@@ -16,6 +16,27 @@ class GraphSpec extends SparkSpec {
     (1L, 2L), (2L, 3L), (3L, 4L),
     (5L, 1L), (5L, 2L), (5L, 3L), (5L, 4L)).toDF("a", "b")
 
+  test("k-core peeling cascades: marginal chains fall, the clique survives") {
+    // 4-clique {1,2,3,4} + tail 4-5-6 + triangle {7,8,9} + a cascade
+    // pair: 10 has degree 3 (to 1, 2, 11) but depends on 11 (degree 2)
+    // — round 1 peels 11 (and 5, 6, the triangle), round 2 peels 10.
+    // One degree filter would KEEP 10; the iteration is the operator.
+    val g = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L),
+      (7L, 8L), (8L, 9L), (7L, 9L),
+      (10L, 1L), (10L, 2L), (10L, 11L), (11L, 3L)).toDF("a", "b")
+    val core = graft.graph.KCore.kcore(g, k = 3, rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(core === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L),
+      s"3-core must be exactly the clique at clique degrees: $core")
+    // duplicate/reversed edges collapse before peeling
+    val noisy = g.union(g.select(col("b"), col("a"))).union(g)
+    val core2 = graft.graph.KCore.kcore(noisy, k = 3, rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(core2 === core, "noisy edge list must peel identically")
+  }
+
   test("per-node clustering coefficient: triangle corners, wedges-only nodes, leaves") {
     // triangle 1-2-3 plus a pendant 4 off node 3 and an isolated edge 5-6
     val g = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (5L, 6L))
