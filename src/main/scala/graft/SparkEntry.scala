@@ -5380,6 +5380,22 @@ $sqlRecallTail""".stripMargin
           length(col("content")).as("n_bytes"))
         .orderBy("asset_id")
     }),
+    // MM7: image dimensions from container bytes (PNG IHDR big-endian
+    // pair, GIF screen-descriptor little-endian pair) — the
+    // billion-blob metadata pass that runs BEFORE any decode. The
+    // blobs carry spec-exact headers whose dimensions derive from the
+    // asset id, so the oracle states the ground truth ARITHMETICALLY,
+    // never touching bytes — any endianness/offset slip in the parser
+    // hash-fails (the mm6 recipe); MediaSpec additionally pins the
+    // parser against javax.imageio on REAL encoded PNGs.
+    "mm7_container_dims" -> ((s, d) => {
+      val a = graft.multimodal.Media.dimensionedAssets(t(s, d, "documents"))
+      val (w, h) = graft.multimodal.Media.containerDims(col("content"))
+      a.select(col("asset_id"),
+          graft.multimodal.Media.sniffMime(col("content")).as("mime"),
+          w.as("width"), h.as("height"))
+        .orderBy("asset_id")
+    }),
     // MM2: frame sampling (every 4th frame) as a pure array op.
     "mm2_frame_sample" -> ((s, d) => {
       val frames = graft.text.TextAnalysis.words(col("text"))
@@ -5456,6 +5472,19 @@ $sqlRecallTail""".stripMargin
         |  CAST(octet_length(encode(text)) +
         |    CASE doc_id % 5 WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 6
         |      WHEN 3 THEN 12 ELSE 0 END AS INT) AS n_bytes
+        |FROM documents ORDER BY asset_id""".stripMargin,
+    // ground truth stated arithmetically (the fabrication's inverse) —
+    // the oracle never parses bytes, so a parser endianness/offset
+    // slip cannot cancel out
+    "mm7_container_dims" ->
+      """SELECT doc_id AS asset_id,
+        |  CASE doc_id % 5 WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/jpeg'
+        |    WHEN 2 THEN 'image/gif' WHEN 3 THEN 'image/webp'
+        |    ELSE 'application/octet-stream' END AS mime,
+        |  CASE WHEN doc_id % 5 IN (0, 2)
+        |    THEN CAST(doc_id % 1000 + 16 AS BIGINT) END AS width,
+        |  CASE WHEN doc_id % 5 IN (0, 2)
+        |    THEN CAST(doc_id % 777 + 16 AS BIGINT) END AS height
         |FROM documents ORDER BY asset_id""".stripMargin,
     "mm1_binary_meta" ->
       """SELECT doc_id AS asset_id,

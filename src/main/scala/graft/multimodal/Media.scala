@@ -185,6 +185,60 @@ object Media {
       concat(sig, col("text").cast("binary")).as("content"))
   }
 
+  /** MM7 fabrication: the [[signedAssets]] corpus upgraded to carry
+    * REAL dimension headers — PNG blobs get a spec-exact IHDR chunk
+    * (length 13, type "IHDR", width/height as big-endian int32 at
+    * byte offsets 16/20) and GIF blobs a spec-exact logical screen
+    * descriptor (width/height as little-endian uint16 at offsets
+    * 6/8), with dimensions derived arithmetically from the asset id —
+    * so a parser's output has an INDEPENDENT ground truth the oracle
+    * can state without touching bytes. JPEG/WEBP/raw classes carry no
+    * parseable dimensions (NULL is the correct parse). */
+  def dimensionedAssets(docs: DataFrame): DataFrame = {
+    val m = col("doc_id") % 5
+    val w = (col("doc_id") % 1000 + 16).cast("int")
+    val h = (col("doc_id") % 777 + 16).cast("int")
+    def be4(c: org.apache.spark.sql.Column) = unhex(lpad(hex(c), 8, "0"))
+    def le2(c: org.apache.spark.sql.Column) = unhex(concat(
+      lpad(hex(pmod(c, lit(256))), 2, "0"),
+      lpad(hex(shiftright(c, 8)), 2, "0")))
+    val png = concat(unhex(lit("89504E470D0A1A0A")), // signature
+      unhex(lit("0000000D")),                        // IHDR length = 13
+      lit("IHDR").cast("binary"), be4(w), be4(h))
+    val gif = concat(lit("GIF89a").cast("binary"), le2(w), le2(h))
+    val sig = when(m === 0, png)
+      .when(m === 1, unhex(lit("FFD8FFE0")))
+      .when(m === 2, gif)
+      .when(m === 3, concat(lit("RIFF").cast("binary"),
+        unhex(lit("AABBCCDD")), lit("WEBP").cast("binary")))
+      .otherwise(lit("").cast("binary"))
+    docs.select(col("doc_id").as("asset_id"),
+      concat(sig, col("text").cast("binary")).as("content"))
+  }
+
+  /** MM7: image dimensions parsed straight from container bytes — the
+    * metadata pass a media pipeline runs on billions of blobs BEFORE
+    * any expensive decode (resize budgets, aspect filters, thumbnail
+    * planning all need width×height only). Pure `substring`/`hex`/
+    * `conv` Column byte math inside the scan projection, codegen'd,
+    * bytes never decoded: PNG reads the IHDR big-endian int32 pair at
+    * offsets 16/20, GIF the little-endian uint16 pair at 6/8;
+    * formats whose dimensions need a frame scan (JPEG SOF hunting,
+    * WEBP VP8 bitstream) return NULL here — they are the decode-audit
+    * tier's job (mm5). Returns (width, height) columns. */
+  def containerDims(content: org.apache.spark.sql.Column)
+      : (org.apache.spark.sql.Column, org.apache.spark.sql.Column) = {
+    val isPng = hex(substring(content, 1, 8)) === "89504E470D0A1A0A"
+    val isGif = substring(content, 1, 6).cast("string") === "GIF89a"
+    def be4(pos: Int) =
+      conv(hex(substring(content, pos, 4)), 16, 10).cast("long")
+    def le2(pos: Int) =
+      (conv(hex(substring(content, pos, 1)), 16, 10).cast("long") +
+        conv(hex(substring(content, pos + 1, 1)), 16, 10).cast("long") * 256L)
+    (when(isPng, be4(17)).when(isGif, le2(7)),
+      when(isPng, be4(21)).when(isGif, le2(9)))
+  }
+
   /** MM6: container-format sniffing from magic bytes — the mandatory
     * first pass of any multimodal ingest (extensions lie; upstream
     * Content-Type headers lie more). Pure `substring`/`hex` Column

@@ -81,6 +81,36 @@ class MediaSpec extends SparkSpec {
     assert(got(2) === ((3L, -1, -1, 0))) // undecodable -> sentinel, never a throw
   }
 
+  test("MM7: containerDims reads REAL encoder output — byte math vs javax.imageio") {
+    // the registered query's oracle pins the parse against the
+    // FABRICATED headers; this pins it against PNGs produced by an
+    // actual encoder (JDK imageio), so offset/endianness math can't be
+    // wrong in a way the fabrication shares. Sizes >255 exercise the
+    // multi-byte big-endian path.
+    def png(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val rows = Seq(
+      (1L, png(2, 3)), (2L, png(300, 517)), (3L, png(1, 1)),
+      (4L, "GIF89a".getBytes("ISO-8859-1") ++
+        Array(0x2C, 0x01, 0x0A, 0x00).map(_.toByte)), // 300 x 10 LE
+      (5L, "not an image".getBytes("UTF-8")))
+      .toDF("asset_id", "content")
+    val (w, h) = Media.containerDims(col("content"))
+    val got = rows.select(col("asset_id"), w.as("w"), h.as("h"))
+      .as[(Long, Option[Long], Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) === ((Some(2L), Some(3L))))
+    assert(got(2L) === ((Some(300L), Some(517L))))
+    assert(got(3L) === ((Some(1L), Some(1L))))
+    assert(got(4L) === ((Some(300L), Some(10L))), s"GIF LE16: ${got(4L)}")
+    assert(got(5L) === ((None, None)), "unparseable container -> NULL dims")
+  }
+
   test("MM6: magic sniffing rejects lookalikes the fabricated oracle never shows") {
     def b(s: String) = s.getBytes("ISO-8859-1")
     val rows = Seq(
