@@ -6899,13 +6899,17 @@ $sqlRecallTail""".stripMargin
     "g2_triangle_count" -> ((s, d) =>
       graft.graph.Triangles.stats(copurchase(s, d).select(col("u"), col("v")))),
     // G7 (beyond reference): bounded-round k-core decomposition — the
-    // survivors of 4 peels of degree < 3 over the co-purchase graph
-    // (dense-subgraph extraction; one degree filter is NOT the k-core,
-    // peeling must iterate). Fixed rounds ⇒ the unrolled SQL oracle
-    // replays the exact result (the g5/d7 recipe) — see graph.KCore.
+    // survivors of 4 peels of degree < 2 over the co-purchase graph
+    // (dense-subgraph extraction: the 2-core iteratively trims every
+    // tree tendril; one degree filter is NOT the k-core, peeling must
+    // iterate). k = 2 because the support-thresholded co-purchase
+    // graph is forest-like — its 3-core is empty at every harness SF,
+    // and a 0-row query gates nothing. Fixed rounds ⇒ the unrolled
+    // SQL oracle replays the exact result (the g5/d7 recipe) — see
+    // graph.KCore.
     "g7_kcore" -> ((s, d) =>
       graft.graph.KCore.kcore(copurchase(s, d).select(col("u"), col("v")),
-          k = 3, rounds = 4)
+          k = 2, rounds = 4)
         .orderBy("node_id")),
     // G6 (beyond reference): per-node local clustering coefficient —
     // triangles through each node over its possible neighbor pairs
@@ -7084,7 +7088,7 @@ $sqlRecallTail""".stripMargin
       val steps = (1 to 4).map { r =>
         s"""d$r AS (SELECT node, count(*) AS d FROM (
            |  SELECT u AS node FROM e${r - 1} UNION ALL SELECT v FROM e${r - 1}) GROUP BY node),
-           |k$r AS MATERIALIZED (SELECT node FROM d$r WHERE d >= 3),
+           |k$r AS MATERIALIZED (SELECT node FROM d$r WHERE d >= 2),
            |e$r AS MATERIALIZED (SELECT u, v FROM e${r - 1}
            |  WHERE u IN (SELECT node FROM k$r) AND v IN (SELECT node FROM k$r))""".stripMargin
       }.mkString(",\n")
@@ -7098,7 +7102,7 @@ $sqlRecallTail""".stripMargin
          |df AS (SELECT node, count(*) AS d FROM (
          |  SELECT u AS node FROM e4 UNION ALL SELECT v FROM e4) GROUP BY node)
          |SELECT node AS node_id, CAST(d AS BIGINT) AS degree FROM df
-         |WHERE d >= 3 ORDER BY node_id""".stripMargin
+         |WHERE d >= 2 ORDER BY node_id""".stripMargin
     },
     "g6_clustering_coeff" ->
       """WITH pairs AS (

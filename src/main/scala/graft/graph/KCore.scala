@@ -46,7 +46,10 @@ object KCore {
     def degrees(edges0: DataFrame): DataFrame = edges0
       .select(explode(array(col("u"), col("v"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("d"))
-    for (_ <- 1 to rounds) {
+    var remaining = e.count()
+    var r = 0
+    var converged = false
+    while (r < rounds && !converged) {
       val keep = degrees(e).filter(col("d") >= k)
         .select(col("node")).localCheckpoint(eager = true)
       e = e
@@ -54,6 +57,13 @@ object KCore {
         .join(keep.select(col("node").as("v")), Seq("v"), "left_semi")
         .select(col("u"), col("v"))
         .localCheckpoint(eager = true)
+      val n = e.count() // free off the materialized checkpoint
+      // fixpoint short-circuit: a peel that removed nothing makes every
+      // later peel the identity — in BOTH engines, so the unrolled
+      // oracle is unaffected (its remaining rounds are no-ops too)
+      converged = n == remaining
+      remaining = n
+      r += 1
     }
     degrees(e).filter(col("d") >= k)
       .select(col("node").as("node_id"), col("d").as("degree"))

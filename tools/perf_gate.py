@@ -61,6 +61,17 @@ EXCEPTIONS = {
         "single-process unrolled pipeline (0.4 s). 10x slope ~1.0x "
         "(2.32 s sf0.1 vs 2.13 s replica: distance table is "
         "node-bounded and delta rounds shrink as frontiers saturate).",
+    "g7_kcore":
+        "inherits mb1's documented pair-build constant (~2 s: the "
+        "co-partitioned lineitem self-join kept per the r8 scale-first "
+        "A/B) plus up to 4 peel rounds, each one degree aggregation + "
+        "two broadcast semi-joins + an eager checkpoint over an edge "
+        "set that only shrinks (21 surviving nodes at sf0.1 after "
+        "peel 1 — rounds 2+ are near-empty stage waves); a fixpoint "
+        "short-circuit skips converged rounds (identity in both "
+        "engines). ~3.1 s in-suite vs DuckDB 0.34 s single-process. "
+        "The r13 stress row pins the 10x slope at 1.4x, so the "
+        "absolute number is the stage constant, not a scaling defect.",
     "g6_clustering_coeff":
         "inherits mb1's documented pair-build constant (~2 s: the "
         "co-partitioned lineitem self-join kept per the r8 scale-first "
