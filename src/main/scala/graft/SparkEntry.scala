@@ -973,7 +973,7 @@ object SparkEntry {
   // ---- J: joins -----------------------------------------------------------
 
   private val joinQueries: Map[String, Q] = Map(
-    // J10 (beyond reference): banded point-in-interval join — view
+    // J11 (beyond reference): banded point-in-interval join — view
     // events attributed to the purchase session (30-min-gap sessions
     // over purchase events only) of the same user that contains them
     // ("browsing during a buying session"). The plain formulation is
@@ -984,7 +984,7 @@ object SparkEntry {
     // (user, band) — pure hash-join machinery, skew-immune, exact
     // after the residual BETWEEN (operators.Intervals scaladoc).
     // Sessions per user are disjoint, so each view matches ≤ 1.
-    "j10_banded_interval" -> ((s, d) => {
+    "j11_banded_interval" -> ((s, d) => {
       val ev = t(s, d, "events")
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
       val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -1143,7 +1143,7 @@ object SparkEntry {
   private val joinOracles: Map[String, String] = Map(
     // the oracle is the PLAIN containment join — the banded rewrite
     // must be invisible in the result
-    "j10_banded_interval" ->
+    "j11_banded_interval" ->
       """WITH p AS (SELECT user_id, event_id, epoch_us(ts) AS us
         |  FROM events WHERE event_type = 'purchase'),
         |x AS (SELECT user_id, us, event_id,
@@ -2265,6 +2265,21 @@ object SparkEntry {
         .withColumnRenamed("k", "event_type")
         .orderBy("event_type")
     }),
+    // TS10 (beyond reference): LTTB visual downsampling — keep the
+    // first/last points and, per 7-day bucket, the point forming the
+    // largest triangle with its neighbor buckets' averages (the
+    // parallel variant of Steinarsson's algorithm every dashboard
+    // runs). Exact integer cross-product selection in decimal(38,0),
+    // earliest-day ties — see TimeSeries.lttbDownsample.
+    "ts10_lttb_downsample" -> ((s, d) => {
+      val daily = t(s, d, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      graft.analytics.TimeSeries
+        .lttbDownsample(daily, col("event_type"), col("day"), col("n"),
+          bucketSize = 7)
+        .orderBy("k", "day")
+    }),
     // W13 (beyond reference): month-over-month growth — the header
     // metric of every revenue dashboard. Monthly sums stay DECIMAL;
     // the growth ratio is one double division of two exact values
@@ -2430,6 +2445,36 @@ object SparkEntry {
         |SELECT user_id, min(day) AS island_start, max(day) AS island_end,
         |  count(*) AS n_days
         |FROM r GROUP BY user_id, grp ORDER BY user_id, island_start""".stripMargin,
+    "ts10_lttb_downsample" ->
+      """WITH daily AS (SELECT event_type AS k, CAST(ts AS DATE) AS day, count(*) AS y
+        |  FROM events GROUP BY 1, 2),
+        |d AS (SELECT k, day, CAST(day - DATE '1970-01-01' AS BIGINT) AS x,
+        |    CAST(y AS BIGINT) AS y FROM daily),
+        |t AS (SELECT k, day, x, y,
+        |    row_number() OVER (PARTITION BY k ORDER BY x) - 1 AS rn,
+        |    count(*) OVER (PARTITION BY k) AS cnt FROM d),
+        |tb AS (SELECT *, CAST(CASE WHEN rn = 0 THEN -1
+        |    WHEN rn = cnt - 1 THEN CASE WHEN cnt >= 3 THEN (cnt - 3) // 7 + 1 ELSE 0 END
+        |    ELSE (rn - 1) // 7 END AS BIGINT) AS b FROM t),
+        |sums AS (SELECT k, b, sum(x) AS sx, sum(y) AS sy, count(*) AS c
+        |  FROM tb GROUP BY 1, 2),
+        |nbr AS (SELECT k, b,
+        |    lag(sx) OVER w AS sax, lag(sy) OVER w AS say, lag(c) OVER w AS ca,
+        |    lead(sx) OVER w AS scx, lead(sy) OVER w AS scy, lead(c) OVER w AS cc
+        |  FROM sums WINDOW w AS (PARTITION BY k ORDER BY b)),
+        |cand AS (SELECT tb.k, tb.day, tb.y, tb.b, tb.x,
+        |    abs((tb.x * ca - sax) * (scy * ca - say * cc)
+        |      - (scx * ca - sax * cc) * (tb.y * ca - say)) AS ae
+        |  FROM tb JOIN nbr ON nbr.k = tb.k AND nbr.b = tb.b
+        |  WHERE tb.rn <> 0 AND tb.rn <> tb.cnt - 1),
+        |picked AS (SELECT k, day, y, b FROM (
+        |    SELECT k, day, y, b,
+        |      row_number() OVER (PARTITION BY k, b ORDER BY ae DESC, x) AS pr
+        |    FROM cand) WHERE pr = 1)
+        |SELECT k, day, CAST(y AS BIGINT) AS y, CAST(b AS BIGINT) AS bucket FROM (
+        |  SELECT k, day, y, b FROM tb WHERE rn = 0 OR rn = cnt - 1
+        |  UNION ALL SELECT k, day, y, b FROM picked)
+        |ORDER BY k, day""".stripMargin,
     "ts8_cusum_changepoint" ->
       """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
         |  FROM events GROUP BY 1, 2),

@@ -227,4 +227,81 @@ object TimeSeries {
         abs(col("cusum")).as("cusum_peak"), col("dd").as("n_days"),
         col("tt").as("total"))
   }
+
+  /** TS10: LTTB downsampling — Largest-Triangle-Three-Buckets
+    * (Steinarsson 2013), the standard visual decimation every
+    * observability dashboard runs: keep the first and last points,
+    * split the interior into fixed buckets, and keep from each bucket
+    * the point forming the LARGEST TRIANGLE with its neighbor buckets
+    * — peaks, dips, and changepoints survive where naive striding or
+    * averaging erases them.
+    *
+    * This is the PARALLEL bucket-average variant: both triangle
+    * anchors are the NEIGHBOR BUCKETS' AVERAGES (canonical LTTB uses
+    * the previous bucket's SELECTED point, a sequential dependency no
+    * shuffle-parallel plan can honor; the average-anchor variant is
+    * the standard streaming/partitioned adaptation). Selection is
+    * EXACT: the triangle-area comparison clears both rational anchors'
+    * denominators, so candidates within a bucket compare by an exact
+    * integer cross product E = (pₓ·cₐ − sₐₓ)(s꜀ᵧ·cₐ − sₐᵧ·c꜀) −
+    * (s꜀ₓ·cₐ − sₐₓ·c꜀)(pᵧ·cₐ − sₐᵧ), computed in decimal(38,0) (the
+    * w17 posture — same 128-bit width as the oracle's HUGEINT), ties
+    * to the earliest day. Bit-identical cross-engine ⇒ hash-oracled.
+    *
+    * Scale: runs on the |keys|×|days| daily rollup; one shuffle by
+    * key, two window passes (row numbering, neighbor-bucket lag/lead)
+    * and one per-(key, bucket) argmax — no self-joins, volume-
+    * invariant in the fact count (the w17 property).
+    *
+    * @return (k, day, y, bucket) — retained points only, bucket −1 and
+    *         max are the two anchors.
+    */
+  def lttbDownsample(daily: DataFrame, key: Column, day: Column,
+      n: Column, bucketSize: Int = 7): DataFrame = {
+    val B = bucketSize.toLong
+    val d = daily.select(key.as("k"), day.as("day"),
+      datediff(day, lit("1970-01-01").cast("date")).cast("long").as("x"),
+      n.cast("long").as("y"))
+    val w = Window.partitionBy(col("k")).orderBy(col("x"))
+    val tagged = d
+      .withColumn("rn", row_number().over(w).cast("long") - 1L)
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("k"))))
+      .withColumn("b",
+        when(col("rn") === 0, lit(-1L))
+          .when(col("rn") === col("cnt") - 1,
+            when(col("cnt") >= 3,
+              floor((col("cnt") - 3) / B).cast("long") + 1L).otherwise(lit(0L)))
+          .otherwise(floor((col("rn") - 1) / B).cast("long")))
+    val isAnchor = col("rn") === 0 || col("rn") === col("cnt") - 1
+    // per-(key, bucket) sums; anchors form their own 1-point buckets at
+    // the two ends, so lag/lead over bucket order yields every interior
+    // bucket's neighbor anchors
+    val sums = tagged.groupBy(col("k"), col("b"))
+      .agg(sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        count(lit(1)).as("c"))
+    val wb = Window.partitionBy(col("k")).orderBy(col("b"))
+    val dec = "decimal(38,0)"
+    val nb = sums
+      .withColumn("sax", lag(col("sx"), 1).over(wb))
+      .withColumn("say", lag(col("sy"), 1).over(wb))
+      .withColumn("ca", lag(col("c"), 1).over(wb))
+      .withColumn("scx", lead(col("sx"), 1).over(wb))
+      .withColumn("scy", lead(col("sy"), 1).over(wb))
+      .withColumn("cc", lead(col("c"), 1).over(wb))
+    val cands = tagged.filter(!isAnchor)
+      .join(nb.select(col("k"), col("b"), col("sax"), col("say"), col("ca"),
+        col("scx"), col("scy"), col("cc")), Seq("k", "b"))
+    val e = (col("x").cast(dec) * col("ca") - col("sax")) *
+        (col("scy").cast(dec) * col("ca") - col("say").cast(dec) * col("cc")) -
+      (col("scx").cast(dec) * col("ca") - col("sax").cast(dec) * col("cc")) *
+        (col("y").cast(dec) * col("ca") - col("say"))
+    val picked = cands
+      .withColumn("pr", row_number().over(Window.partitionBy(col("k"), col("b"))
+        .orderBy(abs(e).desc, col("x"))))
+      .filter(col("pr") === 1)
+      .select(col("k"), col("day"), col("y"), col("b").as("bucket"))
+    tagged.filter(isAnchor)
+      .select(col("k"), col("day"), col("y"), col("b").as("bucket"))
+      .union(picked)
+  }
 }

@@ -120,6 +120,35 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got(2L) === ((2L, Date.valueOf("2024-02-01"), 0L, 2L, 10L)))
   }
 
+  test("LTTB downsampling keeps anchors, keeps the spike, ties to earliest on flat series") {
+    def d(i: Int) = Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i.toLong))
+    // key 1: 21 days, flat y=5 except a spike y=100 on day 10 (bucket
+    // [8..14]) — the spike MUST survive (the whole point of LTTB;
+    // striding or averaging would smear it).
+    // key 2: flat everywhere — every interior point is collinear with
+    // both anchors (area 0), so each bucket ties and keeps its
+    // EARLIEST day.
+    // key 3: single point — both anchors collapse to one row.
+    val rows =
+      (0 to 20).map(i => (1L, d(i), if (i == 10) 100L else 5L)) ++
+        (0 to 20).map(i => (2L, d(i), 7L)) ++
+        Seq((3L, d(0), 9L))
+    val got = TimeSeries.lttbDownsample(rows.toDF("k", "day", "n"),
+        col("k"), col("day"), col("n"), bucketSize = 7)
+      .as[(Long, Date, Long, Long)].collect()
+    val k1 = got.filter(_._1 == 1L).sortBy(_._2.toLocalDate.toEpochDay)
+    assert(k1.head._2 === d(0) && k1.last._2 === d(20), "anchors retained")
+    assert(k1.exists(r => r._2 === d(10) && r._3 === 100L),
+      s"the spike must survive downsampling: ${k1.toSeq}")
+    // interior buckets for 21 points at B=7: rn 1..19 -> buckets 0,1,2
+    assert(k1.length === 5, s"2 anchors + 3 bucket picks: ${k1.toSeq}")
+    val k2 = got.filter(_._1 == 2L).sortBy(_._2.toLocalDate.toEpochDay)
+    assert(k2.map(_._2).toSeq === Seq(d(0), d(1), d(8), d(15), d(20)),
+      s"flat series ties to each bucket's earliest day: ${k2.toSeq}")
+    val k3 = got.filter(_._1 == 3L)
+    assert(k3.length === 1 && k3.head._2 === d(0), "single point survives once")
+  }
+
   test("CUSUM statistic is invariant to input row order") {
     val rows = Seq(
       (1L, Date.valueOf("2024-01-04"), 20L), (1L, Date.valueOf("2024-01-01"), 10L),
