@@ -4201,6 +4201,26 @@ object SparkEntry {
     "e25_ivfpq_topk" -> ((s, d) =>
       graft.similarity.Ann.ivfPqTopK(t(s, d, "embeddings"))
         .orderBy("query_id", "rank")),
+    // E34: RESIDUAL-encoded IVF-PQ — IVFADC as the paper specifies it:
+    // codes quantize v − centroid(cell(v)), not the raw vector (e25's
+    // simplification), so the same bytes quantize the post-coarse
+    // residual distribution; the query builds a distance table PER
+    // PROBED CELL (its residual differs per cell). Same determinism
+    // contract as e25 ⇒ the whole composition replays in SQL. E35
+    // pins its recall the e26 way, so raw-PQ vs residual-PQ recall is
+    // a tracked pair of regression numbers.
+    "e34_ivfpq_residual" -> ((s, d) =>
+      graft.similarity.Ann.ivfPqResidualTopK(t(s, d, "embeddings"))
+        .orderBy("query_id", "rank")),
+    "e35_ivfpq_residual_recall" -> ((s, d) => {
+      val emb = t(s, d, "embeddings").localCheckpoint(true)
+      val exact = graft.similarity.Ann.cosineTopKBlocked(emb, 5)
+        .filter(col("query_id") < 50)
+        .select(col("query_id"), col("neighbor_id"))
+      val approx = graft.similarity.Ann.ivfPqResidualTopK(emb)
+        .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+      recallRollup(exact, approx)
+    }),
     // E26: the e18/e19 recall pin for the COMPOSED IVF-PQ retriever —
     // per-query |e25-top5 ∩ exact-top5| / 5 on the 50-query workload.
     // The composed index's recall becomes a hash-gated regression
@@ -4679,6 +4699,77 @@ $sqlRecallTail""".stripMargin
 
   private val ivfPqOracle: String = ivfPqCandChain + topKSimTail("rsim", 5)
 
+  /** e34's oracle: RESIDUAL IVF-PQ (IVFADC proper) replayed end-to-end
+    * — corpus residuals vs each vector's own cell, prefix-residual
+    * codebook, per-(query, probed-cell) distance tables, ADC shortlist,
+    * exact rerank. Extends [[ivfCandSims]]'s cell machinery. */
+  private val ivfPqResidualChain: String =
+    s"""$ivfCandSims,
+       |rres AS (SELECT nv.vec_id, list_transform(range(1, 65), i -> nv.v[i] - c.cv[i]) AS rv
+       |  FROM n nv JOIN member mm ON mm.vec_id = nv.vec_id JOIN c ON c.cell = mm.cell),
+       |rrsub AS (SELECT vec_id, j AS sub, rv[j*8+1 : j*8+8] AS sv
+       |  FROM rres, (SELECT unnest(range(8)) AS j)),
+       |rrcb AS (SELECT sub, vec_id AS centroid_id, sv AS cv FROM rrsub WHERE vec_id < 16),
+       |rrdist AS (SELECT s.vec_id, s.sub, cb.centroid_id,
+       |    list_reduce(list_apply(range(1, 9),
+       |      i -> (s.sv[i] - cb.cv[i]) * (s.sv[i] - cb.cv[i])), (a,b) -> a+b) AS d2
+       |  FROM rrsub s JOIN rrcb cb USING (sub)),
+       |rrcodes AS MATERIALIZED (SELECT vec_id AS neighbor_id, sub, centroid_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, centroid_id) AS rn
+       |    FROM rrdist) WHERE rn = 1),
+       |rqres AS (SELECT p.query_id, p.cell,
+       |    list_transform(range(1, 65), i -> q.v[i] - c.cv[i]) AS rv
+       |  FROM probe p JOIN n q ON q.vec_id = p.query_id JOIN c ON c.cell = p.cell
+       |  WHERE p.query_id < 50),
+       |rqsub AS (SELECT query_id, cell, j AS sub, rv[j*8+1 : j*8+8] AS sv
+       |  FROM rqres, (SELECT unnest(range(8)) AS j)),
+       |rqdt AS (SELECT s.query_id, s.cell, s.sub, cb.centroid_id,
+       |    CAST(round(list_reduce(list_apply(range(1, 9),
+       |      i -> (s.sv[i] - cb.cv[i]) * (s.sv[i] - cb.cv[i])), (a,b) -> a+b)
+       |      * 1000000000000) AS BIGINT) AS qd2_fp
+       |  FROM rqsub s JOIN rrcb cb USING (sub)),
+       |rcandc AS (SELECT p.query_id, m2.vec_id AS neighbor_id, p.cell
+       |  FROM probe p JOIN member m2 ON m2.cell = p.cell AND m2.vec_id <> p.query_id
+       |  WHERE p.query_id < 50),
+       |radc AS (SELECT rcandc.query_id, rcandc.neighbor_id, sum(rqdt.qd2_fp) AS adc_fp
+       |  FROM rcandc JOIN rrcodes USING (neighbor_id)
+       |  JOIN rqdt ON rqdt.query_id = rcandc.query_id AND rqdt.cell = rcandc.cell
+       |    AND rqdt.sub = rrcodes.sub AND rqdt.centroid_id = rrcodes.centroid_id
+       |  GROUP BY 1, 2),
+       |rshort AS (SELECT query_id, neighbor_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc_fp, neighbor_id) AS rn
+       |    FROM radc) WHERE rn <= 20),
+       |rsim2 AS (SELECT query_id, neighbor_id,
+       |    list_reduce(list_apply(range(1, 65), i -> q.v[i] * c2.v[i]), (x,y) -> x+y)
+       |      / (q.nrm * c2.nrm) AS sim
+       |  FROM rshort JOIN n q ON q.vec_id = query_id JOIN n c2 ON c2.vec_id = neighbor_id)""".stripMargin
+
+  private val ivfPqResidualOracle: String =
+    ivfPqResidualChain + topKSimTail("rsim2", 5)
+
+  /** e35's oracle: the e26 recall pin on the residual retriever. */
+  private val ivfPqResidualRecallOracle: String =
+    s"""$ivfPqResidualChain,
+       |ar AS MATERIALIZED (SELECT query_id, neighbor_id FROM (
+       |  SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
+       |  FROM rsim2) WHERE rn <= 5),
+       |esim AS (SELECT q.vec_id AS query_id, c9.vec_id AS neighbor_id,
+       |    list_reduce(list_apply(range(1, 65), i -> q.v[i] * c9.v[i]), (x,y) -> x+y)
+       |      / (q.nrm * c9.nrm) AS sim
+       |  FROM n q JOIN n c9 ON q.vec_id <> c9.vec_id WHERE q.vec_id < 50),
+       |ex AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
+       |  FROM esim) WHERE rn <= 5)
+       |SELECT ex.query_id, count(*) AS k_exact,
+       |  CAST(sum(CASE WHEN ar.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       |  round(CAST(sum(CASE WHEN ar.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / count(*), 6) AS recall
+       |FROM ex LEFT JOIN ar
+       |  ON ar.query_id = ex.query_id AND ar.neighbor_id = ex.neighbor_id
+       |GROUP BY ex.query_id ORDER BY ex.query_id""".stripMargin
+
   /** e26's oracle: the e18/e19 recall pin for the COMPOSED IVF-PQ
     * retriever — per-query |e25-top5 ∩ exact-top5| / 5, exact side
     * restricted to the vec_id<50 workload e25 serves. Makes the
@@ -4798,6 +4889,8 @@ $sqlRecallTail""".stripMargin
     "e16_mmr_topk" -> mmrOracle,
     "e21_ivf_mmr" -> ivfMmrOracle,
     "e25_ivfpq_topk" -> ivfPqOracle,
+    "e34_ivfpq_residual" -> ivfPqResidualOracle,
+    "e35_ivfpq_residual_recall" -> ivfPqResidualRecallOracle,
     "e26_ivfpq_recall" -> ivfPqRecallOracle,
     "e31_int8_recall" -> int8RecallOracle,
     "e32_hamming_recall" -> hammingRecallOracle,

@@ -916,6 +916,107 @@ object Ann {
     rankCandidates(sims, topK)
   }
 
+  /** E34: RESIDUAL-encoded IVF-PQ — IVFADC as Jégou et al. 2011
+    * actually specify it: PQ codes quantize the residual v − c(v)
+    * relative to the vector's OWN cell centroid, not the raw vector
+    * ([[ivfPqTopK]]'s simplification). Residuals concentrate near the
+    * origin — their variance is what remains AFTER the coarse
+    * quantizer explains the cell structure — so the same m·log2(k)
+    * bits quantize a much tighter distribution and ADC distances come
+    * out sharper at identical storage. The price is query-side work:
+    * the distance table must be built per (query, PROBED CELL), since
+    * the query's residual differs per cell — nQueries·nProbe·m·kCode
+    * rows, still corpus-size-free and broadcast.
+    *
+    * Same determinism contract as e25 (prefix seeds, no Lloyd
+    * refinement, prefix-residual codebook, 12-dp scaled-long ADC,
+    * id tie-breaks), so cells, residuals, codes, per-cell tables, ADC
+    * ranks, and the exact rerank all replay row-for-row in the DuckDB
+    * oracle. Residual arithmetic is plain IEEE subtraction — identical
+    * cross-engine.
+    *
+    * Scale: everything e25's scaladoc says, plus one broadcast
+    * |cells|-row centroid-vector table for the residual joins; the
+    * corpus contributes the same three linear passes (assignment,
+    * residual PQ encoding, candidate-code join). */
+  def ivfPqResidualTopK(embeddings: DataFrame, nQueries: Int = 50, m: Int = 8,
+      kCode: Int = 16, nProbe: Int = 4, shortlist: Int = 20, topK: Int = 5,
+      maxCells: Int = 4096): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val e = prepared(embeddings).localCheckpoint(true)
+    val vecs = e.select(col("vec_id"), col("v"), col("nrm")).as[PreparedVec]
+    val n = e.count()
+    if (n == 0)
+      return rankCandidates(
+        spark.emptyDataset[(Long, Long, Double)].toDF("query_id", "neighbor_id", "sim"), topK)
+    val nCells = math.max(1, math.min(maxCells, math.round(math.sqrt(n.toDouble)).toInt))
+    val seeds = vecs.orderBy(col("vec_id")).limit(nCells).collect()
+    val bcCent = spark.sparkContext.broadcast((seeds.map(_.v), seeds.map(_.nrm)))
+    val members = vecs.map { p =>
+      val (cs, cns) = bcCent.value
+      (nearestCell(p.v, p.nrm, cs, cns), p.vec_id)
+    }.toDF("cell", "vec_id")
+    val probes = vecs.filter(_.vec_id < nQueries).flatMap { p =>
+      val (cs, cns) = bcCent.value
+      nearestCells(p.v, p.nrm, cs, cns, nProbe).map(c => (c, p.vec_id))
+    }.toDF("cell", "query_id")
+    // the |cells|-row centroid VECTOR table — the one extra broadcast
+    // structure residual coding needs
+    val cents = seeds.zipWithIndex.map { case (p, i) => (i, p.v) }
+      .toSeq.toDF("cell", "cv0")
+    val dimSub = 64 / m
+    def slices(df: DataFrame, keys: Seq[String]): DataFrame = {
+      val subCols = (0 until m).map(j =>
+        struct(lit(j).as("sub"), slice(col("v"), j * dimSub + 1, dimSub).as("sv")))
+      df.select(keys.map(col) :+ explode(array(subCols: _*)).as("s"): _*)
+        .select(keys.map(col) ++ Seq(col("s.sub").as("sub"), col("s.sv").as("sv")): _*)
+    }
+    // corpus residuals vs each vector's OWN cell
+    val res = e.join(members, "vec_id")
+      .join(broadcast(cents), "cell")
+      .select(col("vec_id"), zip_with(col("v"), col("cv0"), (a, b) => a - b).as("v"))
+    val rsub = slices(res, Seq("vec_id")).localCheckpoint(true)
+    val codebook = rsub.filter(col("vec_id") < kCode)
+      .select(col("sub"), col("vec_id").as("centroid_id"), col("sv").as("cv"))
+    val codes = rsub.join(broadcast(codebook), "sub")
+      .select(col("vec_id"), col("sub"), col("centroid_id"), subDist2.as("d2"))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min(struct(col("d2"), col("centroid_id"))).as("best"))
+      .select(col("vec_id").as("neighbor_id"), col("sub"),
+        col("best.centroid_id").as("centroid_id"))
+    // query residuals PER PROBED CELL (the IVFADC-specific step)
+    val qres = e.filter(col("vec_id") < nQueries)
+      .join(probes.withColumnRenamed("query_id", "vec_id"), "vec_id")
+      .join(broadcast(cents), "cell")
+      .select(col("vec_id").as("query_id"), col("cell"),
+        zip_with(col("v"), col("cv0"), (a, b) => a - b).as("v"))
+    val dtable = slices(qres, Seq("query_id", "cell"))
+      .join(broadcast(codebook), "sub")
+      .select(col("query_id"), col("cell"), col("sub"), col("centroid_id"),
+        round(subDist2 * lit(1e12)).cast("long").as("qd2_fp"))
+    // candidates carry their cell — the ADC lookup is cell-specific
+    val candc = members.withColumnRenamed("vec_id", "neighbor_id")
+      .join(broadcast(probes), "cell")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), col("cell"))
+    val adc = codes.join(broadcast(candc), "neighbor_id")
+      .join(broadcast(dtable), Seq("query_id", "cell", "sub", "centroid_id"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("qd2_fp")).as("adc_fp"))
+    val short = graft.operators.TopK.perKey(adc, Seq("query_id"),
+        Seq(col("adc_fp").asc, col("neighbor_id").asc), shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    val sims = short
+      .join(e.select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn")), "query_id")
+      .join(e.select(col("vec_id").as("neighbor_id"), col("v").as("cv"),
+        col("nrm").as("cn")), "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("sim"))
+    rankCandidates(sims, topK)
+  }
+
   /** E13: Matryoshka truncated-dimension cosine top-k — run the exact
     * [[cosineTopKBlocked]] pipeline on only the FIRST `dims` of each
     * embedding (Kusupati et al. 2022: MRL embeddings front-load
