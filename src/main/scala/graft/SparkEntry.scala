@@ -2349,6 +2349,30 @@ object SparkEntry {
           cume_dist().over(w).as("cume"))
         .orderBy("c_mktsegment", "c_custkey")
     }),
+    // W18 (beyond reference): session-relative event features — per
+    // event its index within the session, microseconds since session
+    // start, and the session's event count (the standard featurization
+    // triplet for sequence models and engagement scoring; w5 emits the
+    // session SUMMARY, this emits the per-event view a feature store
+    // materializes). Same 30-min-gap session assignment as w5/ts9/j11;
+    // one shuffle by user, three window passes over it.
+    "w18_session_features" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val sess = t(s, d, "events")
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("prev", lag(col("us"), 1).over(w))
+        .withColumn("new_s", when(col("prev").isNull ||
+          col("us") - col("prev") > 1800000000L, 1L).otherwise(0L))
+        .withColumn("session_id", sum(col("new_s")).over(wRun))
+      val ws = Window.partitionBy(col("user_id"), col("session_id"))
+      val wsOrd = ws.orderBy(col("us"), col("event_id"))
+      sess.select(col("event_id"), col("user_id"), col("session_id"),
+          row_number().over(wsOrd).as("idx_in_session"),
+          (col("us") - min(col("us")).over(ws)).as("us_into_session"),
+          count(lit(1)).over(ws).as("session_n_events"))
+        .orderBy("event_id")
+    }),
     // W15 (beyond reference): gaps-and-islands — maximal runs of
     // CONSECUTIVE active days per user (streak detection; the
     // engagement twin of w5's time-gap sessionization). The classic
@@ -2436,6 +2460,24 @@ object SparkEntry {
         |  percent_rank() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal) AS pct_rank,
         |  cume_dist() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal) AS cume
         |FROM customer ORDER BY c_mktsegment, c_custkey""".stripMargin,
+    "w18_session_features" ->
+      """WITH o AS (SELECT event_id, user_id, epoch_us(ts) AS us,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev
+        |  FROM events),
+        |x AS (SELECT event_id, user_id, us,
+        |    CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1 ELSE 0 END AS ns
+        |  FROM o),
+        |y AS (SELECT event_id, user_id, us,
+        |    CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM x)
+        |SELECT event_id, user_id, session_id,
+        |  CAST(row_number() OVER (PARTITION BY user_id, session_id ORDER BY us, event_id) AS INT)
+        |    AS idx_in_session,
+        |  CAST(us - min(us) OVER (PARTITION BY user_id, session_id) AS BIGINT)
+        |    AS us_into_session,
+        |  count(*) OVER (PARTITION BY user_id, session_id) AS session_n_events
+        |FROM y ORDER BY event_id""".stripMargin,
     "w15_gap_islands" ->
       """WITH dd AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
         |r AS (SELECT user_id, day,
@@ -2984,7 +3026,26 @@ object SparkEntry {
         .select(col("event_id"),
           to_json(struct(col("payload.k").as("k"), col("event_type").as("t"))).as("j"))
         .withColumn("k2", get_json_object(col("j"), "$.k").cast("long"))
-        .orderBy("event_id"))
+        .orderBy("event_id")),
+    // F13 (beyond reference): URL decomposition — host / path / query
+    // param / fragment via Spark's NATIVE parse_url expression
+    // (codegen'd; java.net.URI semantics), the first step of
+    // domain-level dedup, per-host mixing quotas, and crawl
+    // canonicalization. URLs are fabricated deterministically from the
+    // documents table (the mm6/mm7 recipe), so the oracle states every
+    // component ARITHMETICALLY — it never parses — and any parse_url
+    // semantic surprise hash-fails.
+    "f13_url_parts" -> ((s, d) =>
+      t(s, d, "documents")
+        .withColumn("url", concat(lit("https://"), col("source"),
+          lit(".example.com/"), col("lang"), lit("/doc/"), col("doc_id"),
+          lit("?page="), col("doc_id") % 7, lit("#s"), col("doc_id") % 3))
+        .select(col("doc_id"), col("url"),
+          parse_url(col("url"), lit("HOST")).as("host"),
+          parse_url(col("url"), lit("PATH")).as("path"),
+          parse_url(col("url"), lit("QUERY"), lit("page")).as("page"),
+          parse_url(col("url"), lit("REF")).as("fragment"))
+        .orderBy("doc_id"))
   )
 
   private val fnOracles: Map[String, String] = Map(
@@ -3013,6 +3074,17 @@ object SparkEntry {
         |  coalesce(nullif(event_type, 'error'), 'unknown') AS defaulted,
         |  printf('%.2f', value) AS fmt_value
         |FROM events ORDER BY event_id""".stripMargin,
+    // every component stated arithmetically from the same construction
+    // — the oracle never parses (the mm7 recipe)
+    "f13_url_parts" ->
+      """SELECT doc_id,
+        |  'https://' || source || '.example.com/' || lang || '/doc/' || doc_id
+        |    || '?page=' || doc_id % 7 || '#s' || doc_id % 3 AS url,
+        |  source || '.example.com' AS host,
+        |  '/' || lang || '/doc/' || doc_id AS path,
+        |  CAST(doc_id % 7 AS VARCHAR) AS page,
+        |  's' || doc_id % 3 AS fragment
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "f6_json_roundtrip" ->
       """SELECT event_id, j, (json_extract_string(j, '$.k'))::BIGINT AS k2 FROM (
         |  SELECT event_id,
