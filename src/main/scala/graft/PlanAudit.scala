@@ -119,9 +119,6 @@ object PlanAudit {
       try {
         val qe = fn(spark, dir).queryExecution
         val plan = qe.sparkPlan
-        val scans = plan.collect { case s: FileSourceScanExec => s }.size
-        val exch = plan.collect { case e: ShuffleExchangeExec => e }.size
-        val smj = plan.collect { case j: SortMergeJoinExec => j }.size
         // re-scan detection (the p2 bug class): the same parquet path
         // scanned ≥3× in one plan means a shared frame should have been
         // checkpointed (2× is legitimate: self-joins, hist∪live).
@@ -144,6 +141,14 @@ object PlanAudit {
             a.executedPlan
           case p => p
         }
+        // shape counts read the POST-EnsureRequirements plan: the bare
+        // sparkPlan carries only explicit-repartition exchanges (the
+        // distribution-required ones are inserted during preparation),
+        // so counting there silently underreported every join/agg
+        // exchange — the r13 audit of the audit
+        val scans = execPlan.collect { case s: FileSourceScanExec => s }.size
+        val exch = execPlan.collect { case e: ShuffleExchangeExec => e }.size
+        val smj = execPlan.collect { case j: SortMergeJoinExec => j }.size
         val dupExchangeScans = execPlan
           .collect { case e: ShuffleExchangeExec => e }
           .groupBy(_.canonicalized).values.flatMap(_.drop(1))
