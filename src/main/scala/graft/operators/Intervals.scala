@@ -42,12 +42,20 @@ object Intervals {
   def bandedContainmentJoin(points: DataFrame, pKey: String, pUs: String,
       intervals: DataFrame, iKey: String, loUs: String, hiUs: String,
       bandMicros: Long = 3600000000L): DataFrame = {
+    // band id by INTEGER division (`div`), not a double divide + cast:
+    // the float quotient is provably safe below 2^53 µs but the exact
+    // form needs no proof, and truncation is monotone, so a point's
+    // band always lies within its containing interval's band range —
+    // for negative (pre-epoch) timestamps too
+    def band(c: String) = expr(s"$c div ${bandMicros}L")
     val bandedIntervals = intervals
-      .withColumn("__band", explode(sequence(
-        (col(loUs) / bandMicros).cast("long"),
-        (col(hiUs) / bandMicros).cast("long"))))
+      // an inverted interval (hi < lo) matches nothing in the plain
+      // BETWEEN join; dropped HERE because Spark's sequence() would
+      // otherwise auto-step DOWNWARD and band it as if valid
+      .filter(col(hiUs) >= col(loUs))
+      .withColumn("__band", explode(sequence(band(loUs), band(hiUs))))
     val bandedPoints = points
-      .withColumn("__band", (col(pUs) / bandMicros).cast("long"))
+      .withColumn("__band", band(pUs))
     bandedPoints
       .join(bandedIntervals,
         bandedPoints(pKey) === bandedIntervals(iKey) &&

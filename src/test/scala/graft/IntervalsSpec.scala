@@ -60,6 +60,21 @@ class IntervalsSpec extends SparkSpec {
       exp.contains((200L, 20L)))
   }
 
+  test("negative (pre-epoch) timestamps and inverted intervals band correctly") {
+    val intervals = Seq(
+      (1L, 1L, -250L, -50L),  // spans negative band boundaries
+      (1L, 2L, -50L, 50L),    // straddles zero
+      (1L, 3L, 90L, 10L)      // INVERTED: matches nothing (BETWEEN is empty);
+                              // unguarded, sequence() would step DOWNWARD
+    ).toDF("ik", "iid", "lo", "hi")
+    val points = Seq(
+      (1L, 1L, -250L), (1L, 2L, -100L), (1L, 3L, -50L), (1L, 4L, 0L),
+      (1L, 5L, 50L), (1L, 6L, -251L), (1L, 7L, 20L))
+      .toDF("k", "pid", "us")
+    assert(banded(points, intervals) === plainJoin(points, intervals),
+      "banded must equal plain on negative domains and inverted intervals")
+  }
+
   test("a point never duplicates against a multi-band interval") {
     val intervals = Seq((1L, 1L, 0L, 1000L)).toDF("ik", "iid", "lo", "hi")
     val points = Seq((1L, 1L, 500L)).toDF("k", "pid", "us")
