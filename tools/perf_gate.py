@@ -61,6 +61,15 @@ EXCEPTIONS = {
         "single-process unrolled pipeline (0.4 s). 10x slope ~1.0x "
         "(2.32 s sf0.1 vs 2.13 s replica: distance table is "
         "node-bounded and delta rounds shrink as frontiers saturate).",
+    "e31_int8_recall":
+        "a LABELED n^2 recall measurement (PlanAudit quadraticBaselines; "
+        "the e26 posture: recall evaluation runs on a sampled corpus in "
+        "deployment) — the exact float top-5 pass and the int8 code-tier "
+        "pass each scan all 2000x2000 pairs for the 50-query workload; "
+        "oscillates 2.3-2.7 s across runs on either side of the band "
+        "edge. The serving-path twins it gates (e29, and the composed "
+        "IVF forms e25/e28) are in-band; the measurement itself is not "
+        "a production query shape.",
     "g7_kcore":
         "inherits mb1's documented pair-build constant (~2 s: the "
         "co-partitioned lineitem self-join kept per the r8 scale-first "
