@@ -1601,6 +1601,17 @@ object SparkEntry {
     // well-defined and SQL-replayable. Both stage hops ride
     // operators.AsOf (its 3rd call site) — one union-merge shuffle
     // per hop, never a views×clicks range join.
+    // A31 (beyond reference): KMV set-operation estimation — union and
+    // intersection cardinalities of the view-users and purchase-users
+    // sets from their ≤k-row KMV synopses ("how many users do these
+    // two funnels share" without re-scanning either side). The sketch
+    // ALGEBRA — merge-for-union, common-fraction-for-intersection
+    // (Beyer et al. 2007) — is itself hash-oracled, the a13/a25
+    // recipe applied to sketch composition. See Sketches.kmvSetOps.
+    "a31_kmv_set_ops" -> ((s, d) =>
+      graft.sketch.Sketches.kmvSetOps(
+        t(s, d, "events"), col("event_type"),
+        col("user_id").cast("string"), "view", "purchase")),
     "a30_window_funnel" -> ((s, d) => {
       val T = 3600000000L // 1 h in µs
       val ev = t(s, d, "events")
@@ -1750,6 +1761,11 @@ object SparkEntry {
               "SELECT event_type AS g, CAST(user_id AS VARCHAR) AS v FROM events",
               "event_type", 256)}
          |) kmv ORDER BY event_type""".stripMargin,
+    // the KMV set-operation ALGEBRA replayed — sketches built,
+    // merged, and both estimates derived in SQL
+    "a31_kmv_set_ops" -> graft.sketch.Sketches.kmvSetOpsSql(
+      "SELECT event_type AS tg, CAST(user_id AS VARCHAR) AS v FROM events",
+      "view", "purchase"),
     "dq1_profile_approx" -> {
       val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
         "o_totalprice", "o_orderpriority")

@@ -399,6 +399,83 @@ object Sketches {
        |  END AS est_distinct
        |FROM agg""".stripMargin
 
+  /** KMV SET-OPERATION estimation (Beyer et al. 2007, "On Synopses
+    * for Distinct-Value Estimation") — the property that makes KMV
+    * the warehouse sketch: two sketches COMPOSE. The k smallest
+    * hashes of A ∪ B are a subset of kmv(A) ∪ kmv(B), so the union
+    * sketch merges without touching the data; and because the merged
+    * sketch is a uniform sample of A ∪ B's hash space, the fraction
+    * of its entries present in BOTH input sketches estimates the
+    * Jaccard — |A∩B| ≈ (K∩/k)·|A∪B|. Distinct-count audits across
+    * segments ("how many users do these two funnels share") run on
+    * ≤k-row synopses instead of re-scanning either side.
+    *
+    * Same determinism contract as [[kmvDistinct]] (md5-60 hashes,
+    * integer compares, one double divide per estimate, 4dp round) —
+    * the sketch ALGEBRA itself is hash-oracled. When the merged
+    * sketch holds fewer than k hashes it is exhaustive and both
+    * estimates are exact counts.
+    *
+    * @return one row: (n_kept, k_common, est_union, est_intersection)
+    */
+  def kmvSetOps(df: DataFrame, tag: Column, value: Column,
+      tagA: String, tagB: String, k: Int = 256): DataFrame = {
+    require(k >= 2, "KMV needs k >= 2")
+    val hashes = df.filter(value.isNotNull && (tag === tagA || tag === tagB))
+      .select(tag.as("tg"), kmvHash(value).as("h"))
+      .distinct()
+    val kept = graft.operators.TopK.perKey(hashes, Seq("tg"), Seq(col("h").asc), k)
+      .localCheckpoint(true) // ≤ 2k rows; consumed by 3 frames below
+    val keptA = kept.filter(col("tg") === tagA).select(col("h"))
+    val keptB = kept.filter(col("tg") === tagB).select(col("h"))
+    val merged = keptA.union(keptB).distinct().orderBy(col("h")).limit(k)
+      .localCheckpoint(true)
+    val estU = lit((k - 1).toDouble) * lit(math.pow(2, 60)) /
+      col("hk").cast("double")
+    merged.agg(count(lit(1)).as("n_kept"), max(col("h")).as("hk"))
+      .crossJoin(broadcast(
+        merged.join(keptA, Seq("h"), "left_semi")
+          .join(keptB, Seq("h"), "left_semi")
+          .agg(count(lit(1)).as("k_common"))))
+      .select(col("n_kept"), col("k_common"),
+        when(col("n_kept") < k, col("n_kept").cast("double"))
+          .otherwise(round(estU, 4)).as("est_union"),
+        when(col("n_kept") < k, col("k_common").cast("double"))
+          .otherwise(round(col("k_common").cast("double") * estU / k, 4))
+          .as("est_intersection"))
+  }
+
+  /** Oracle SQL for [[kmvSetOps]] over a two-column relation
+    * `FROM (...) src(tg, v)` — sketch construction, merge, and both
+    * estimates mirrored exactly. */
+  def kmvSetOpsSql(srcSql: String, tagA: String, tagB: String,
+      k: Int = 256): String =
+    s"""WITH src AS ($srcSql),
+       |h AS (SELECT DISTINCT tg, ('0x' || substr(md5('kmv:' || v), 1, 15))::BIGINT AS h
+       |  FROM src WHERE v IS NOT NULL AND tg IN ('$tagA', '$tagB')),
+       |ka AS (SELECT h FROM (
+       |    SELECT h, row_number() OVER (ORDER BY h) AS rn FROM h WHERE tg = '$tagA')
+       |  WHERE rn <= $k),
+       |kb AS (SELECT h FROM (
+       |    SELECT h, row_number() OVER (ORDER BY h) AS rn FROM h WHERE tg = '$tagB')
+       |  WHERE rn <= $k),
+       |merged AS (SELECT h FROM (
+       |    SELECT h, row_number() OVER (ORDER BY h) AS rn FROM (
+       |      SELECT DISTINCT h FROM (SELECT h FROM ka UNION ALL SELECT h FROM kb)))
+       |  WHERE rn <= $k),
+       |ms AS (SELECT count(*) AS n_kept, max(h) AS hk FROM merged),
+       |cm AS (SELECT count(*) AS k_common FROM merged
+       |  WHERE h IN (SELECT h FROM ka) AND h IN (SELECT h FROM kb))
+       |SELECT n_kept, k_common,
+       |  CASE WHEN n_kept < $k THEN CAST(n_kept AS DOUBLE)
+       |       ELSE round((${k - 1} * 1152921504606846976.0) / CAST(hk AS DOUBLE), 4)
+       |  END AS est_union,
+       |  CASE WHEN n_kept < $k THEN CAST(k_common AS DOUBLE)
+       |       ELSE round(CAST(k_common AS DOUBLE) *
+       |         ((${k - 1} * 1152921504606846976.0) / CAST(hk AS DOUBLE)) / $k, 4)
+       |  END AS est_intersection
+       |FROM ms, cm""".stripMargin
+
   /** Oracle SQL for [[cmsEstimates]] joined with exact counts, over a
     * one-column relation `FROM (...) src(k)`; the key is emitted as
     * `outName` so the driver's by-name column compare lines up. */

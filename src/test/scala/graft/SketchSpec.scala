@@ -59,6 +59,32 @@ class SketchSpec extends SparkSpec {
     assert(one === glob)
   }
 
+  test("KMV set ops: exhaustive sketches are exact; saturated estimates land near truth") {
+    // A = {0..149}, B = {100..299}: |A∪B| = 300, |A∩B| = 50
+    val rows = ((0 until 150).map(i => ("a", i.toLong)) ++
+      (100 until 300).map(i => ("b", i.toLong))).toDF("tg", "v")
+    // k = 512 > 300 distinct: the merged sketch is exhaustive — both
+    // estimates must be the EXACT counts
+    val exact = Sketches.kmvSetOps(rows, col("tg"), col("v").cast("string"),
+        "a", "b", k = 512)
+      .as[(Long, Long, Double, Double)].collect().head
+    assert(exact === ((300L, 50L, 300.0, 50.0)), s"exhaustive must be exact: $exact")
+    // k = 64 << 300: saturated sketch — estimates are approximate but
+    // must land within the KMV error envelope (~1/sqrt(k) ≈ 12.5%;
+    // assert a generous 35% so the pin survives any seed)
+    val est = Sketches.kmvSetOps(rows, col("tg"), col("v").cast("string"),
+        "a", "b", k = 64)
+      .as[(Long, Long, Double, Double)].collect().head
+    assert(est._1 === 64L, "saturated sketch keeps exactly k")
+    assert(math.abs(est._3 - 300.0) / 300.0 < 0.35, s"union estimate: $est")
+    assert(math.abs(est._4 - 50.0) / 50.0 < 0.75, s"intersection estimate: $est")
+    // estimates are partitioning-independent (set semantics end to end)
+    val resharded = Sketches.kmvSetOps(rows.repartition(13), col("tg"),
+        col("v").cast("string"), "a", "b", k = 64)
+      .as[(Long, Long, Double, Double)].collect().head
+    assert(resharded === est, "sketch must not depend on sharding")
+  }
+
   test("CMS estimates are one-sided: est >= exact for every key") {
     val exact = events.groupBy(col("user_id").as("k")).agg(count(lit(1)).as("exact"))
     val bad = Sketches.cmsEstimates(events, col("user_id"))
