@@ -332,6 +332,32 @@ object GraftProperties extends Properties("graft") {
       native == cols
     }
 
+  property("banded containment join == plain BETWEEN join on random intervals") =
+    forAll(
+      Gen.listOf(for {
+        k <- Gen.chooseNum(1L, 3L)
+        iid <- Gen.chooseNum(0L, 500L)
+        lo <- Gen.chooseNum(-300L, 300L)
+        len <- Gen.chooseNum(-30L, 400L) // negative => inverted interval
+      } yield (k, iid, lo, lo + len)),
+      Gen.listOf(for {
+        k <- Gen.chooseNum(1L, 3L)
+        pid <- Gen.chooseNum(0L, 500L)
+        us <- Gen.chooseNum(-350L, 750L)
+      } yield (k, pid, us))) { (ivs, pts) =>
+      val intervals = ivs.distinct.toDF("ik", "iid", "lo", "hi")
+      val points = pts.distinct.toDF("k", "pid", "us")
+      val got = graft.operators.Intervals
+        .bandedContainmentJoin(points, "k", "us",
+          intervals, "ik", "lo", "hi", bandMicros = 100L)
+        .select(col("pid"), col("iid")).as[(Long, Long)].collect().toSet
+      val want = points.join(intervals,
+          points("k") === intervals("ik") &&
+            points("us") >= intervals("lo") && points("us") <= intervals("hi"))
+        .select(col("pid"), col("iid")).as[(Long, Long)].collect().toSet
+      got == want
+    }
+
   property("TopKPerKey == row_number window twin on random skewed frames") =
     forAll(
       Gen.chooseNum(1, 5),
