@@ -54,6 +54,11 @@ object PlanAudit {
       ("documented segment-fits-memory baseline (Ann.cosineTopKAgainst scaladoc): the " +
         "broadcast side is the metadata-FILTERED corpus segment; beyond memory, the " +
         "same filter composes into the IVF/LSH cell scan as in e14"),
+    "e36_lsh_ndcg" ->
+      ("the exact REFERENCE pass of the NDCG measurement runs the e17 kernel " +
+        "(cosineTopKAgainst) with the stream side bounded by construction to the " +
+        "50-query eval workload (vec_id < 50) — 50·n pairs, linear in the corpus; " +
+        "the retriever under evaluation (pinned LSH) is the bucketed production shape"),
     "w17_rolling_corr" ->
       ("every non-equi/cross join runs on CALENDAR- or KEY-CATALOG-bounded frames, " +
         "never the facts: the span scalar is one aggregated row, the key-pair grid is " +
