@@ -34,9 +34,19 @@ object Bucketed {
       nBuckets: Int = 8): DataFrame = synchronized {
     val tag = sfDir.replaceAll("[^A-Za-z0-9]", "_")
     val tbl = s"graft_b_${name}_$tag"
+    // PID-scoped path: two concurrent JVMs (Bench + Verify) must never
+    // write the same directory — the catalog entry is per-JVM anyway,
+    // so cross-process path sharing bought nothing but a race (r13
+    // advice). _SUCCESS is checked even when the catalog entry exists:
+    // a tmp reaper (or an interrupted writer) leaves a table whose
+    // every read fails — rebuild instead.
+    val path = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_buckets",
+      ProcessHandle.current().pid().toString, tag, name)
+    val exists = spark.catalog.tableExists(tbl)
+    if (exists && !java.nio.file.Files.exists(path.resolve("_SUCCESS")))
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
     if (!spark.catalog.tableExists(tbl)) {
-      val path = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"), "graft_buckets", tag, name)
       graft.Tables.table(spark, sfDir, name).write
         .mode("overwrite")
         .bucketBy(nBuckets, key).sortBy(key)

@@ -41,26 +41,6 @@ EXCEPTIONS = {
         "single-process pipeline. The slim-row exchange-reused shape is "
         "the one that survives 100 TB (PLANS.md r11); kernel and "
         "agg-join A/Bs both measured slower.",
-    "mb1_copurchase_pairs":
-        "oscillates 2.3-3.0 s across runs on either side of the band "
-        "edge (r8's seven-run study). The co-partitioned self-join was "
-        "A/B'd against a SortedPairs basket-kernel at BOTH scales: the "
-        "kernel wins ~25% at sf0.1 but LOSES ~25% at the 10x replica, "
-        "so the join is kept per the scale-first criterion (PLANS.md "
-        "r8); the scoped 2 MB advisory conf is already applied.",
-    "g5_bfs_hops":
-        "multi-stage constant, not volume: ~2.1 s (r12: 3.1 s) after "
-        "the r13 frontier-delta rewrite — messages only from "
-        "newly-reached nodes, visited anti-join, count-driven "
-        "broadcast hints. Instrumented breakdown (PLANS.md r13): "
-        "~1.0 s edge build (join + dedup exchange + persist of 1.17M "
-        "rows, the g1/g3 edge cost), 3 delta rounds at ~0.25 s each "
-        "(two broadcast builds + probe wave + node-dedup reduce + "
-        "eager checkpoint), ~0.2 s driver-side frontier counts — "
-        "~14 dependent stage waves of scheduling floor vs DuckDB's "
-        "single-process unrolled pipeline (0.4 s). 10x slope ~1.0x "
-        "(2.32 s sf0.1 vs 2.13 s replica: distance table is "
-        "node-bounded and delta rounds shrink as frontiers saturate).",
     "e31_int8_recall":
         "a LABELED n^2 recall measurement (PlanAudit quadraticBaselines; "
         "the e26 posture: recall evaluation runs on a sampled corpus in "
@@ -70,28 +50,6 @@ EXCEPTIONS = {
         "edge. The serving-path twins it gates (e29, and the composed "
         "IVF forms e25/e28) are in-band; the measurement itself is not "
         "a production query shape.",
-    "g7_kcore":
-        "inherits mb1's documented pair-build constant (~2 s: the "
-        "co-partitioned lineitem self-join kept per the r8 scale-first "
-        "A/B) plus up to 4 peel rounds, each one degree aggregation + "
-        "two broadcast semi-joins + an eager checkpoint over an edge "
-        "set that only shrinks (21 surviving nodes at sf0.1 after "
-        "peel 1 — rounds 2+ are near-empty stage waves); a fixpoint "
-        "short-circuit skips converged rounds (identity in both "
-        "engines). ~3.1 s in-suite vs DuckDB 0.34 s single-process. "
-        "The r13 stress row pins the 10x slope at 1.4x, so the "
-        "absolute number is the stage constant, not a scaling defect.",
-    "g6_clustering_coeff":
-        "inherits mb1's documented pair-build constant (~2 s: the "
-        "co-partitioned lineitem self-join kept per the r8 scale-first "
-        "A/B) plus ~0.8 s of triangle machinery — orientation joins, "
-        "wedge self-join, corner explode, cc rollup — across ~6 "
-        "dependent stage waves over a 3.8k-edge graph; oscillates "
-        "2.7-3.5 s with the mb1 band. The r13 stress row pins the 10x "
-        "slope at 1.2x (O(m^1.5) wedge bound holds), so the absolute "
-        "number is the stage constant, not a scaling defect. An "
-        "eager-checkpoint A/B of the shared frames measured SLOWER "
-        "(3.48 s) than ReuseExchange serving the wedge branches.",
     "x2_fact_fact_join":
         "the deliberately-plain fact-fact shuffle join control at "
         "1.7-2.2 s: its bucketed zero-exchange escape is now a "
