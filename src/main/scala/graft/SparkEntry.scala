@@ -4263,6 +4263,26 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
       recallRollup(exact, approx)
     }),
+    // E33-SAMPLED: the adaptive-recall pin on a FIXED 50-query
+    // evaluation workload — the form that scales. e33's every-query
+    // reference pass is inherently quadratic in the corpus (its r13
+    // 10× slope measured 5.9×, entirely the exact side); production
+    // recall monitoring samples a bounded query set, making the
+    // reference pass linear (50·n via cosineTopKAgainst — the
+    // e26/e31/e36 posture, here applied to the ADAPTIVE plane rule).
+    // Registered alongside e33 so the bounded form is itself
+    // hash-gated: same plane-count CASE, same rollup, same oracle
+    // machinery restricted to the workload.
+    "e33_adaptive_recall_sampled" -> ((s, d) => {
+      val emb = t(s, d, "embeddings").localCheckpoint(true)
+      val exact = graft.similarity.Ann
+        .cosineTopKAgainst(emb.filter(col("vec_id") < 50), emb, 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val approx = graft.similarity.Ann.lshTopK(emb, 5)
+        .filter(col("query_id") < 50)
+        .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+      recallRollup(exact, approx)
+    }),
     // E19: the same recall pin for the IVF family — per-query
     // |IVF-top5 ∩ exact-top5| / 5 in the oracle-able configuration:
     // prefix seeds (lowest vec_ids — DuckDB has no xxhash64 twin) and
@@ -4336,8 +4356,12 @@ object SparkEntry {
         .orderBy("query_id", "rank")),
     "e35_ivfpq_residual_recall" -> ((s, d) => {
       val emb = t(s, d, "embeddings").localCheckpoint(true)
-      val exact = graft.similarity.Ann.cosineTopKBlocked(emb, 5)
-        .filter(col("query_id") < 50)
+      // exact reference via the LINEAR queries-vs-corpus pass (50·n
+      // pairs, bit-identical numerics to the blocked kernel — the e36
+      // posture): filtering the all-pairs kernel computed every query
+      // first, which made this recall pin's 10× slope quadratic (r13)
+      val exact = graft.similarity.Ann
+        .cosineTopKAgainst(emb.filter(col("vec_id") < 50), emb, 5)
         .select(col("query_id"), col("neighbor_id"))
       val approx = graft.similarity.Ann.ivfPqResidualTopK(emb)
         .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
@@ -4355,28 +4379,40 @@ object SparkEntry {
     // regression number, not just a spec floor.
     "e31_int8_recall" -> ((s, d) => {
       val emb = t(s, d, "embeddings").localCheckpoint(true)
-      val exact = graft.similarity.Ann.cosineTopKBlocked(emb, 5)
-        .filter(col("query_id") < 50)
+      // exact reference via the LINEAR queries-vs-corpus pass (50·n
+      // pairs, bit-identical numerics to the blocked kernel — the e36
+      // posture): filtering the all-pairs kernel computed every query
+      // first, which made this recall pin's 10× slope quadratic (r13)
+      val exact = graft.similarity.Ann
+        .cosineTopKAgainst(emb.filter(col("vec_id") < 50), emb, 5)
         .select(col("query_id"), col("neighbor_id"))
-      val approx = graft.similarity.Ann.int8TopK(emb, 5)
-        .filter(col("query_id") < 50)
+      val approx = graft.similarity.Ann
+        .int8TopK(emb, 5, queryPred = Some(col("vec_id") < 50))
         .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
       recallRollup(exact, approx)
     }),
     "e32_hamming_recall" -> ((s, d) => {
       val emb = t(s, d, "embeddings").localCheckpoint(true)
-      val exact = graft.similarity.Ann.cosineTopKBlocked(emb, 5)
-        .filter(col("query_id") < 50)
+      // exact reference via the LINEAR queries-vs-corpus pass (50·n
+      // pairs, bit-identical numerics to the blocked kernel — the e36
+      // posture): filtering the all-pairs kernel computed every query
+      // first, which made this recall pin's 10× slope quadratic (r13)
+      val exact = graft.similarity.Ann
+        .cosineTopKAgainst(emb.filter(col("vec_id") < 50), emb, 5)
         .select(col("query_id"), col("neighbor_id"))
-      val approx = graft.similarity.Ann.hammingTopK(emb, 5)
-        .filter(col("query_id") < 50)
+      val approx = graft.similarity.Ann
+        .hammingTopK(emb, 5, queryPred = Some(col("vec_id") < 50))
         .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
       recallRollup(exact, approx)
     }),
     "e26_ivfpq_recall" -> ((s, d) => {
       val emb = t(s, d, "embeddings").localCheckpoint(true)
-      val exact = graft.similarity.Ann.cosineTopKBlocked(emb, 5)
-        .filter(col("query_id") < 50)
+      // exact reference via the LINEAR queries-vs-corpus pass (50·n
+      // pairs, bit-identical numerics to the blocked kernel — the e36
+      // posture): filtering the all-pairs kernel computed every query
+      // first, which made this recall pin's 10× slope quadratic (r13)
+      val exact = graft.similarity.Ann
+        .cosineTopKAgainst(emb.filter(col("vec_id") < 50), emb, 5)
         .select(col("query_id"), col("neighbor_id"))
       val approx = graft.similarity.Ann.ivfPqTopK(emb)
         .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
@@ -4530,12 +4566,14 @@ object SparkEntry {
   /** Shared SQL tail of the e18/e19 recall oracles: exact top-5 over
     * all pairs (`n` CTE) left-joined to the approx top-5 (`ar` CTE),
     * rolled to per-query recall — one definition, two index families
-    * (mirrors [[recallRollup]] on the Spark side). */
-  private val sqlRecallTail: String =
-    """esim AS (SELECT q.vec_id AS query_id, c9.vec_id AS neighbor_id,
+    * (mirrors [[recallRollup]] on the Spark side). `queryPred`
+    * restricts the exact reference pass to an evaluation workload
+    * (e.g. " WHERE q.vec_id < 50" — the sampled-recall posture). */
+  private def sqlRecallTailFor(queryPred: String): String =
+    s"""esim AS (SELECT q.vec_id AS query_id, c9.vec_id AS neighbor_id,
       |    list_reduce(list_apply(range(1, 65), i -> q.v[i] * c9.v[i]), (x,y) -> x+y)
       |      / (q.nrm * c9.nrm) AS sim
-      |  FROM n q JOIN n c9 ON q.vec_id <> c9.vec_id),
+      |  FROM n q JOIN n c9 ON q.vec_id <> c9.vec_id$queryPred),
       |ex AS (SELECT query_id, neighbor_id FROM (
       |  SELECT query_id, neighbor_id,
       |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
@@ -4547,6 +4585,8 @@ object SparkEntry {
       |FROM ex LEFT JOIN ar
       |  ON ar.query_id = ex.query_id AND ar.neighbor_id = ex.neighbor_id
       |GROUP BY ex.query_id ORDER BY ex.query_id""".stripMargin
+
+  private val sqlRecallTail: String = sqlRecallTailFor("")
 
   /** Shared LSH candidate-similarity prefix (pinned 8-plane × 8-table
     * configuration, plane matrices inlined as ±1 literals — the e10
@@ -4705,6 +4745,17 @@ $sqlRecallTail""".stripMargin
        |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
        |  FROM asim) WHERE rn <= 5),
 $sqlRecallTail""".stripMargin
+
+  /** e33_sampled's oracle: the adaptive-recall pin on the fixed
+    * 50-query evaluation workload (exact pass restricted to those
+    * queries — linear in the corpus, the e26/e31/e36 posture). */
+  private val lshAdaptiveRecallSampledOracle: String =
+    s"""$lshAdaptiveCandSims,
+       |ar AS MATERIALIZED (SELECT query_id, neighbor_id FROM (
+       |  SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
+       |  FROM asim WHERE query_id < 50) WHERE rn <= 5),
+${sqlRecallTailFor(" WHERE q.vec_id < 50")}""".stripMargin
 
   /** e19's oracle: prefix-seeded unrefined IVF replayed in SQL —
     * nCells = round(√n) seeds by lowest vec_id, nearest-cell
@@ -5059,6 +5110,7 @@ $sqlRecallTail""".stripMargin
     "e2_ann_lsh_topk" -> lshTopKOracle,
     "e2_adaptive_lsh_topk" -> lshAdaptiveTopKOracle,
     "e33_lsh_adaptive_recall" -> lshAdaptiveRecallOracle,
+    "e33_adaptive_recall_sampled" -> lshAdaptiveRecallSampledOracle,
     "e36_lsh_ndcg" -> lshNdcgOracle,
     "e4_ann_ivf_topk" -> ivfTopKOracle,
     // e28: the e4 replay with the tombstone mask — seeds/cells from

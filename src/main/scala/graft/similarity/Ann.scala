@@ -36,6 +36,27 @@ case class CellProbe(cell: Int, query_id: Long, qv: Array[Double], qn: Double)
   */
 object Ann {
 
+  /** Hard admission bound for the driver-collected O(n²) CONTROL
+    * kernels ([[cosineTopKBlocked]], [[cosineNearDupPairs]]). These
+    * exist as oracle baselines and recall-evaluation references; the
+    * production serving paths are the bucketed compositions (LSH/IVF/
+    * PQ — e21/e25/e27/e28/e34). 200k 64-dim doubles ≈ 100 MB of
+    * broadcast — comfortably inside one executor, far outside any
+    * corpus a baseline should ever scan pairwise. Above the bound the
+    * kernel REFUSES (fail fast on the driver, before the collect) so
+    * no production path can silently ride an unbounded
+    * corpus-to-driver collect at scale. */
+  val MaxControlCorpus: Long = 200000L
+
+  /** Count-then-collect admission for the control kernels: the count
+    * is a cheap distributed aggregate; the collect only happens once
+    * the corpus is proven bounded. */
+  private def requireControlCorpus(n: Long, max: Long, caller: String): Unit =
+    require(n <= max,
+      s"$caller is a driver-collected O(n²) control baseline, admitted up " +
+      s"to $max vectors (got $n). Use the bucketed serving paths " +
+      "(lshTopK/ivfTopK/ivfPqTopK) or an evaluation sample at this scale.")
+
   /** Strict left-fold dot product — native codegen'd expression (26s →
     * ~2s on the sf0.1 ANN query vs the interpreted aggregate/zip_with
     * formulation; identical fp semantics, see DotProduct scaladoc). */
@@ -79,11 +100,13 @@ object Ann {
     * (same left-fold dot, same (sim desc, id asc) order, same HALF_UP
     * rounding), so it shares the same DuckDB oracle.
     */
-  def cosineTopKBlocked(embeddings: DataFrame, k: Int): DataFrame = {
+  def cosineTopKBlocked(embeddings: DataFrame, k: Int,
+      maxControlCorpus: Long = MaxControlCorpus): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val vecs = prepared(embeddings)
       .select(col("vec_id"), col("v"), col("nrm")).as[(Long, Array[Double], Double)]
+    requireControlCorpus(vecs.count(), maxControlCorpus, "cosineTopKBlocked")
     val bc = spark.sparkContext.broadcast(vecs.collect())
     val out = vecs.mapPartitions { it =>
       val cands = bc.value
@@ -683,11 +706,13 @@ object Ann {
   /** Embedding-cosine near-duplicate pairs above a similarity threshold
     * (blocked kernel, same rationale and numerics as
     * [[cosineTopKBlocked]]; d1 < d2 ordering). */
-  def cosineNearDupPairs(embeddings: DataFrame, threshold: Double): DataFrame = {
+  def cosineNearDupPairs(embeddings: DataFrame, threshold: Double,
+      maxControlCorpus: Long = MaxControlCorpus): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val vecs = prepared(embeddings)
       .select(col("vec_id"), col("v"), col("nrm")).as[(Long, Array[Double], Double)]
+    requireControlCorpus(vecs.count(), maxControlCorpus, "cosineNearDupPairs")
     val bc = spark.sparkContext.broadcast(vecs.collect())
     vecs.mapPartitions { it =>
       val cands = bc.value
@@ -1000,7 +1025,14 @@ object Ann {
       .join(broadcast(probes), "cell")
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"), col("cell"))
-    val adc = codes.join(broadcast(candc), "neighbor_id")
+    // NO broadcast hint on candc: unlike the distance table
+    // (nQueries·nProbe·m·kCode — corpus-size-free), the candidate
+    // carrier is ~nQueries·nProbe·avgCellSize ≈ O(√n)-per-query rows,
+    // which GROWS with the corpus. The planner (AQE) broadcasts it
+    // while it measures small and degrades to a shuffle join when it
+    // doesn't — forcing the hint would pin a corpus-dependent relation
+    // to driver memory at scale (r13 advice).
+    val adc = codes.join(candc, "neighbor_id")
       .join(broadcast(dtable), Seq("query_id", "cell", "sub", "centroid_id"))
       .groupBy(col("query_id"), col("neighbor_id"))
       .agg(sum(col("qd2_fp")).as("adc_fp"))
@@ -1141,12 +1173,16 @@ object Ann {
     * Precondition (shared with every cosine operator here): vectors
     * are non-zero — a zero vector has no cosine direction and its
     * 127/max|x| scale is undefined; filter such rows upstream. */
-  def int8TopK(embeddings: DataFrame, k: Int): DataFrame = {
+  def int8TopK(embeddings: DataFrame, k: Int,
+      queryPred: Option[Column] = None): DataFrame = {
     val v = col("embedding").cast("array<double>")
     val codes = embeddings.select(col("vec_id"),
       transform(v, x => round(x *
         (lit(127.0) / array_max(transform(v, y => abs(y)))))).as("embedding"))
-    cosineTopKAgainst(codes, codes, k)
+    // queryPred restricts the QUERY side only (scales are per-vector,
+    // so per-query results are unchanged by the restriction) — the
+    // evaluation-workload posture: |queries|·n scoring instead of n²
+    cosineTopKAgainst(queryPred.map(codes.filter(_)).getOrElse(codes), codes, k)
   }
 
   /** E30: binary-code retrieval — each 64-dim embedding sign-binarized
@@ -1163,7 +1199,8 @@ object Ann {
     * cluster scale the words sit inside IVF cells like any code tier,
     * the e25/e29 composition). AnnSpec pins recall overlap vs float
     * cosine. */
-  def hammingTopK(embeddings: DataFrame, k: Int): DataFrame = {
+  def hammingTopK(embeddings: DataFrame, k: Int,
+      queryPred: Option[Column] = None): DataFrame = {
     def word(lo: Int): Column = expr(
       s"""aggregate(sequence($lo, ${lo + 31}), CAST(0 AS BIGINT),
          |  (acc, i) -> acc + IF(element_at(v, i + 1) > 0D,
@@ -1174,8 +1211,11 @@ object Ann {
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .select(col("vec_id"), word(0).as("w1"), word(32).as("w2"))
       .localCheckpoint(true)
-    val q = words.select(col("vec_id").as("query_id"),
-      col("w1").as("q1"), col("w2").as("q2"))
+    // queryPred: evaluation-workload restriction of the query side
+    // (per-query results unchanged — candidates stay the full corpus)
+    val q = queryPred.map(words.filter(_)).getOrElse(words)
+      .select(col("vec_id").as("query_id"),
+        col("w1").as("q1"), col("w2").as("q2"))
     val c = words.select(col("vec_id").as("neighbor_id"),
       col("w1").as("c1"), col("w2").as("c2"))
     val scored = q.join(broadcast(c), col("query_id") =!= col("neighbor_id"))

@@ -53,6 +53,24 @@ class AnnSpec extends SparkSpec {
     assert(kernel.exceptAll(joinForm).isEmpty && joinForm.exceptAll(kernel).isEmpty)
   }
 
+  test("control kernels refuse a corpus above the admission bound BEFORE collecting") {
+    // the guard fires on the distributed count — the driver-side
+    // collect (the thing that dies at scale) must never run
+    val big = spark.range(0, 20).select(col("id").as("vec_id"),
+      array(lit(1.0f), lit(2.0f)).as("embedding"))
+    val e1 = intercept[IllegalArgumentException] {
+      Ann.cosineTopKBlocked(big, 3, maxControlCorpus = 10)
+    }
+    assert(e1.getMessage.contains("control baseline"))
+    val e2 = intercept[IllegalArgumentException] {
+      Ann.cosineNearDupPairs(big, 0.5, maxControlCorpus = 10)
+    }
+    assert(e2.getMessage.contains("control baseline"))
+    // at the bound exactly, both kernels still run
+    assert(Ann.cosineTopKBlocked(big.limit(10), 3, maxControlCorpus = 10)
+      .count() > 0)
+  }
+
   test("E4: IVF top-k achieves strong recall on the noise corpus") {
     val exact = Ann.cosineTopK(emb, 5).select("query_id", "neighbor_id")
       .as[(Long, Long)].collect().toSet

@@ -41,15 +41,6 @@ EXCEPTIONS = {
         "single-process pipeline. The slim-row exchange-reused shape is "
         "the one that survives 100 TB (PLANS.md r11); kernel and "
         "agg-join A/Bs both measured slower.",
-    "e31_int8_recall":
-        "a LABELED n^2 recall measurement (PlanAudit quadraticBaselines; "
-        "the e26 posture: recall evaluation runs on a sampled corpus in "
-        "deployment) — the exact float top-5 pass and the int8 code-tier "
-        "pass each scan all 2000x2000 pairs for the 50-query workload; "
-        "oscillates 2.3-2.7 s across runs on either side of the band "
-        "edge. The serving-path twins it gates (e29, and the composed "
-        "IVF forms e25/e28) are in-band; the measurement itself is not "
-        "a production query shape.",
     "x2_fact_fact_join":
         "the deliberately-plain fact-fact shuffle join control at "
         "1.7-2.2 s: its bucketed zero-exchange escape is now a "
