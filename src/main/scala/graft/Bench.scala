@@ -240,9 +240,16 @@ object Bench {
     // the totals — pass-1 stall counts are reported separately.
     val allProbes = scala.collection.mutable.ArrayBuffer[Double]()
     allProbes ++= probes.map(_._2)
-    // threshold floats on the quietest probe EVER seen this run — a run
-    // whose every probe is stalled must not certify itself quiet
-    def thresh(): Double = math.max(0.5, 5.0 * allProbes.min)
+    // Threshold floats on the quietest probe EVER seen this run, with
+    // an ABSOLUTE ceiling: the relative test alone is blind to uniform
+    // degradation (every probe 3 s → relative threshold 15 s → zero
+    // stalls flagged — self-certification, r13 advice). Quiet-box
+    // probes measure 0.26–0.43 s at local[32]; 2.0 s is ~5× the worst
+    // quiet reading, so any probe above it is dispatch-path contention
+    // no matter what the rest of the run looked like. A box slow for
+    // the WHOLE run therefore escalates to the pass limit and honestly
+    // reports schedStalled>0 rather than certifying itself.
+    def thresh(): Double = math.max(0.5, math.min(5.0 * allProbes.min, 2.0))
     def stalledCount(ps: Seq[(Int, Double)]): Int =
       ps.count(_._2 > thresh())
     var lastPassProbes: Seq[(Int, Double)] = probes.toSeq
@@ -250,7 +257,13 @@ object Bench {
     var current = timed
     var passes = 1
     var rescued = 0
-    while (passes < 3 && stalledCount(lastPassProbes) > 0) {
+    // Pass limit 4 and a 420 s quiet gate (r13 shipped passes=3 with
+    // the LAST pass still carrying one stalled probe — the 180 s gate
+    // was shorter than the box's typical stall window, so the re-run
+    // started inside it; the contract artifact must end on a
+    // certifying pass that reads schedStalled=0 whenever the box
+    // quiets down at all).
+    while (passes < 4 && stalledCount(lastPassProbes) > 0) {
       // quiet gate: stall windows on this box are transient and
       // minutes-long — wait (bounded) for the dispatch probe to read
       // quiet rather than burn the re-run inside the same window. If
@@ -258,7 +271,7 @@ object Bench {
       // only improve on pass 1, and the closing probes will record
       // that the certifying pass was itself degraded.
       var waited = 0
-      while (waited < 180 && schedProbe(spark) > thresh()) {
+      while (waited < 420 && schedProbe(spark) > thresh()) {
         Thread.sleep(5000L); waited += 5
       }
       System.err.println(s"[bench] pass $passes had ${stalledCount(lastPassProbes)} " +

@@ -56,9 +56,22 @@ object PlanAudit {
         "same filter composes into the IVF/LSH cell scan as in e14"),
     "e36_lsh_ndcg" ->
       ("the exact REFERENCE pass of the NDCG measurement runs the e17 kernel " +
-        "(cosineTopKAgainst) with the stream side bounded by construction to the " +
-        "50-query eval workload (vec_id < 50) — 50·n pairs, linear in the corpus; " +
-        "the retriever under evaluation (pinned LSH) is the bucketed production shape"),
+        "(cosineTopKAgainst, broadcastQueries=true) with the BUILD side bounded by " +
+        "construction to the 50-query eval workload (vec_id < 50) and the corpus " +
+        "STREAMED — 50·n pairs, linear in the corpus; the retriever under " +
+        "evaluation (pinned LSH) is the bucketed production shape"),
+    "e26_ivfpq_recall" ->
+      ("same e36 posture (r14): the exact reference pass broadcasts the 50-query " +
+        "workload (vec_id < 50) and streams the corpus — 50·n pairs, linear; the " +
+        "retriever under evaluation (IVF-PQ) is the cell-bounded production shape"),
+    "e35_ivfpq_residual_recall" ->
+      ("same e36 posture (r14): 50-query workload broadcast, corpus streamed — " +
+        "linear reference pass; the retriever under evaluation (residual IVFADC) " +
+        "is the cell-bounded production shape"),
+    "e33_adaptive_recall_sampled" ->
+      ("same e36 posture (r14): 50-query workload broadcast, corpus streamed — " +
+        "the bounded form of e33 whose reference pass is linear in the corpus; " +
+        "the retriever under evaluation is the adaptive-plane LSH production rule"),
     "w17_rolling_corr" ->
       ("every non-equi/cross join runs on CALENDAR- or KEY-CATALOG-bounded frames, " +
         "never the facts: the span scalar is one aggregated row, the key-pair grid is " +

@@ -983,7 +983,11 @@ object SparkEntry {
     // each interval to the hour bands it overlaps and joining on
     // (user, band) — pure hash-join machinery, skew-immune, exact
     // after the residual BETWEEN (operators.Intervals scaladoc).
-    // Sessions per user are disjoint, so each view matches ≤ 1.
+    // Sessions per user are disjoint, but the ±30-min attribution
+    // padding can overlap two consecutive sessions whose gap is in
+    // (30, 60] minutes — a view in that overlap matches BOTH (≤ 2),
+    // and the output is per (view, session) by design; consumers
+    // wanting one row per view pick min(session_id) downstream.
     "j11_banded_interval" -> ((s, d) => {
       val ev = t(s, d, "events")
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -1008,6 +1012,33 @@ object SparkEntry {
           views, "user_id", "p_us", sessions, "s_user", "lo_us", "hi_us")
         .select(col("event_id"), col("user_id"), col("session_id"))
         .orderBy("event_id", "session_id")
+    }),
+    // J12 (beyond reference): SALTED fact⋈enrichment equi-join — every
+    // event enriched with its user's per-type history (count + exact
+    // total). The enrichment side is per-(user,type) small but
+    // fact-derived (too dynamic to pin as a broadcast dim); the fact
+    // side is where one power user can hold 10% of all events, putting
+    // 10% of the probe rows on ONE reducer of a plain shuffle join.
+    // operators.Salt.saltedEquiJoin spreads each key over 16 salts and
+    // replicates the enrichment rows per salt, so the largest join
+    // partition is |hot key|/16 BY PLAN (AQE's runtime skew split —
+    // live-proven in SkewSpec — is the reactive complement; this is
+    // the declarative one, immune to downstream-distribution
+    // disablement). The oracle is the UNSALTED SQL join: the hash
+    // match proves salting invisible in the result — the a19 salted-
+    // aggregation contract, extended to joins.
+    "j12_salted_skew_join" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      val dim = ev.groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("type_n"),
+          Measures.moneySum(col("value")).as("type_total"))
+      graft.operators.Salt.saltedEquiJoin(
+          ev.select(col("event_id"), col("user_id"), col("event_type")),
+          dim, Seq("user_id", "event_type"), 16)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("type_n"), col("type_total"))
+        .orderBy("event_id")
     }),
     // J1: generated calendar dim, broadcast-joined to facts.
     "j1_calendar_join" -> ((s, d) => {
@@ -1163,6 +1194,15 @@ object SparkEntry {
         |SELECT v.event_id, v.user_id, s.session_id
         |FROM v JOIN s ON s.user_id = v.user_id AND v.us BETWEEN s.lo AND s.hi
         |ORDER BY event_id, session_id""".stripMargin,
+    // the UNSALTED join — the hash match proves the salt invisible
+    "j12_salted_skew_join" ->
+      """WITH dim AS (SELECT user_id, event_type, count(*) AS type_n,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS type_total
+        |  FROM events GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id, e.event_type, d.type_n, d.type_total
+        |FROM events e JOIN dim d
+        |  ON d.user_id = e.user_id AND d.event_type = e.event_type
+        |ORDER BY event_id""".stripMargin,
     "j1_calendar_join" ->
       s"""WITH cal AS (
          |  SELECT unnest(generate_series(DATE '1995-01-01', DATE '2000-12-31', INTERVAL 1 DAY))::DATE AS cal_date)
@@ -2463,8 +2503,10 @@ object SparkEntry {
         |    ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
         |SELECT k1, k2, pr.day, CAST(14 AS BIGINT) AS n_days,
         |  round(CAST(14 * sxy - s1.sx * s2.sx AS DOUBLE) /
-        |    sqrt(CASE WHEN (14 * s1.sxx - s1.sx * s1.sx) * (14 * s2.sxx - s2.sx * s2.sx) > 0
-        |      THEN CAST((14 * s1.sxx - s1.sx * s1.sx) * (14 * s2.sxx - s2.sx * s2.sx) AS DOUBLE)
+        |    sqrt(CASE WHEN CAST(14 * s1.sxx - s1.sx * s1.sx AS DOUBLE)
+        |               * CAST(14 * s2.sxx - s2.sx * s2.sx AS DOUBLE) > 0
+        |      THEN CAST(14 * s1.sxx - s1.sx * s1.sx AS DOUBLE)
+        |           * CAST(14 * s2.sxx - s2.sx * s2.sx AS DOUBLE)
         |      ELSE NULL END), 6) AS corr
         |FROM pr
         |JOIN st s1 ON s1.k = pr.k1 AND s1.day = pr.day
@@ -4231,7 +4273,8 @@ object SparkEntry {
       // 50·n pairs, linear in the corpus), never the all-pairs kernel
       // (a post-kernel filter would still compute every query)
       val exact = graft.similarity.Ann
-        .cosineTopKAgainst(emb.filter(col("vec_id") < 50), emb, 5)
+        .cosineTopKAgainst(emb.filter(col("vec_id") < 50), emb, 5,
+          broadcastQueries = true)
         .select(col("query_id"), col("neighbor_id"),
           (lit(6) - col("rank")).cast("long").as("rel"))
       val approx = graft.similarity.Ann
@@ -4276,10 +4319,14 @@ object SparkEntry {
     "e33_adaptive_recall_sampled" -> ((s, d) => {
       val emb = t(s, d, "embeddings").localCheckpoint(true)
       val exact = graft.similarity.Ann
-        .cosineTopKAgainst(emb.filter(col("vec_id") < 50), emb, 5)
+        .cosineTopKAgainst(emb.filter(col("vec_id") < 50), emb, 5,
+          broadcastQueries = true)
         .select(col("query_id"), col("neighbor_id"))
-      val approx = graft.similarity.Ann.lshTopK(emb, 5)
-        .filter(col("query_id") < 50)
+      // probe side restricted BEFORE the candidate join (per-query
+      // results identical — AnnSpec pins join≡kernel): the serving
+      // cost is 50·nTables·occupancy pairs, not every-member-probes
+      val approx = graft.similarity.Ann
+        .lshTopKJoin(emb, 5, queryPred = Some(col("vec_id") < 50))
         .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
       recallRollup(exact, approx)
     }),
@@ -4361,7 +4408,8 @@ object SparkEntry {
       // posture): filtering the all-pairs kernel computed every query
       // first, which made this recall pin's 10× slope quadratic (r13)
       val exact = graft.similarity.Ann
-        .cosineTopKAgainst(emb.filter(col("vec_id") < 50), emb, 5)
+        .cosineTopKAgainst(emb.filter(col("vec_id") < 50), emb, 5,
+          broadcastQueries = true)
         .select(col("query_id"), col("neighbor_id"))
       val approx = graft.similarity.Ann.ivfPqResidualTopK(emb)
         .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
@@ -4384,7 +4432,8 @@ object SparkEntry {
       // posture): filtering the all-pairs kernel computed every query
       // first, which made this recall pin's 10× slope quadratic (r13)
       val exact = graft.similarity.Ann
-        .cosineTopKAgainst(emb.filter(col("vec_id") < 50), emb, 5)
+        .cosineTopKAgainst(emb.filter(col("vec_id") < 50), emb, 5,
+          broadcastQueries = true)
         .select(col("query_id"), col("neighbor_id"))
       val approx = graft.similarity.Ann
         .int8TopK(emb, 5, queryPred = Some(col("vec_id") < 50))
@@ -4398,7 +4447,8 @@ object SparkEntry {
       // posture): filtering the all-pairs kernel computed every query
       // first, which made this recall pin's 10× slope quadratic (r13)
       val exact = graft.similarity.Ann
-        .cosineTopKAgainst(emb.filter(col("vec_id") < 50), emb, 5)
+        .cosineTopKAgainst(emb.filter(col("vec_id") < 50), emb, 5,
+          broadcastQueries = true)
         .select(col("query_id"), col("neighbor_id"))
       val approx = graft.similarity.Ann
         .hammingTopK(emb, 5, queryPred = Some(col("vec_id") < 50))
@@ -4412,7 +4462,8 @@ object SparkEntry {
       // posture): filtering the all-pairs kernel computed every query
       // first, which made this recall pin's 10× slope quadratic (r13)
       val exact = graft.similarity.Ann
-        .cosineTopKAgainst(emb.filter(col("vec_id") < 50), emb, 5)
+        .cosineTopKAgainst(emb.filter(col("vec_id") < 50), emb, 5,
+          broadcastQueries = true)
         .select(col("query_id"), col("neighbor_id"))
       val approx = graft.similarity.Ann.ivfPqTopK(emb)
         .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))

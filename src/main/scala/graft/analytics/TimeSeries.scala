@@ -172,24 +172,30 @@ object TimeSeries {
       .join(prod, Seq("k1", "k2", "anchor"), "left")
       .select(col("k1"), col("k2"), col("anchor").as("day"), lit(w.toLong).as("n_days"),
         round({
-          // the variance/covariance algebra runs EXACTLY in
-          // decimal(38,0) — Spark's 128-bit exact type, the same width
-          // as the oracle's HUGEINT — and casts to double ONCE, at the
-          // same point DuckDB casts. A double-per-product path would
+          // num/dx/dy each run EXACTLY: decimal(19,0) inputs widen to
+          // decimal(38,0) products, so every n·Σxy − ΣxΣy term is an
+          // exact integer up to 10³⁸ (a double-per-product path would
           // round each product before subtracting and the 6-dp corr
-          // could diverge once a window sum exceeds ~2²⁶·⁵
-          // (~9.5e7 events/window); here both engines stay exact to
-          // 10³⁸, far past any physical daily volume.
+          // could diverge once a window sum exceeds ~2²⁶·⁵, i.e.
+          // ~9.5e7 events/window). den2 = dx·dy is the one place the
+          // exact chain would exceed decimal(38,0) (dx,dy can each
+          // reach ~1e19 around ~5e8 events/day/key-pair, where the
+          // overflow surfaces as a silent NULL vs DuckDB's error — r13
+          // advice), so dx and dy cast to double BEFORE multiplying:
+          // den2 only feeds the >0 guard (dx,dy ≥ 0 by Cauchy-Schwarz,
+          // and sign survives rounding) and sqrt, which is double
+          // anyway. The oracle applies the identical per-factor cast,
+          // so the IEEE product is bit-equal cross-engine.
           def dec(c: Column) = c.cast("decimal(19,0)")
           val wD = lit(w.toLong).cast("decimal(19,0)")
           val sx1 = dec(coalesce(col("sx1"), lit(0L)))
           val sx2 = dec(coalesce(col("sx2"), lit(0L)))
           val dx = wD * dec(coalesce(col("sxx1"), lit(0L))) - sx1 * sx1
           val dy = wD * dec(coalesce(col("sxx2"), lit(0L))) - sx2 * sx2
-          val den2 = dx * dy
+          val den2 = dx.cast("double") * dy.cast("double")
           val num = wD * dec(coalesce(col("sxy"), lit(0L))) - sx1 * sx2
           num.cast("double") /
-            sqrt(when(den2 > lit(0), den2.cast("double"))) // zero variance → NULL corr
+            sqrt(when(den2 > lit(0.0), den2)) // zero variance → NULL corr
         }, 6).as("corr"))
   }
 

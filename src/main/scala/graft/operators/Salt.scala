@@ -22,6 +22,40 @@ import org.apache.spark.sql.functions._
   */
 object Salt {
 
+  /** Skew-safe salted EQUI-JOIN: spread the fact side's rows over
+    * `salts` sub-keys and replicate the (narrow) enrichment side once
+    * per salt, so the join key becomes (key, salt) and a hot key's
+    * probe rows land on `salts` partitions instead of one.
+    *
+    * Why not just AQE: AQE's runtime skew split (OptimizeSkewedJoin,
+    * proven live in SkewSpec) re-plans AFTER a map stage has already
+    * written the skewed shuffle files, only applies to sort-merge /
+    * shuffled-hash joins, and is disabled under some downstream
+    * distribution requirements. Salting bakes the bound into the PLAN:
+    * the largest join partition is |hot key| / salts by construction,
+    * on any Spark version, under any follow-up operator. The cost is
+    * `salts`× replication of the enrichment side — use it when that
+    * side is per-key small (stats rows, dimension slices) but too
+    * large or too dynamic to broadcast outright.
+    *
+    * Correctness: every enrichment row is replicated once per salt and
+    * every fact row carries exactly one salt, so each matching
+    * (fact, enrich) pair joins exactly once — the result is EXACTLY
+    * the plain equi-join for any salt assignment (the per-row id never
+    * reaches the output), which is why the registered query's oracle
+    * is the unsalted SQL join (the a19 pattern for joins).
+    *
+    * Column contract: output = fact columns ++ (enrich columns minus
+    * the keys), like `facts.join(enrich, keys)`. */
+  def saltedEquiJoin(facts: DataFrame, enrich: DataFrame, keys: Seq[String],
+                     salts: Int = 16): DataFrame = {
+    val salted = facts.withColumn("__salt",
+      pmod(monotonically_increasing_id(), lit(salts)))
+    val replicated = enrich.withColumn("__salt",
+      explode(array((0 until salts).map(lit(_)): _*)))
+    salted.join(replicated, keys :+ "__salt").drop("__salt")
+  }
+
   /** Salted exact money-sum + count per key. Identical results to
     * `df.groupBy(keys).agg(moneySum, count)`, skew-proof. */
   def saltedSumCount(df: DataFrame, keys: Seq[String], value: Column,

@@ -184,20 +184,32 @@ object Ann {
     * [[lshTopK]]; it pays ~4µs of join machinery per candidate pair,
     * so the production path is the probe kernel below. */
   def lshTopKJoin(embeddings: DataFrame, k: Int, nTables: Int = 8,
-      bucketTarget: Int = 64, nPlanesOverride: Int = -1): DataFrame = {
+      bucketTarget: Int = 64, nPlanesOverride: Int = -1,
+      queryPred: Option[Column] = None): DataFrame = {
     val dim = 64
     val nPlanes =
       if (nPlanesOverride > 0) nPlanesOverride
       else adaptivePlanes(embeddings.count(), bucketTarget)
-    val tables = (0 until nTables).map { tbl =>
-      struct(lit(tbl).as("tbl"), bucketOf(col("v"), planes(nPlanes, dim, tbl)).as("bucket"))
-    }
+    // Buckets via the native SignLshBuckets loop (one expression node;
+    // the composed CASE-tree form generated a method past the JIT's
+    // huge-method limit — see SignLshBuckets scaladoc), MATERIALIZED
+    // once (eager checkpoint) so the self-join's two sides read the
+    // computed buckets instead of re-deriving them.
     val e = prepared(embeddings)
-      .select(col("vec_id"), col("v"), col("nrm"), explode(array(tables: _*)).as("tb"))
       .select(col("vec_id"), col("v"), col("nrm"),
-        col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
-    val q = e.select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"),
-      col("tbl"), col("bucket"))
+        posexplode(graft.functions.VectorExpressions
+          .signLshBuckets(col("v"), nTables, nPlanes, dim)).as(Seq("tbl", "bucket")))
+      .localCheckpoint(true)
+    // queryPred restricts the PROBE side only (per-query candidate
+    // sets are independent, so per-query results are unchanged); the
+    // index side stays the full corpus. With a bounded workload the
+    // candidate join is |queries|·nTables·occupancy — linear in the
+    // corpus only through the one bucketing pass above — and the
+    // bounded probe side is explicitly broadcast (it is
+    // |queries|·nTables rows by construction).
+    val q = queryPred.map(p => broadcast(e.filter(p))).getOrElse(e)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"),
+        col("tbl"), col("bucket"))
     val c = e.select(col("vec_id").as("neighbor_id"), col("v").as("cv"), col("nrm").as("cn"),
       col("tbl"), col("bucket"))
     q.join(c, Seq("tbl", "bucket"))
@@ -307,13 +319,14 @@ object Ann {
     val nPlanes =
       if (nPlanesOverride > 0) nPlanesOverride
       else adaptivePlanes(embeddings.count(), bucketTarget)
-    val tables = (0 until nTables).map { tbl =>
-      struct(lit(tbl).as("tbl"), bucketOf(col("v"), planes(nPlanes, dim, tbl)).as("bucket"))
-    }
+    // buckets via the native SignLshBuckets loop — bit-identical to the
+    // composed bucketOf form, without its JIT-busting expression tree
+    // (see SignLshBuckets scaladoc)
     val cells = prepared(embeddings)
-      .select(col("vec_id"), col("v"), col("nrm"), explode(array(tables: _*)).as("tb"))
-      .select(col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"),
-        col("vec_id"), col("v"), col("nrm"))
+      .select(col("vec_id"), col("v"), col("nrm"),
+        posexplode(graft.functions.VectorExpressions
+          .signLshBuckets(col("v"), nTables, nPlanes, dim)).as(Seq("tbl", "bucket")))
+      .select(col("tbl"), col("bucket"), col("vec_id"), col("v"), col("nrm"))
       .as[BucketedVec]
     val partial = cells.groupByKey(m => (m.tbl, m.bucket)).flatMapGroups {
       (_: (Int, Int), it: Iterator[BucketedVec]) =>
@@ -1131,12 +1144,21 @@ object Ann {
     * filtered corpus broadcast — the filtered-segment-fits-memory
     * case; a larger corpus composes this with IVF/LSH bucketing
     * exactly as e14 does (filter inside the cell scan). */
-  def cosineTopKAgainst(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+  def cosineTopKAgainst(queries: DataFrame, corpus: DataFrame, k: Int,
+      broadcastQueries: Boolean = false): DataFrame = {
     val q = prepared(queries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
     val c = prepared(corpus)
       .select(col("vec_id").as("neighbor_id"), col("v").as("cv"), col("nrm").as("cn"))
-    val scored = q.join(broadcast(c), col("query_id") =!= col("neighbor_id"))
+    // Which side broadcasts is the caller's scale statement: the e17
+    // filtered-search shape broadcasts the (filtered, fits-memory)
+    // CORPUS segment and streams every query; a bounded evaluation
+    // workload (the e26/e31/e36 recall pins: 50 fixed queries against
+    // the whole corpus) broadcasts the QUERY side and STREAMS the
+    // corpus — the orientation that stays linear as the corpus grows.
+    val scored = (if (broadcastQueries) broadcast(q).join(c,
+        col("query_id") =!= col("neighbor_id"))
+      else q.join(broadcast(c), col("query_id") =!= col("neighbor_id")))
       .select(col("query_id"), col("neighbor_id"),
         (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("sim"))
     // heap-reduce the n·|segment| scored pairs to k per query WITHOUT
@@ -1181,8 +1203,10 @@ object Ann {
         (lit(127.0) / array_max(transform(v, y => abs(y)))))).as("embedding"))
     // queryPred restricts the QUERY side only (scales are per-vector,
     // so per-query results are unchanged by the restriction) — the
-    // evaluation-workload posture: |queries|·n scoring instead of n²
-    cosineTopKAgainst(queryPred.map(codes.filter(_)).getOrElse(codes), codes, k)
+    // evaluation-workload posture: |queries|·n scoring instead of n²,
+    // with the bounded workload broadcast and the corpus streamed
+    cosineTopKAgainst(queryPred.map(codes.filter(_)).getOrElse(codes), codes, k,
+      broadcastQueries = queryPred.isDefined)
   }
 
   /** E30: binary-code retrieval — each 64-dim embedding sign-binarized
@@ -1212,13 +1236,17 @@ object Ann {
       .select(col("vec_id"), word(0).as("w1"), word(32).as("w2"))
       .localCheckpoint(true)
     // queryPred: evaluation-workload restriction of the query side
-    // (per-query results unchanged — candidates stay the full corpus)
-    val q = queryPred.map(words.filter(_)).getOrElse(words)
+    // (per-query results unchanged — candidates stay the full corpus);
+    // the bounded workload broadcasts, the corpus streams
+    val q = queryPred.map(p => broadcast(words.filter(p))).getOrElse(words)
       .select(col("vec_id").as("query_id"),
         col("w1").as("q1"), col("w2").as("q2"))
-    val c = words.select(col("vec_id").as("neighbor_id"),
+    val c0 = words.select(col("vec_id").as("neighbor_id"),
       col("w1").as("c1"), col("w2").as("c2"))
-    val scored = q.join(broadcast(c), col("query_id") =!= col("neighbor_id"))
+    // with a bounded workload the query side carries the (only)
+    // broadcast hint; otherwise the 16-byte/vector code table does
+    val c = if (queryPred.isDefined) c0 else broadcast(c0)
+    val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         (expr("bit_count(q1 ^ c1)") + expr("bit_count(q2 ^ c2)"))
           .cast("long").as("hamming"))

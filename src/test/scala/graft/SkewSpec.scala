@@ -67,4 +67,31 @@ class SkewSpec extends SparkSpec {
       case (k, None)    => conf.unset(k)
     }
   }
+
+  test("saltedEquiJoin equals the plain join on a skewed input and shuffles on (key, salt)") {
+    // one hot key holds ~90% of the fact side — the j12 shape
+    val facts = spark.range(20000)
+      .select(col("id").as("fid"),
+        when(col("id") % 10 === 0, col("id") % 7).otherwise(lit(1L)).as("k"))
+    val dim = spark.range(7).select(col("id").as("k"),
+      concat(lit("v"), col("id")).as("name"), (col("id") * 3).as("w"))
+    val salted = graft.operators.Salt.saltedEquiJoin(facts, dim, Seq("k"), 16)
+      .select(col("fid"), col("k"), col("name"), col("w"))
+    val plain = facts.join(dim, Seq("k")).select(col("fid"), col("k"), col("name"), col("w"))
+    // exact multiset equality for ANY salt assignment
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty,
+      "salted equi-join must be row-identical to the plain join")
+    // and the salt is genuinely part of the join's distribution: with
+    // broadcast off, the shuffle keys must include __salt, so the hot
+    // key's rows hash to `salts` partitions BY PLAN, not by AQE rescue
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val replan = graft.operators.Salt.saltedEquiJoin(facts, dim, Seq("k"), 16)
+      replan.collect()
+      val plan = replan.queryExecution.executedPlan.toString
+      assert(plan.contains("__salt"),
+        s"the join's exchanges must hash on (key, __salt):\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+  }
 }

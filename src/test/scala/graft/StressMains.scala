@@ -703,3 +703,125 @@ object ProbeE25Recall {
     spark.stop()
   }
 }
+
+/** Hot-key (skew) replica of the EVENTS table — the r14 skew-JOIN
+  * stress axis: the 10× exact-copy replica with ~10% of ALL rows
+  * reassigned to ONE user (event_id % 10 == 0 → user_id 1, applied
+  * after the per-replica id shifts so the hot user is global). A
+  * uniform user at 10× sf0.1 holds ~850 events; the hot user holds
+  * 100k — a ~120× key-skew, the "one power user / one viral document"
+  * shape that puts 10% of a plain shuffle join's probe rows on one
+  * reducer. Only events is written: the consumers (w5, j11, j12, a19)
+  * read nothing else.
+  * Usage: Test/runMain graft.MakeReplicaHotUser /tmp/graft_hot [srcDir]
+  */
+object MakeReplicaHotUser {
+  def main(args: Array[String]): Unit = {
+    val out = if (args.nonEmpty) args(0) else "/tmp/graft_hot"
+    val src = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val ev = Tables.events(spark, src)
+    (0 until 10).map { i =>
+      ev.withColumn("event_id", col("event_id") + lit(i * 100000000L))
+        .withColumn("user_id", col("user_id") + lit(i * 1000000L))
+    }.reduce(_ union _)
+      .withColumn("user_id",
+        when(col("event_id") % 10 === 0, lit(1L)).otherwise(col("user_id")))
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
+    println(s"[replica] wrote hot-user events (10x, ~10% on user 1) to $out")
+    spark.stop()
+  }
+}
+
+/** A/B: plain shuffle equi-join vs operators.Salt.saltedEquiJoin on
+  * the j12 enrichment shape, against an events dir (intended: the
+  * MakeReplicaHotUser output). Broadcast is disabled so the plain form
+  * actually shows its skewed-shuffle behavior (at harness scale AQE
+  * would otherwise broadcast the dim side and hide the skew), and AQE
+  * skew-split stays ON for the plain side — the study compares the
+  * REACTIVE mitigation against the DECLARATIVE one. Row counts are
+  * printed so both forms are provably the same join.
+  * Usage: Test/runMain graft.SkewJoinStudy /tmp/graft_hot [runs]
+  */
+object SkewJoinStudy {
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.nonEmpty) args(0) else "/tmp/graft_hot"
+    val runs = if (args.length > 1) args(1).toInt else 2
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+      .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def time[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[skewjoin] $label: ${(System.nanoTime() - t0) / 1e9}%.2fs"); r
+    }
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    time("warm")(ev.count())
+    val dim = ev.groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("type_n"))
+    (1 to runs).foreach { i =>
+      time(s"plain shuffle join $i") {
+        println("  rows=" + ev.select(col("event_id"), col("user_id"), col("event_type"))
+          .join(dim, Seq("user_id", "event_type")).count())
+      }
+      time(s"salted join (16)   $i") {
+        println("  rows=" + graft.operators.Salt.saltedEquiJoin(
+          ev.select(col("event_id"), col("user_id"), col("event_type")),
+          dim, Seq("user_id", "event_type"), 16).count())
+      }
+    }
+    spark.stop()
+  }
+}
+
+/** Piecewise timing of e33_adaptive_recall_sampled at an arbitrary SF
+  * dir (diagnostic for the r14 slope work). */
+object ProfileE33 {
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.nonEmpty) args(0) else "/tmp/graft10x_r13"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def time[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[e33prof] $label: ${(System.nanoTime() - t0) / 1e9}%.2fs"); r
+    }
+    (1 to 2).foreach { i =>
+      val emb = time(s"checkpoint $i")(
+        Tables.table(spark, dir, "embeddings").localCheckpoint(true))
+      val exact = time(s"exact against $i")(
+        graft.similarity.Ann.cosineTopKAgainst(
+          emb.filter(col("vec_id") < 50), emb, 5)
+          .select(col("query_id"), col("neighbor_id")).localCheckpoint(true))
+      val approx = time(s"lsh join sampled $i")(
+        graft.similarity.Ann.lshTopKJoin(emb, 5,
+            queryPred = Some(col("vec_id") < 50))
+          .select(col("query_id"), col("neighbor_id")).localCheckpoint(true))
+      time(s"rollup $i")(println("  n=" + exact.join(approx,
+        Seq("query_id", "neighbor_id"), "left").count()))
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    }
+    spark.stop()
+  }
+}
+
+
+
