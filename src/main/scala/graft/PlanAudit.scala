@@ -35,8 +35,9 @@ object PlanAudit {
     // recall MEASUREMENTS and ride the same serving shapes (the e26
     // posture: recall evaluation runs on a sampled corpus in
     // deployment).
-    "e29_int8_topk", "e30_hamming_topk",
-    "e31_int8_recall", "e32_hamming_recall")
+    // e37/e38 are the int4 rung of the same ladder (r14).
+    "e29_int8_topk", "e30_hamming_topk", "e37_int4_topk",
+    "e31_int8_recall", "e32_hamming_recall", "e38_int4_recall")
 
   /** Joins whose broadcast side is bounded by construction in a way
     * the physical plan cannot show (a filter on a key, not a limit):

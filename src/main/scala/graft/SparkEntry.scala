@@ -4146,6 +4146,12 @@ object SparkEntry {
     "e29_int8_topk" -> ((s, d) =>
       graft.similarity.Ann.int8TopK(t(s, d, "embeddings"), 5)
         .orderBy("query_id", "rank")),
+    // E37 (beyond reference): the 4-bit rung of the quantization
+    // ladder (int4 codes, 8× below float32) — same exact-integer
+    // oracle contract as e29; recall pinned by e38.
+    "e37_int4_topk" -> ((s, d) =>
+      graft.similarity.Ann.int4TopK(t(s, d, "embeddings"), 5)
+        .orderBy("query_id", "rank")),
     // E6: IVF build step — nearest-centroid assignment (deterministic
     // seeds ⇒ exact oracle, unlike the end-to-end approximate e4).
     "e6_centroid_assign" -> ((s, d) =>
@@ -4437,6 +4443,21 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"))
       val approx = graft.similarity.Ann
         .int8TopK(emb, 5, queryPred = Some(col("vec_id") < 50))
+        .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+      recallRollup(exact, approx)
+    }),
+    // E38: the e31 recall pin for the int4 tier — how much top-5
+    // agreement the 4-bit codes give up vs exact float (tracked as a
+    // hash-gated pair with e31, so the ladder's accuracy/size
+    // trade-off is a regression number, not a claim).
+    "e38_int4_recall" -> ((s, d) => {
+      val emb = t(s, d, "embeddings").localCheckpoint(true)
+      val exact = graft.similarity.Ann
+        .cosineTopKAgainst(emb.filter(col("vec_id") < 50), emb, 5,
+          broadcastQueries = true)
+        .select(col("query_id"), col("neighbor_id"))
+      val approx = graft.similarity.Ann
+        .int4TopK(emb, 5, queryPred = Some(col("vec_id") < 50))
         .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
       recallRollup(exact, approx)
     }),
@@ -5062,10 +5083,12 @@ $sqlRecallTail""".stripMargin
        |  ON ar.query_id = ex.query_id AND ar.neighbor_id = ex.neighbor_id
        |GROUP BY ex.query_id ORDER BY ex.query_id""".stripMargin
 
-  private val int8RecallOracle: String =
+  /** Shared scalar-quantized recall oracle (levels = 127 for int8/e31,
+    * 7 for int4/e38 — mirrors Ann.scalarQuantTopK). */
+  private def scalarQuantRecallOracle(levels: String): String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
        |qz AS (SELECT vec_id, list_transform(v, x ->
-       |    round(x * (127.0 / list_max(list_transform(v, y -> abs(y)))))) AS v FROM e),
+       |    round(x * ($levels / list_max(list_transform(v, y -> abs(y)))))) AS v FROM e),
        |nq AS (SELECT vec_id, v,
        |  sqrt(list_reduce(list_apply(v, x -> x*x), (a,b) -> a+b)) AS nrm FROM qz),
        |asim AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
@@ -5073,6 +5096,22 @@ $sqlRecallTail""".stripMargin
        |      / (a.nrm * b.nrm) AS sim
        |  FROM nq a JOIN nq b ON a.vec_id <> b.vec_id WHERE a.vec_id < 50),
        |${codeTierRecallTail("asim", "sim DESC, neighbor_id")}""".stripMargin
+
+  private val int8RecallOracle: String = scalarQuantRecallOracle("127.0")
+
+  /** Shared scalar-quantized top-k oracle (the e29/e37 serving shapes). */
+  private def scalarQuantTopKOracle(levels: String): String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+       |q AS (SELECT vec_id, list_transform(v, x ->
+       |    round(x * ($levels / list_max(list_transform(v, y -> abs(y)))))) AS v
+       |  FROM e),
+       |n AS (SELECT vec_id, v,
+       |  sqrt(list_reduce(list_apply(v, x -> x*x), (a,b) -> a+b)) AS nrm FROM q),
+       |p AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |    list_reduce(list_apply(range(1, 65), i -> a.v[i] * b.v[i]), (x,y) -> x+y)
+       |      / (a.nrm * b.nrm) AS sim
+       |  FROM n a JOIN n b ON a.vec_id <> b.vec_id)""".stripMargin +
+      topKSimTail("p", 5)
 
   private val hammingRecallOracle: String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
@@ -5416,18 +5455,9 @@ $sqlRecallTail""".stripMargin
         |  FROM p)
         |SELECT query_id, neighbor_id, hamming, rank FROM r
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
-    "e29_int8_topk" ->
-      ("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
-         |q AS (SELECT vec_id, list_transform(v, x ->
-         |    round(x * (127.0 / list_max(list_transform(v, y -> abs(y)))))) AS v
-         |  FROM e),
-         |n AS (SELECT vec_id, v,
-         |  sqrt(list_reduce(list_apply(v, x -> x*x), (a,b) -> a+b)) AS nrm FROM q),
-         |p AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-         |    list_reduce(list_apply(range(1, 65), i -> a.v[i] * b.v[i]), (x,y) -> x+y)
-         |      / (a.nrm * b.nrm) AS sim
-         |  FROM n a JOIN n b ON a.vec_id <> b.vec_id)""".stripMargin
-        + topKSimTail("p", 5)),
+    "e29_int8_topk" -> scalarQuantTopKOracle("127.0"),
+    "e37_int4_topk" -> scalarQuantTopKOracle("7.0"),
+    "e38_int4_recall" -> scalarQuantRecallOracle("7.0"),
     "e5_quantize_int8" ->
       """SELECT vec_id, scale,
         |  array_to_string(list_transform(v, x -> CAST(round(x * scale) AS INT)), ',') AS q_csv,
@@ -5980,6 +6010,17 @@ $sqlRecallTail""".stripMargin
       graft.sampling.Sampling.hashSplit(t(s, d, "documents"), col("doc_id"))
         .select(col("doc_id"), col("bucket"), col("split"))
         .orderBy("doc_id")),
+    // SA14: weight-proportional deterministic sampling — each document
+    // kept with probability min(n_chars, 2000)/2000 (length-weighted
+    // curation draw: expected sampled character mass is uniform per
+    // document up to the cap). Integer cross-multiplied keep predicate
+    // (the sa3 posture per row) — no float rate, re-shard stable,
+    // pure scan-side projection+filter.
+    "sa14_weighted_sample" -> ((s, d) =>
+      graft.sampling.Sampling.weightedSample(t(s, d, "documents"),
+          col("doc_id"), col("n_chars"), cap = 2000L)
+        .select(col("doc_id"), col("n_chars"), col("bucket"))
+        .orderBy("doc_id")),
     // SA2: stratified deterministic sample — per-language rates
     // (downsample dominant 'en' to 10%, keep 50% elsewhere).
     "sa2_stratified_sample" -> ((s, d) =>
@@ -6297,6 +6338,13 @@ $sqlRecallTail""".stripMargin
         |  CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
         |FROM (SELECT doc_id,
         |  ('0x' || substr(md5('split:' || doc_id), 1, 7))::BIGINT % 100 AS bucket FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "sa14_weighted_sample" ->
+      """SELECT doc_id, n_chars, bucket FROM (
+        |  SELECT doc_id, n_chars,
+        |    ('0x' || substr(md5('wsamp:' || doc_id), 1, 7))::BIGINT % 10000 AS bucket
+        |  FROM documents)
+        |WHERE bucket * 2000 < 10000 * least(n_chars, 2000)
         |ORDER BY doc_id""".stripMargin,
     "sa2_stratified_sample" ->
       """SELECT doc_id, lang, bucket FROM (
@@ -7353,6 +7401,35 @@ $sqlRecallTail""".stripMargin
         .agg(count(lit(1)).as("common_neighbors"))
       cn.join(e0, cn("a") === e0("u") && cn("c") === e0("v"), "left_anti")
         .orderBy(col("common_neighbors").desc, col("a"), col("c"))
+    }),
+    // G8 (beyond reference): Jaccard-normalized link prediction — g4's
+    // common-neighbor candidates scored by |N(a)∩N(c)| / |N(a)∪N(c)|,
+    // the degree-normalized form that stops high-degree parts from
+    // dominating the ranking (a hub sharing 2 of its 60 neighbors is a
+    // weaker signal than a niche part sharing 2 of 3). Degrees come
+    // from the UNCAPPED adjacency (true neighborhood sizes); the
+    // candidate set reuses g4's capped wedge machinery and the
+    // co-purchase MART, so the marginal cost over g4 is one broadcast
+    // |nodes|-row degree join. Exact rational rounded at 6 dp.
+    "g8_jaccard_link_pred" -> ((s, d) => {
+      val e0 = copurchase(s, d).select(col("u"), col("v")).localCheckpoint(true)
+      val adj = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
+        .select(col("u").as("m"), col("v").as("nb"))
+      val deg = adj.groupBy(col("nb")).agg(count(lit(1)).as("deg"))
+      val mids = adj.groupBy(col("m")).agg(count(lit(1)).as("mdeg"))
+        .filter(col("mdeg") <= 64).select(col("m"))
+      val capped = adj.join(mids, "m")
+      val cn = capped.as("x").join(capped.as("y"),
+          col("x.m") === col("y.m") && col("x.nb") < col("y.nb"))
+        .groupBy(col("x.nb").as("a"), col("y.nb").as("c"))
+        .agg(count(lit(1)).as("cn"))
+      cn.join(e0, cn("a") === e0("u") && cn("c") === e0("v"), "left_anti")
+        .join(broadcast(deg.select(col("nb").as("a"), col("deg").as("da"))), "a")
+        .join(broadcast(deg.select(col("nb").as("c"), col("deg").as("dc"))), "c")
+        .select(col("a"), col("c"), col("cn").as("common_neighbors"),
+          round(col("cn").cast("double") /
+            (col("da") + col("dc") - col("cn")), 6).as("jaccard"))
+        .orderBy(col("jaccard").desc, col("a"), col("c"))
     })
   )
 
@@ -7574,7 +7651,26 @@ $sqlRecallTail""".stripMargin
         |  GROUP BY 1, 2)
         |SELECT a, c, common_neighbors FROM cn
         |WHERE NOT EXISTS (SELECT 1 FROM pairs p WHERE p.u = cn.a AND p.v = cn.c)
-        |ORDER BY common_neighbors DESC, a, c""".stripMargin
+        |ORDER BY common_neighbors DESC, a, c""".stripMargin,
+    "g8_jaccard_link_pred" ->
+      """WITH pairs AS (
+        |  SELECT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |adj AS (SELECT u AS m, v AS nb FROM pairs
+        |        UNION ALL SELECT v AS m, u AS nb FROM pairs),
+        |deg AS (SELECT nb, count(*) AS d FROM adj GROUP BY nb),
+        |mids AS (SELECT m FROM adj GROUP BY m HAVING count(*) <= 64),
+        |capped AS (SELECT adj.m, adj.nb FROM adj JOIN mids ON adj.m = mids.m),
+        |cn AS (SELECT x.nb AS a, y.nb AS c, count(*) AS cnn
+        |  FROM capped x JOIN capped y ON x.m = y.m AND x.nb < y.nb
+        |  GROUP BY 1, 2)
+        |SELECT a, c, cnn AS common_neighbors,
+        |  round(CAST(cnn AS DOUBLE) / (da.d + dc.d - cnn), 6) AS jaccard
+        |FROM cn JOIN deg da ON da.nb = cn.a JOIN deg dc ON dc.nb = cn.c
+        |WHERE NOT EXISTS (SELECT 1 FROM pairs p WHERE p.u = cn.a AND p.v = cn.c)
+        |ORDER BY jaccard DESC, a, c""".stripMargin
   )
 
   // ---- assembled contract -------------------------------------------------

@@ -45,6 +45,22 @@ object Sampling {
     df.withColumn("bucket", bucket(id, salt)).filter(col("bucket") < rate)
   }
 
+  /** SA14: per-ROW weight-proportional deterministic sampling — keep
+    * row i with probability min(w_i, cap)/cap (e.g. w = character or
+    * token count: long documents are kept surely, short ones in
+    * proportion — the standard length-weighted curation draw whose
+    * expected sampled-token mass is uniform per document up to the
+    * cap). The keep predicate is integer cross-multiplication —
+    * `bucket · cap < resolution · min(w, cap)` — the sa3 posture
+    * applied per row: no float rate, bit-stable across engines and
+    * re-shards, and the whole operator is one scan-side projection +
+    * filter (no shuffle, pushes through column pruning at 100 TB). */
+  def weightedSample(df: DataFrame, id: Column, weight: Column, cap: Long,
+                     salt: String = "wsamp", resolution: Int = 10000): DataFrame =
+    df.withColumn("bucket", bucket(id, salt, resolution))
+      .filter(col("bucket") * lit(cap) <
+        lit(resolution.toLong) * least(weight, lit(cap)))
+
   /** SA3: balanced domain mix — deterministically downsample every
     * stratum (language, source, ...) to the size of the SMALLEST one,
     * the data-mixing step before training when domains must contribute

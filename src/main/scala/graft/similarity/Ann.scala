@@ -1196,15 +1196,33 @@ object Ann {
     * are non-zero — a zero vector has no cosine direction and its
     * 127/max|x| scale is undefined; filter such rows upstream. */
   def int8TopK(embeddings: DataFrame, k: Int,
-      queryPred: Option[Column] = None): DataFrame = {
+      queryPred: Option[Column] = None): DataFrame =
+    scalarQuantTopK(embeddings, k, levels = 127.0, queryPred)
+
+  /** E37: 4-bit scalar quantization tier — codes in [−7, 7], two
+    * packed codes per byte at rest (8× below float32, 2× below e29's
+    * int8; the bottom rung of the quantization ladder every production
+    * store offers for cold shards). Same uniform-scalar cancellation
+    * and exact-integer contract as [[int8TopK]] (products ≤ 49, 64-dim
+    * sums ≤ 2¹², all exact in double), so the whole tier replays in
+    * SQL; accuracy is pinned by the e38 recall row. */
+  def int4TopK(embeddings: DataFrame, k: Int,
+      queryPred: Option[Column] = None): DataFrame =
+    scalarQuantTopK(embeddings, k, levels = 7.0, queryPred)
+
+  /** Shared scalar-quantized serving kernel: codes = round(x · L/max|x|)
+    * for L ∈ {127 (int8), 7 (int4)}, scored by code-vector cosine
+    * (the per-vector descale factor cancels exactly). queryPred
+    * restricts the QUERY side only (scales are per-vector, so
+    * per-query results are unchanged) — the evaluation-workload
+    * posture: |queries|·n scoring instead of n², with the bounded
+    * workload broadcast and the corpus streamed. */
+  private def scalarQuantTopK(embeddings: DataFrame, k: Int, levels: Double,
+      queryPred: Option[Column]): DataFrame = {
     val v = col("embedding").cast("array<double>")
     val codes = embeddings.select(col("vec_id"),
       transform(v, x => round(x *
-        (lit(127.0) / array_max(transform(v, y => abs(y)))))).as("embedding"))
-    // queryPred restricts the QUERY side only (scales are per-vector,
-    // so per-query results are unchanged by the restriction) — the
-    // evaluation-workload posture: |queries|·n scoring instead of n²,
-    // with the bounded workload broadcast and the corpus streamed
+        (lit(levels) / array_max(transform(v, y => abs(y)))))).as("embedding"))
     cosineTopKAgainst(queryPred.map(codes.filter(_)).getOrElse(codes), codes, k,
       broadcastQueries = queryPred.isDefined)
   }
