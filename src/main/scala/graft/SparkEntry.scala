@@ -3103,7 +3103,30 @@ object SparkEntry {
           parse_url(col("url"), lit("PATH")).as("path"),
           parse_url(col("url"), lit("QUERY"), lit("page")).as("page"),
           parse_url(col("url"), lit("REF")).as("fragment"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+    // F14 (beyond reference): URL-based curation filtering — the C4/
+    // CommonCrawl-style "bad URL" gate that runs BEFORE any content
+    // fetch or dedup: drop documents whose host is on a curated
+    // blocklist, flag deep-pagination URLs (page ≥ 5 — listing churn,
+    // not content). The blocklist is a per-host dim (here derived
+    // deterministically: hosts hashing into the bottom 20% — in
+    // production a curated table) that BROADCASTS; the verdict is a
+    // scan-side projection + one broadcast left join, no shuffle of
+    // documents — the shape that filters a trillion URLs.
+    "f14_url_filter" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .withColumn("host", concat(col("source"), lit(".example.com")))
+      val blocklist = docs.select(col("host")).distinct()
+        .filter(graft.text.TextAnalysis.hash28(
+          concat(lit("blk:"), col("host"))) % 100 < 20)
+        .withColumnRenamed("host", "bhost")
+      docs.join(broadcast(blocklist), col("host") === col("bhost"), "left")
+        .select(col("doc_id"), col("host"),
+          when(col("bhost").isNotNull, "blocked_host")
+            .when(col("doc_id") % 7 >= 5, "deep_pagination")
+            .otherwise("ok").as("verdict"))
+        .orderBy("doc_id")
+    })
   )
 
   private val fnOracles: Map[String, String] = Map(
@@ -3143,6 +3166,16 @@ object SparkEntry {
         |  CAST(doc_id % 7 AS VARCHAR) AS page,
         |  's' || doc_id % 3 AS fragment
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "f14_url_filter" ->
+      """WITH docs AS (SELECT doc_id, source || '.example.com' AS host FROM documents),
+        |blk AS (SELECT DISTINCT host FROM docs
+        |  WHERE ('0x' || substr(md5('blk:' || host), 1, 7))::BIGINT % 100 < 20)
+        |SELECT doc_id, d.host,
+        |  CASE WHEN b.host IS NOT NULL THEN 'blocked_host'
+        |       WHEN doc_id % 7 >= 5 THEN 'deep_pagination'
+        |       ELSE 'ok' END AS verdict
+        |FROM docs d LEFT JOIN blk b ON b.host = d.host
+        |ORDER BY doc_id""".stripMargin,
     "f6_json_roundtrip" ->
       """SELECT event_id, j, (json_extract_string(j, '$.k'))::BIGINT AS k2 FROM (
         |  SELECT event_id,
@@ -7430,6 +7463,23 @@ $sqlRecallTail""".stripMargin
           round(col("cn").cast("double") /
             (col("da") + col("dc") - col("cn")), 6).as("jaccard"))
         .orderBy(col("jaccard").desc, col("a"), col("c"))
+    }),
+    // G9 (beyond reference): bounded-round weighted shortest paths —
+    // min-plus Bellman–Ford from a seed part set over the co-purchase
+    // graph, edge cost 1 + 6 div support (frequent pairings are cheap:
+    // affinity-weighted coupling distance, the "how tightly is X tied
+    // to the flagged set" question BFS answers only unweighted). A
+    // cheaper longer-hop path can beat a direct edge, so this is NOT
+    // g5's layered reachability — each round min-folds the full
+    // distance table (see graph.Sssp). Exact-integer costs + fixed
+    // rounds ⇒ the unrolled SQL oracle hash-matches the iteration.
+    "g9_weighted_hops" -> ((s, d) => {
+      val weighted = copurchase(s, d)
+        .select(col("u"), col("v"), expr("1L + 6L div support").as("w"))
+      val seeds = t(s, d, "part")
+        .filter(col("p_partkey") < 100).select(col("p_partkey").as("node"))
+      graft.graph.Sssp.boundedMinPlus(weighted, seeds, rounds = 3)
+        .orderBy("node_id")
     })
   )
 
@@ -7670,7 +7720,30 @@ $sqlRecallTail""".stripMargin
         |  round(CAST(cnn AS DOUBLE) / (da.d + dc.d - cnn), 6) AS jaccard
         |FROM cn JOIN deg da ON da.nb = cn.a JOIN deg dc ON dc.nb = cn.c
         |WHERE NOT EXISTS (SELECT 1 FROM pairs p WHERE p.u = cn.a AND p.v = cn.c)
-        |ORDER BY jaccard DESC, a, c""".stripMargin
+        |ORDER BY jaccard DESC, a, c""".stripMargin,
+    // g9: 3 unrolled min-plus folds (matches Sssp.boundedMinPlus;
+    // MATERIALIZED for the d7/g5 lineage reason)
+    "g9_weighted_hops" -> {
+      val steps = (1 to 3).map { h =>
+        s"""d$h AS MATERIALIZED (SELECT node, min(dist) AS dist FROM (
+           |  SELECT node, dist FROM d${h - 1}
+           |  UNION ALL
+           |  SELECT e.v AS node, d${h - 1}.dist + e.w AS dist
+           |  FROM edges e JOIN d${h - 1} ON e.u = d${h - 1}.node) GROUP BY node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH pairs AS (
+         |  SELECT a.l_partkey AS u, b.l_partkey AS v, count(*) AS support
+         |  FROM lineitem a JOIN lineitem b
+         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         |  GROUP BY 1, 2 HAVING count(*) >= 2),
+         |e0 AS (SELECT u, v, 1 + 6 // support AS w FROM pairs),
+         |edges AS (SELECT u, v, w FROM e0 UNION ALL SELECT v AS u, u AS v, w FROM e0),
+         |d0 AS MATERIALIZED (SELECT p_partkey AS node, CAST(0 AS BIGINT) AS dist
+         |  FROM part WHERE p_partkey < 100),
+         |$steps
+         |SELECT node AS node_id, CAST(dist AS BIGINT) AS dist FROM d3
+         |ORDER BY node_id""".stripMargin
+    }
   )
 
   // ---- assembled contract -------------------------------------------------
