@@ -5862,6 +5862,19 @@ $sqlRecallTail""".stripMargin
           w.as("width"), h.as("height"))
         .orderBy("asset_id")
     }),
+    // MM8 (beyond reference): JPEG dimensions via a bounded SOF marker
+    // WALK — the format mm7's fixed-offset reads defer (JPEG prefixes
+    // the frame header with a VARIABLE number of variable-length
+    // segments, so width/height live behind a walk). Assets carry
+    // doc_id%4 APP1 segments of id-derived lengths before SOF0; the
+    // oracle states ground truth ARITHMETICALLY (never parses), so a
+    // hop/offset/endianness slip in the walk cannot cancel out.
+    "mm8_jpeg_dims" -> ((s, d) => {
+      val a = graft.multimodal.Media.jpegAssets(t(s, d, "documents"))
+      val (w, h) = graft.multimodal.Media.jpegDims(col("content"))
+      a.select(col("asset_id"), w.as("width"), h.as("height"))
+        .orderBy("asset_id")
+    }),
     // MM2: frame sampling (every 4th frame) as a pure array op.
     "mm2_frame_sample" -> ((s, d) => {
       val frames = graft.text.TextAnalysis.words(col("text"))
@@ -5951,6 +5964,12 @@ $sqlRecallTail""".stripMargin
         |    THEN CAST(doc_id % 1000 + 16 AS BIGINT) END AS width,
         |  CASE WHEN doc_id % 5 IN (0, 2)
         |    THEN CAST(doc_id % 777 + 16 AS BIGINT) END AS height
+        |FROM documents ORDER BY asset_id""".stripMargin,
+    // ground truth stated arithmetically — the oracle never parses bytes
+    "mm8_jpeg_dims" ->
+      """SELECT doc_id AS asset_id,
+        |  CAST(doc_id % 4000 + 16 AS BIGINT) AS width,
+        |  CAST(doc_id % 3000 + 16 AS BIGINT) AS height
         |FROM documents ORDER BY asset_id""".stripMargin,
     "mm1_binary_meta" ->
       """SELECT doc_id AS asset_id,

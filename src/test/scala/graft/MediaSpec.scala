@@ -111,6 +111,33 @@ class MediaSpec extends SparkSpec {
     assert(got(5L) === ((None, None)), "unparseable container -> NULL dims")
   }
 
+  test("MM8: jpegDims walks REAL encoder output — SOF hunt vs javax.imageio") {
+    // the registered query pins the walk against fabricated segment
+    // stacks; this pins it against JPEGs produced by an actual encoder
+    // (JDK imageio writes APP0 + two DQTs before SOF0 — a genuine
+    // variable-length walk, including the FFC4/DHT-is-not-SOF case in
+    // progressive streams). Sizes >255 exercise the BE16 pair.
+    def jpg(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    val rows = Seq(
+      (1L, jpg(2, 3)), (2L, jpg(300, 517)), (3L, jpg(1, 1)),
+      (4L, "not an image".getBytes("UTF-8")))
+      .toDF("asset_id", "content")
+    val (w, h) = Media.jpegDims(col("content"))
+    val got = rows.select(col("asset_id"), w.as("w"), h.as("h"))
+      .as[(Long, Option[Long], Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) === ((Some(2L), Some(3L))), s"got ${got(1L)}")
+    assert(got(2L) === ((Some(300L), Some(517L))), s"got ${got(2L)}")
+    assert(got(3L) === ((Some(1L), Some(1L))))
+    assert(got(4L) === ((None, None)), "non-JPEG bytes -> NULL dims")
+  }
+
   test("MM6: magic sniffing rejects lookalikes the fabricated oracle never shows") {
     def b(s: String) = s.getBytes("ISO-8859-1")
     val rows = Seq(

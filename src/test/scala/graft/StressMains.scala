@@ -825,3 +825,28 @@ object ProfileE33 {
 
 
 
+
+object ProfileMm8 {
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.multimodal.Media
+    def time[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[mm8prof] $label: ${(System.nanoTime() - t0) / 1e9}%.2fs"); r
+    }
+    val docs = Tables.table(spark, dir, "documents")
+    time("assets only")(println(Media.jpegAssets(docs).count()))
+    Seq(4, 5, 6, 8).foreach { hops =>
+      val a = Media.jpegAssets(docs)
+      val (w, h) = Media.jpegDims(col("content"), hops)
+      time(s"walk hops=$hops")(
+        println(a.select(col("asset_id"), w.as("w"), h.as("h"))
+          .agg(sum(col("w")), sum(col("h"))).collect().mkString))
+    }
+    spark.stop()
+  }
+}
