@@ -73,6 +73,12 @@ object PlanAudit {
       ("same e36 posture (r14): 50-query workload broadcast, corpus streamed — " +
         "the bounded form of e33 whose reference pass is linear in the corpus; " +
         "the retriever under evaluation is the adaptive-plane LSH production rule"),
+    "e18_recall_sampled" ->
+      ("same e36 posture (r14): 50-query workload broadcast, corpus streamed — " +
+        "the bounded form of e18 (pinned-LSH recall pin)"),
+    "e19_recall_sampled" ->
+      ("same e36 posture (r14): 50-query workload broadcast, corpus streamed — " +
+        "the bounded form of e19 (IVF recall pin)"),
     "w17_rolling_corr" ->
       ("every non-equi/cross join runs on CALENDAR- or KEY-CATALOG-bounded frames, " +
         "never the facts: the span scalar is one aggregated row, the key-pair grid is " +

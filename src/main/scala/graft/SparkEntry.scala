@@ -4296,6 +4296,35 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
       recallRollup(exact, approx)
     }),
+    // E18-SAMPLED / E19-SAMPLED (r14): the bounded 50-query forms of
+    // the pinned-LSH and IVF recall pins — every-query recall pins are
+    // inherently quadratic in the corpus (the exact reference side);
+    // these make the monitored number linear (the e33_sampled recipe
+    // applied to the other two index families).
+    "e18_recall_sampled" -> ((s, d) => {
+      val emb = t(s, d, "embeddings").localCheckpoint(true)
+      val exact = graft.similarity.Ann
+        .cosineTopKAgainst(emb.filter(col("vec_id") < 50), emb, 5,
+          broadcastQueries = true)
+        .select(col("query_id"), col("neighbor_id"))
+      val approx = graft.similarity.Ann
+        .lshTopKJoin(emb, 5, nTables = 8, nPlanesOverride = 8,
+          queryPred = Some(col("vec_id") < 50))
+        .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+      recallRollup(exact, approx)
+    }),
+    "e19_recall_sampled" -> ((s, d) => {
+      val emb = t(s, d, "embeddings").localCheckpoint(true)
+      val exact = graft.similarity.Ann
+        .cosineTopKAgainst(emb.filter(col("vec_id") < 50), emb, 5,
+          broadcastQueries = true)
+        .select(col("query_id"), col("neighbor_id"))
+      val approx = graft.similarity.Ann
+        .ivfTopK(emb, 5, nProbe = 4, prefixSeeds = true, refine = false)
+        .filter(col("query_id") < 50)
+        .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+      recallRollup(exact, approx)
+    }),
     // E36: NDCG@5 of the pinned-LSH retriever — ranking QUALITY, not
     // just set overlap (e18's recall scores a perfect-order top-5 and
     // a reversed one identically; NDCG grades positions). Graded
@@ -4793,6 +4822,16 @@ object SparkEntry {
        |  FROM asim) WHERE rn <= 5),
 $sqlRecallTail""".stripMargin
 
+  /** e18_sampled's oracle: the pinned-face recall pin on the 50-query
+    * workload (the e33_sampled recipe on the pinned candidate chain). */
+  private val lshRecallSampledOracle: String =
+    s"""$lshCandSims,
+       |ar AS MATERIALIZED (SELECT query_id, neighbor_id FROM (
+       |  SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
+       |  FROM asim WHERE query_id < 50) WHERE rn <= 5),
+${sqlRecallTailFor(" WHERE q.vec_id < 50")}""".stripMargin
+
   /** e2's oracle: the pinned-configuration LSH retrieval replayed
     * end-to-end — plane-literal buckets, distinct candidate set, exact
     * cosine, top-5. */
@@ -4970,6 +5009,16 @@ ${sqlRecallTailFor(" WHERE q.vec_id < 50")}""".stripMargin
        |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
        |  FROM csim) WHERE rn <= 5),
 $sqlRecallTail""".stripMargin
+
+  /** e19_sampled's oracle: the IVF recall pin on the 50-query workload
+    * (same sampled posture as e18_sampled/e33_sampled). */
+  private val ivfRecallSampledOracle: String =
+    s"""$ivfCandSims,
+       |ar AS MATERIALIZED (SELECT query_id, neighbor_id FROM (
+       |  SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
+       |  FROM csim WHERE query_id < 50) WHERE rn <= 5),
+${sqlRecallTailFor(" WHERE q.vec_id < 50")}""".stripMargin
 
   /** e4's oracle: the prefix-seeded unrefined IVF retrieval replayed
     * end-to-end — seed cells, probe sets, candidates from probed cells
@@ -5292,7 +5341,9 @@ $sqlRecallTail""".stripMargin
          |SELECT query_id, neighbor_id, round(sim, 6) AS sim, rank FROM r
          |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
     "e18_lsh_recall" -> lshRecallOracle,
+    "e18_recall_sampled" -> lshRecallSampledOracle,
     "e19_ivf_recall" -> ivfRecallOracle,
+    "e19_recall_sampled" -> ivfRecallSampledOracle,
     "e17_filtered_ann" ->
       s"""$cosineCte,
          |allowed AS (SELECT doc_id AS vec_id FROM documents
@@ -6396,7 +6447,7 @@ $sqlRecallTail""".stripMargin
         |  SELECT doc_id, n_chars,
         |    ('0x' || substr(md5('wsamp:' || doc_id), 1, 7))::BIGINT % 10000 AS bucket
         |  FROM documents)
-        |WHERE bucket * 2000 < 10000 * least(n_chars, 2000)
+        |WHERE bucket * 2000 < 10000 * least(coalesce(n_chars, 0), 2000)
         |ORDER BY doc_id""".stripMargin,
     "sa2_stratified_sample" ->
       """SELECT doc_id, lang, bucket FROM (

@@ -49,6 +49,8 @@ object Salt {
     * the keys), like `facts.join(enrich, keys)`. */
   def saltedEquiJoin(facts: DataFrame, enrich: DataFrame, keys: Seq[String],
                      salts: Int = 16): DataFrame = {
+    require(!facts.columns.contains("__salt") && !enrich.columns.contains("__salt"),
+      "saltedEquiJoin reserves the __salt column name")
     val salted = facts.withColumn("__salt",
       pmod(monotonically_increasing_id(), lit(salts)))
     val replicated = enrich.withColumn("__salt",

@@ -58,8 +58,12 @@ object Sampling {
   def weightedSample(df: DataFrame, id: Column, weight: Column, cap: Long,
                      salt: String = "wsamp", resolution: Int = 10000): DataFrame =
     df.withColumn("bucket", bucket(id, salt, resolution))
+      // NULL weight → keep-prob 0 in BOTH engines, explicitly: Spark's
+      // `least` SKIPS nulls (least(NULL, cap) = cap — a null-weighted
+      // row would be kept surely), so the coalesce is load-bearing,
+      // not defensive
       .filter(col("bucket") * lit(cap) <
-        lit(resolution.toLong) * least(weight, lit(cap)))
+        lit(resolution.toLong) * least(coalesce(weight, lit(0L)), lit(cap)))
 
   /** SA3: balanced domain mix — deterministically downsample every
     * stratum (language, source, ...) to the size of the SMALLEST one,

@@ -850,3 +850,49 @@ object ProfileMm8 {
     spark.stop()
   }
 }
+
+/** 100× exact-copy replica (id-shifted, the MakeReplica10 recipe via a
+  * single explode instead of a 100-way union): 60M lineitem / 10M
+  * events / 200k embeddings — the axis for the round-14 "would it
+  * hold at 100×" rows (marts, sampled recall faces, salted join,
+  * min-plus graph rounds). Documents are omitted (text payload ~GBs;
+  * the doc-family 100× story is the bounded-docs isomorphism axis).
+  * Usage: Test/runMain graft.MakeReplica100 /tmp/graft100x [srcDir]
+  */
+object MakeReplica100 {
+  def main(args: Array[String]): Unit = {
+    val out = if (args.nonEmpty) args(0) else "/tmp/graft100x"
+    val src = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def rep(df: org.apache.spark.sql.DataFrame, shifts: Map[String, Long]) = {
+      val r = df.withColumn("__r", explode(sequence(lit(0L), lit(99L))))
+      shifts.foldLeft(r) { case (acc, (c, m)) =>
+        acc.withColumn(c, col(c) + col("__r") * m)
+      }.drop("__r").repartition(16)
+    }
+    rep(Tables.events(spark, src),
+        Map("event_id" -> 100000000L, "user_id" -> 1000000L))
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
+    rep(Tables.table(spark, src, "embeddings"), Map("vec_id" -> 1000000L))
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    rep(Tables.table(spark, src, "lineitem"),
+        Map("l_orderkey" -> 10000000L, "l_partkey" -> 1000000L,
+          "l_suppkey" -> 100000L))
+      .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+    rep(Tables.table(spark, src, "orders"),
+        Map("o_orderkey" -> 10000000L, "o_custkey" -> 1000000L))
+      .write.mode("overwrite").parquet(s"$out/orders.parquet")
+    rep(Tables.table(spark, src, "part"), Map("p_partkey" -> 1000000L))
+      .write.mode("overwrite").parquet(s"$out/part.parquet")
+    rep(Tables.table(spark, src, "customer"), Map("c_custkey" -> 1000000L))
+      .write.mode("overwrite").parquet(s"$out/customer.parquet")
+    println(s"[replica] wrote 100x corpus to $out")
+    spark.stop()
+  }
+}
