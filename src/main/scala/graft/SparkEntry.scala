@@ -1652,6 +1652,16 @@ object SparkEntry {
       graft.sketch.Sketches.kmvSetOps(
         t(s, d, "events"), col("event_type"),
         col("user_id").cast("string"), "view", "purchase")),
+    // A32 (beyond reference): HyperLogLog distinct-user estimation —
+    // the REGISTER sketch next to a13's KMV: 64 five-bit registers per
+    // group regardless of cardinality, merged by elementwise max, the
+    // exact-integer harmonic estimate hash-oracled (the a13/a31
+    // contract: the sketch ALGEBRA is regression-gated, not spec-only).
+    "a32_hll_distinct" -> ((s, d) =>
+      graft.sketch.Sketches.hllDistinct(
+          t(s, d, "events"), col("event_type"), col("user_id"))
+        .select(col("grp").as("event_type"), col("m_hit"), col("hll_est"))
+        .orderBy("event_type")),
     "a30_window_funnel" -> ((s, d) => {
       val T = 3600000000L // 1 h in µs
       val ev = t(s, d, "events")
@@ -1806,6 +1816,13 @@ object SparkEntry {
     "a31_kmv_set_ops" -> graft.sketch.Sketches.kmvSetOpsSql(
       "SELECT event_type AS tg, CAST(user_id AS VARCHAR) AS v FROM events",
       "view", "purchase"),
+    // the HLL register algebra replayed step-for-step in exact integers
+    "a32_hll_distinct" ->
+      s"""SELECT event_type, m_hit, hll_est FROM (
+         |${graft.sketch.Sketches.hllDistinctSql(
+              "SELECT event_type AS g, CAST(user_id AS VARCHAR) AS v FROM events",
+              "event_type")}
+         |) hll ORDER BY event_type""".stripMargin,
     "dq1_profile_approx" -> {
       val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
         "o_totalprice", "o_orderpriority")
@@ -5671,6 +5688,15 @@ ${sqlRecallTailFor(" WHERE q.vec_id < 50")}""".stripMargin
     "t9_pii_scrub" -> ((s, d) =>
       graft.text.TextAnalysis.piiScrub(t(s, d, "documents"))
         .orderBy("doc_id")),
+    // T20 (beyond reference): linear classifier INFERENCE via the
+    // hashing trick — the fastText/GPT-3-quality-filter serving shape:
+    // a by-construction-bounded (2^12-row) weight table broadcasts,
+    // tokens hash into it map-side, one integer mean per doc decides
+    // keep/drop. Doc bodies never shuffle; weights here derive from
+    // the bucket id (in production: the trained vector — same plan).
+    "t20_classifier_filter" -> ((s, d) =>
+      graft.text.TextAnalysis.classifierScore(t(s, d, "documents"))
+        .orderBy("doc_id")),
     // T11: Gopher static quality rules (word count / word shape /
     // symbol density / stopword presence) with a composite keep flag.
     "t11_gopher_rules" -> ((s, d) =>
@@ -5738,6 +5764,8 @@ ${sqlRecallTailFor(" WHERE q.vec_id < 50")}""".stripMargin
     }.mkString(" ")
     val stopList = graft.text.TextAnalysis.stopwords.map(w => s"'$w'").mkString(", ")
     Map(
+      // weight derivation + bucket hash + integer mean, step-for-step
+      "t20_classifier_filter" -> graft.text.TextAnalysis.classifierScoreSql(),
       "t1_lang_id" ->
         s"""SELECT doc_id, actual_lang, CASE $caseChain ELSE '${langs.last}' END AS predicted_lang,
            |  ${langs.map(l => s"score_$l").mkString(", ")}
@@ -5926,6 +5954,22 @@ ${sqlRecallTailFor(" WHERE q.vec_id < 50")}""".stripMargin
       a.select(col("asset_id"), w.as("width"), h.as("height"))
         .orderBy("asset_id")
     }),
+    // MM9 (beyond reference): AUDIO metadata from RIFF/WAVE header
+    // bytes — channels / sample rate / bit depth / data size /
+    // duration, the pre-codec pass for duration budgeting and
+    // sample-rate routing. Pure little-endian Column byte math inside
+    // the scan (the mm7 posture, on the audio container); the tag
+    // chain RIFF→WAVE→"fmt "→"data" must ALL match, so the fabricated
+    // RIFF/WEBP class (a RIFF container that is NOT audio) correctly
+    // parses to NULLs — the classic false-positive for a magic-only
+    // parser. Ground truth is arithmetic in the ids; the oracle never
+    // parses bytes, so any endianness/offset/tag slip hash-fails.
+    "mm9_wav_meta" -> ((s, d) => {
+      val a = graft.multimodal.Media.wavAssets(t(s, d, "documents"))
+      a.select(col("asset_id") +:
+          graft.multimodal.Media.wavMeta(col("content")): _*)
+        .orderBy("asset_id")
+    }),
     // MM2: frame sampling (every 4th frame) as a pure array op.
     "mm2_frame_sample" -> ((s, d) => {
       val frames = graft.text.TextAnalysis.words(col("text"))
@@ -6022,6 +6066,25 @@ ${sqlRecallTailFor(" WHERE q.vec_id < 50")}""".stripMargin
         |  CAST(doc_id % 4000 + 16 AS BIGINT) AS width,
         |  CAST(doc_id % 3000 + 16 AS BIGINT) AS height
         |FROM documents ORDER BY asset_id""".stripMargin,
+    // the wavAssets fabrication inverted: duration simplifies exactly —
+    // dataSize·1000 // byteRate = ((n+25)·block·1000) // (sr·block)
+    // = ((n+25)·1000) // sr since floor((a·k)/(b·k)) = floor(a/b)
+    "mm9_wav_meta" ->
+      """WITH gt AS (SELECT doc_id,
+        |  doc_id % 2 + 1 AS ch,
+        |  CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+        |    WHEN 2 THEN 22050 ELSE 44100 END AS sr,
+        |  ((doc_id // 2) % 2 + 1) * 8 AS bits
+        |  FROM documents)
+        |SELECT doc_id AS asset_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN ch END AS n_channels,
+        |  CASE WHEN doc_id % 3 = 0 THEN CAST(sr AS BIGINT) END AS sample_rate,
+        |  CASE WHEN doc_id % 3 = 0 THEN bits END AS bits_per_sample,
+        |  CASE WHEN doc_id % 3 = 0
+        |    THEN (doc_id % 1000 + 25) * ((ch * bits) // 8) END AS data_bytes,
+        |  CASE WHEN doc_id % 3 = 0
+        |    THEN ((doc_id % 1000 + 25) * 1000) // sr END AS duration_ms
+        |FROM gt ORDER BY asset_id""".stripMargin,
     "mm1_binary_meta" ->
       """SELECT doc_id AS asset_id,
         |  CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'video' END AS media_type,
@@ -6123,6 +6186,16 @@ ${sqlRecallTailFor(" WHERE q.vec_id < 50")}""".stripMargin
       graft.sampling.Sampling.weightedSample(t(s, d, "documents"),
           col("doc_id"), col("n_chars"), cap = 2000L)
         .select(col("doc_id"), col("n_chars"), col("bucket"))
+        .orderBy("doc_id")),
+    // SA15 (beyond reference): DSIR importance resampling — hashed
+    // n-gram bucket frequencies on the target (lang='en') vs source
+    // distributions, exact-integer probability-ratio scores, and an
+    // importance-proportional deterministic keep draw. Bucket stats
+    // are 2^8 rows by construction (broadcast both ways); doc bodies
+    // never shuffle.
+    "sa15_dsir_resample" -> ((s, d) =>
+      graft.sampling.Sampling.dsirResample(
+          t(s, d, "documents"), col("lang") === "en")
         .orderBy("doc_id")),
     // SA2: stratified deterministic sample — per-language rates
     // (downsample dominant 'en' to 10%, keep 50% elsewhere).
@@ -6456,6 +6529,8 @@ ${sqlRecallTailFor(" WHERE q.vec_id < 50")}""".stripMargin
         |    CASE WHEN lang = 'en' THEN 10 ELSE 50 END AS rate
         |  FROM documents)
         |WHERE bucket < rate ORDER BY doc_id""".stripMargin,
+    // the DSIR likelihood-ratio machinery replayed in exact integers
+    "sa15_dsir_resample" -> graft.sampling.Sampling.dsirResampleSql(),
     "sa3_domain_mix" ->
       """WITH c AS (SELECT lang AS k, count(*) AS cnt FROM documents GROUP BY lang),
         |r AS (SELECT k, cnt, min(cnt) OVER () AS mn FROM c)

@@ -312,4 +312,86 @@ object Media {
       .when(substring(content, 1, 4).cast("string") === "RIFF" &&
         substring(content, 9, 4).cast("string") === "WEBP", "image/webp")
       .otherwise("application/octet-stream")
+
+  // ---- MM9: RIFF/WAVE audio headers ---------------------------------------
+
+  /** Little-endian uint16 fabrication (2 bytes, value < 2^16). */
+  private def le2b(c: org.apache.spark.sql.Column) = unhex(concat(
+    lpad(hex(pmod(c, lit(256))), 2, "0"),
+    lpad(hex(pmod(shiftright(c, 8), lit(256))), 2, "0")))
+
+  /** Little-endian uint32 fabrication (4 bytes, value < 2^31). */
+  private def le4b(c: org.apache.spark.sql.Column) = unhex(concat(
+    lpad(hex(pmod(c, lit(256))), 2, "0"),
+    lpad(hex(pmod(shiftright(c, 8), lit(256))), 2, "0"),
+    lpad(hex(pmod(shiftright(c, 16), lit(256))), 2, "0"),
+    lpad(hex(pmod(shiftright(c, 24), lit(256))), 2, "0")))
+
+  /** MM9 fabrication: one third of the corpus gets a SPEC-EXACT
+    * canonical 44-byte PCM WAV header (RIFF size, "WAVE", 16-byte
+    * "fmt " chunk, "data" chunk size) whose channel count / sample
+    * rate / bit depth / data size all derive arithmetically from the
+    * asset id; one third gets a RIFF/WEBP blob — a RIFF container
+    * that is NOT audio, the classic false-positive for a parser that
+    * stops at the "RIFF" magic; one third raw text. Ground truth is
+    * arithmetic in the ids (the mm7/mm8 recipe), so the oracle never
+    * touches bytes and any endianness/offset/tag slip hash-fails. */
+  def wavAssets(docs: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    val m = id % 3
+    val ch = (id % 2 + 1).cast("int")                      // 1 or 2 channels
+    val sr = when(id % 4 === 0, 8000).when(id % 4 === 1, 16000)
+      .when(id % 4 === 2, 22050).otherwise(44100)          // sample rate
+    val bits = ((expr("doc_id div 2") % 2 + 1) * 8).cast("int") // 8 or 16
+    val block = (ch * bits / lit(8)).cast("int")           // frame stride
+    val byteRate = (sr * block).cast("int")
+    val dataSize = ((id % 1000 + 25) * block).cast("int")
+    val wav = concat(
+      lit("RIFF").cast("binary"), le4b(dataSize + 36),
+      lit("WAVE").cast("binary"),
+      lit("fmt ").cast("binary"), le4b(lit(16)),
+      le2b(lit(1)), le2b(ch), le4b(sr), le4b(byteRate), le2b(block), le2b(bits),
+      lit("data").cast("binary"), le4b(dataSize))
+    val webp = concat(lit("RIFF").cast("binary"), le4b(id % 65536 + 12),
+      lit("WEBP").cast("binary"), lit("VP8 ").cast("binary"))
+    val header = when(m === 0, wav).when(m === 1, webp)
+      .otherwise(lit("").cast("binary"))
+    docs.select(id.as("asset_id"),
+      concat(header, col("text").cast("binary")).as("content"))
+  }
+
+  /** MM9: audio metadata parsed straight from RIFF/WAVE header bytes —
+    * the billion-blob pass an audio pipeline runs BEFORE any codec
+    * (duration budgeting, sample-rate routing, mono/stereo splits all
+    * need the 44-byte header only). Pure `substring`/`hex`/`conv`
+    * little-endian Column math inside the scan projection, codegen'd,
+    * bodies never decoded and never shuffled. The gate requires the
+    * full tag chain RIFF → WAVE → "fmt " → "data": a RIFF/WEBP (or any
+    * other RIFF) blob correctly parses to NULLs. duration_ms is exact
+    * integer division data_bytes·1000 div byte_rate.
+    *
+    * @return (n_channels, sample_rate, bits_per_sample, data_bytes,
+    *         duration_ms) Columns, all NULL for non-WAVE content. */
+  def wavMeta(content: org.apache.spark.sql.Column)
+      : Seq[org.apache.spark.sql.Column] = {
+    def b(p: Int) = conv(hex(substring(content, p, 1)), 16, 10).cast("long")
+    def le2(p: Int) = b(p) + b(p + 1) * 256L
+    def le4(p: Int) = b(p) + b(p + 1) * 256L + b(p + 2) * 65536L +
+      b(p + 3) * 16777216L
+    val isWav = substring(content, 1, 4).cast("string") === "RIFF" &&
+      substring(content, 9, 4).cast("string") === "WAVE" &&
+      substring(content, 13, 4).cast("string") === "fmt " &&
+      substring(content, 37, 4).cast("string") === "data"
+    val byteRate = le4(29)
+    // exact integral division: (a - a mod b) is divisible by b and the
+    // quotient is far below 2^53, so the double divide is exact
+    val ms = le4(41) * 1000L
+    val durationMs = ((ms - pmod(ms, byteRate)) / byteRate).cast("long")
+    Seq(
+      when(isWav, le2(23)).as("n_channels"),
+      when(isWav, le4(25)).as("sample_rate"),
+      when(isWav, le2(35)).as("bits_per_sample"),
+      when(isWav, le4(41)).as("data_bytes"),
+      when(isWav, durationMs).as("duration_ms"))
+  }
 }

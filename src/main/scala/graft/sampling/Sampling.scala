@@ -210,4 +210,83 @@ object Sampling {
       .select(col("id"), col("stratum"), col("epochs_x100"), col("n_copies"),
         explode(sequence(lit(1L), col("n_copies"))).as("copy"))
   }
+
+  /** SA15: data-selection-by-importance resampling (the DSIR shape —
+    * Xie et al. 2023, "Data Selection for Language Models via
+    * Importance Resampling"): hashed-n-gram bucket frequencies are
+    * estimated on a TARGET distribution (the high-quality/in-domain
+    * subset training should look like) and on the raw SOURCE corpus;
+    * each document scores by how target-like its tokens are
+    * (mean per-bucket probability ratio), and the resampling draw
+    * keeps documents with probability proportional to that importance.
+    *
+    * Exact-integer twin of the paper's likelihood-ratio machinery so
+    * the whole path is hash-oracled: per-bucket weight is the
+    * add-one-smoothed cross-multiplied ratio
+    * w = ((nt+1)·(Ns+1)·1000) div ((ns+1)·(Nt+1)) computed in
+    * decimal(38,0) (overflow-free at any corpus size), a document's
+    * score_milli is the integer mean of its tokens' weights
+    * (nonnegative, so floor agrees across engines), and the keep draw
+    * is the [[weightedSample]] cross-multiplication with the score as
+    * the weight — importance-proportional, reproducible, re-shard
+    * stable (a ratio-of-logs form would hit libm divergence; the
+    * probability-ratio mean keeps the same ordering for thresholding).
+    *
+    * Scale posture: bucket statistics are TWO map-side-combined
+    * aggregations over slim (bucket, is_target) projections into
+    * `buckets` rows (a fixed 2^8 here; 10⁴–10⁶ in production — always
+    * broadcastable BY CONSTRUCTION, the t20 hashing-trick bound), the
+    * weight table broadcasts back over the token stream map-side, and
+    * document bodies never shuffle. At 100 TB the target statistics
+    * come from the curated subset once; everything else is one scan.
+    *
+    * @return (doc_id, n_tokens, score_milli, kept) */
+  def dsirResample(docs: DataFrame, targetPred: Column,
+      buckets: Int = 256, capMilli: Long = 2000L): DataFrame = {
+    val toks = docs.select(col("doc_id"), targetPred.cast("int").as("is_t"),
+        explode(graft.text.TextAnalysis.words(col("text"))).as("tk"))
+      .select(col("doc_id"), col("is_t"),
+        (hash28(concat(lit("dsir:"), col("tk"))) % buckets).as("bucket"))
+    // ≤`buckets` rows — materialized once so the totals scalar and the
+    // weight table don't each re-run the corpus aggregation (the
+    // epochUpsample posture; PlanAudit counts scans)
+    val stats = toks.groupBy("bucket")
+      .agg(count(lit(1)).as("ns"), sum(col("is_t")).as("nt"))
+      .localCheckpoint(true)
+    val tot = stats.agg(sum(col("ns")).as("s_tot"), sum(col("nt")).as("t_tot"))
+    val weights = stats.crossJoin(broadcast(tot))
+      .select(col("bucket"),
+        expr("""CAST((CAST(nt + 1 AS DECIMAL(38,0)) * (s_tot + 1) * 1000)
+               |  div (CAST(ns + 1 AS DECIMAL(38,0)) * (t_tot + 1)) AS BIGINT)"""
+          .stripMargin).as("w_milli"))
+    toks.join(broadcast(weights), "bucket")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("w_milli")).as("sw"))
+      .select(col("doc_id"), col("n_tokens"),
+        expr("sw div n_tokens").as("score_milli"),
+        (bucket(col("doc_id"), "dsirs", capMilli.toInt) <
+          least(expr("sw div n_tokens"), lit(capMilli))).cast("int").as("kept"))
+  }
+
+  /** Oracle SQL for [[dsirResample]] on the documents table with the
+    * `lang = 'en'` target — every integer step replayed. */
+  def dsirResampleSql(buckets: Int = 256, capMilli: Long = 2000L): String =
+    s"""WITH tok AS (SELECT doc_id, (lang = 'en')::INT AS is_t,
+       |    ('0x' || substr(md5('dsir:' || tk), 1, 7))::BIGINT % $buckets AS bucket
+       |  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tk
+       |        FROM documents)),
+       |stats AS (SELECT bucket, count(*) AS ns, sum(is_t) AS nt
+       |  FROM tok GROUP BY bucket),
+       |tot AS (SELECT sum(ns) AS s_tot, sum(nt) AS t_tot FROM stats),
+       |wt AS (SELECT bucket,
+       |    CAST(((nt + 1)::HUGEINT * (s_tot + 1) * 1000)
+       |      // ((ns + 1)::HUGEINT * (t_tot + 1)) AS BIGINT) AS w_milli
+       |  FROM stats, tot),
+       |sc AS (SELECT doc_id, count(*) AS n_tokens, sum(w_milli) AS sw
+       |  FROM tok JOIN wt USING (bucket) GROUP BY doc_id)
+       |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       |  sw // n_tokens AS score_milli,
+       |  (('0x' || substr(md5('dsirs:' || doc_id), 1, 7))::BIGINT % $capMilli
+       |     < least(sw // n_tokens, $capMilli))::INT AS kept
+       |FROM sc ORDER BY doc_id""".stripMargin
 }

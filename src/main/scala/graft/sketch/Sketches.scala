@@ -476,6 +476,86 @@ object Sketches {
        |  END AS est_intersection
        |FROM ms, cm""".stripMargin
 
+  // ---- HyperLogLog (register form) ----------------------------------------
+
+  /** HLL register count (p = 6 ⇒ m = 64, standard error 1.04/√64 ≈ 13%). */
+  val HLL_M = 64
+
+  /** Fixed-point numerator of the raw HLL estimator: round(α₆₄·10⁶) ·
+    * m² · 2⁵⁵, where α₆₄ = 0.7213/(1 + 1.079/64) (Flajolet et al.
+    * 2007). Held as a decimal literal so BOTH engines divide the same
+    * exact integer. */
+  val HLL_NUM: String = "104680255103913656422760448" // 709341 * 4096 * 2^55
+
+  /** A32: HyperLogLog distinct estimation — the REGISTER sketch
+    * (Flajolet et al. 2007), complementing [[kmvDistinct]]'s order-
+    * statistics sketch: state is m = 64 five-bit registers per group
+    * REGARDLESS of cardinality (KMV keeps k full hashes), registers
+    * merge by elementwise max (union across executors, shards, days),
+    * and the estimate is the bias-corrected harmonic mean of register
+    * maxima.
+    *
+    * Bit-reproducible end to end, so the estimate is hash-oracled,
+    * not spec-only: the 60-bit md5 hash splits into a 6-bit register
+    * index and a 54-bit pattern w; ρ = 55 − bitlen(w) (the 1-based
+    * position of w's highest set bit from the field's MSB; w = 0 ⇒ 55)
+    * computed via `length(bin(w))` — identical minimal-binary
+    * semantics in Spark and DuckDB; the harmonic sum runs EXACTLY in
+    * 64-bit integers as S = Σ 2^(55−Mⱼ) + (m − hit)·2⁵⁵ ≤ 2⁶¹, and the
+    * estimate is ONE decimal integer division [[HLL_NUM]] div (S·10⁶)
+    * — no float enters at any step.
+    *
+    * Scale posture: the aggregation state is 64 counters per group
+    * (map-side combined), the shuffle moves ≤ 64 rows per group per
+    * task, and nothing is ever sorted or retained — the shape that
+    * counts distinct users per segment at 100 TB in one pass. The raw
+    * estimator is emitted as-is (no small-range linear-counting
+    * branch — it needs ln(); `m_hit` is emitted so a consumer can
+    * apply it); callers needing small-range exactness use
+    * [[kmvDistinct]], exact below k by construction.
+    *
+    * @return (grp, m_hit, hll_est): registers touched and the raw
+    *         HLL estimate as a BIGINT. */
+  def hllDistinct(df: DataFrame, group: Column, value: Column): DataFrame = {
+    val rho = df.filter(value.isNotNull)
+      .select(group.as("grp"), hash60(value.cast("string"), "hll").as("h"))
+      .select(col("grp"), pmod(col("h"), lit(HLL_M)).as("reg"),
+        expr(s"h div $HLL_M").as("w"))
+      .select(col("grp"), col("reg"),
+        when(col("w") === 0, lit(55))
+          .otherwise(lit(55) - length(bin(col("w")))).as("rho"))
+    rho.groupBy("grp", "reg").agg(max(col("rho")).as("m"))
+      .groupBy("grp")
+      .agg(count(lit(1)).as("m_hit"),
+        sum(expr("shiftleft(CAST(1 AS BIGINT), 55 - m)")).as("s_hit"))
+      .select(col("grp"), col("m_hit"),
+        expr(s"""CAST(CAST('$HLL_NUM' AS DECIMAL(38,0)) div
+                 |  (CAST(s_hit + ($HLL_M - m_hit) * CAST(36028797018963968 AS BIGINT)
+                 |     AS DECIMAL(38,0)) * 1000000) AS BIGINT)""".stripMargin)
+          .as("hll_est"))
+  }
+
+  /** Oracle SQL for [[hllDistinct]] over a two-column relation
+    * `FROM (...) src(g, v)` (v pre-cast to canonical VARCHAR); emits
+    * `(outName, m_hit, hll_est)`, every step the exact-integer twin of
+    * the Scala (md5-60 split, bin()-length ρ, 2^(55−M) harmonic sum,
+    * one HUGEINT division). */
+  def hllDistinctSql(srcSql: String, outName: String): String =
+    s"""WITH src AS ($srcSql),
+       |h AS (SELECT g, ('0x' || substr(md5('hll:' || v), 1, 15))::BIGINT AS h
+       |  FROM src WHERE v IS NOT NULL),
+       |rho AS (SELECT g, h % $HLL_M AS reg,
+       |  CASE WHEN h // $HLL_M = 0 THEN 55
+       |       ELSE 55 - length(bin(h // $HLL_M)) END AS rho FROM h),
+       |regs AS (SELECT g, reg, max(rho) AS m FROM rho GROUP BY g, reg),
+       |agg AS (SELECT g, count(*) AS m_hit,
+       |    sum(CAST(1 AS BIGINT) << (55 - m)) AS s_hit FROM regs GROUP BY g)
+       |SELECT g AS $outName, CAST(m_hit AS BIGINT) AS m_hit,
+       |  CAST(CAST('$HLL_NUM' AS HUGEINT) //
+       |    (CAST(s_hit + ($HLL_M - m_hit) * 36028797018963968 AS HUGEINT) * 1000000)
+       |    AS BIGINT) AS hll_est
+       |FROM agg""".stripMargin
+
   /** Oracle SQL for [[cmsEstimates]] joined with exact counts, over a
     * one-column relation `FROM (...) src(k)`; the key is emitted as
     * `outName` so the driver's by-name column compare lines up. */

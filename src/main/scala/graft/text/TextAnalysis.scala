@@ -311,4 +311,65 @@ object TextAnalysis {
       size(kept).as("n_kept"),
       size(segs).as("n_segments"))
   }
+
+  /** T20: linear text-classifier INFERENCE via the hashing trick — the
+    * fastText/GPT-3-quality-filter serving shape: tokens hash into a
+    * FIXED bucket space (here 2^12; fastText uses 2^21), each bucket
+    * carries a trained weight, a document's score is the mean bucket
+    * weight of its tokens, and the keep decision is a threshold on
+    * that score. The hashing trick is what makes the shape
+    * 100 TB-safe: the weight table is `buckets` rows BY CONSTRUCTION —
+    * independent of corpus vocabulary — so it always broadcasts, the
+    * join is map-side, and document bodies never shuffle (explode
+    * projects slim (doc_id, bucket) rows; the per-doc mean partial-
+    * aggregates before the one doc_id exchange).
+    *
+    * Weights here derive deterministically from the bucket id (md5-28
+    * mod 2001 ∈ [0, 2000] — nonnegative so the integer mean floors
+    * identically in both engines); in production the trained
+    * classifier's weight vector loads in their place — the PLAN is
+    * identical. Score is exact integer math end to end, hence
+    * hash-oracled: score_milli = Σw div n_tokens, keep = score ≥ 1000
+    * (the all-buckets-equally-likely null expectation).
+    *
+    * Reference anchor: the quality-gate stage of the reference's
+    * ingest (webhook_app.py's whitelist routing decides what enters
+    * the warehouse); this is that gate's ML-scored form at corpus
+    * scale. */
+  def classifierScore(docs: DataFrame, buckets: Int = 4096,
+      thresholdMilli: Int = 1000): DataFrame = {
+    val spark = docs.sparkSession
+    val weights = spark.range(buckets.toLong).toDF("bucket")
+      .select(col("bucket"),
+        (hash28(concat(lit("clw:"), col("bucket").cast("string"))) % 2001L)
+          .as("w_milli"))
+    val toks = docs.select(col("doc_id"),
+        explode(words(col("text"))).as("tk"))
+      .select(col("doc_id"),
+        (hash28(concat(lit("cls:"), col("tk"))) % buckets.toLong).as("bucket"))
+    toks.join(broadcast(weights), "bucket")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("w_milli")).as("sw"))
+      .select(col("doc_id"), col("n_tokens"),
+        expr("sw div n_tokens").as("score_milli"),
+        (expr("sw div n_tokens") >= thresholdMilli).cast("int").as("keep"))
+  }
+
+  /** Oracle SQL for [[classifierScore]] on the documents table —
+    * weight derivation, bucket hash, and integer mean replayed
+    * step-for-step. */
+  def classifierScoreSql(buckets: Int = 4096, thresholdMilli: Int = 1000): String =
+    s"""WITH wt AS (SELECT bucket,
+       |    ('0x' || substr(md5('clw:' || bucket), 1, 7))::BIGINT % 2001 AS w_milli
+       |  FROM (SELECT unnest(range($buckets)) AS bucket)),
+       |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents),
+       |tb AS (SELECT doc_id,
+       |    ('0x' || substr(md5('cls:' || tk), 1, 7))::BIGINT % $buckets AS bucket
+       |  FROM tok),
+       |sc AS (SELECT doc_id, count(*) AS n_tokens, sum(w_milli) AS sw
+       |  FROM tb JOIN wt USING (bucket) GROUP BY doc_id)
+       |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       |  sw // n_tokens AS score_milli,
+       |  (sw // n_tokens >= $thresholdMilli)::INT AS keep
+       |FROM sc ORDER BY doc_id""".stripMargin
 }

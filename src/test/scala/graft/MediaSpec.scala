@@ -161,4 +161,41 @@ class MediaSpec extends SparkSpec {
     assert(got(7L) == "application/octet-stream")
     assert(got(8L) == "application/octet-stream", "GIF87a is not the 89a signature")
   }
+
+  test("MM9: wavMeta reads REAL encoder output — byte math vs javax.sound.sampled") {
+    // the registered query pins the parse against fabricated headers;
+    // this pins it against WAVs produced by the JDK's own audio writer
+    // (canonical 44-byte RIFF/WAVE/fmt/data layout), so the
+    // little-endian offset math can't be wrong in a way the
+    // fabrication shares. Rates >65535 exercise the full LE32 path.
+    def wav(sr: Float, bits: Int, ch: Int, nFrames: Int): Array[Byte] = {
+      val fmt = new javax.sound.sampled.AudioFormat(sr, bits, ch, true, false)
+      val data = new Array[Byte](nFrames * fmt.getFrameSize)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt, nFrames.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val rows = Seq(
+      (1L, wav(44100f, 16, 2, 4410)),   // 100 ms stereo CD audio
+      (2L, wav(96000f, 16, 1, 96000)),  // 1 s high-rate mono (LE32 > 2^16)
+      (3L, wav(8000f, 8, 1, 123)),
+      (4L, "RIFF1234WEBPVP8 ".getBytes("ISO-8859-1")), // RIFF, not audio
+      (5L, "not audio".getBytes("UTF-8")))
+      .toDF("asset_id", "content")
+    val got = rows.select(col("asset_id") +: Media.wavMeta(col("content")): _*)
+      .as[(Long, Option[Long], Option[Long], Option[Long], Option[Long], Option[Long])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got(1L) === ((1L, Some(2L), Some(44100L), Some(16L),
+      Some(4410L * 4), Some(100L))), s"got ${got(1L)}")
+    assert(got(2L) === ((2L, Some(1L), Some(96000L), Some(16L),
+      Some(96000L * 2), Some(1000L))), s"got ${got(2L)}")
+    assert(got(3L) === ((3L, Some(1L), Some(8000L), Some(8L),
+      Some(123L), Some(15L))), s"got ${got(3L)}") // 123*1000 div 8000 = 15
+    assert(got(4L)._2.isEmpty && got(4L)._6.isEmpty,
+      "RIFF/WEBP must parse to NULLs — RIFF magic alone is not audio")
+    assert(got(5L)._2.isEmpty, "non-RIFF bytes -> NULLs")
+  }
 }

@@ -177,4 +177,36 @@ class SamplingSpec extends SparkSpec {
     }
     assert(run(docs.repartition(7)) == got, "upsample must not depend on sharding")
   }
+
+  test("SA15: DSIR importance separates target-vocab docs when vocabularies diverge") {
+    // the registered query runs on the shared-vocabulary harness corpus
+    // (every token appears in every language — separation is honestly
+    // weak there); THIS corpus has disjoint vocabularies, where the
+    // likelihood-ratio machinery must separate sharply: target docs use
+    // {red green blue}, source-only docs use {xx yy zz}.
+    val rows =
+      (1L to 40L).map(i => (i, "red green blue red green", "en")) ++
+      (41L to 80L).map(i => (i, "xx yy zz xx yy", "zh"))
+    val docs = rows.toDF("doc_id", "text", "lang")
+    val got = graft.sampling.Sampling
+      .dsirResample(docs, col("lang") === "en")
+      .select("doc_id", "score_milli", "kept")
+      .as[(Long, Long, Int)].collect().sortBy(_._1)
+    val (tgt, src) = got.partition(_._1 <= 40L)
+    // target-vocab docs: every token's bucket is ~pure-target, ratio
+    // p_t/p_s ≈ (nt+1)(Ns+1)/((ns+1)(Nt+1)) ≈ Ns/Nt ≈ 2 ⇒ score ~2000;
+    // source-only docs: nt = 0 per bucket ⇒ score near 0
+    assert(tgt.forall(_._2 > 1500), s"target scores: ${tgt.take(3).mkString(",")}")
+    assert(src.forall(_._2 < 200), s"source scores: ${src.take(3).mkString(",")}")
+    // the draw is importance-proportional: capped target scores keep
+    // (near-)everything, near-zero source scores keep (near-)nothing
+    assert(tgt.count(_._3 == 1) >= 35, "high-importance docs must mostly survive")
+    assert(src.count(_._3 == 1) <= 5, "low-importance docs must mostly drop")
+    // deterministic: reshard-stable
+    val resharded = graft.sampling.Sampling
+      .dsirResample(docs.repartition(7), col("lang") === "en")
+      .select("doc_id", "score_milli", "kept")
+      .as[(Long, Long, Int)].collect().sortBy(_._1)
+    assert(resharded.toSeq == got.toSeq)
+  }
 }

@@ -162,4 +162,26 @@ class SketchSpec extends SparkSpec {
       .as[(String, Double)].collect().toMap
     assert(resharded === est)
   }
+
+  test("HLL distinct: within the 3-sigma register band, merge = max, reshard-stable") {
+    // m = 64 registers ⇒ standard error 1.04/8 = 13%; allow 3 sigma.
+    // Cardinalities well above the small-range zone (~2.5m = 160).
+    val rows = (1 to 2000).map(i => ("g_a", s"v$i")) ++
+      (1 to 8000).flatMap(i => Seq(("g_b", s"w$i"), ("g_b", s"w$i")))
+    val df = rows.toDF("g", "v")
+    val est = Sketches.hllDistinct(df, col("g"), col("v"))
+      .select("grp", "hll_est").as[(String, Long)].collect().toMap
+    assert(math.abs(est("g_a") - 2000.0) / 2000.0 < 0.39,
+      s"HLL estimate ${est("g_a")} too far from 2000")
+    assert(math.abs(est("g_b") - 8000.0) / 8000.0 < 0.39,
+      s"HLL estimate ${est("g_b")} too far from 8000")
+    // registers merge by max ⇒ the estimate is a set function of the
+    // values: duplicate-insensitive and partitioning-independent
+    val resharded = Sketches.hllDistinct(df.repartition(13), col("g"), col("v"))
+      .select("grp", "hll_est").as[(String, Long)].collect().toMap
+    assert(resharded === est)
+    val deduped = Sketches.hllDistinct(df.distinct(), col("g"), col("v"))
+      .select("grp", "hll_est").as[(String, Long)].collect().toMap
+    assert(deduped === est, "HLL must be duplicate-insensitive")
+  }
 }

@@ -148,4 +148,38 @@ class TextAnalysisSpec extends SparkSpec {
       assert(native === columns, s"width=$w")
     }
   }
+
+  test("T20: classifier score is the exact integer mean of bucket weights") {
+    import org.apache.spark.sql.functions._
+    // single-token docs: the score IS that token's bucket weight, so
+    // the whole hash→bucket→weight→mean chain is pinned per token
+    val single = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma"))
+      .toDF("doc_id", "text")
+    def weightOf(tok: String): Long = spark.range(1)
+      .select((TextAnalysis.hash28(concat(
+        lit("clw:"), (TextAnalysis.hash28(lit("cls:" + tok)) % 4096L)
+          .cast("string"))) % 2001L).as("w"))
+      .as[Long].head()
+    val got = TextAnalysis.classifierScore(single)
+      .select("doc_id", "n_tokens", "score_milli", "keep")
+      .as[(Long, Long, Long, Int)].collect().sortBy(_._1)
+    val toks = Map(1L -> "alpha", 2L -> "beta", 3L -> "gamma")
+    got.foreach { case (id, n, score, keep) =>
+      val w = weightOf(toks(id))
+      assert(n == 1L && score == w, s"doc $id: score $score vs weight $w")
+      assert(keep == (if (w >= 1000) 1 else 0))
+    }
+    // multi-token doc: integer mean (floor), not float
+    val multi = Seq((10L, "alpha beta gamma")).toDF("doc_id", "text")
+    val ws = Seq("alpha", "beta", "gamma").map(weightOf)
+    val m = TextAnalysis.classifierScore(multi)
+      .select("n_tokens", "score_milli").as[(Long, Long)].head()
+    assert(m == ((3L, ws.sum / 3)), s"got $m expected ${(3L, ws.sum / 3)}")
+    // reshard-stable on the harness corpus
+    val docs = Tables.documents(spark, sfDir)
+    val a = TextAnalysis.classifierScore(docs).orderBy("doc_id").collect().toSeq
+    val b = TextAnalysis.classifierScore(docs.repartition(7))
+      .orderBy("doc_id").collect().toSeq
+    assert(a === b)
+  }
 }
