@@ -2285,6 +2285,35 @@ object SparkEntry {
     // filter — the j8/j10 equi-key + range-post-filter posture), never
     // the fact table; at 100 TB the rollup is the only thing that
     // shuffles.
+    // TS11 (beyond reference): additive day-of-week seasonal
+    // decomposition — the classical seasonal-index profile (per-dow
+    // mean daily volume vs the overall mean) that separates weekly
+    // rhythm from trend before anomaly thresholds are set (ts5/st22
+    // consume deseasonalized series at a real deployment). Exact
+    // integer rationals throughout: per-dow and overall means floor
+    // ONCE each at milli resolution and the seasonal component is the
+    // difference of the two already-floored integers — no division of
+    // a negative ever happens (Spark div truncates toward zero where
+    // DuckDB // floors, so a signed numerator would diverge).
+    // Scale: only (type, day) rollup rows ever shuffle; the dow
+    // profile is ≤ 7 rows per type and the overall mean is a window
+    // over that tiny aggregate.
+    "ts11_seasonal_dow" -> ((s, d) => {
+      val daily = t(s, d, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val dw = daily
+        .groupBy(col("event_type"), dayofweek(col("day")).as("dow"))
+        .agg(count(lit(1)).as("n_days"), sum(col("n")).as("sum_n"))
+      val w = Window.partitionBy(col("event_type"))
+      dw.withColumn("sum_all", sum(col("sum_n")).over(w))
+        .withColumn("n_all", sum(col("n_days")).over(w))
+        .select(col("event_type"), col("dow"), col("n_days"),
+          expr("(sum_n * 1000) div n_days").as("mean_dow_milli"),
+          (expr("(sum_n * 1000) div n_days") -
+            expr("(sum_all * 1000) div n_all")).as("seasonal_milli"))
+        .orderBy("event_type", "dow")
+    }),
     "ts6_ewma_forecast" -> ((s, d) => {
       val daily = t(s, d, "events")
         .groupBy(col("event_type"), to_date(col("ts")).as("day"))
@@ -2656,6 +2685,20 @@ object SparkEntry {
         |    (sqrt(CAST(n_days * sxx - sx * sx AS DOUBLE)) *
         |     sqrt(CAST(n_days * syy - sy * sy AS DOUBLE))) AS xcorr
         |FROM m ORDER BY type_a, type_b""".stripMargin,
+    // DuckDB dayofweek is Sunday=0; Spark's is Sunday=1 — hence the +1
+    "ts11_seasonal_dow" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |dw AS (SELECT event_type, CAST(dayofweek(day) + 1 AS INT) AS dow,
+        |    count(*) AS n_days, sum(n) AS sum_n
+        |  FROM daily GROUP BY 1, 2),
+        |tot AS (SELECT event_type, sum(sum_n) AS sum_all, sum(n_days) AS n_all
+        |  FROM dw GROUP BY 1)
+        |SELECT d.event_type, d.dow, d.n_days,
+        |  (sum_n * 1000) // n_days AS mean_dow_milli,
+        |  (sum_n * 1000) // n_days - (sum_all * 1000) // n_all AS seasonal_milli
+        |FROM dw d JOIN tot USING (event_type)
+        |ORDER BY event_type, dow""".stripMargin,
     "ts6_ewma_forecast" -> {
       val cases = ewmaCaseSql
       s"""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
@@ -3330,6 +3373,18 @@ object SparkEntry {
           Seq(col("h").asc), 256)
         .orderBy("event_type", "h")
     }),
+    // ST23 (beyond reference): the streaming HLL fold's STATE — the
+    // per-(group, register) maxima hllDistinctStream converges to —
+    // built in batch from the same hllRegRho expressions, so the
+    // standing state itself is hash-oracled (the st19 contract for
+    // the register sketch; the estimate algebra is a32's oracle).
+    "st23_hll_state_twin" -> ((s, d) => {
+      val (reg, rho) = graft.sketch.Sketches.hllRegRho(col("user_id"))
+      t(s, d, "events").filter(col("user_id").isNotNull)
+        .select(col("event_type"), reg.as("reg"), rho.as("rho"))
+        .groupBy("event_type", "reg").agg(max(col("rho")).as("m"))
+        .orderBy("event_type", "reg")
+    }),
     // ST16 (beyond reference): hopping windows — st8's tumbling-day
     // counts at a 12 h slide (every event in exactly two windows).
     // Twin runs the EXACT streaming code path in batch; the oracle
@@ -3421,6 +3476,16 @@ object SparkEntry {
         |SELECT g AS event_type, h FROM (
         |  SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn FROM h)
         |WHERE rn <= 256 ORDER BY event_type, h""".stripMargin,
+    // the standing HLL register state: md5-60 split + bin()-length rho
+    "st23_hll_state_twin" ->
+      """WITH h AS (SELECT event_type AS g,
+        |    ('0x' || substr(md5('hll:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        |  FROM events WHERE user_id IS NOT NULL),
+        |rho AS (SELECT g, h % 64 AS reg,
+        |  CASE WHEN h // 64 = 0 THEN 55
+        |       ELSE 55 - length(bin(h // 64)) END AS rho FROM h)
+        |SELECT g AS event_type, reg, CAST(max(rho) AS INT) AS m
+        |FROM rho GROUP BY g, reg ORDER BY event_type, reg""".stripMargin,
     "st18_stream_topk_twin" ->
       """SELECT user_id, event_id, value FROM (
         |  SELECT user_id, event_id, value,

@@ -516,14 +516,20 @@ object Sketches {
     *
     * @return (grp, m_hit, hll_est): registers touched and the raw
     *         HLL estimate as a BIGINT. */
+  /** The (register, ρ) pair for a value's 60-bit HLL hash — public so
+    * the streaming fold ([[graft.streaming.StreamIngest.hllDistinctStream]])
+    * builds bit-identical register state to the batch sketch. */
+  def hllRegRho(value: Column): (Column, Column) = {
+    val h = hash60(value.cast("string"), "hll")
+    val w = shiftright(h, 6) // h div 64: h is nonnegative
+    (pmod(h, lit(HLL_M)),
+      when(w === 0, lit(55)).otherwise(lit(55) - length(bin(w))).cast("int"))
+  }
+
   def hllDistinct(df: DataFrame, group: Column, value: Column): DataFrame = {
+    val (reg, rhoC) = hllRegRho(value)
     val rho = df.filter(value.isNotNull)
-      .select(group.as("grp"), hash60(value.cast("string"), "hll").as("h"))
-      .select(col("grp"), pmod(col("h"), lit(HLL_M)).as("reg"),
-        expr(s"h div $HLL_M").as("w"))
-      .select(col("grp"), col("reg"),
-        when(col("w") === 0, lit(55))
-          .otherwise(lit(55) - length(bin(col("w")))).as("rho"))
+      .select(group.as("grp"), reg.as("reg"), rhoC.as("rho"))
     rho.groupBy("grp", "reg").agg(max(col("rho")).as("m"))
       .groupBy("grp")
       .agg(count(lit(1)).as("m_hit"),

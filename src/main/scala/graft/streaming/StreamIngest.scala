@@ -164,6 +164,51 @@ object StreamIngest {
       }
   }
 
+  /** ST23 output: one standing HLL-estimate row per group. */
+  final case class HllEstimate(event_type: String, m_hit: Int, hll_est: Long)
+
+  /** ST23: streaming HyperLogLog distinct-count — the continuous form
+    * of [[graft.sketch.Sketches.hllDistinct]] (a32's scale path).
+    * State per group is the 64 register maxima — a FIXED 64-int array
+    * however large the group, folded by elementwise max, which is
+    * commutative/idempotent, so micro-batch folds (including
+    * redeliveries) converge to the batch sketch on the union:
+    * StreamIngestSpec proves a 3-batch fold with duplicate delivery
+    * equals [[Sketches.hllDistinct]], and `st23_hll_state_twin` runs
+    * the SAME register construction in batch under the SQL oracle.
+    * The (register, ρ) pair comes from [[Sketches.hllRegRho]] — the
+    * batch sketch's own Column expressions evaluated per event — and
+    * the estimate replays the batch integer algebra exactly
+    * (Σ 2^(55−M) over all 64 registers, one BigInt division by
+    * S·10⁶). */
+  def hllDistinctStream(spark: SparkSession, events: Dataset[Ev]): Dataset[HllEstimate] = {
+    import spark.implicits._
+    val m = graft.sketch.Sketches.HLL_M
+    val num = BigInt(graft.sketch.Sketches.HLL_NUM)
+    val (reg, rho) = graft.sketch.Sketches.hllRegRho(col("user_id"))
+    val regRows = events.filter(col("user_id").isNotNull)
+      .select(col("event_type"), reg.cast("int").as("reg"), rho.as("rho"))
+      .as[(String, Int, Int)]
+    regRows.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (grp: String, it: Iterator[(String, Int, Int)], state: GroupState[Array[Int]]) =>
+          val regs = state.getOption.getOrElse(Array.fill(m)(0))
+          var changed = false
+          it.foreach { case (_, r, p) =>
+            if (p > regs(r)) { regs(r) = p; changed = true }
+          }
+          if (!changed) Iterator.empty
+          else {
+            state.update(regs)
+            // unhit registers carry M = 0 ⇒ the 2^55 term of the batch
+            // (m − hit)·2^55 form falls out of the uniform sum
+            val s = regs.map(v => 1L << (55 - v)).sum
+            val est = (num / (BigInt(s) * 1000000)).toLong
+            Iterator(HllEstimate(grp, regs.count(_ > 0), est))
+          }
+      }
+  }
+
   /** ST20 output: the standing smoothed-rate row per type. */
   final case class EwmaRow(event_type: String, day: java.sql.Date,
       n: Long, ewma: Double)

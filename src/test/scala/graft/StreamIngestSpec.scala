@@ -684,6 +684,37 @@ class StreamIngestSpec extends SparkSpec {
       "value tie must break by event_id asc")
   }
 
+  test("ST23: streaming HLL fold equals the batch sketch (redeliveries included)") {
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = StreamIngest.hllDistinctStream(spark, in.toDS())
+      .writeStream.format("memory").queryName("st23_out").outputMode("update").start()
+    // enough distinct users per group that several registers are hit
+    val evs = (1 to 60).map(i =>
+      Ev(i.toLong, ts("2024-01-01 10:00:00"), 1000L + i % 40, "view", 1.0)) ++
+      (61 to 80).map(i =>
+        Ev(i.toLong, ts("2024-01-01 11:00:00"), 2000L + i, "click", 1.0))
+    in.addData(evs.take(30): _*)
+    q.processAllAvailable()
+    in.addData(evs.slice(30, 60) ++ evs.take(5): _*) // duplicate delivery
+    q.processAllAvailable()
+    in.addData(evs.drop(60): _*)
+    q.processAllAvailable()
+    // standing estimate per group = the LAST emitted row
+    val fin = spark.table("st23_out")
+      .as[graft.streaming.StreamIngest.HllEstimate].collect()
+      .zipWithIndex
+      .groupBy(_._1.event_type).view
+      .mapValues(_.maxBy(_._2)._1).values
+      .map(e => (e.event_type, e.m_hit.toLong, e.hll_est)).toSet
+    q.stop()
+    val batch = graft.sketch.Sketches.hllDistinct(
+        evs.toDF(), col("event_type"), col("user_id"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(fin == batch, s"streaming fold $fin must equal batch sketch $batch")
+  }
+
   test("ST19: streaming KMV distinct fold equals the batch sketch (redeliveries included)") {
     import org.apache.spark.sql.functions.col
     implicit val sqlCtx = spark.sqlContext
