@@ -6196,6 +6196,54 @@ ${sqlRecallTailFor(" WHERE q.vec_id < 50")}""".stripMargin
             .as("avg_quality"),
           sum(col("n_words").cast("long")).as("total_tokens"))
         .orderBy("predicted_lang")
+    }),
+    // PIPE v2 (beyond reference): the ML-SCORED curation flow — t20's
+    // classifier gate and sa15's DSIR importance draw evaluated in ONE
+    // shared token pass (both bucket hashes projected off the same
+    // explode; both weight tables broadcast; one per-doc aggregation
+    // carries both sums), then per-language stats plus an a32 HLL
+    // audit of distinct sources in the survivors. The curated manifest
+    // (slim doc metadata, no bodies) is materialized once — the point
+    // where a production run writes the curated corpus — so the stats
+    // and sketch branches don't re-run the scoring DAG. Constants
+    // mirror t20/sa15 exactly; the hash compare pins the composition.
+    "pipe_curation_ml" -> ((s, d) => {
+      import graft.text.TextAnalysis.hash28
+      val docs = t(s, d, "documents")
+      val toks = docs.select(col("doc_id"), col("lang"), col("source"),
+          col("n_chars"), (col("lang") === "en").cast("int").as("is_t"),
+          explode(graft.text.TextAnalysis.words(col("text"))).as("tk"))
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          col("is_t"),
+          (hash28(concat(lit("cls:"), col("tk"))) % 4096L).as("cb"),
+          (hash28(concat(lit("dsir:"), col("tk"))) % 256L).as("db"))
+      val dstats = toks.groupBy("db")
+        .agg(count(lit(1)).as("ns"), sum(col("is_t")).as("nt"))
+        .localCheckpoint(true)
+      val dtot = dstats.agg(sum(col("ns")).as("s_tot"), sum(col("nt")).as("t_tot"))
+      val dw = dstats.crossJoin(broadcast(dtot))
+        .select(col("db"),
+          expr("""CAST((CAST(nt + 1 AS DECIMAL(38,0)) * (s_tot + 1) * 1000)
+                 |  div (CAST(ns + 1 AS DECIMAL(38,0)) * (t_tot + 1)) AS BIGINT)"""
+            .stripMargin).as("wd"))
+      val cw = s.range(4096).toDF("cb").select(col("cb"),
+        (hash28(concat(lit("clw:"), col("cb").cast("string"))) % 2001L).as("wc"))
+      val kept = toks
+        .join(broadcast(cw), "cb").join(broadcast(dw), "db")
+        .groupBy("doc_id")
+        .agg(max(col("lang")).as("lang"), max(col("source")).as("source"),
+          max(col("n_chars")).as("n_chars"),
+          count(lit(1)).as("n_tok"), sum(col("wc")).as("swc"),
+          sum(col("wd")).as("swd"))
+        .filter(expr("swc div n_tok") >= 1000 &&
+          graft.sampling.Sampling.bucket(col("doc_id"), "dsirs", 2000) <
+            least(expr("swd div n_tok"), lit(2000L)))
+        .localCheckpoint(true)
+      val stats = kept.groupBy("lang").agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"))
+      val hll = graft.sketch.Sketches.hllDistinct(kept, col("lang"), col("source"))
+        .select(col("grp").as("lang"), col("hll_est").as("est_sources"))
+      stats.join(hll, "lang").orderBy("lang")
     })
   )
 
@@ -6226,7 +6274,37 @@ ${sqlRecallTailFor(" WHERE q.vec_id < 50")}""".stripMargin
          |SELECT predicted_lang, count(*) AS n_docs,
          |  CAST(sum(CAST(quality_score AS DECIMAL(8,4))) AS DOUBLE) / count(*) AS avg_quality,
          |  CAST(sum(n_words) AS BIGINT) AS total_tokens
-         |FROM langed GROUP BY predicted_lang ORDER BY predicted_lang""".stripMargin)
+         |FROM langed GROUP BY predicted_lang ORDER BY predicted_lang""".stripMargin,
+      // t20 gate + sa15 draw + a32 sketch, composed — constants and
+      // hash salts identical to the standalone oracles
+      "pipe_curation_ml" ->
+        s"""WITH tok AS (SELECT doc_id, lang, source, n_chars, (lang = 'en')::INT AS is_t,
+           |    ('0x' || substr(md5('cls:' || tk), 1, 7))::BIGINT % 4096 AS cb,
+           |    ('0x' || substr(md5('dsir:' || tk), 1, 7))::BIGINT % 256 AS db
+           |  FROM (SELECT doc_id, lang, source, n_chars,
+           |        unnest(string_split(text, ' ')) AS tk FROM documents)),
+           |dstats AS (SELECT db, count(*) AS ns, sum(is_t) AS nt FROM tok GROUP BY db),
+           |dtot AS (SELECT sum(ns) AS s_tot, sum(nt) AS t_tot FROM dstats),
+           |dw AS (SELECT db, CAST(((nt + 1)::HUGEINT * (s_tot + 1) * 1000)
+           |    // ((ns + 1)::HUGEINT * (t_tot + 1)) AS BIGINT) AS wd FROM dstats, dtot),
+           |cw AS (SELECT cb, ('0x' || substr(md5('clw:' || cb), 1, 7))::BIGINT % 2001 AS wc
+           |  FROM (SELECT unnest(range(4096)) AS cb)),
+           |kept AS (SELECT * FROM (
+           |    SELECT doc_id, max(lang) AS lang, max(source) AS source,
+           |      max(n_chars) AS n_chars, count(*) AS n_tok,
+           |      sum(wc) AS swc, sum(wd) AS swd
+           |    FROM tok JOIN cw USING (cb) JOIN dw USING (db) GROUP BY doc_id)
+           |  WHERE swc // n_tok >= 1000
+           |    AND ('0x' || substr(md5('dsirs:' || doc_id), 1, 7))::BIGINT % 2000
+           |        < least(swd // n_tok, 2000)),
+           |stats AS (SELECT lang, count(*) AS n_docs,
+           |    CAST(sum(n_chars) AS BIGINT) AS total_chars FROM kept GROUP BY lang),
+           |hll AS (SELECT * FROM (
+           |${graft.sketch.Sketches.hllDistinctSql(
+                "SELECT lang AS g, CAST(source AS VARCHAR) AS v FROM kept", "lang")}
+           |) h)
+           |SELECT s.lang, s.n_docs, s.total_chars, hll.hll_est AS est_sources
+           |FROM stats s JOIN hll USING (lang) ORDER BY lang""".stripMargin)
   }
 
   // ---- C/SA/T6: corpus shaping (training-data pipeline, beyond ref) -------
