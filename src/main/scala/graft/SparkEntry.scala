@@ -6548,6 +6548,18 @@ ${sqlRecallTailFor(" WHERE q.vec_id < 50")}""".stripMargin
       graft.text.Chunking.packSequences(t(s, d, "documents"))
         .select(col("doc_id"), col("n_tok"), col("cum_tok"), col("pack_id"))
         .orderBy("doc_id")),
+    // C3 (beyond reference): the SHARDED packing escape c2's scaladoc
+    // names — the running sum partitions by a salted-hash shard, so
+    // the global single-reducer ORDER BY (c2's honest 100 TB
+    // bottleneck) becomes |shards| independent parallel windows;
+    // density is unchanged in expectation (< 1 wasted bin tail per
+    // shard). The u5/x2-bucketed pattern: register the scale shape,
+    // keep the plain control.
+    "c3_pack_sharded" -> ((s, d) =>
+      graft.text.Chunking.packSequencesSharded(t(s, d, "documents"))
+        .select(col("doc_id"), col("shard"), col("n_tok"), col("cum_tok"),
+          col("pack_id"))
+        .orderBy("doc_id")),
     // T6: top-3 TF-IDF terms per document.
     "t6_tfidf" -> ((s, d) =>
       graft.text.Chunking.tfidfTopTerms(t(s, d, "documents"))
@@ -6797,6 +6809,19 @@ ${sqlRecallTailFor(" WHERE q.vec_id < 50")}""".stripMargin
         |    CAST(sum(len(string_split(text, ' '))) OVER (ORDER BY doc_id
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tok
         |  FROM documents) ORDER BY doc_id""".stripMargin,
+    // c2's window PARTITIONED by the salted-hash shard; pack_id
+    // globalized as shard·2^40 + local id
+    "c3_pack_sharded" ->
+      """SELECT doc_id, shard, n_tok, cum_tok,
+        |  shard * 1099511627776 + (cum_tok - n_tok) // 512 AS pack_id FROM (
+        |  SELECT doc_id, shard, n_tok,
+        |    CAST(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tok
+        |  FROM (
+        |    SELECT doc_id,
+        |      ('0x' || substr(md5('pack:' || doc_id), 1, 7))::BIGINT % 16 AS shard,
+        |      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |    FROM documents)) ORDER BY doc_id""".stripMargin,
     "t6_tfidf" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),

@@ -49,6 +49,31 @@ object Chunking {
       .withColumn("pack_id", ((col("cum_tok") - col("n_tok")) / capacity).cast("long"))
   }
 
+  /** C3: SHARDED sequence packing — the scale form [[packSequences]]'s
+    * scaladoc promises: documents hash into a fixed shard space and
+    * the running-sum window partitions by shard, so every shard packs
+    * independently in parallel (the single-reducer global ORDER BY —
+    * c2's honest 100 TB bottleneck — disappears; `pack_id` is globally
+    * unique as shard·2⁴⁰ + local id). Packing density is unchanged in
+    * expectation: greedy cumulative packing wastes < 1 bin tail per
+    * shard, negligible against millions of bins per shard at corpus
+    * scale. Same exact-integer arithmetic, same salted-hash
+    * reproducibility contract as the sa-family (re-shard stable,
+    * oracle bit-equal). */
+  def packSequencesSharded(docs: DataFrame, capacity: Int = 512,
+      shards: Int = 16): DataFrame = {
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(col("doc_id"),
+        graft.sampling.Sampling.bucket(col("doc_id"), "pack", shards).as("shard"),
+        org.apache.spark.sql.functions.size(words(col("text"))).cast("long").as("n_tok"))
+      .withColumn("cum_tok", sum(col("n_tok")).over(w))
+      .withColumn("pack_id",
+        col("shard") * lit(1L << 40) +
+          ((col("cum_tok") - col("n_tok")) / capacity).cast("long"))
+  }
+
   /** Unigram language-model scoring — the CCNet-style perplexity
     * filter: train unigram probabilities on the corpus itself, score
     * each document by its mean token negative log-probability (low =

@@ -116,4 +116,34 @@ class ChunkingSpec extends SparkSpec {
     assert(math.abs(out(2L)._2 - idf * 4.4 / 3.2) < 1e-9)
     assert(out(2L)._2 > out(1L)._2, "higher tf at equal length scores higher")
   }
+
+  test("C3: sharded packing = per-shard c2 packing, and the plan has no single-partition exchange") {
+    val sharded = Chunking.packSequencesSharded(docs, capacity = 512, shards = 16)
+    val got = sharded.select("doc_id", "shard", "cum_tok", "pack_id")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    // per shard, the packing is EXACTLY c2's greedy cumulative packing
+    // applied to that shard's documents in id order
+    got.groupBy(_._2).foreach { case (shard, rows) =>
+      val shardDocs = docs.filter(
+        graft.sampling.Sampling.bucket(col("doc_id"), "pack", 16) === shard)
+      val local = Chunking.packSequences(shardDocs, capacity = 512)
+        .select("doc_id", "cum_tok", "pack_id")
+        .as[(Long, Long, Long)].collect().sortBy(_._1)
+      val expect = local.map { case (id, cum, pid) =>
+        (id, shard, cum, shard * (1L << 40) + pid) }
+      assert(rows.sortBy(_._1).toSeq == expect.toSeq, s"shard $shard diverges")
+    }
+    // the scale claim, plan-asserted: c2's global running sum needs a
+    // SinglePartition exchange; c3's partitioned window must not
+    def singlePartitionExchanges(df: org.apache.spark.sql.DataFrame): Int = {
+      df.collect() // finalize AQE
+      df.queryExecution.executedPlan.toString
+        .linesIterator.count(_.contains("SinglePartition"))
+    }
+    assert(singlePartitionExchanges(
+      Chunking.packSequences(docs, capacity = 512)) > 0,
+      "control: c2 is expected to serialize through SinglePartition")
+    assert(singlePartitionExchanges(sharded) == 0,
+      "c3 must not serialize through a SinglePartition exchange")
+  }
 }

@@ -892,6 +892,8 @@ object MakeReplica100 {
       .write.mode("overwrite").parquet(s"$out/part.parquet")
     rep(Tables.table(spark, src, "customer"), Map("c_custkey" -> 1000000L))
       .write.mode("overwrite").parquet(s"$out/customer.parquet")
+    rep(Tables.table(spark, src, "documents"), Map("doc_id" -> 1000000L))
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
     println(s"[replica] wrote 100x corpus to $out")
     spark.stop()
   }
