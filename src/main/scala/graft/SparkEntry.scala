@@ -4175,6 +4175,14 @@ object SparkEntry {
     "e1_cosine_topk" -> ((s, d) =>
       graft.similarity.Ann.cosineTopKBlocked(t(s, d, "embeddings"), 5)
         .orderBy("query_id", "rank")),
+    // E39 (beyond reference): in-batch negative pairs for contrastive
+    // training — hash-batched anchors × batch-mates with the cosine
+    // false-negative audit; the one shuffle clusters on `batch`, whose
+    // sizes are bounded by hash uniformity (no hot keys), and pair
+    // volume stays linear when nBatches follows corpus size.
+    "e39_inbatch_negatives" -> ((s, d) =>
+      graft.similarity.Ann.inBatchNegatives(t(s, d, "embeddings"))
+        .orderBy("anchor_id", "neg_rank")),
     // E2: sign-LSH bucketed ANN — REGISTERED in the oracle-able pinned
     // configuration (8 planes × 8 tables, e18's recipe: the ±1 plane
     // matrices replay in SQL as literals), so the whole retrieval —
@@ -5571,6 +5579,25 @@ ${sqlRecallTailFor(" WHERE q.vec_id < 50")}""".stripMargin
          |  FROM p)
          |SELECT query_id, neighbor_id, round(sim, 6) AS sim, rank FROM r
          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // hash batches + first-k-by-id negatives + the same left-fold dot;
+    // batch count adaptive: max(128, n/16), computed from the corpus
+    "e39_inbatch_negatives" ->
+      s"""$cosineCte,
+         |bt AS (SELECT vec_id, v, nrm,
+         |    ('0x' || substr(md5('batch:' || vec_id), 1, 7))::BIGINT
+         |      % greatest(128, (SELECT count(*) FROM embeddings) // 16) AS batch
+         |  FROM n),
+         |p AS (SELECT a.batch, a.vec_id AS anchor_id, b.vec_id AS neg_id,
+         |    a.v AS av, a.nrm AS an, b.v AS bv, b.nrm AS bn
+         |  FROM bt a JOIN bt b USING (batch) WHERE a.vec_id <> b.vec_id),
+         |r AS (SELECT batch, anchor_id, neg_id, av, an, bv, bn,
+         |    CAST(row_number() OVER (PARTITION BY anchor_id ORDER BY neg_id) AS INT)
+         |      AS neg_rank
+         |  FROM p)
+         |SELECT anchor_id, neg_rank, neg_id, batch,
+         |  round(list_reduce(list_apply(range(1, 65), i -> av[i] * bv[i]),
+         |    (x,y) -> x+y) / (an * bn), 6) AS sim
+         |FROM r WHERE neg_rank <= 4 ORDER BY anchor_id, neg_rank""".stripMargin,
     "e3_cosine_near_dup" ->
       s"""$cosineCte
          |SELECT d1, d2, sim FROM (

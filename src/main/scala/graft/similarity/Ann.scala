@@ -1426,6 +1426,46 @@ object Ann {
     }.toDF("query_id", "rank", "neighbor_id", "rel")
   }
 
+  /** E39: in-batch negative construction for contrastive training —
+    * the pair-building stage an embedding trainer (InfoNCE/SimCLR/CLIP
+    * style) runs over the corpus: vectors hash into fixed "batches",
+    * every batch-mate is a candidate negative, and each anchor emits
+    * its first k batch-mates (id order — deterministic, re-shard
+    * stable) together with the anchor↔negative cosine. The `sim`
+    * column is the FALSE-NEGATIVE audit: a batch-mate that is actually
+    * a near-duplicate (sim ≈ 1) would teach the loss to push apart
+    * semantic twins — the reason SemDedup ([[semDedup]], e8) runs
+    * BEFORE pair construction; downstream filters on it.
+    *
+    * Scale: the only shuffle clusters on `batch`, whose sizes are
+    * n/nBatches by hash uniformity — no hot keys BY CONSTRUCTION, and
+    * the batch COUNT is adaptive (max(128, n/targetBatch) — the
+    * e2_adaptive rule applied to batching), so batch sizes hold at
+    * ~targetBatch and the self-join volume Σ batch² ≈ n·targetBatch
+    * stays LINEAR at any corpus scale. The count() that drives it is
+    * one scalar job (the g5 count-driven-planning posture); the oracle
+    * computes the same count in SQL. Dots are computed only for the
+    * ≤ k survivors, via the codegen'd strict-left-fold [[dot]] —
+    * bit-identical to the SQL replay, so the whole construction is
+    * hash-oracled. */
+  def inBatchNegatives(embeddings: DataFrame, targetBatch: Int = 16,
+      k: Int = 4): DataFrame = {
+    val nBatches = math.max(128L, embeddings.count() / targetBatch).toInt
+    val e = prepared(embeddings)
+      .withColumn("batch",
+        graft.sampling.Sampling.bucket(col("vec_id"), "batch", nBatches))
+    val a = e.select(col("batch"), col("vec_id").as("anchor_id"),
+      col("v").as("av"), col("nrm").as("an"))
+    val b = e.select(col("batch"), col("vec_id").as("neg_id"),
+      col("v").as("bv"), col("nrm").as("bn"))
+    a.join(b, Seq("batch")).filter(col("anchor_id") =!= col("neg_id"))
+      .withColumn("neg_rank", row_number().over(
+        Window.partitionBy(col("anchor_id")).orderBy(col("neg_id"))))
+      .filter(col("neg_rank") <= k)
+      .select(col("anchor_id"), col("neg_rank"), col("neg_id"), col("batch"),
+        round(dot(col("av"), col("bv")) / (col("an") * col("bn")), 6).as("sim"))
+  }
+
   /** E8: SemDedup (Abbas et al. 2023, arXiv:2303.09540) — semantic
     * near-duplicate removal via centroid clustering: assign every
     * vector to its nearest of `k` fixed centroids (the [[centroidAssign]]
