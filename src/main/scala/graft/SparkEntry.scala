@@ -6062,6 +6062,19 @@ ${sqlRecallTailFor(" WHERE q.vec_id < 50")}""".stripMargin
           graft.multimodal.Media.wavMeta(col("content")): _*)
         .orderBy("asset_id")
     }),
+    // MM10 (beyond reference): EXIF orientation via the TIFF IFD walk
+    // — the rotation flag read BEFORE any resize/crop. The hardest
+    // parser case in the mm family: the TIFF body declares its OWN
+    // byte order ("II"/"MM", both fabricated), so every multi-byte
+    // read switches on a flag read from the data; the IFD entry table
+    // is scanned (bounded, count-guarded) for tag 0x0112. Ground
+    // truth arithmetic; the oracle never parses.
+    "mm10_exif_orientation" -> ((s, d) => {
+      val a = graft.multimodal.Media.exifAssets(t(s, d, "documents"))
+      a.select(col("asset_id") +:
+          graft.multimodal.Media.exifOrientation(col("content")): _*)
+        .orderBy("asset_id")
+    }),
     // MM2: frame sampling (every 4th frame) as a pure array op.
     "mm2_frame_sample" -> ((s, d) => {
       val frames = graft.text.TextAnalysis.words(col("text"))
@@ -6157,6 +6170,14 @@ ${sqlRecallTailFor(" WHERE q.vec_id < 50")}""".stripMargin
       """SELECT doc_id AS asset_id,
         |  CAST(doc_id % 4000 + 16 AS BIGINT) AS width,
         |  CAST(doc_id % 3000 + 16 AS BIGINT) AS height
+        |FROM documents ORDER BY asset_id""".stripMargin,
+    // the exifAssets fabrication inverted — byte order by class, two
+    // IFD entries, orientation = doc_id%8+1; the oracle never parses
+    "mm10_exif_orientation" ->
+      """SELECT doc_id AS asset_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'II' WHEN 1 THEN 'MM' END AS byte_order,
+        |  CASE WHEN doc_id % 3 IN (0, 1) THEN 2 END AS n_entries,
+        |  CASE WHEN doc_id % 3 IN (0, 1) THEN doc_id % 8 + 1 END AS orientation
         |FROM documents ORDER BY asset_id""".stripMargin,
     // the wavAssets fabrication inverted: duration simplifies exactly —
     // dataSize·1000 // byteRate = ((n+25)·block·1000) // (sr·block)

@@ -53,8 +53,74 @@ case class JpegSofOffset(child: Expression, maxSegments: Int)
     copy(child = newChild)
 }
 
+/** EXIF orientation via the TIFF IFD walk, packed into one long:
+  * (byteOrder << 32) | (nEntries << 16) | orientation, where byteOrder
+  * is 1 for "II" (little-endian) / 2 for "MM" (big-endian) and
+  * orientation is 0 when the tag is absent or beyond `maxEntries`.
+  * The consumer unpacks with shifts/masks (pure integer Columns).
+  *
+  * Why custom (the JpegSofOffset rationale): the composed-Column IFD
+  * scan re-derives the endianness-switched multi-byte reads per
+  * candidate entry (~17 guarded byte reads × 8 entries) and measured
+  * 2.9 s over 5k rows; the JVM loop reads the same bytes once.
+  * NULL through the full gate chain: SOI+APP1 marker, "Exif\0\0",
+  * a valid "II"/"MM" flag, TIFF magic 42, untruncated IFD.
+  */
+case class ExifOrientationPacked(child: Expression, maxEntries: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_exif_orientation"
+
+  override def nullSafeEval(input: Any): Any = {
+    val b = input.asInstanceOf[Array[Byte]]
+    if (b.length < 22 || b(0) != 0xFF.toByte || b(1) != 0xD8.toByte ||
+        b(2) != 0xFF.toByte || b(3) != 0xE1.toByte) return null
+    // "Exif\0\0" at bytes 6..11 (0-based)
+    if (!(b(6) == 'E' && b(7) == 'x' && b(8) == 'i' && b(9) == 'f' &&
+          b(10) == 0 && b(11) == 0)) return null
+    val tiff = 12 // TIFF base (0-based)
+    val le =
+      if (b(tiff) == 'I' && b(tiff + 1) == 'I') true
+      else if (b(tiff) == 'M' && b(tiff + 1) == 'M') false
+      else return null
+    def u2(p: Int): Int =
+      if (p + 1 >= b.length) -1
+      else if (le) (b(p) & 0xFF) | ((b(p + 1) & 0xFF) << 8)
+      else ((b(p) & 0xFF) << 8) | (b(p + 1) & 0xFF)
+    def u4(p: Int): Long =
+      if (p + 3 >= b.length) -1L
+      else if (le) (b(p) & 0xFFL) | ((b(p + 1) & 0xFFL) << 8) |
+        ((b(p + 2) & 0xFFL) << 16) | ((b(p + 3) & 0xFFL) << 24)
+      else ((b(p) & 0xFFL) << 24) | ((b(p + 1) & 0xFFL) << 16) |
+        ((b(p + 2) & 0xFFL) << 8) | (b(p + 3) & 0xFFL)
+    if (u2(tiff + 2) != 42) return null
+    val ifdOff = u4(tiff + 4)
+    if (ifdOff < 0) return null
+    val ifd = tiff + ifdOff.toInt
+    val n = u2(ifd)
+    if (n < 0) return null
+    var orientation = 0L
+    var i = 0
+    while (i < n && i < maxEntries) {
+      val base = ifd + 2 + 12 * i
+      if (u2(base) == 0x0112) { orientation = u2(base + 8).max(0).toLong; i = n }
+      else i += 1
+    }
+    ((if (le) 1L else 2L) << 32) | (n.toLong << 16) | orientation
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object MediaExpressions {
   /** Column-level SOF-offset walk backed by [[JpegSofOffset]]. */
   def jpegSofOffset(content: Column, maxSegments: Int): Column =
     Bridge.column(JpegSofOffset(Bridge.expression(content), maxSegments))
+
+  /** Column-level packed EXIF walk backed by [[ExifOrientationPacked]]. */
+  def exifOrientationPacked(content: Column, maxEntries: Int): Column =
+    Bridge.column(ExifOrientationPacked(Bridge.expression(content), maxEntries))
 }

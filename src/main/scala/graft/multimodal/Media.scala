@@ -360,6 +360,111 @@ object Media {
       concat(header, col("text").cast("binary")).as("content"))
   }
 
+  /** MM10 fabrication: spec-exact JPEG/APP1/EXIF blobs — SOI, APP1
+    * (length 46), "Exif\0\0", then a TIFF body whose BYTE ORDER
+    * alternates by class: one third little-endian ("II"), one third
+    * big-endian ("MM") — the flag every real EXIF parser must honor —
+    * and one third plain JPEG with no APP1 (NULL parse). The IFD holds
+    * two entries sorted by tag: 0x0112 Orientation (SHORT, value
+    * doc_id%8+1 — all eight spec rotations occur) and 0x011A
+    * XResolution. Ground truth is arithmetic in the ids (the mm7/mm8
+    * recipe). */
+  def exifAssets(docs: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    val m = id % 3
+    val orient = (id % 8 + 1).cast("int")
+    def le2(c: org.apache.spark.sql.Column) = le2b(c)
+    def be2(c: org.apache.spark.sql.Column) = unhex(lpad(hex(c), 4, "0"))
+    def le4(c: org.apache.spark.sql.Column) = le4b(c)
+    def be4(c: org.apache.spark.sql.Column) = unhex(lpad(hex(c), 8, "0"))
+    def tiff(le: Boolean): org.apache.spark.sql.Column = {
+      def w2(c: org.apache.spark.sql.Column) = if (le) le2(c) else be2(c)
+      def w4(c: org.apache.spark.sql.Column) = if (le) le4(c) else be4(c)
+      concat(
+        lit(if (le) "II" else "MM").cast("binary"), w2(lit(42)), w4(lit(8)),
+        w2(lit(2)),                                    // 2 IFD entries
+        w2(lit(0x0112)), w2(lit(3)), w4(lit(1)),       // Orientation SHORT×1
+        w2(orient), w2(lit(0)),                        // value, left-justified
+        w2(lit(0x011A)), w2(lit(3)), w4(lit(1)),       // XResolution SHORT×1
+        w2(lit(72)), w2(lit(0)),
+        w4(lit(0)))                                    // next IFD: none
+    }
+    val app1 = (t: org.apache.spark.sql.Column) => concat(
+      unhex(lit("FFD8")), unhex(lit("FFE1")), be2(lit(46)),
+      lit("Exif").cast("binary"), unhex(lit("0000")), t)
+    val header = when(m === 0, app1(tiff(le = true)))
+      .when(m === 1, app1(tiff(le = false)))
+      .otherwise(unhex(lit("FFD8FFDB"))) // JPEG, no APP1
+    docs.select(id.as("asset_id"),
+      concat(header, col("text").cast("binary")).as("content"))
+  }
+
+  /** MM10: EXIF orientation via the TIFF IFD walk — the rotation flag
+    * a multimodal pipeline must read before any resize/crop (a decoder
+    * that ignores it silently trains on sideways images). This is the
+    * multimodal parser family's hardest case: the TIFF body declares
+    * its OWN byte order ("II" little / "MM" big — both occur in the
+    * wild), so every multi-byte read switches on a flag read from the
+    * data itself; the IFD is then a counted entry table scanned for
+    * tag 0x0112, whose SHORT value sits left-justified in the 4-byte
+    * value slot in the declared order. Pure `substring`/`hex`/`conv`
+    * Column math in the scan projection (the walk is bounded:
+    * `maxEntries` candidate reads, each guarded by the live entry
+    * count — the mm8 bounded-walk posture, branch-free enough to stay
+    * inside whole-stage codegen at 8 entries). Non-EXIF blobs parse to
+    * NULLs through the full gate chain SOI→APP1→"Exif\0\0".
+    *
+    * @return (byte_order, n_entries, orientation) Columns. */
+  def exifOrientation(content: org.apache.spark.sql.Column, maxEntries: Int = 8)
+      : Seq[org.apache.spark.sql.Column] = {
+    // one native walk per row (ExifOrientationPacked — the JpegSofOffset
+    // escape: the composed-Column form below measured 2.9 s over 5k
+    // rows re-deriving the endian-switched reads per candidate entry);
+    // the packed long unpacks with pure integer Columns. MediaSpec pins
+    // native ≡ composed on hand-built layouts.
+    val packed = graft.functions.MediaExpressions
+      .exifOrientationPacked(content, maxEntries)
+    Seq(
+      when(packed.isNotNull,
+        when(shiftright(packed, 32) === 1L, "II").otherwise("MM"))
+        .as("byte_order"),
+      when(packed.isNotNull, shiftright(packed, 16) % 65536L).as("n_entries"),
+      when(packed.isNotNull && packed % 65536L =!= 0L, packed % 65536L)
+        .as("orientation"))
+  }
+
+  /** The composed-Column formulation [[exifOrientation]]'s native
+    * expression replaced (kept for the equivalence spec). */
+  private[graft] def exifOrientationColumns(
+      content: org.apache.spark.sql.Column, maxEntries: Int = 8)
+      : Seq[org.apache.spark.sql.Column] = {
+    def bc(p: org.apache.spark.sql.Column) =
+      conv(hex(content.substr(p, lit(1))), 16, 10).cast("long")
+    val isExif = hex(substring(content, 1, 4)) === "FFD8FFE1" &&
+      hex(substring(content, 7, 6)) === "457869660000"
+    val bo = substring(content, 13, 2).cast("string")
+    val isLe = bo === "II"
+    def u2(p: org.apache.spark.sql.Column) =
+      when(isLe, bc(p) + bc(p + 1) * 256L).otherwise(bc(p) * 256L + bc(p + 1))
+    def u4(p: org.apache.spark.sql.Column) =
+      when(isLe,
+        bc(p) + bc(p + 1) * 256L + bc(p + 2) * 65536L + bc(p + 3) * 16777216L)
+      .otherwise(
+        bc(p) * 16777216L + bc(p + 1) * 65536L + bc(p + 2) * 256L + bc(p + 3))
+    val validTiff = (isLe || bo === "MM") && u2(lit(15)) === 42L
+    val ifdPos = lit(13L) + u4(lit(17))
+    // entry i: 12 bytes from ifdPos+2; tag at +0, value slot at +8
+    val entryVals = (0 until maxEntries).map { i =>
+      val base = ifdPos + lit(2L + 12L * i)
+      when(lit(i) < u2(ifdPos) && u2(base) === 0x0112L, u2(base + 8L))
+    }
+    val gate = isExif && validTiff
+    Seq(
+      when(gate, bo).as("byte_order"),
+      when(gate, u2(ifdPos)).as("n_entries"),
+      when(gate, coalesce(entryVals: _*)).as("orientation"))
+  }
+
   /** MM9: audio metadata parsed straight from RIFF/WAVE header bytes —
     * the billion-blob pass an audio pipeline runs BEFORE any codec
     * (duration budgeting, sample-rate routing, mono/stereo splits all

@@ -198,4 +198,60 @@ class MediaSpec extends SparkSpec {
       "RIFF/WEBP must parse to NULLs — RIFF magic alone is not audio")
     assert(got(5L)._2.isEmpty, "non-RIFF bytes -> NULLs")
   }
+
+  test("MM10: exifOrientation walks layouts the fabrication never shows") {
+    // hand-built EXIF blobs: orientation mid-table, counts beyond the
+    // walk cap, and corrupt TIFF magic — the registered query's
+    // fabrication always writes a 2-entry IFD with orientation first,
+    // so these are the cases only this spec pins.
+    def u2(v: Int, le: Boolean) =
+      if (le) Array((v & 0xFF).toByte, (v >> 8).toByte)
+      else Array((v >> 8).toByte, (v & 0xFF).toByte)
+    def u4(v: Int, le: Boolean) =
+      if (le) Array(v & 0xFF, (v >> 8) & 0xFF, (v >> 16) & 0xFF, v >>> 24).map(_.toByte)
+      else Array(v >>> 24, (v >> 16) & 0xFF, (v >> 8) & 0xFF, v & 0xFF).map(_.toByte)
+    def entry(tag: Int, value: Int, le: Boolean): Array[Byte] =
+      u2(tag, le) ++ u2(3, le) ++ u4(1, le) ++ u2(value, le) ++ u2(0, le)
+    def exif(le: Boolean, entries: Seq[(Int, Int)], magic: Int = 42): Array[Byte] = {
+      val tiff = (if (le) "II" else "MM").getBytes("ISO-8859-1") ++
+        u2(magic, le) ++ u4(8, le) ++ u2(entries.length, le) ++
+        entries.flatMap { case (t, v) => entry(t, v, le) } ++ u4(0, le)
+      Array(0xFF, 0xD8, 0xFF, 0xE1).map(_.toByte) ++
+        u2(2 + 6 + tiff.length, le = false) ++
+        "Exif".getBytes("ISO-8859-1") ++ Array[Byte](0, 0) ++ tiff
+    }
+    val rows = Seq(
+      // orientation mid-table among 5 entries, both byte orders
+      (1L, exif(le = true, Seq(0x0100 -> 640, 0x0101 -> 480, 0x0112 -> 6,
+        0x011A -> 72, 0x011B -> 72))),
+      (2L, exif(le = false, Seq(0x0100 -> 640, 0x0101 -> 480, 0x0112 -> 8,
+        0x011A -> 72, 0x011B -> 72))),
+      // no orientation tag at all -> NULL orientation, entries still read
+      (3L, exif(le = true, Seq(0x0100 -> 640, 0x011A -> 72))),
+      // orientation past the 8-entry walk cap -> honestly NULL
+      (4L, exif(le = false,
+        (0x0100 to 0x0108).map(t => t -> 1) :+ (0x0112 -> 3))),
+      // corrupt TIFF magic (43) -> full NULL parse
+      (5L, exif(le = true, Seq(0x0112 -> 1), magic = 43)),
+      (6L, "not an image".getBytes("UTF-8")))
+      .toDF("asset_id", "content")
+    val got = rows
+      .select(col("asset_id") +: Media.exifOrientation(col("content")): _*)
+      .as[(Long, Option[String], Option[Long], Option[Long])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got(1L) === ((1L, Some("II"), Some(5L), Some(6L))), s"got ${got(1L)}")
+    assert(got(2L) === ((2L, Some("MM"), Some(5L), Some(8L))), s"got ${got(2L)}")
+    assert(got(3L) === ((3L, Some("II"), Some(2L), None)), s"got ${got(3L)}")
+    assert(got(4L) === ((4L, Some("MM"), Some(10L), None)),
+      s"beyond-cap orientation must be NULL, not misread: ${got(4L)}")
+    assert(got(5L)._2.isEmpty, "TIFF magic != 42 must gate the whole parse")
+    assert(got(6L)._2.isEmpty, "non-JPEG bytes -> NULLs")
+    // native packed walk ≡ the composed-Column formulation it replaced
+    val composed = rows
+      .select(col("asset_id") +:
+        Media.exifOrientationColumns(col("content")): _*)
+      .as[(Long, Option[String], Option[Long], Option[Long])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(composed === got, "ExifOrientationPacked must equal the Column form")
+  }
 }
