@@ -49,6 +49,8 @@ object PlanAudit {
       "same assignment join as e6: broadcast side is the `vec_id < k` centroid slice",
     "e11_ivf_probe_cells" ->
       "same assignment join as e6: broadcast side is the `vec_id < k` centroid slice",
+    "e40_ivf_occupancy" ->
+      "same assignment join as e6: broadcast side is the `vec_id < k` centroid slice",
     "e22_ivf_layout_probe" ->
       "layout build reuses the e6/e11 assignment join: broadcast side is the `vec_id < 8` centroid slice",
     "e17_filtered_ann" ->

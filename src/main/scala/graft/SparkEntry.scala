@@ -4279,6 +4279,14 @@ object SparkEntry {
     // seeds ⇒ exact oracle, unlike the end-to-end approximate e4).
     "e6_centroid_assign" -> ((s, d) =>
       graft.similarity.Ann.centroidAssign(t(s, d, "embeddings"), 8).orderBy("vec_id")),
+    // E40 (beyond reference): IVF cell-occupancy audit — per-cell
+    // counts, exact milli-share, size rank, mean assignment cohesion.
+    // The index-quality diagnostic that DETECTS the skewed-cell
+    // failure mode the maxCellCompare guards exist for; one map-side
+    // assignment pass + a k-row rollup.
+    "e40_ivf_occupancy" -> ((s, d) =>
+      graft.similarity.Ann.ivfOccupancy(t(s, d, "embeddings"), 8)
+        .orderBy("centroid_id")),
     // E7: product-quantization encoding (8 subspaces × 16 centroids =
     // 32 bits/vector) with exact reconstruction error.
     "e7_pq_encode" -> ((s, d) =>
@@ -5559,6 +5567,26 @@ ${sqlRecallTailFor(" WHERE q.vec_id < 50")}""".stripMargin
       }.mkString("\nUNION ALL\n")
       s"$cosineCte\nSELECT * FROM (\n$selects\n) ORDER BY vec_id, tbl"
     },
+    // e6's assignment replayed, then the k-row occupancy rollup
+    "e40_ivf_occupancy" ->
+      s"""$cosineCte,
+         |c AS (SELECT vec_id AS centroid_id, v AS cv, nrm AS cn FROM n WHERE vec_id < 8),
+         |p AS (SELECT n.vec_id, c.centroid_id,
+         |  list_reduce(list_apply(range(1, 65), i -> n.v[i] * c.cv[i]), (a,b) -> a+b)
+         |    / (n.nrm * c.cn) AS sim
+         |  FROM n CROSS JOIN c),
+         |a AS (SELECT vec_id, centroid_id, round(sim, 6) AS sim FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY sim DESC, centroid_id) AS rn FROM p)
+         |  WHERE rn = 1),
+         |cells AS (SELECT centroid_id, count(*) AS n_vectors,
+         |    sum(CAST(sim AS DECIMAL(18,6))) AS sim_sum FROM a GROUP BY 1),
+         |tot AS (SELECT sum(n_vectors) AS total FROM cells)
+         |SELECT centroid_id, n_vectors,
+         |  (n_vectors * 1000) // total AS share_milli,
+         |  CAST(rank() OVER (ORDER BY n_vectors DESC, centroid_id) AS INT) AS size_rank,
+         |  round(CAST(sim_sum AS DOUBLE) / CAST(n_vectors AS DOUBLE), 6) AS mean_sim
+         |FROM cells, tot ORDER BY centroid_id""".stripMargin,
     "e11_ivf_probe_cells" ->
       s"""$cosineCte,
          |c AS (SELECT vec_id AS centroid_id, v AS cv, nrm AS cn FROM n WHERE vec_id < 8),

@@ -1549,6 +1549,35 @@ object Ann {
       .select(col("vec_id"), col("centroid_id"), round(col("sim"), 6).as("sim"))
   }
 
+  /** E40: IVF cell-occupancy audit — the index-quality diagnostic an
+    * ANN deployment runs after every (re)build: per-cell vector counts,
+    * exact milli-share of the corpus, size rank, and the cell's
+    * mean assignment similarity (cohesion). Skewed cells are the IVF
+    * failure mode — one giant cell turns every probe of it into a
+    * near-linear scan (the e28/SemDedup `maxCellCompare` guards exist
+    * because of exactly this) — so the audit that DETECTS the skew is
+    * part of the index surface, not an afterthought. Exact arithmetic:
+    * share_milli = n·1000 div total (integer), cohesion = the 6dp
+    * assignment sims averaged through decimal(18,6) (the
+    * partitioning-exact double posture). Scale: one pass over the
+    * assignment (broadcast centroids, map-side), then a k-row rollup. */
+  def ivfOccupancy(embeddings: DataFrame, k: Int): DataFrame = {
+    val assigned = centroidAssign(embeddings, k)
+    val cells = assigned.groupBy(col("centroid_id"))
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(col("sim").cast("decimal(18,6)")).as("sim_sum"))
+    cells
+      .withColumn("total", sum(col("n_vectors")).over(Window.partitionBy()))
+      .select(col("centroid_id"), col("n_vectors"),
+        expr("(n_vectors * 1000) div total").as("share_milli"),
+        rank().over(Window.orderBy(col("n_vectors").desc,
+          col("centroid_id"))).as("size_rank"),
+        // cast BOTH sides to double before the one divide (exact
+        // decimal sum → identical doubles → IEEE-identical quotient)
+        round(col("sim_sum").cast("double") / col("n_vectors").cast("double"), 6)
+          .as("mean_sim"))
+  }
+
   /** E11: the probe-set half of IVF candidate generation, oracle-exact:
     * the `nProbe` nearest centroids each QUERY will search — [[ivfTopK]]
     * step 4's fan-out, isolated over the same deterministic `vec_id < k`

@@ -376,4 +376,42 @@ object GraftProperties extends Properties("graft") {
       }.toSet
       got == want
     }
+
+  property("binary container parsers are total on arbitrary bytes") = {
+    import org.apache.spark.sql.functions.col
+    // fuzz the byte-walk parsers (WAV header, EXIF IFD, JPEG SOF,
+    // PNG/GIF dims, MIME sniff): on ANY byte string — including ones
+    // opening with valid magics then truncating mid-structure — every
+    // parser must return a row (nulls allowed), never throw or read
+    // out of bounds. Seed some generators with real magic prefixes so
+    // the walks actually enter their parse paths before hitting the
+    // garbage tail.
+    val magics = Seq(
+      Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0xE1.toByte),
+      "RIFF".getBytes("ISO-8859-1"),
+      "RIFF1234WAVEfmt ".getBytes("ISO-8859-1"),
+      Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0xE1.toByte) ++
+        Array[Byte](0, 10) ++ "Exif".getBytes("ISO-8859-1") ++
+        Array[Byte](0, 0) ++ "II".getBytes("ISO-8859-1"),
+      Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte),
+      Array.empty[Byte])
+    forAll(for {
+      prefix <- Gen.oneOf(magics)
+      tail <- Gen.listOf(Gen.chooseNum(-128, 127).map(_.toByte))
+    } yield prefix ++ tail.toArray) { bytes =>
+      val df = Seq((1L, bytes)).toDF("asset_id", "content")
+      val m = graft.multimodal.Media
+      val out = df.select(
+        Seq(m.sniffMime(col("content")).as("mime")) ++
+          m.wavMeta(col("content")) ++
+          m.exifOrientation(col("content")) ++ {
+            val (w, h) = m.containerDims(col("content"))
+            Seq(w.as("png_w"), h.as("png_h"))
+          } ++ {
+            val (w, h) = m.jpegDims(col("content"))
+            Seq(w.as("jpg_w"), h.as("jpg_h"))
+          }: _*)
+      out.collect().length == 1 // one row back, no exception
+    }
+  }
 }
