@@ -5808,6 +5808,14 @@ ${sqlRecallTailFor(" WHERE q.vec_id < 50")}""".stripMargin
     "t9_pii_scrub" -> ((s, d) =>
       graft.text.TextAnalysis.piiScrub(t(s, d, "documents"))
         .orderBy("doc_id")),
+    // T21 (beyond reference): segment-level langID — code-switching
+    // detection, the signal doc-level t1 structurally cannot see
+    // (a half-en/half-es page scores mildly-both at doc grain but
+    // flips cleanly per segment). Same markers + tie-break as t1;
+    // profile = segments, switches, dominant lang + exact milli-frac.
+    "t21_code_switch" -> ((s, d) =>
+      graft.text.TextAnalysis.codeSwitchProfile(t(s, d, "documents"))
+        .orderBy("doc_id")),
     // T20 (beyond reference): linear classifier INFERENCE via the
     // hashing trick — the fastText/GPT-3-quality-filter serving shape:
     // a by-construction-bounded (2^12-row) weight table broadcasts,
@@ -5886,6 +5894,30 @@ ${sqlRecallTailFor(" WHERE q.vec_id < 50")}""".stripMargin
     Map(
       // weight derivation + bucket hash + integer mean, step-for-step
       "t20_classifier_filter" -> graft.text.TextAnalysis.classifierScoreSql(),
+      // t1's scorer + tie-break chain applied per 20-token segment
+      "t21_code_switch" ->
+        s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+           |segd AS (SELECT doc_id, CAST(i AS BIGINT) AS seg,
+           |    list_distinct(w[(i*20+1):(i*20+20)]) AS dw
+           |  FROM t, unnest(range(0,
+           |    greatest(CAST(ceil(len(w) / 20.0) AS BIGINT), 1))) AS u(i)),
+           |sc AS (SELECT doc_id, seg, $scoreExprs FROM segd),
+           |lab AS (SELECT doc_id, seg,
+           |    CASE $caseChain ELSE '${langs.last}' END AS seg_lang FROM sc),
+           |sw AS (SELECT doc_id, seg, seg_lang,
+           |    (seg_lang <> lag(seg_lang) OVER (PARTITION BY doc_id ORDER BY seg))::INT
+           |      AS switch FROM lab),
+           |base AS (SELECT doc_id, count(*) AS n_segments,
+           |    CAST(coalesce(sum(switch), 0) AS BIGINT) AS n_switches
+           |  FROM sw GROUP BY doc_id),
+           |dom AS (SELECT doc_id, seg_lang AS dominant_lang, c AS dom_segments FROM (
+           |    SELECT doc_id, seg_lang, count(*) AS c,
+           |      row_number() OVER (PARTITION BY doc_id
+           |        ORDER BY count(*) DESC, seg_lang) AS rk
+           |    FROM lab GROUP BY doc_id, seg_lang) WHERE rk = 1)
+           |SELECT b.doc_id, b.n_segments, b.n_switches, dominant_lang,
+           |  (dom_segments * 1000) // n_segments AS dominant_frac_milli
+           |FROM base b JOIN dom USING (doc_id) ORDER BY doc_id""".stripMargin,
       "t1_lang_id" ->
         s"""SELECT doc_id, actual_lang, CASE $caseChain ELSE '${langs.last}' END AS predicted_lang,
            |  ${langs.map(l => s"score_$l").mkString(", ")}

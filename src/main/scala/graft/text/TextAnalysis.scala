@@ -1,6 +1,7 @@
 package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for the training-data pipeline: tokenization,
@@ -64,6 +65,60 @@ object TextAnalysis {
         acc.when(rest.map(r => col(s"score_$l") >= col(s"score_$r")).reduce(_ && _), lit(l))
     }.otherwise(lit(langs.last))
     scored.withColumn("predicted_lang", predicted)
+  }
+
+  /** T21: segment-level language ID — CODE-SWITCHING detection, the
+    * curation signal document-level langID (t1) structurally cannot
+    * see: a half-English/half-Spanish page scores as mildly-both at
+    * the document grain but flips cleanly segment by segment. Each
+    * ⌈n/segTokens⌉-token window runs t1's marker-overlap argmax (same
+    * markers, same tie-break chain, so the two grains can never
+    * disagree about what a language "is"); the profile is then
+    * segments, adjacent-segment switches, the dominant language, and
+    * its exact milli-fraction — mixed-language docs route to
+    * splitting/per-lang pipelines instead of polluting one bucket.
+    *
+    * Scale: one explode into (doc, segment) slim rows (bodies carried
+    * only to the slice projection, never shuffled past it), one
+    * per-doc window for switch counting, one tiny per-(doc, lang)
+    * rollup for dominance. All integer arithmetic; hash-oracled. */
+  def codeSwitchProfile(docs: DataFrame, segTokens: Int = 20): DataFrame = {
+    val w = words(col("text"))
+    val nSeg = greatest(lit(1L),
+      ceil(size(w) / lit(segTokens.toDouble)).cast("long"))
+    val segs = docs
+      .select(col("doc_id"), w.as("w"),
+        explode(sequence(lit(0L), nSeg - 1)).as("seg"))
+      .select(col("doc_id"), col("seg"),
+        array_distinct(slice(col("w"),
+          (col("seg") * segTokens + 1).cast("int"), lit(segTokens))).as("sw"))
+    val scored = langMarkers.foldLeft(segs) { case (d, (l, ws)) =>
+      d.withColumn(s"score_$l", size(array_intersect(col("sw"), typedlit(ws))))
+    }
+    val langs = langMarkers.map(_._1)
+    val predicted = langs.zipWithIndex.init.foldLeft(when(lit(false), lit(""))) {
+      case (acc, (l, i)) =>
+        val rest = langs.drop(i + 1)
+        acc.when(rest.map(r => col(s"score_$l") >= col(s"score_$r")).reduce(_ && _), lit(l))
+    }.otherwise(lit(langs.last))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("seg"))
+    val labeled = scored.select(col("doc_id"), col("seg"), predicted.as("seg_lang"))
+      .withColumn("switch",
+        (col("seg_lang") =!= lag(col("seg_lang"), 1).over(byDoc)).cast("int"))
+    val base = labeled.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_segments"),
+        coalesce(sum(col("switch")), lit(0L)).as("n_switches"))
+    val dom = labeled.groupBy(col("doc_id"), col("seg_lang"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("c").desc, col("seg_lang"))))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("seg_lang").as("dominant_lang"),
+        col("c").as("dom_segments"))
+    base.join(dom, "doc_id")
+      .select(col("doc_id"), col("n_segments"), col("n_switches"),
+        col("dominant_lang"),
+        expr("(dom_segments * 1000) div n_segments").as("dominant_frac_milli"))
   }
 
   /** Stopword list for quality scoring (ratio of filler tokens). */
