@@ -97,7 +97,10 @@ case class ExifOrientationPacked(child: Expression, maxEntries: Int)
         ((b(p + 2) & 0xFFL) << 8) | (b(p + 3) & 0xFFL)
     if (u2(tiff + 2) != 42) return null
     val ifdOff = u4(tiff + 4)
-    if (ifdOff < 0) return null
+    // upper bound BEFORE the toInt: a crafted offset ≥ 2^31 would wrap
+    // negative and drive b(p) out of bounds below (caught by the
+    // seeded-TIFF fuzz in GraftProperties)
+    if (ifdOff < 0 || ifdOff > b.length.toLong) return null
     val ifd = tiff + ifdOff.toInt
     val n = u2(ifd)
     if (n < 0) return null

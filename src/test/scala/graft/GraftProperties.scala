@@ -393,6 +393,19 @@ object GraftProperties extends Properties("graft") {
       Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0xE1.toByte) ++
         Array[Byte](0, 10) ++ "Exif".getBytes("ISO-8859-1") ++
         Array[Byte](0, 0) ++ "II".getBytes("ISO-8859-1"),
+      // a FULLY-GATED little-endian TIFF (magic 42 passes) so the
+      // random tail becomes the IFD offset + entry table — this is
+      // the seed that reaches the deep walk (a crafted 4-byte offset
+      // ≥ 2^31 once wrapped negative through toInt and crashed b(p))
+      Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0xE1.toByte) ++
+        Array[Byte](0, 10) ++ "Exif".getBytes("ISO-8859-1") ++
+        Array[Byte](0, 0) ++ "II".getBytes("ISO-8859-1") ++
+        Array[Byte](42, 0),
+      // same, big-endian
+      Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0xE1.toByte) ++
+        Array[Byte](0, 10) ++ "Exif".getBytes("ISO-8859-1") ++
+        Array[Byte](0, 0) ++ "MM".getBytes("ISO-8859-1") ++
+        Array[Byte](0, 42),
       Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte),
       Array.empty[Byte])
     forAll(for {

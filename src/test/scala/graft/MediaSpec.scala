@@ -233,7 +233,15 @@ class MediaSpec extends SparkSpec {
         (0x0100 to 0x0108).map(t => t -> 1) :+ (0x0112 -> 3))),
       // corrupt TIFF magic (43) -> full NULL parse
       (5L, exif(le = true, Seq(0x0112 -> 1), magic = 43)),
-      (6L, "not an image".getBytes("UTF-8")))
+      (6L, "not an image".getBytes("UTF-8")),
+      // crafted IFD offset 0x80000000: wraps negative through toInt —
+      // crashed the native walk with ArrayIndexOutOfBounds before the
+      // upper-bound guard; must parse to NULLs, not throw
+      (7L, Array(0xFF, 0xD8, 0xFF, 0xE1).map(_.toByte) ++
+        Array[Byte](0, 30) ++ "Exif".getBytes("ISO-8859-1") ++
+        Array[Byte](0, 0) ++ "II".getBytes("ISO-8859-1") ++
+        Array[Byte](42, 0) ++ Array(0x00, 0x00, 0x00, 0x80).map(_.toByte) ++
+        Array.fill[Byte](16)(0)))
       .toDF("asset_id", "content")
     val got = rows
       .select(col("asset_id") +: Media.exifOrientation(col("content")): _*)
@@ -246,12 +254,18 @@ class MediaSpec extends SparkSpec {
       s"beyond-cap orientation must be NULL, not misread: ${got(4L)}")
     assert(got(5L)._2.isEmpty, "TIFF magic != 42 must gate the whole parse")
     assert(got(6L)._2.isEmpty, "non-JPEG bytes -> NULLs")
+    assert(got(7L) === ((7L, None, None, None)),
+      s"out-of-range IFD offset must NULL, never wrap/crash: ${got(7L)}")
     // native packed walk ≡ the composed-Column formulation it replaced
-    val composed = rows
+    // on WELL-FORMED layouts (rows 1-6; the crafted offset row 7 is
+    // native-only: the Column form leaves byte_order set where the
+    // native walk judges the whole TIFF unreadable)
+    val composed = rows.filter(col("asset_id") <= 6)
       .select(col("asset_id") +:
         Media.exifOrientationColumns(col("content")): _*)
       .as[(Long, Option[String], Option[Long], Option[Long])]
       .collect().map(r => r._1 -> r).toMap
-    assert(composed === got, "ExifOrientationPacked must equal the Column form")
+    assert(composed === got.filter(_._1 <= 6),
+      "ExifOrientationPacked must equal the Column form")
   }
 }
