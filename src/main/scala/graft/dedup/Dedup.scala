@@ -42,9 +42,22 @@ object Dedup {
     inter.cast("double") / (size(a) + size(b) - inter)
   }
 
+  /** Corpus-size admission bound for the labeled O(n²) baseline below
+    * (the Ann.maxControlCorpus posture, r13): 1000 docs ≈ 500k
+    * interpreted array_intersect pairs — the harness verification SF.
+    * Above it the kernel runs HOURS (measured: one BNLJ task at 5k
+    * docs), so refusing loudly beats a silent week-long stage. */
+  val maxControlDocs = 1000L
+
   /** Exact pairwise n-gram Jaccard ≥ threshold. O(n²) — correctness
-    * baseline only; use [[minhashLshPairs]] at scale. */
+    * baseline only; use [[minhashLshPairs]] at scale. Refuses corpora
+    * above [[maxControlDocs]] BEFORE the quadratic join. */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    val n = docs.count()
+    require(n <= maxControlDocs,
+      s"ngramJaccardPairs is the O(n²) oracle-control baseline, admitted up " +
+      s"to $maxControlDocs docs (got $n). Use minhashLshPairs (d3) or " +
+      "containmentPairs (d13) at this scale.")
     val s = shingleSets(docs)
     val a = s.select(col("doc_id").as("d1"), col("g").as("g1"))
     val b = s.select(col("doc_id").as("d2"), col("g").as("g2"))

@@ -374,4 +374,18 @@ class DedupSpec extends SparkSpec {
     assert(big.count(r => r._3 == 1 && r._4 == 0) == 0,
       "64Ki bits over 40 keys should not false-positive on 30 probes")
   }
+
+  test("D2's O(n²) baseline refuses a corpus above the admission bound") {
+    // the Ann.maxControlCorpus posture (r13) applied to the exact-
+    // Jaccard control: the guard fires on the count, BEFORE the
+    // quadratic join is even planned into a job
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    val big = spark.range(0, Dedup.maxControlDocs + 1)
+      .select(col("id").as("doc_id"),
+        concat(lit("a b c d "), col("id")).as("text"))
+    val e = intercept[IllegalArgumentException] {
+      Dedup.ngramJaccardPairs(big, 0.5)
+    }
+    assert(e.getMessage.contains("control baseline"))
+  }
 }
