@@ -46,7 +46,9 @@ object Chunking {
       .select(col("doc_id"),
         org.apache.spark.sql.functions.size(words(col("text"))).cast("long").as("n_tok"))
       .withColumn("cum_tok", sum(col("n_tok")).over(w))
-      .withColumn("pack_id", ((col("cum_tok") - col("n_tok")) / capacity).cast("long"))
+      // integral div, not a double divide: exact at any cumulative
+      // token count (a double quotient drifts past 2^53)
+      .withColumn("pack_id", expr(s"(cum_tok - n_tok) div $capacity"))
   }
 
   /** C3: SHARDED sequence packing — the scale form [[packSequences]]'s
@@ -71,7 +73,7 @@ object Chunking {
       .withColumn("cum_tok", sum(col("n_tok")).over(w))
       .withColumn("pack_id",
         col("shard") * lit(1L << 40) +
-          ((col("cum_tok") - col("n_tok")) / capacity).cast("long"))
+          expr(s"(cum_tok - n_tok) div $capacity"))
   }
 
   /** Unigram language-model scoring — the CCNet-style perplexity
