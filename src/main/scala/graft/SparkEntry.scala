@@ -2293,8 +2293,9 @@ object SparkEntry {
     // integer rationals throughout: per-dow and overall means floor
     // ONCE each at milli resolution and the seasonal component is the
     // difference of the two already-floored integers — no division of
-    // a negative ever happens (Spark div truncates toward zero where
-    // DuckDB // floors, so a signed numerator would diverge).
+    // a negative ever happens (Spark div truncates toward zero; DuckDB
+    // // also truncates, but keeping numerators nonnegative makes the
+    // question moot either way).
     // Scale: only (type, day) rollup rows ever shuffle; the dow
     // profile is ≤ 7 rows per type and the overall mean is a window
     // over that tiny aggregate.
@@ -2695,8 +2696,9 @@ object SparkEntry {
         |tot AS (SELECT event_type, sum(sum_n) AS sum_all, sum(n_days) AS n_all
         |  FROM dw GROUP BY 1)
         |SELECT d.event_type, d.dow, d.n_days,
-        |  (sum_n * 1000) // n_days AS mean_dow_milli,
-        |  (sum_n * 1000) // n_days - (sum_all * 1000) // n_all AS seasonal_milli
+        |  CAST((sum_n * 1000) // n_days AS BIGINT) AS mean_dow_milli,
+        |  CAST((sum_n * 1000) // n_days - (sum_all * 1000) // n_all AS BIGINT)
+        |    AS seasonal_milli
         |FROM dw d JOIN tot USING (event_type)
         |ORDER BY event_type, dow""".stripMargin,
     "ts6_ewma_forecast" -> {
@@ -5583,7 +5585,7 @@ ${sqlRecallTailFor(" WHERE q.vec_id < 50")}""".stripMargin
          |    sum(CAST(sim AS DECIMAL(18,6))) AS sim_sum FROM a GROUP BY 1),
          |tot AS (SELECT sum(n_vectors) AS total FROM cells)
          |SELECT centroid_id, n_vectors,
-         |  (n_vectors * 1000) // total AS share_milli,
+         |  CAST((n_vectors * 1000) // total AS BIGINT) AS share_milli,
          |  CAST(rank() OVER (ORDER BY n_vectors DESC, centroid_id) AS INT) AS size_rank,
          |  round(CAST(sim_sum AS DOUBLE) / CAST(n_vectors AS DOUBLE), 6) AS mean_sim
          |FROM cells, tot ORDER BY centroid_id""".stripMargin,
@@ -5825,6 +5827,47 @@ ${sqlRecallTailFor(" WHERE q.vec_id < 50")}""".stripMargin
     "t20_classifier_filter" -> ((s, d) =>
       graft.text.TextAnalysis.classifierScore(t(s, d, "documents"))
         .orderBy("doc_id")),
+    // T22 (beyond reference): calibration audit of the t20 classifier —
+    // scores binned at 200-milli width (top bin clamped) against the
+    // deterministic reference label lang='en', yielding per-bin volume
+    // and positive rate: the reliability diagram every score-
+    // thresholded curation pipeline reads before choosing t20's keep
+    // threshold. Scale: t20's per-doc output (already broadcast-
+    // bounded) joins documents on the id key and collapses to ≤10
+    // rows with map-side combine — the audit costs one slim join +
+    // one tiny aggregation.
+    "t22_calibration_bins" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      graft.text.TextAnalysis.classifierScore(docs)
+        .join(docs.select(col("doc_id"),
+          (col("lang") === "en").cast("int").as("pos")), "doc_id")
+        .groupBy(least(expr("score_milli div 200"), lit(9L)).as("bin"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("pos")).as("n_pos"))
+        .select(col("bin"), col("n_docs"), col("n_pos"),
+          expr("(n_pos * 1000) div n_docs").as("pos_rate_milli"))
+        .orderBy("bin")
+    }),
+    // T23 (beyond reference): per-language tokenizer fertility — the
+    // chars-per-BPE-token and BPE-tokens-per-word ratios that decide
+    // how many training tokens a language's text actually costs (the
+    // multilingual budgeting metric: high fertility means the
+    // tokenizer fragments that language and its per-char compute
+    // multiplies). Uses t3's native BpeTokenCount scan; one map-side-
+    // combined rollup to |langs| rows — a pure scan-side audit at any
+    // corpus size.
+    "t23_tokenizer_fertility" -> ((s, d) =>
+      graft.text.TextAnalysis.withTokenCounts(t(s, d, "documents"))
+        .select(col("lang"), col("n_chars"),
+          col("n_ws_tokens").cast("long").as("n_ws"),
+          col("n_bpe_tokens").cast("long").as("n_bpe"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+          sum(col("n_ws")).as("sum_ws"), sum(col("n_bpe")).as("sum_bpe"))
+        .select(col("lang"), col("n_docs"), col("sum_chars"), col("sum_ws"),
+          col("sum_bpe"),
+          expr("(sum_chars * 1000) div sum_bpe").as("chars_per_bpe_milli"),
+          expr("(sum_bpe * 1000) div sum_ws").as("bpe_per_word_milli"))
+        .orderBy("lang")),
     // T11: Gopher static quality rules (word count / word shape /
     // symbol density / stopword presence) with a composite keep flag.
     "t11_gopher_rules" -> ((s, d) =>
@@ -5894,6 +5937,42 @@ ${sqlRecallTailFor(" WHERE q.vec_id < 50")}""".stripMargin
     Map(
       // weight derivation + bucket hash + integer mean, step-for-step
       "t20_classifier_filter" -> graft.text.TextAnalysis.classifierScoreSql(),
+      // t20's score chain replayed, then the 200-milli calibration
+      // rollup; every aggregate cast to BIGINT pre-division (r14
+      // HUGEINT lesson)
+      "t22_calibration_bins" ->
+        """WITH wt AS (SELECT bucket,
+          |    ('0x' || substr(md5('clw:' || bucket), 1, 7))::BIGINT % 2001 AS w_milli
+          |  FROM (SELECT unnest(range(4096)) AS bucket)),
+          |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents),
+          |tb AS (SELECT doc_id,
+          |    ('0x' || substr(md5('cls:' || tk), 1, 7))::BIGINT % 4096 AS bucket
+          |  FROM tok),
+          |sc AS (SELECT doc_id, count(*) AS n_tokens, sum(w_milli) AS sw
+          |  FROM tb JOIN wt USING (bucket) GROUP BY doc_id),
+          |scored AS (SELECT doc_id, CAST(sw // n_tokens AS BIGINT) AS score_milli
+          |  FROM sc),
+          |agg AS (SELECT least(score_milli // 200, 9) AS bin, count(*) AS n_docs,
+          |    CAST(sum((lang = 'en')::INT) AS BIGINT) AS n_pos
+          |  FROM scored JOIN documents USING (doc_id) GROUP BY 1)
+          |SELECT bin, n_docs, n_pos, (n_pos * 1000) // n_docs AS pos_rate_milli
+          |FROM agg ORDER BY bin""".stripMargin,
+      // t3's two token counts rolled up per language; every sum cast
+      // to BIGINT pre-division
+      "t23_tokenizer_fertility" ->
+        """WITH x AS (SELECT lang, n_chars,
+          |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws,
+          |    CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_bpe
+          |  FROM documents),
+          |a AS (SELECT lang, count(*) AS n_docs,
+          |    CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+          |    CAST(sum(n_ws) AS BIGINT) AS sum_ws,
+          |    CAST(sum(n_bpe) AS BIGINT) AS sum_bpe
+          |  FROM x GROUP BY lang)
+          |SELECT lang, n_docs, sum_chars, sum_ws, sum_bpe,
+          |  (sum_chars * 1000) // sum_bpe AS chars_per_bpe_milli,
+          |  (sum_bpe * 1000) // sum_ws AS bpe_per_word_milli
+          |FROM a ORDER BY lang""".stripMargin,
       // t1's scorer + tie-break chain applied per 20-token segment
       "t21_code_switch" ->
         s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
@@ -6135,6 +6214,20 @@ ${sqlRecallTailFor(" WHERE q.vec_id < 50")}""".stripMargin
           graft.multimodal.Media.exifOrientation(col("content")): _*)
         .orderBy("asset_id")
     }),
+    // MM11 (beyond reference): ID3v2 tag-header parse with a STRICT
+    // syncsafe size decode — the skip-length read before seeking to
+    // the first MPEG audio frame. The fabricated corpus includes a
+    // corrupted class whose third size byte has the syncsafe-forbidden
+    // high bit set: a naive big-endian reader accepts it and mis-sizes
+    // every following frame; this parser rejects it to NULLs, and the
+    // arithmetic oracle pins that rejection. Scan-side Column math,
+    // bodies never shuffle (the mm9/mm10 posture).
+    "mm11_id3_syncsafe" -> ((s, d) => {
+      val a = graft.multimodal.Media.id3Assets(t(s, d, "documents"))
+      a.select(col("asset_id") +:
+          graft.multimodal.Media.id3Meta(col("content")): _*)
+        .orderBy("asset_id")
+    }),
     // MM2: frame sampling (every 4th frame) as a pure array op.
     "mm2_frame_sample" -> ((s, d) => {
       val frames = graft.text.TextAnalysis.words(col("text"))
@@ -6230,6 +6323,16 @@ ${sqlRecallTailFor(" WHERE q.vec_id < 50")}""".stripMargin
       """SELECT doc_id AS asset_id,
         |  CAST(doc_id % 4000 + 16 AS BIGINT) AS width,
         |  CAST(doc_id % 3000 + 16 AS BIGINT) AS height
+        |FROM documents ORDER BY asset_id""".stripMargin,
+    // the id3Assets fabrication inverted: only the m=0 class parses
+    // (m=1 is the corrupted-syncsafe twin the parser must reject);
+    // the oracle never parses bytes
+    "mm11_id3_syncsafe" ->
+      """SELECT doc_id AS asset_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN doc_id % 2 + 3 END AS ver_major,
+        |  CASE WHEN doc_id % 3 = 0 THEN CAST((doc_id // 2) % 2 AS INT) END AS unsync,
+        |  CASE WHEN doc_id % 3 = 0 THEN doc_id % 2097152 + 10 END AS tag_size,
+        |  CASE WHEN doc_id % 3 = 0 THEN doc_id % 2097152 + 20 END AS total_bytes
         |FROM documents ORDER BY asset_id""".stripMargin,
     // the exifAssets fabrication inverted — byte order by class, two
     // IFD entries, orientation = doc_id%8+1; the oracle never parses
@@ -6668,6 +6771,24 @@ ${sqlRecallTailFor(" WHERE q.vec_id < 50")}""".stripMargin
         .select(col("doc_id"), col("shard"), col("n_tok"), col("cum_tok"),
           col("pack_id"))
         .orderBy("doc_id")),
+    // C4 (beyond reference): packing-efficiency audit over the c3
+    // sharded packer — per shard: bins opened, docs, token mass, and
+    // density (milli). The waste check every sequence-packing
+    // deployment runs before training (an under-filled bin is padding
+    // is wasted FLOPs; density can top 1000 because a doc straddling
+    // its last bin counts its full length in the bin it STARTS in).
+    // Scale: a |shards|-row map-side-combined rollup of the already-
+    // parallel c3 output — the audit adds one tiny aggregation to the
+    // packing pass it certifies.
+    "c4_pack_fill_audit" -> ((s, d) =>
+      graft.text.Chunking.packSequencesSharded(t(s, d, "documents"))
+        .groupBy(col("shard"))
+        .agg(countDistinct(col("pack_id")).as("n_packs"),
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("sum_tok"))
+        .select(col("shard"), col("n_packs"), col("n_docs"), col("sum_tok"),
+          expr("(sum_tok * 1000) div (n_packs * 512)").as("density_milli"))
+        .orderBy("shard")),
     // T6: top-3 TF-IDF terms per document.
     "t6_tfidf" -> ((s, d) =>
       graft.text.Chunking.tfidfTopTerms(t(s, d, "documents"))
@@ -6930,6 +7051,27 @@ ${sqlRecallTailFor(" WHERE q.vec_id < 50")}""".stripMargin
         |      ('0x' || substr(md5('pack:' || doc_id), 1, 7))::BIGINT % 16 AS shard,
         |      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
         |    FROM documents)) ORDER BY doc_id""".stripMargin,
+    // c3's packing replayed, then the per-shard density rollup — every
+    // aggregate cast to BIGINT before the milli division (the r14
+    // HUGEINT lesson)
+    "c4_pack_fill_audit" ->
+      """WITH p AS (
+        |  SELECT doc_id, shard, n_tok,
+        |    shard * 1099511627776 +
+        |      (CAST(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |       - n_tok) // 512 AS pack_id
+        |  FROM (
+        |    SELECT doc_id,
+        |      ('0x' || substr(md5('pack:' || doc_id), 1, 7))::BIGINT % 16 AS shard,
+        |      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |    FROM documents)),
+        |a AS (SELECT shard, count(DISTINCT pack_id) AS n_packs, count(*) AS n_docs,
+        |    CAST(sum(n_tok) AS BIGINT) AS sum_tok
+        |  FROM p GROUP BY shard)
+        |SELECT shard, n_packs, n_docs, sum_tok,
+        |  (sum_tok * 1000) // (n_packs * 512) AS density_milli
+        |FROM a ORDER BY shard""".stripMargin,
     "t6_tfidf" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),

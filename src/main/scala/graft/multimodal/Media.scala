@@ -499,4 +499,71 @@ object Media {
       when(isWav, le4(41)).as("data_bytes"),
       when(isWav, durationMs).as("duration_ms"))
   }
+
+  // ---- MM11: ID3v2 tag headers (syncsafe integers) ------------------------
+
+  /** Single-byte fabrication (value < 256). */
+  private def byte1(c: org.apache.spark.sql.Column) =
+    unhex(lpad(hex(pmod(c, lit(256))), 2, "0"))
+
+  /** MM11 fabrication: one third of the corpus gets a spec-exact ID3v2
+    * tag header — "ID3", major version 3/4 alternating, revision 0,
+    * the unsynchronisation flag bit alternating, then the 28-bit
+    * SYNCSAFE size (four 7-bit groups, high bit of every byte zero by
+    * spec); one third gets a corrupted twin whose third size byte has
+    * the high bit SET — the exact corruption syncsafe encoding exists
+    * to exclude (a parser that decodes the four bytes as a plain
+    * big-endian int accepts it and mis-sizes every following frame);
+    * one third raw text. Ground truth is arithmetic in the ids (the
+    * mm7–mm10 recipe), so the oracle never touches bytes. */
+  def id3Assets(docs: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    val m = id % 3
+    val size = id % 2097152L + 10L
+    val ver = (id % 2 + 3).cast("int")
+    val flags = ((expr("doc_id div 2") % 2) * 128).cast("int")
+    def ss(shift: Int) = pmod(shiftright(size, shift), lit(128))
+    val good = concat(lit("ID3").cast("binary"), byte1(ver), byte1(lit(0)),
+      byte1(flags),
+      byte1(ss(21)), byte1(ss(14)), byte1(ss(7)), byte1(pmod(size, lit(128))))
+    val bad = concat(lit("ID3").cast("binary"), byte1(lit(3)), byte1(lit(0)),
+      byte1(lit(0)),
+      byte1(ss(21)), byte1(ss(14)), byte1(ss(7) + 128), byte1(pmod(size, lit(128))))
+    val header = when(m === 0, good).when(m === 1, bad)
+      .otherwise(lit("").cast("binary"))
+    docs.select(id.as("asset_id"),
+      concat(header, col("text").cast("binary")).as("content"))
+  }
+
+  /** MM11: ID3v2 tag-header parse with a STRICT syncsafe decode — the
+    * skip-length read an audio pipeline performs before seeking to the
+    * first MPEG frame (mis-reading it desynchronizes every downstream
+    * byte offset). Syncsafe integers keep bit 7 of every byte zero so
+    * tag bytes can never alias an MPEG sync pattern; the spec makes a
+    * set high bit ill-formed, and this parser REJECTS it (NULLs) where
+    * a naive big-endian read would silently accept — the fabricated
+    * corrupted class pins exactly that. Pure `substring`/`hex`/`conv`
+    * Column math in the scan projection (the mm9 posture); non-ID3
+    * blobs gate to NULLs on magic + version-range checks.
+    *
+    * @return (ver_major, unsync, tag_size, total_bytes) Columns, all
+    *         NULL for blobs without a well-formed ID3v2 header. */
+  def id3Meta(content: org.apache.spark.sql.Column)
+      : Seq[org.apache.spark.sql.Column] = {
+    def b(p: Int) = conv(hex(substring(content, p, 1)), 16, 10).cast("long")
+    val magic = substring(content, 1, 3).cast("string") === "ID3"
+    // version gate: major 2-4 (the deployed ID3v2 range), revision
+    // $FF forbidden by spec — both reads also reject printable text
+    // bytes (≥ 0x20), so a text blob that merely STARTS with "ID3"
+    // can never sneak through the chain
+    val verOk = b(4) >= 2L && b(4) <= 4L && b(5) =!= 255L && b(5) < 32L
+    val syncsafe = b(7) < 128L && b(8) < 128L && b(9) < 128L && b(10) < 128L
+    val gate = magic && verOk && syncsafe
+    val size = b(7) * 2097152L + b(8) * 16384L + b(9) * 128L + b(10)
+    Seq(
+      when(gate, b(4)).as("ver_major"),
+      when(gate, (b(6) >= 128L).cast("int")).as("unsync"),
+      when(gate, size).as("tag_size"),
+      when(gate, size + 10L).as("total_bytes"))
+  }
 }

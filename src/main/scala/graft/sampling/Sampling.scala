@@ -285,7 +285,7 @@ object Sampling {
        |sc AS (SELECT doc_id, count(*) AS n_tokens, sum(w_milli) AS sw
        |  FROM tok JOIN wt USING (bucket) GROUP BY doc_id)
        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
-       |  sw // n_tokens AS score_milli,
+       |  CAST(sw // n_tokens AS BIGINT) AS score_milli,
        |  (('0x' || substr(md5('dsirs:' || doc_id), 1, 7))::BIGINT % $capMilli
        |     < least(sw // n_tokens, $capMilli))::INT AS kept
        |FROM sc ORDER BY doc_id""".stripMargin

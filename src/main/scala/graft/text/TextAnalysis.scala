@@ -424,7 +424,7 @@ object TextAnalysis {
        |sc AS (SELECT doc_id, count(*) AS n_tokens, sum(w_milli) AS sw
        |  FROM tb JOIN wt USING (bucket) GROUP BY doc_id)
        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
-       |  sw // n_tokens AS score_milli,
+       |  CAST(sw // n_tokens AS BIGINT) AS score_milli,
        |  (sw // n_tokens >= $thresholdMilli)::INT AS keep
        |FROM sc ORDER BY doc_id""".stripMargin
 }

@@ -407,6 +407,9 @@ object GraftProperties extends Properties("graft") {
         Array[Byte](0, 0) ++ "MM".getBytes("ISO-8859-1") ++
         Array[Byte](0, 42),
       Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte),
+      // ID3v2 magic + valid version so the random tail becomes the
+      // flags byte + syncsafe size the mm11 parser must bound-check
+      "ID3".getBytes("ISO-8859-1") ++ Array[Byte](3, 0),
       Array.empty[Byte])
     forAll(for {
       prefix <- Gen.oneOf(magics)
@@ -417,6 +420,7 @@ object GraftProperties extends Properties("graft") {
       val out = df.select(
         Seq(m.sniffMime(col("content")).as("mime")) ++
           m.wavMeta(col("content")) ++
+          m.id3Meta(col("content")) ++
           m.exifOrientation(col("content")) ++ {
             val (w, h) = m.containerDims(col("content"))
             Seq(w.as("png_w"), h.as("png_h"))

@@ -268,4 +268,40 @@ class MediaSpec extends SparkSpec {
     assert(composed === got.filter(_._1 <= 6),
       "ExifOrientationPacked must equal the Column form")
   }
+
+  test("MM11: id3Meta hand-built headers — strict syncsafe, version gates") {
+    // the registered query pins the fabricated classes; this pins
+    // layouts the fabrication never writes: max syncsafe size, a high
+    // bit set in EACH of the four size positions, out-of-range major
+    // versions, and a printable-text blob that starts with "ID3".
+    def id3(ver: Int, rev: Int, flags: Int, sz: Array[Byte]): Array[Byte] =
+      "ID3".getBytes("ISO-8859-1") ++
+        Array(ver.toByte, rev.toByte, flags.toByte) ++ sz
+    val rows = Seq(
+      (1L, id3(4, 0, 0x80, Array[Byte](0x7F, 0x7F, 0x7F, 0x7F))), // max size
+      (2L, id3(2, 0, 0, Array[Byte](0, 0, 2, 1))),                // v2.2, 257
+      (3L, id3(3, 0, 0, Array[Byte](0x80.toByte, 0, 0, 0))),      // hi bit, pos 1
+      (4L, id3(3, 0, 0, Array[Byte](0, 0x81.toByte, 0, 0))),      // hi bit, pos 2
+      (5L, id3(3, 0, 0, Array[Byte](0, 0, 0, 0xFF.toByte))),      // hi bit, pos 4
+      (6L, id3(5, 0, 0, Array[Byte](0, 0, 0, 1))),                // major 5: reject
+      (7L, id3(3, 0xFF, 0, Array[Byte](0, 0, 0, 1))),             // rev $FF: reject
+      (8L, "ID3 is a tag format".getBytes("UTF-8")),              // text: reject
+      (9L, "ID3".getBytes("ISO-8859-1")))                         // truncated
+      .toDF("asset_id", "content")
+    val got = rows.select(col("asset_id") +: Media.id3Meta(col("content")): _*)
+      .as[(Long, Option[Long], Option[Int], Option[Long], Option[Long])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got(1L) === ((1L, Some(4L), Some(1), Some(268435455L),
+      Some(268435465L))), s"got ${got(1L)}")
+    assert(got(2L) === ((2L, Some(2L), Some(0), Some(257L), Some(267L))),
+      s"got ${got(2L)}")
+    for (i <- 3L to 5L)
+      assert(got(i)._2.isEmpty,
+        s"syncsafe-forbidden high bit at any position must reject: ${got(i)}")
+    assert(got(6L)._2.isEmpty, "major version 5 must reject")
+    assert(got(7L)._2.isEmpty, "revision $FF must reject")
+    assert(got(8L)._2.isEmpty,
+      "printable text starting with 'ID3' must reject on the version gate")
+    assert(got(9L)._2.isEmpty, "truncated header must reject, not throw")
+  }
 }

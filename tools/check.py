@@ -8,8 +8,14 @@ oracle SQL from oracle_sql.json in DuckDB over the sf parquet tables,
 sorts columns by name, and compares values (exact for ints/strings,
 tiny-epsilon report for floats). Prints PASS/FAIL per query.
 """
-import json, math, sys
+import json, math, re, sys
 import duckdb
+
+# Driver-hash-hostile oracle output types (the r8/r14 failure class):
+# the driver's hasher is physical-type-tagged, so a DuckDB HUGEINT or
+# DECIMAL column hash-mismatches a value-identical Spark BIGINT/DOUBLE.
+# Mirrors tools/oracle_types.py so a plain check.py run catches it too.
+HOSTILE = re.compile(r"^(U?HUGEINT|UTINYINT|USMALLINT|UINTEGER|UBIGINT|DECIMAL\()")
 
 out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/verify_out"
 sf = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
@@ -28,6 +34,8 @@ for name, sql in sorted(oracle.items()):
         gcols = [c for c in con.sql(f"SELECT * FROM '{out}/{name}/*.parquet' LIMIT 0").columns]
         exp_rel = con.sql(sql)
         ecols = list(exp_rel.columns)
+        hostile = [(c, str(t)) for c, t in zip(ecols, exp_rel.types)
+                   if HOSTILE.match(str(t))]
         exp = exp_rel.fetchall()
     except Exception as e:
         print(f"FAIL {name}: exec error: {str(e)[:200]}")
@@ -58,6 +66,10 @@ for name, sql in sorted(oracle.items()):
             break
     if bad:
         print(f"FAIL {name}: first diff at row {bad[0]}:\n  spark : {bad[1]}\n  oracle: {bad[2]}")
+        fails += 1
+    elif hostile:
+        print(f"FAIL {name}: values match but oracle column(s) {hostile} have "
+              f"driver-hash-hostile types (CAST them in the oracle SQL)")
         fails += 1
     else:
         print(f"PASS {name} ({len(grows)} rows)")

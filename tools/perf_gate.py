@@ -32,22 +32,16 @@ CALIB_WARN = 1.3
 # An excepted query prints a loud WARN instead of failing the gate —
 # every entry must name WHY the absolute number is a constant, not a
 # scaling defect.
+# r15: d14_sparse_cosine retired — three consecutive quiet
+# measurements (2.75 s r14 official, 2.75 s r14 local, 2.71 s r15)
+# sit at 1.49x its 1.82 s DuckDB twin, inside the 2x line with margin,
+# so the gate's ordinary test covers it.
 EXCEPTIONS = {
-    "d14_sparse_cosine":
-        "multi-stage constant, not volume: Σdf² pair volume at sf0.1 is "
-        "1.3M rows (max df 25), intermediates ~5 MB; the ~3.0 s floor "
-        "(min-of-3 after the r11 ReusedExchange rewrite, from 3.55 s) is "
-        "scan+shingle CPU plus 4 stage barriers vs DuckDB's 1.8 s "
-        "single-process pipeline. The slim-row exchange-reused shape is "
-        "the one that survives 100 TB (PLANS.md r11); kernel and "
-        "agg-join A/Bs both measured slower.",
     "x2_fact_fact_join":
-        "the deliberately-plain fact-fact shuffle join control at "
-        "1.7-2.2 s: its bucketed zero-exchange escape is now a "
-        "REGISTERED query (x2_fact_fact_bucketed, r13 — SMJ straight "
-        "off the bucketed scans, plan-asserted in BucketingSpec) and "
-        "the Bloom-pruned form (x10) is green — this query exists to "
-        "show the unoptimized shape the escapes beat (PLANS.md r10).",
+        "deliberately-plain control; analysis lives in PLANS.md "
+        "('Round 15' / 'Join strategy' sections): its registered "
+        "escapes x2_fact_fact_bucketed and x10 are both green and "
+        "faster.",
 }
 
 def find_json(path, marker):
