@@ -3188,7 +3188,31 @@ object SparkEntry {
             .when(col("doc_id") % 7 >= 5, "deep_pagination")
             .otherwise("ok").as("verdict"))
         .orderBy("doc_id")
-    })
+    }),
+    // F15 (beyond reference): HTML boilerplate strip — the tag-removal
+    // transform every web-crawl curation pipeline runs before any
+    // quality scoring (C4/CCNet strip markup first; scoring raw HTML
+    // rates the markup, not the prose). Documents are wrapped in a
+    // deterministic page skeleton (the f13 fabrication recipe), then
+    // title extraction, tag count, and the cleaned text's length +
+    // digest come from regex Column ops — a pure scan-side projection
+    // (zero shuffles, zero UDFs) at any corpus size; the md5 pins the
+    // exact cleaned bytes so any regex-semantics drift hash-fails.
+    "f15_html_strip" -> ((s, d) =>
+      t(s, d, "documents")
+        .withColumn("html", concat(lit("<html><head><title>"), col("source"),
+          lit(" "), col("doc_id"), lit("</title></head><body><p>"),
+          col("text"), lit("</p><a href=\"https://"), col("source"),
+          lit(".example.com/doc/"), col("doc_id"),
+          lit("\">more</a></body></html>")))
+        .withColumn("clean_text", trim(regexp_replace(
+          regexp_replace(col("html"), "<[^>]*>", " "), " +", " ")))
+        .select(col("doc_id"),
+          regexp_count(col("html"), lit("<[^>]*>")).cast("int").as("n_tags"),
+          regexp_extract(col("html"), "<title>([^<]*)</title>", 1).as("title"),
+          length(col("clean_text")).cast("int").as("clean_len"),
+          md5(col("clean_text").cast("binary")).as("clean_md5"))
+        .orderBy("doc_id"))
   )
 
   private val fnOracles: Map[String, String] = Map(
@@ -3243,7 +3267,27 @@ object SparkEntry {
         |  SELECT event_id,
         |    '{"k":' || (json_extract_string(props, '$.k')) || ',"t":"' || event_type || '"}' AS j
         |  FROM events)
-        |ORDER BY event_id""".stripMargin
+        |ORDER BY event_id""".stripMargin,
+    // same wrap + same regexes replayed (DuckDB regexp_replace needs
+    // the 'g' flag — Spark's is global by default); the md5 compares
+    // the exact cleaned bytes
+    "f15_html_strip" ->
+      """WITH h AS (SELECT doc_id,
+        |    '<html><head><title>' || source || ' ' || doc_id
+        |    || '</title></head><body><p>' || text
+        |    || '</p><a href="https://' || source || '.example.com/doc/' || doc_id
+        |    || '">more</a></body></html>' AS html
+        |  FROM documents),
+        |c AS (SELECT doc_id, html,
+        |    trim(regexp_replace(regexp_replace(html, '<[^>]*>', ' ', 'g'),
+        |         ' +', ' ', 'g')) AS clean
+        |  FROM h)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(html, '<[^>]*>')) AS INT) AS n_tags,
+        |  regexp_extract(html, '<title>([^<]*)</title>', 1) AS title,
+        |  CAST(length(clean) AS INT) AS clean_len,
+        |  md5(clean) AS clean_md5
+        |FROM c ORDER BY doc_id""".stripMargin
   )
 
   // ---- ST: streaming batch-twins (SURVEY.md §7.1 — DuckDB cannot run
@@ -5855,6 +5899,29 @@ ${sqlRecallTailFor(" WHERE q.vec_id < 50")}""".stripMargin
     // multiplies). Uses t3's native BpeTokenCount scan; one map-side-
     // combined rollup to |langs| rows — a pure scan-side audit at any
     // corpus size.
+    // T24 (beyond reference): the first BPE-training merge step —
+    // frequency of every adjacent character pair, computed over the
+    // FREQUENCY-WEIGHTED VOCABULARY rather than the token stream (the
+    // classic BPE-trainer trick: |vocab| is Zipf-bounded, so after the
+    // one corpus rollup every subsequent merge round touches only the
+    // vocab table — the token stream is never re-scanned). Top-20
+    // merge candidates; the pair space is bounded by charset², so the
+    // ranking window runs over a by-construction-tiny table.
+    "t24_bpe_merge_pairs" -> ((s, d) => {
+      val vocab = t(s, d, "documents")
+        .select(explode(graft.text.TextAnalysis.words(col("text"))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("wf"))
+      vocab.filter(length(col("w")) >= 2)
+        .select(col("wf"), explode(expr(
+          "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+          .as("pair"))
+        .groupBy(col("pair")).agg(sum(col("wf")).as("n"))
+        .withColumn("merge_rank",
+          row_number().over(Window.orderBy(col("n").desc, col("pair"))))
+        .filter(col("merge_rank") <= 20)
+        .select(col("merge_rank"), col("pair"), col("n"))
+        .orderBy("merge_rank")
+    }),
     "t23_tokenizer_fertility" -> ((s, d) =>
       graft.text.TextAnalysis.withTokenCounts(t(s, d, "documents"))
         .select(col("lang"), col("n_chars"),
@@ -5957,6 +6024,20 @@ ${sqlRecallTailFor(" WHERE q.vec_id < 50")}""".stripMargin
           |  FROM scored JOIN documents USING (doc_id) GROUP BY 1)
           |SELECT bin, n_docs, n_pos, (n_pos * 1000) // n_docs AS pos_rate_milli
           |FROM agg ORDER BY bin""".stripMargin,
+      // vocab rollup, then in-word adjacent char pairs weighted by
+      // word frequency; sums cast to BIGINT, row_number to INT
+      "t24_bpe_merge_pairs" ->
+        """WITH vocab AS (SELECT w, count(*) AS wf FROM (
+          |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+          |  GROUP BY w),
+          |p AS (SELECT substring(w, CAST(i AS INT), 2) AS pair, wf
+          |  FROM vocab, unnest(range(1, len(w))) AS u(i) WHERE len(w) >= 2),
+          |a AS (SELECT pair, CAST(sum(wf) AS BIGINT) AS n FROM p GROUP BY pair),
+          |r AS (SELECT pair, n,
+          |    CAST(row_number() OVER (ORDER BY n DESC, pair) AS INT) AS merge_rank
+          |  FROM a)
+          |SELECT merge_rank, pair, n FROM r WHERE merge_rank <= 20
+          |ORDER BY merge_rank""".stripMargin,
       // t3's two token counts rolled up per language; every sum cast
       // to BIGINT pre-division
       "t23_tokenizer_fertility" ->

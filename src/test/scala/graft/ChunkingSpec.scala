@@ -146,4 +146,34 @@ class ChunkingSpec extends SparkSpec {
     assert(singlePartitionExchanges(sharded) == 0,
       "c3 must not serialize through a SinglePartition exchange")
   }
+
+  test("C4: density audit sums to the packing's token mass; plan stays sharded") {
+    val packs = Chunking.packSequencesSharded(docs, capacity = 512, shards = 16)
+    val audit = packs.groupBy(col("shard"))
+      .agg(org.apache.spark.sql.functions.countDistinct(col("pack_id")).as("n_packs"),
+        count(lit(1)).as("n_docs"), sum(col("n_tok")).as("sum_tok"))
+      .withColumn("density_milli", expr("(sum_tok * 1000) div (n_packs * 512)"))
+    val rows = audit.select("shard", "n_packs", "n_docs", "sum_tok", "density_milli")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    // conservation: audit's doc and token totals equal the packing's
+    val (totDocs, totTok) = (rows.map(_._3).sum, rows.map(_._4).sum)
+    val base = packs.agg(count(lit(1)), sum(col("n_tok")))
+      .as[(Long, Long)].head()
+    assert((totDocs, totTok) === base, "per-shard audit must conserve totals")
+    // density is positive and bounded: a doc straddling its final bin
+    // counts fully in its starting bin, so density can exceed 1000,
+    // but never by more than one max-doc per bin amortized — assert
+    // the loose invariant density > 0 and n_packs >= 1 per shard
+    rows.foreach { case (shard, nPacks, _, sumTok, dens) =>
+      assert(nPacks >= 1 && dens > 0, s"shard $shard: degenerate audit row")
+      assert(sumTok >= (nPacks - 1) * 512,
+        s"shard $shard: $nPacks bins opened needs > ${(nPacks - 1) * 512} tokens")
+    }
+    // same scale posture as c3: the audit must not introduce a
+    // SinglePartition exchange on top of the sharded packing
+    audit.collect()
+    assert(audit.queryExecution.executedPlan.toString
+      .linesIterator.count(_.contains("SinglePartition")) == 0,
+      "c4 audit must stay sharded end-to-end")
+  }
 }
