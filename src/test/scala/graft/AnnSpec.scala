@@ -584,4 +584,47 @@ class AnnSpec extends SparkSpec {
     val recall = (exact & ham).size.toDouble / exact.size
     assert(recall >= 0.12, s"binary-code recall@5 unexpectedly low: $recall")
   }
+
+  test("E41: covariance audit matches a hand computation, any partitioning") {
+    // v1=(1,0,2) v2=(0,1,0) v3=(1,1,1), micro-quantized: n=3,
+    // sx=(2e6,2e6,3e6); sxy(1,2)=1e12, (1,3)=3e12, (2,3)=1e12;
+    // num = n·sxy − sx_i·sx_j → −1e12, 3e12, −3e12; |num| ties (1,3)
+    // and (2,3) break on i asc; cov = num / (n²·10¹²)
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f, 2.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(1.0f, 1.0f, 1.0f))).toDF("vec_id", "embedding")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Ann.embeddingCovariance(d, dims = 3, topK = 3)
+        .select("rnk", "i", "j", "cov").as[(Int, Int, Int, Double)].collect().toSeq
+    val got = run(df)
+    assert(got === Seq(
+      (1, 1, 3, 0.33333333), (2, 2, 3, -0.33333333), (3, 1, 2, -0.11111111)),
+      s"got $got")
+    assert(run(df.repartition(7)) === got,
+      "sufficient-statistics kernel must be partition-count-independent")
+  }
+
+  test("E41: Long accumulator flush keeps exactness past the 4096-row boundary") {
+    // 10000 rows of dims=2 with deterministic values large enough that
+    // an unflushed Long path would be exercised well past one flush
+    // window; expected num computed with BigInt on the driver
+    val rows = (0 until 10000).map { k =>
+      (k.toLong, Array((k % 7 - 3).toFloat, (k % 5 - 2).toFloat))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val xq = rows.map { case (_, a) =>
+      (BigInt(math.round(a(0).toDouble * 1e6)), BigInt(math.round(a(1).toDouble * 1e6)))
+    }
+    val n = BigInt(xq.size)
+    val sxy = xq.map { case (x, y) => x * y }.sum
+    val sx = xq.map(_._1).sum
+    val sy = xq.map(_._2).sum
+    val num = n * sxy - sx * sy
+    val expectCov = BigDecimal(num).toDouble / (xq.size.toDouble * xq.size) / 1e12
+    val got = Ann.embeddingCovariance(df.repartition(5), dims = 2, topK = 1)
+      .select("i", "j", "cov").as[(Int, Int, Double)].head()
+    assert(got._1 === 1 && got._2 === 2)
+    assert(math.abs(got._3 - expectCov) < 5e-9, s"got ${got._3}, want $expectCov")
+  }
 }
