@@ -3462,10 +3462,22 @@ object SparkEntry {
     // registration hash-gates the standing state against the SQL
     // replay (the st19/st20/st21 recipe).
     "st22_cusum_state_twin" -> ((s, d) =>
-      graft.streaming.StreamIngest.cusumBatchTwin(t(s, d, "events")))
+      graft.streaming.StreamIngest.cusumBatchTwin(t(s, d, "events"))),
+    // ST24 (beyond reference): the standing covariance view
+    // covarianceStream converges to — e41's full d·(d−1)/2-cell
+    // anisotropy table (the continuous drift monitor over an
+    // embedding feed: a shifting covariance structure means the
+    // upstream encoder changed). The state is the FIXED-SIZE exact
+    // integer moment vector, folded by plain addition; the streaming
+    // fold is proven ≡ this batch build in StreamIngestSpec, and this
+    // registration hash-gates the view against the SQL replay.
+    "st24_cov_state_twin" -> ((s, d) =>
+      graft.similarity.Ann.covarianceTable(t(s, d, "embeddings")))
   )
 
   private val streamTwinOracles: Map[String, String] = Map(
+    "st24_cov_state_twin" ->
+      graft.similarity.Ann.covarianceTableSql(),
     "st22_cusum_state_twin" ->
       """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
         |  FROM events GROUP BY 1, 2),

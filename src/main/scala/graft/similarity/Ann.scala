@@ -1767,7 +1767,33 @@ object Ann {
     * sufficient-statistics shape (linear in n·d², the same work any
     * covariance engine must do; nothing is ever quadratic in n). */
   def embeddingCovariance(embeddings: DataFrame, dims: Int = 64,
-      topK: Int = 20): DataFrame = {
+      topK: Int = 20): DataFrame =
+    covarianceNum(embeddings, dims)
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(abs(col("num")).desc, col("i"), col("j"))))
+      .filter(col("rnk") <= topK)
+      .select(col("rnk"), col("i"), col("j"), covDisplay)
+      .orderBy("rnk")
+
+  /** The full d·(d−1)/2-row covariance table (i < j, display-rounded
+    * double) — the standing view [[graft.streaming.StreamIngest]]'s
+    * st24 moment fold converges to; [[embeddingCovariance]] is its
+    * top-k ranking. */
+  def covarianceTable(embeddings: DataFrame, dims: Int = 64): DataFrame =
+    covarianceNum(embeddings, dims)
+      .select(col("i"), col("j"), covDisplay)
+      .orderBy("i", "j")
+
+  /** cov = num / (n²·10¹²), rounded at display — the ONLY double in
+    * the covariance family. */
+  private def covDisplay: org.apache.spark.sql.Column =
+    round(col("num").cast("double") /
+      (col("n").cast("double") * col("n")) / 1e12, 8).as("cov")
+
+  /** Shared exact-integer moment pipeline: (i, j, num, n) where
+    * num = n·Σxy − Σx·Σy in micro² units (DECIMAL(38,0)-held). */
+  private def covarianceNum(embeddings: DataFrame, dims: Int): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     // quantize in the scan projection (declarative, codegen'd)
@@ -1851,21 +1877,11 @@ object Ann {
     sxy.join(broadcast(si), "i").join(broadcast(sj), "j")
       .crossJoin(broadcast(n))
       .withColumn("num", col("n") * col("sxy") - col("sx_i") * col("sx_j"))
-      .withColumn("rnk", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .orderBy(abs(col("num")).desc, col("i"), col("j"))))
-      .filter(col("rnk") <= topK)
-      .select(col("rnk"), col("i"), col("j"),
-        round(col("num").cast("double") /
-          (col("n").cast("double") * col("n")) / 1e12, 8).as("cov"))
-      .orderBy("rnk")
   }
 
-  /** Oracle SQL for [[embeddingCovariance]] — the identical integer
-    * recipe in DuckDB (HUGEINT holds the exact cross-moments where
-    * Spark uses DECIMAL(38,0); both are exact integers, and the output
-    * casts the display double only). */
-  def embeddingCovarianceSql(dims: Int = 64, topK: Int = 20): String =
+  /** Shared DuckDB moment CTEs (HUGEINT holds the exact cross-moments
+    * where Spark uses DECIMAL(38,0); both are exact integers). */
+  private def covarianceCteSql(dims: Int): String =
     s"""WITH comp AS (SELECT vec_id, CAST(i AS INT) AS i,
        |    CAST(round(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 1000000.0)
        |      AS BIGINT) AS xq
@@ -1878,11 +1894,24 @@ object Ann {
        |cv AS (SELECT pairs.i AS i, pairs.j AS j,
        |    nn.n * sxy - CAST(s1.sx AS HUGEINT) * s2.sx AS num, nn.n AS n
        |  FROM pairs JOIN sums s1 ON s1.i = pairs.i
-       |  JOIN sums s2 ON s2.i = pairs.j CROSS JOIN nn),
+       |  JOIN sums s2 ON s2.i = pairs.j CROSS JOIN nn)""".stripMargin
+
+  /** Oracle SQL for [[embeddingCovariance]] — the identical integer
+    * recipe in DuckDB; only the display column is a double. */
+  def embeddingCovarianceSql(dims: Int = 64, topK: Int = 20): String =
+    s"""${covarianceCteSql(dims)},
        |r AS (SELECT i, j, num, n,
        |    CAST(row_number() OVER (ORDER BY abs(num) DESC, i, j) AS INT) AS rnk
        |  FROM cv)
        |SELECT rnk, i, j,
        |  round(CAST(num AS DOUBLE) / (CAST(n AS DOUBLE) * n) / 1e12, 8) AS cov
        |FROM r WHERE rnk <= $topK ORDER BY rnk""".stripMargin
+
+  /** Oracle SQL for [[covarianceTable]] — the same moment CTEs, full
+    * table, ordered (i, j). */
+  def covarianceTableSql(dims: Int = 64): String =
+    s"""${covarianceCteSql(dims)}
+       |SELECT i, j,
+       |  round(CAST(num AS DOUBLE) / (CAST(n AS DOUBLE) * n) / 1e12, 8) AS cov
+       |FROM cv ORDER BY i, j""".stripMargin
 }

@@ -209,6 +209,97 @@ object StreamIngest {
       }
   }
 
+  /** ST24 output: one standing covariance cell (i < j, 1-based). */
+  final case class CovCell(i: Int, j: Int, cov: Double)
+
+  /** ST24: streaming embedding-covariance monitor — the continuous
+    * form of [[graft.similarity.Ann.covarianceTable]] (e41's full
+    * view). State is the exact integer moment vector — d·(d−1)/2
+    * cross moments + d first moments + the row count, each a BigInt
+    * carried as a string — which is FIXED-SIZE however many vectors
+    * stream through, and the fold is plain addition (associative and
+    * commutative, so micro-batch boundaries cannot change the result;
+    * this is the sufficient-statistics property the batch kernel's
+    * scaladoc promises, made literal). Each batch re-emits the full
+    * d·(d−1)/2-cell covariance view; quantization and display
+    * rounding replicate the batch Column semantics exactly
+    * (`BigDecimal.valueOf` HALF_UP — Spark's own `round`), so
+    * StreamIngestSpec can require fold ≡ batch with doubles compared
+    * bit-for-bit, and `st24_cov_state_twin` hash-gates the same view
+    * against the SQL oracle. */
+  def covarianceStream(spark: SparkSession, vecs: Dataset[Array[Float]],
+      dims: Int = 64): Dataset[CovCell] = {
+    import spark.implicits._
+    val nPairs = dims * (dims - 1) / 2
+    val stateLen = nPairs + dims + 1
+    vecs.groupByKey(_ => 0)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (_: Int, it: Iterator[Array[Float]], state: GroupState[Array[String]]) =>
+          val st = state.getOption.map(_.map(BigInt(_)))
+            .getOrElse(Array.fill(stateLen)(BigInt(0)))
+          // batch-local Long accumulators, flushed into the BigInt
+          // state before overflow (the e41 kernel's recipe)
+          val accL = new Array[Long](nPairs)
+          val sxL = new Array[Long](dims)
+          var count = 0L
+          var sinceFlush = 0
+          def flush(): Unit = {
+            var k = 0
+            while (k < nPairs) { st(k) += accL(k); accL(k) = 0; k += 1 }
+            sinceFlush = 0
+          }
+          it.foreach { v =>
+            require(v.length == dims,
+              s"expected $dims-dim embedding, got ${v.length}")
+            // Spark round() semantics: BigDecimal.valueOf + HALF_UP
+            val xq = v.map(x => java.math.BigDecimal.valueOf(x.toDouble * 1e6)
+              .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact())
+            var i = 0
+            var k = 0
+            while (i < dims) { sxL(i) += xq(i); i += 1 }
+            i = 0
+            while (i < dims - 1) {
+              var j = i + 1
+              val vi = xq(i)
+              while (j < dims) { accL(k) += vi * xq(j); k += 1; j += 1 }
+              i += 1
+            }
+            count += 1
+            sinceFlush += 1
+            if (sinceFlush == 4096) flush()
+          }
+          if (count == 0) Iterator.empty
+          else {
+            flush()
+            var i = 0
+            while (i < dims) { st(nPairs + i) += sxL(i); i += 1 }
+            st(stateLen - 1) += count
+            state.update(st.map(_.toString))
+            val n = st(stateLen - 1)
+            val nd = n.toDouble
+            val out = new Array[CovCell](nPairs)
+            var k = 0
+            i = 0
+            while (i < dims - 1) {
+              var j = i + 1
+              while (j < dims) {
+                val num = n * st(k) - st(nPairs + i) * st(nPairs + j)
+                // the batch covDisplay replayed: decimal→double nearest,
+                // two double divisions, round(_, 8) HALF_UP
+                val cov = java.math.BigDecimal
+                  .valueOf(num.toDouble / (nd * nd) / 1e12)
+                  .setScale(8, java.math.RoundingMode.HALF_UP).doubleValue()
+                out(k) = CovCell(i + 1, j + 1, cov)
+                k += 1
+                j += 1
+              }
+              i += 1
+            }
+            out.iterator
+          }
+      }
+  }
+
   /** ST20 output: the standing smoothed-rate row per type. */
   final case class EwmaRow(event_type: String, day: java.sql.Date,
       n: Long, ewma: Double)

@@ -684,6 +684,43 @@ class StreamIngestSpec extends SparkSpec {
       "value tie must break by event_id asc")
   }
 
+  test("ST24: streaming covariance moment fold equals the batch table") {
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val dims = 4
+    val in = MemoryStream[Array[Float]]
+    val q = StreamIngest.covarianceStream(spark, in.toDS(), dims)
+      .writeStream.format("memory").queryName("st24_out").outputMode("update").start()
+    // deterministic vectors with correlated + anti-correlated dims,
+    // sized to cross several micro-batches
+    val vecs = (0 until 90).map { k =>
+      Array((k % 7 - 3).toFloat, (k % 7 - 3) * 0.5f + (k % 3).toFloat,
+        (3 - k % 7).toFloat, (k % 5 - 2) * 0.25f)
+    }
+    in.addData(vecs.take(30): _*)
+    q.processAllAvailable()
+    in.addData(vecs.slice(30, 60): _*)
+    q.processAllAvailable()
+    in.addData(vecs.drop(60): _*)
+    q.processAllAvailable()
+    // standing view = the LAST emitted row per (i, j)
+    val fin = spark.table("st24_out")
+      .as[graft.streaming.StreamIngest.CovCell].collect()
+      .zipWithIndex
+      .groupBy(e => (e._1.i, e._1.j)).view
+      .mapValues(_.maxBy(_._2)._1).values
+      .map(c => (c.i, c.j, java.lang.Double.doubleToLongBits(c.cov))).toSet
+    q.stop()
+    val batch = graft.similarity.Ann.covarianceTable(
+        vecs.zipWithIndex.map { case (v, k) => (k.toLong, v) }
+          .toDF("vec_id", "embedding"), dims)
+      .select("i", "j", "cov").as[(Int, Int, Double)].collect()
+      .map(c => (c._1, c._2, java.lang.Double.doubleToLongBits(c._3))).toSet
+    assert(fin.size === dims * (dims - 1) / 2)
+    assert(fin === batch,
+      s"streaming moment fold $fin must equal the batch table $batch")
+  }
+
   test("ST23: streaming HLL fold equals the batch sketch (redeliveries included)") {
     import org.apache.spark.sql.functions.col
     implicit val sqlCtx = spark.sqlContext
