@@ -4354,6 +4354,14 @@ object SparkEntry {
     // carries only the 2016-row moment table.
     "e41_embedding_covariance" -> ((s, d) =>
       graft.similarity.Ann.embeddingCovariance(t(s, d, "embeddings"))),
+    // E42 (beyond reference): top covariance eigenvector via 3-round
+    // integer power iteration — the PCA direction a whitening /
+    // anisotropy-removal step starts from. Runs on e41's moment table
+    // (one corpus pass; every round is a d²-row join however large the
+    // corpus); the g1/d7 fixed-round determinism recipe applied to
+    // linear algebra, so the unrolled SQL replay is bit-equal.
+    "e42_pca_power_iteration" -> ((s, d) =>
+      graft.similarity.Ann.powerIteration(t(s, d, "embeddings"))),
     // E7: product-quantization encoding (8 subspaces × 16 centroids =
     // 32 bits/vector) with exact reconstruction error.
     "e7_pq_encode" -> ((s, d) =>
@@ -5637,6 +5645,9 @@ ${sqlRecallTailFor(" WHERE q.vec_id < 50")}""".stripMargin
     // the integer micro-unit moment recipe replayed in HUGEINT
     "e41_embedding_covariance" ->
       graft.similarity.Ann.embeddingCovarianceSql(),
+    // the unrolled 3-round integer recurrence (HUGEINT, // truncation)
+    "e42_pca_power_iteration" ->
+      graft.similarity.Ann.powerIterationSql(),
     // e6's assignment replayed, then the k-row occupancy rollup
     "e40_ivf_occupancy" ->
       s"""$cosineCte,

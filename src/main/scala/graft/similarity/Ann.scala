@@ -1792,8 +1792,11 @@ object Ann {
       (col("n").cast("double") * col("n")) / 1e12, 8).as("cov")
 
   /** Shared exact-integer moment pipeline: (i, j, num, n) where
-    * num = n·Σxy − Σx·Σy in micro² units (DECIMAL(38,0)-held). */
-  private def covarianceNum(embeddings: DataFrame, dims: Int): DataFrame = {
+    * num = n·Σxy − Σx·Σy in micro² units (DECIMAL(38,0)-held).
+    * `includeDiag` adds the i = j variance moments (needed by the e42
+    * power iteration's full symmetric matrix). */
+  private[graft] def covarianceNum(embeddings: DataFrame, dims: Int,
+      includeDiag: Boolean = false): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     // quantize in the scan projection (declarative, codegen'd)
@@ -1810,7 +1813,8 @@ object Ann {
     // every 4096 rows: |term| ≤ 10¹² (micro² of unit-scale floats), so
     // 4096 terms stay < 2⁶³ by three orders of magnitude, and the
     // flushed BigInt is unbounded — no corpus size can overflow.
-    val nPairs = dims * (dims - 1) / 2
+    val nPairs = if (includeDiag) dims * (dims + 1) / 2 else dims * (dims - 1) / 2
+    val off = if (includeDiag) 0 else 1
     val partials = q.mapPartitions { it =>
       val acc = Array.fill(nPairs)(BigInt(0))
       val accL = new Array[Long](nPairs)
@@ -1829,8 +1833,8 @@ object Ann {
         var k = 0
         while (i < dims) { sx(i) += v(i); i += 1 }
         i = 0
-        while (i < dims - 1) {
-          var j = i + 1
+        while (i < dims) {
+          var j = i + off
           val vi = v(i)
           while (j < dims) { accL(k) += vi * v(j); k += 1; j += 1 }
           i += 1
@@ -1848,8 +1852,8 @@ object Ann {
         val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, String)]
         var k = 0
         var i = 0
-        while (i < dims - 1) {
-          var j = i + 1
+        while (i < dims) {
+          var j = i + off
           while (j < dims) { out += ((i + 1, j + 1, acc(k).toString)); k += 1; j += 1 }
           i += 1
         }
@@ -1881,7 +1885,8 @@ object Ann {
 
   /** Shared DuckDB moment CTEs (HUGEINT holds the exact cross-moments
     * where Spark uses DECIMAL(38,0); both are exact integers). */
-  private def covarianceCteSql(dims: Int): String =
+  private def covarianceCteSql(dims: Int, includeDiag: Boolean = false): String = {
+    val cmp = if (includeDiag) "<=" else "<"
     s"""WITH comp AS (SELECT vec_id, CAST(i AS INT) AS i,
        |    CAST(round(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 1000000.0)
        |      AS BIGINT) AS xq
@@ -1889,12 +1894,13 @@ object Ann {
        |sums AS (SELECT i, CAST(sum(xq) AS BIGINT) AS sx FROM comp GROUP BY i),
        |nn AS (SELECT count(*) AS n FROM embeddings),
        |pairs AS (SELECT a.i AS i, b.i AS j, sum(a.xq * b.xq) AS sxy
-       |  FROM comp a JOIN comp b ON a.vec_id = b.vec_id AND a.i < b.i
+       |  FROM comp a JOIN comp b ON a.vec_id = b.vec_id AND a.i $cmp b.i
        |  GROUP BY 1, 2),
        |cv AS (SELECT pairs.i AS i, pairs.j AS j,
        |    nn.n * sxy - CAST(s1.sx AS HUGEINT) * s2.sx AS num, nn.n AS n
        |  FROM pairs JOIN sums s1 ON s1.i = pairs.i
        |  JOIN sums s2 ON s2.i = pairs.j CROSS JOIN nn)""".stripMargin
+  }
 
   /** Oracle SQL for [[embeddingCovariance]] — the identical integer
     * recipe in DuckDB; only the display column is a double. */
@@ -1914,4 +1920,71 @@ object Ann {
        |SELECT i, j,
        |  round(CAST(num AS DOUBLE) / (CAST(n AS DOUBLE) * n) / 1e12, 8) AS cov
        |FROM cv ORDER BY i, j""".stripMargin
+
+  /** E42: top covariance eigenvector by FIXED-ROUND power iteration —
+    * the PCA direction a whitening / dimensionality-reduction /
+    * anisotropy-removal step starts from. The iteration runs entirely
+    * on the d(d+1)/2-row integer moment table [[covarianceNum]]
+    * produces (one corpus pass; the matrix never exceeds d² rows), so
+    * rounds cost d²-sized joins regardless of corpus size.
+    *
+    * Determinism: the g1/d7 fixed-round recipe applied to linear
+    * algebra. v₀ = (10⁶, …, 10⁶); each round computes the exact
+    * integer matrix-vector product wᵢ = Σⱼ numᵢⱼ·vⱼ (DECIMAL-held;
+    * HUGEINT in the oracle) and renormalizes in integers:
+    * vᵢ ← (wᵢ·10⁶) div max|w| — truncation toward zero in BOTH engines
+    * — so the unrolled SQL replay is bit-equal and the result is
+    * partitioning-independent. Components are ppm of the largest
+    * (max|v| = 10⁶ exactly). Magnitude bound (unit-scale floats):
+    * |num| ≤ 2n²·10¹², |w| ≤ d·|num|·10⁶, and w·10⁶ stays < 10³⁷ —
+    * inside both DECIMAL(38,0) and int128 at any n up to ~10⁸ rows
+    * per the scaladoc'd bound; beyond that, rescale the quantization.
+    */
+  def powerIteration(embeddings: DataFrame, dims: Int = 64,
+      rounds: Int = 3): DataFrame = {
+    val spark = embeddings.sparkSession
+    val upper = covarianceNum(embeddings, dims, includeDiag = true)
+      .select(col("i"), col("j"), col("num"))
+      // d²/2 rows feeding every round — materialize once
+      .localCheckpoint(true)
+    val sym = upper.union(
+      upper.filter(col("i") < col("j"))
+        .select(col("j").as("i"), col("i").as("j"), col("num")))
+    val v0 = spark.range(1, dims + 1)
+      .select(col("id").cast("int").as("i"),
+        lit(1000000L).cast("decimal(38,0)").as("v"))
+    val vFinal = (1 to rounds).foldLeft(v0) { (vk, _) =>
+      val w = sym.join(broadcast(vk.select(col("i").as("j"), col("v"))), "j")
+        .groupBy(col("i"))
+        .agg(sum(col("num") * col("v")).as("w"))
+      val m = w.agg(max(abs(col("w"))).as("m"))
+      // nullif guards the all-zero matrix; coalesce keeps v defined
+      w.crossJoin(broadcast(m))
+        .select(col("i"),
+          coalesce(expr("(w * 1000000) div nullif(m, 0)"), lit(0L))
+            .cast("decimal(38,0)").as("v"))
+    }
+    vFinal.select(col("i"), col("v").cast("long").as("component_ppm"))
+      .orderBy("i")
+  }
+
+  /** Oracle SQL for [[powerIteration]] — the identical unrolled
+    * fixed-round recurrence (HUGEINT arithmetic, `//` truncation). */
+  def powerIterationSql(dims: Int = 64, rounds: Int = 3): String = {
+    val roundsSql = (1 to rounds).map { r =>
+      s"""w$r AS (SELECT s.i, sum(s.num * v.v) AS w
+         |  FROM sym s JOIN v${r - 1} v ON s.j = v.i GROUP BY s.i),
+         |m$r AS (SELECT max(abs(w)) AS m FROM w$r),
+         |v$r AS (SELECT i, coalesce((w * 1000000) // nullif(m, 0), 0) AS v
+         |  FROM w$r, m$r)""".stripMargin
+    }.mkString(",\n")
+    s"""${covarianceCteSql(dims, includeDiag = true)},
+       |sym AS (SELECT i, j, num FROM cv
+       |  UNION ALL SELECT j AS i, i AS j, num FROM cv WHERE i < j),
+       |v0 AS (SELECT CAST(i AS INT) AS i, CAST(1000000 AS HUGEINT) AS v
+       |  FROM (SELECT unnest(range(1, ${dims + 1})) AS i)),
+       |$roundsSql
+       |SELECT i, CAST(v AS BIGINT) AS component_ppm
+       |FROM v$rounds ORDER BY i""".stripMargin
+  }
 }

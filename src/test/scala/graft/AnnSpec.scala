@@ -605,6 +605,27 @@ class AnnSpec extends SparkSpec {
       "sufficient-statistics kernel must be partition-count-independent")
   }
 
+  test("E42: power iteration recovers a known principal direction") {
+    // y = 2x exactly: covariance matrix ∝ [[1,2],[2,4]], whose top
+    // eigenvector is (1,2)/√5 — in ppm-of-max units (500000, 1000000).
+    // The third dim is uncorrelated low-variance noise, so its
+    // component must collapse toward 0 under iteration.
+    val df = (0 until 200).map { k =>
+      val x = (k % 11 - 5).toFloat
+      (k.toLong, Array(x, 2f * x, (k % 2).toFloat * 0.01f))
+    }.toDF("vec_id", "embedding")
+    val got = Ann.powerIteration(df, dims = 3, rounds = 3)
+      .select("i", "component_ppm").as[(Int, Long)].collect().toMap
+    assert(got(2) === 1000000L, s"dominant component must be the max: $got")
+    assert(got(1) === 500000L, s"x component must be half of y exactly: $got")
+    assert(math.abs(got(3)) < 1000L,
+      s"uncorrelated noise dim must collapse toward zero: $got")
+    // partitioning must not change a single ppm
+    val re = Ann.powerIteration(df.repartition(7), dims = 3, rounds = 3)
+      .select("i", "component_ppm").as[(Int, Long)].collect().toMap
+    assert(re === got)
+  }
+
   test("E41: Long accumulator flush keeps exactness past the 4096-row boundary") {
     // 10000 rows of dims=2 with deterministic values large enough that
     // an unflushed Long path would be exercised well past one flush
