@@ -2406,6 +2406,25 @@ object SparkEntry {
     // sums). The oracle is the global-window definition, so the hash
     // match proves the decomposition exact. End-inclusive boundaries,
     // −1-before-+1 ties.
+    // TS13 (beyond reference): burstiness — the Fano factor
+    // (variance-to-mean ratio) of each type's daily volumes. ≈1000
+    // milli reads Poisson-like arrivals; ≫1000 flags bursty/bot-driven
+    // traffic and tells the anomaly thresholds (ts5) to widen. Exact
+    // integer rational: var/mean = (D·Σn² − (Σn)²) / (D·Σn), floored
+    // once at milli resolution — sums are BIGINT-bounded (Σn² grows as
+    // daily-count², far under 2⁶³ at any harness scale; a 100 TB
+    // deployment holds the same rollup at (type, day) grain).
+    "ts13_burstiness" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"), sum(col("n")).as("sum_n"),
+          sum(col("n") * col("n")).as("sum_n2"))
+        .select(col("event_type"), col("n_days"), col("sum_n"), col("sum_n2"),
+          expr("((n_days * sum_n2 - sum_n * sum_n) * 1000) div (n_days * sum_n)")
+            .as("fano_milli"))
+        .orderBy("event_type")),
     "ts9_max_concurrency" -> ((s, d) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
       val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -2592,6 +2611,17 @@ object SparkEntry {
         |SELECT user_id, min(day) AS island_start, max(day) AS island_end,
         |  count(*) AS n_days
         |FROM r GROUP BY user_id, grp ORDER BY user_id, island_start""".stripMargin,
+    // integer Fano rational, every aggregate cast pre-division
+    "ts13_burstiness" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |a AS (SELECT event_type, count(*) AS n_days,
+        |    CAST(sum(n) AS BIGINT) AS sum_n, CAST(sum(n * n) AS BIGINT) AS sum_n2
+        |  FROM daily GROUP BY 1)
+        |SELECT event_type, n_days, sum_n, sum_n2,
+        |  CAST(((n_days * sum_n2 - sum_n * sum_n) * 1000)
+        |    // (n_days * sum_n) AS BIGINT) AS fano_milli
+        |FROM a ORDER BY event_type""".stripMargin,
     "ts10_lttb_downsample" ->
       """WITH daily AS (SELECT event_type AS k, CAST(ts AS DATE) AS day, count(*) AS y
         |  FROM events GROUP BY 1, 2),
@@ -6330,6 +6360,18 @@ ${sqlRecallTailFor(" WHERE q.vec_id < 50")}""".stripMargin
           graft.multimodal.Media.exifOrientation(col("content")): _*)
         .orderBy("asset_id")
     }),
+    // MM12 (beyond reference): SRT first-cue timing parse — the
+    // alignment pre-step of audio/subtitle pairing. Strict field
+    // validation: the fabricated 77-minutes class must reject to
+    // NULLs where a plain positional decode yields a wrong epoch;
+    // the arithmetic oracle pins the rejection. Scan-side regex
+    // Column ops (the mm9-mm11 posture).
+    "mm12_srt_cues" -> ((s, d) => {
+      val a = graft.multimodal.Media.srtAssets(t(s, d, "documents"))
+      a.select(col("asset_id") +:
+          graft.multimodal.Media.srtMeta(col("content")): _*)
+        .orderBy("asset_id")
+    }),
     // MM11 (beyond reference): ID3v2 tag-header parse with a STRICT
     // syncsafe size decode — the skip-length read before seeking to
     // the first MPEG audio frame. The fabricated corpus includes a
@@ -6439,6 +6481,17 @@ ${sqlRecallTailFor(" WHERE q.vec_id < 50")}""".stripMargin
       """SELECT doc_id AS asset_id,
         |  CAST(doc_id % 4000 + 16 AS BIGINT) AS width,
         |  CAST(doc_id % 3000 + 16 AS BIGINT) AS height
+        |FROM documents ORDER BY asset_id""".stripMargin,
+    // the srtAssets fabrication inverted: only m=0 parses (m=1 is the
+    // invalid-minutes cue the parser must reject); never parses bytes
+    "mm12_srt_cues" ->
+      """SELECT doc_id AS asset_id,
+        |  CASE WHEN doc_id % 3 = 0
+        |    THEN (doc_id % 3000) * 1000 + doc_id % 997 END AS start_ms,
+        |  CASE WHEN doc_id % 3 = 0
+        |    THEN (doc_id % 3000) * 1000 + doc_id % 997 + doc_id % 5000 + 500
+        |    END AS end_ms,
+        |  CASE WHEN doc_id % 3 = 0 THEN doc_id % 5000 + 500 END AS dur_ms
         |FROM documents ORDER BY asset_id""".stripMargin,
     // the id3Assets fabrication inverted: only the m=0 class parses
     // (m=1 is the corrupted-syncsafe twin the parser must reject);

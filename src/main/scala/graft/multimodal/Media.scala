@@ -500,6 +500,76 @@ object Media {
       when(isWav, durationMs).as("duration_ms"))
   }
 
+  // ---- MM12: SRT timed-text cues ------------------------------------------
+
+  /** MM12 fabrication: one third of the corpus gets a spec-exact SRT
+    * first cue (index line, `HH:MM:SS,mmm --> HH:MM:SS,mmm` timing
+    * line) whose start/end derive arithmetically from the asset id;
+    * one third gets a cue whose start MINUTES field reads 77 — a
+    * timestamp no spec-conforming writer emits, which a parser doing
+    * plain positional math happily "decodes" into a wrong epoch; one
+    * third raw text. Ground truth is arithmetic in the ids (the
+    * mm7–mm11 recipe). */
+  def srtAssets(docs: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    val m = id % 3
+    docs.select(id.as("asset_id"), m.as("m"),
+        ((id % 3000L) * 1000L + id % 997L).as("sms"),
+        ((id % 3000L) * 1000L + id % 997L + id % 5000L + 500L).as("ems"),
+        col("text"))
+      .withColumn("ts_s", expr(
+        """format_string('%02d:%02d:%02d,%03d', sms div 3600000,
+          |  (sms div 60000) % 60, (sms div 1000) % 60, sms % 1000)""".stripMargin))
+      .withColumn("ts_e", expr(
+        """format_string('%02d:%02d:%02d,%03d', ems div 3600000,
+          |  (ems div 60000) % 60, (ems div 1000) % 60, ems % 1000)""".stripMargin))
+      .withColumn("ts_bad", expr(
+        """format_string('%02d:77:%02d,%03d', sms div 3600000,
+          |  (sms div 1000) % 60, sms % 1000)""".stripMargin))
+      .select(col("asset_id"),
+        when(col("m") === 0,
+          concat(lit("1\n"), col("ts_s"), lit(" --> "), col("ts_e"),
+            lit("\n"), col("text")))
+        .when(col("m") === 1,
+          concat(lit("1\n"), col("ts_bad"), lit(" --> "), col("ts_e"),
+            lit("\n"), col("text")))
+        .otherwise(col("text")).as("content"))
+  }
+
+  /** MM12: SRT first-cue timing parse — the alignment pre-step of any
+    * audio/subtitle pairing pipeline (cut audio at cue boundaries,
+    * pair the clip with the cue text). STRICT field validation: the
+    * minutes/seconds fields must be < 60, so the fabricated
+    * 77-minutes class rejects to NULLs where a positional h·3600000 +
+    * m·60000 + … decode would silently yield a wrong epoch. Field
+    * gates evaluate under `when(matched, …)` so the casts only run on
+    * regex-matched digit groups (ANSI-safe). Pure regex/arith Column
+    * ops in the scan projection.
+    *
+    * @return (start_ms, end_ms, dur_ms) Columns, NULL without a
+    *         well-formed leading cue. */
+  def srtMeta(content: org.apache.spark.sql.Column)
+      : Seq[org.apache.spark.sql.Column] = {
+    val re = "^1\\n(\\d{2}):(\\d{2}):(\\d{2}),(\\d{3}) --> " +
+      "(\\d{2}):(\\d{2}):(\\d{2}),(\\d{3})\\n"
+    val s = content.cast("string")
+    def g(k: Int) = regexp_extract(s, re, k)
+    val matched = g(0) =!= ""
+    val gate = when(matched,
+      g(2).cast("long") < 60 && g(3).cast("long") < 60 &&
+        g(6).cast("long") < 60 && g(7).cast("long") < 60)
+      .otherwise(lit(false))
+    def ms(h: Int, mi: Int, sec: Int, mil: Int) =
+      g(h).cast("long") * 3600000L + g(mi).cast("long") * 60000L +
+        g(sec).cast("long") * 1000L + g(mil).cast("long")
+    val sms = ms(1, 2, 3, 4)
+    val ems = ms(5, 6, 7, 8)
+    Seq(
+      when(gate, sms).as("start_ms"),
+      when(gate, ems).as("end_ms"),
+      when(gate, ems - sms).as("dur_ms"))
+  }
+
   // ---- MM11: ID3v2 tag headers (syncsafe integers) ------------------------
 
   /** Single-byte fabrication (value < 256). */

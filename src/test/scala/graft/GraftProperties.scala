@@ -410,6 +410,8 @@ object GraftProperties extends Properties("graft") {
       // ID3v2 magic + valid version so the random tail becomes the
       // flags byte + syncsafe size the mm11 parser must bound-check
       "ID3".getBytes("ISO-8859-1") ++ Array[Byte](3, 0),
+      // SRT cue opener so random tails land inside the mm12 regex
+      "1\n00:00:01,000 --> ".getBytes("ISO-8859-1"),
       Array.empty[Byte])
     forAll(for {
       prefix <- Gen.oneOf(magics)
@@ -421,6 +423,7 @@ object GraftProperties extends Properties("graft") {
         Seq(m.sniffMime(col("content")).as("mime")) ++
           m.wavMeta(col("content")) ++
           m.id3Meta(col("content")) ++
+          m.srtMeta(col("content")) ++
           m.exifOrientation(col("content")) ++ {
             val (w, h) = m.containerDims(col("content"))
             Seq(w.as("png_w"), h.as("png_h"))

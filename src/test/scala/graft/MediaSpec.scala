@@ -269,6 +269,32 @@ class MediaSpec extends SparkSpec {
       "ExifOrientationPacked must equal the Column form")
   }
 
+  test("MM12: srtMeta hand-built cues — strict field gates, hour-scale times") {
+    // layouts the fabrication never writes: hour-scale timestamps,
+    // invalid SECONDS (not just minutes), end-field violations, a cue
+    // index other than 1, and a truncated timing line
+    def srt(a: String, b: String) = s"1\n$a --> $b\nhello".getBytes("UTF-8")
+    val rows = Seq(
+      (1L, srt("01:02:03,004", "01:02:04,500")),  // hour-scale
+      (2L, srt("00:00:00,000", "99:59:59,999")),  // max fields
+      (3L, srt("00:61:00,000", "00:00:01,000")),  // bad start MM
+      (4L, srt("00:00:61,000", "00:00:62,000")),  // bad SS both sides
+      (5L, srt("00:00:01,000", "00:77:00,000")),  // bad end MM
+      (6L, "2\n00:00:01,000 --> 00:00:02,000\nx".getBytes("UTF-8")), // index 2
+      (7L, "1\n00:00:01,000 --> ".getBytes("UTF-8")),                // truncated
+      (8L, "just text".getBytes("UTF-8")))
+      .toDF("asset_id", "content")
+    val got = rows.select(col("asset_id") +: Media.srtMeta(col("content")): _*)
+      .as[(Long, Option[Long], Option[Long], Option[Long])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got(1L) === ((1L, Some(3723004L), Some(3724500L), Some(1496L))),
+      s"got ${got(1L)}")
+    assert(got(2L) === ((2L, Some(0L), Some(359999999L), Some(359999999L))),
+      s"got ${got(2L)}")
+    for (i <- 3L to 8L)
+      assert(got(i)._2.isEmpty, s"row $i must reject to NULLs: ${got(i)}")
+  }
+
   test("MM11: id3Meta hand-built headers — strict syncsafe, version gates") {
     // the registered query pins the fabricated classes; this pins
     // layouts the fabrication never writes: max syncsafe size, a high
