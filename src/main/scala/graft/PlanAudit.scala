@@ -37,7 +37,12 @@ object PlanAudit {
     // deployment).
     // e37/e38 are the int4 rung of the same ladder (r14).
     "e29_int8_topk", "e30_hamming_topk", "e37_int4_topk",
-    "e31_int8_recall", "e32_hamming_recall", "e38_int4_recall")
+    "e31_int8_recall", "e32_hamming_recall", "e38_int4_recall",
+    // e43 is e1's scan posture over VARIANCE-WHITENED vectors (the
+    // operator demonstrated is the diagonal-Mahalanobis rescale from
+    // the e41 moment kernel; at scale whitened vectors serve through
+    // IVF/LSH exactly like raw ones — Ann.whitenedTopK scaladoc).
+    "e43_whitened_topk")
 
   /** Joins whose broadcast side is bounded by construction in a way
     * the physical plan cannot show (a filter on a key, not a limit):

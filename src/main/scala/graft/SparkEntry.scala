@@ -4392,6 +4392,15 @@ object SparkEntry {
     // linear algebra, so the unrolled SQL replay is bit-equal.
     "e42_pca_power_iteration" -> ((s, d) =>
       graft.similarity.Ann.powerIteration(t(s, d, "embeddings"))),
+    // E43 (beyond reference): the covariance family APPLIED —
+    // variance-whitened (diagonal-Mahalanobis) cosine top-k. Per-dim
+    // scales come from the e41 moment kernel's exact integers; the
+    // float math after them is the e1 determinism recipe. Control-
+    // corpus scale like e1 (production whitens then serves via
+    // IVF/LSH).
+    "e43_whitened_topk" -> ((s, d) =>
+      graft.similarity.Ann.whitenedTopK(t(s, d, "embeddings"))
+        .orderBy("query_id", "rank")),
     // E7: product-quantization encoding (8 subspaces × 16 centroids =
     // 32 bits/vector) with exact reconstruction error.
     "e7_pq_encode" -> ((s, d) =>
@@ -5678,6 +5687,9 @@ ${sqlRecallTailFor(" WHERE q.vec_id < 50")}""".stripMargin
     // the unrolled 3-round integer recurrence (HUGEINT, // truncation)
     "e42_pca_power_iteration" ->
       graft.similarity.Ann.powerIterationSql(),
+    // moment CTEs, then the e1 cosine recipe over whitened vectors
+    "e43_whitened_topk" ->
+      graft.similarity.Ann.whitenedTopKSql(),
     // e6's assignment replayed, then the k-row occupancy rollup
     "e40_ivf_occupancy" ->
       s"""$cosineCte,

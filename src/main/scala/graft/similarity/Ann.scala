@@ -1913,6 +1913,62 @@ object Ann {
        |  round(CAST(num AS DOUBLE) / (CAST(n AS DOUBLE) * n) / 1e12, 8) AS cov
        |FROM r WHERE rnk <= $topK ORDER BY rnk""".stripMargin
 
+  /** E43: variance-whitened cosine top-k — the covariance family
+    * APPLIED: each dimension is rescaled by 1/√(its integer variance
+    * moment) before the cosine, so high-variance dimensions stop
+    * dominating the similarity (diagonal-Mahalanobis normalization,
+    * the cheap four-fifths of full whitening). The per-dim scales come
+    * from the same one-pass moment kernel as e41/e42 (exact integers),
+    * and the float math after them follows the e1 determinism recipe —
+    * identical integer inputs, IEEE sqrt/divide, strict left-fold dot
+    * — so the SQL replay hash-matches. Registered at control-corpus
+    * scale like e1 (the production serving path whitens THEN goes
+    * through IVF/LSH, same as raw vectors). */
+  def whitenedTopK(embeddings: DataFrame, dims: Int = 64, k: Int = 5): DataFrame = {
+    val w = covarianceNum(embeddings, dims, includeDiag = true)
+      .filter(col("i") === col("j"))
+      // max(num, 1): a constant dimension has zero variance and would
+      // otherwise divide by zero; scale 1 leaves its (all-equal,
+      // cosine-irrelevant) values untouched
+      .select(col("i"), sqrt(greatest(col("num").cast("double"), lit(1.0))).as("w"))
+    val warr = w.agg(expr(
+      "transform(sort_array(collect_list(struct(i, w))), s -> s.w)").as("warr"))
+    val whitened = embeddings.select(col("vec_id"), expr(
+        "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))")
+        .as("xq"))
+      .crossJoin(broadcast(warr))
+      .select(col("vec_id"),
+        expr("zip_with(xq, warr, (x, w) -> CAST(x AS DOUBLE) / w)").as("embedding"))
+      // the whitened frame feeds cosineTopK's self-join twice; without
+      // a checkpoint the embeddings scan + moment pass would replay per
+      // side (PlanAudit's re-scan flag)
+      .localCheckpoint(true)
+    cosineTopK(whitened, k)
+  }
+
+  /** Oracle SQL for [[whitenedTopK]] — moment CTEs, then the e1
+    * cosine recipe over the whitened vectors. */
+  def whitenedTopKSql(dims: Int = 64, k: Int = 5): String =
+    s"""${covarianceCteSql(dims, includeDiag = true)},
+       |wv AS (SELECT i, sqrt(greatest(CAST(num AS DOUBLE), 1.0)) AS w
+       |  FROM cv WHERE i = j),
+       |y AS (SELECT c.vec_id, c.i, CAST(c.xq AS DOUBLE) / wv.w AS y
+       |  FROM comp c JOIN wv ON wv.i = c.i),
+       |vv AS (SELECT vec_id, list(y ORDER BY i) AS v FROM y GROUP BY vec_id),
+       |nrm AS (SELECT vec_id, v,
+       |    sqrt(list_reduce(list_apply(range(1, ${dims + 1}), i -> v[i] * v[i]),
+       |      (a, b) -> a + b)) AS nrm
+       |  FROM vv),
+       |p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    list_reduce(list_apply(range(1, ${dims + 1}), i -> q.v[i] * c.v[i]),
+       |      (a, b) -> a + b) / (q.nrm * c.nrm) AS sim
+       |  FROM nrm q JOIN nrm c ON q.vec_id <> c.vec_id)
+       |SELECT query_id, neighbor_id, round(sim, 6) AS sim,
+       |  CAST(rn AS INT) AS rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY sim DESC, neighbor_id) AS rn FROM p)
+       |WHERE rn <= $k ORDER BY query_id, rank""".stripMargin
+
   /** Oracle SQL for [[covarianceTable]] — the same moment CTEs, full
     * table, ordered (i, j). */
   def covarianceTableSql(dims: Int = 64): String =
