@@ -1799,8 +1799,11 @@ object Ann {
       includeDiag: Boolean = false): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-    // quantize in the scan projection (declarative, codegen'd)
-    val q = embeddings.select(expr(
+    // quantize in the scan projection (declarative, codegen'd); NULL
+    // embeddings are excluded EXPLICITLY on both sides (oracle: WHERE
+    // embedding IS NOT NULL) — without the filter a null row would NPE
+    // the kernel while the oracle's count(*) silently kept it
+    val q = embeddings.filter(col("embedding").isNotNull).select(expr(
       "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))")
       .as("xq")).as[Array[Long]]
     // Per-partition sufficient statistics in one tight pass — the
@@ -1890,9 +1893,10 @@ object Ann {
     s"""WITH comp AS (SELECT vec_id, CAST(i AS INT) AS i,
        |    CAST(round(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 1000000.0)
        |      AS BIGINT) AS xq
-       |  FROM embeddings, unnest(range(1, ${dims + 1})) AS u(i)),
+       |  FROM embeddings, unnest(range(1, ${dims + 1})) AS u(i)
+       |  WHERE embedding IS NOT NULL),
        |sums AS (SELECT i, CAST(sum(xq) AS BIGINT) AS sx FROM comp GROUP BY i),
-       |nn AS (SELECT count(*) AS n FROM embeddings),
+       |nn AS (SELECT count(*) AS n FROM embeddings WHERE embedding IS NOT NULL),
        |pairs AS (SELECT a.i AS i, b.i AS j, sum(a.xq * b.xq) AS sxy
        |  FROM comp a JOIN comp b ON a.vec_id = b.vec_id AND a.i $cmp b.i
        |  GROUP BY 1, 2),
@@ -1933,7 +1937,8 @@ object Ann {
       .select(col("i"), sqrt(greatest(col("num").cast("double"), lit(1.0))).as("w"))
     val warr = w.agg(expr(
       "transform(sort_array(collect_list(struct(i, w))), s -> s.w)").as("warr"))
-    val whitened = embeddings.select(col("vec_id"), expr(
+    val whitened = embeddings.filter(col("embedding").isNotNull)
+      .select(col("vec_id"), expr(
         "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))")
         .as("xq"))
       .crossJoin(broadcast(warr))

@@ -232,7 +232,7 @@ object StreamIngest {
     import spark.implicits._
     val nPairs = dims * (dims - 1) / 2
     val stateLen = nPairs + dims + 1
-    vecs.groupByKey(_ => 0)
+    vecs.filter((v: Array[Float]) => v != null).groupByKey(_ => 0)
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
         (_: Int, it: Iterator[Array[Float]], state: GroupState[Array[String]]) =>
           val st = state.getOption.map(_.map(BigInt(_)))
