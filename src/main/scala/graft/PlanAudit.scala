@@ -56,6 +56,9 @@ object PlanAudit {
       "same assignment join as e6: broadcast side is the `vec_id < k` centroid slice",
     "e40_ivf_occupancy" ->
       "same assignment join as e6: broadcast side is the `vec_id < k` centroid slice",
+    "pipe_embed_curation" ->
+      ("composes e8's SemDedup and e6's assignment: both cross joins broadcast the " +
+        "`vec_id < 8` centroid slice; the within-cell dedup join is cell-bucketed"),
     "e22_ivf_layout_probe" ->
       "layout build reuses the e6/e11 assignment join: broadcast side is the `vec_id < 8` centroid slice",
     "e17_filtered_ann" ->

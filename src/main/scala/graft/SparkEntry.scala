@@ -6636,6 +6636,33 @@ ${sqlRecallTailFor(" WHERE q.vec_id < 50")}""".stripMargin
       val hll = graft.sketch.Sketches.hllDistinct(kept, col("lang"), col("source"))
         .select(col("grp").as("lang"), col("hll_est").as("est_sources"))
       stats.join(hll, "lang").orderBy("lang")
+    }),
+    // PIPE (beyond reference): the embedding-side curation flow —
+    // SemDedup admission fused with the assignment-cohesion audit into
+    // one per-cell report: raw volume, survivors, kept rate, survivor
+    // occupancy share, and survivor cohesion. The e-family analogue of
+    // pipe_curation_ml: what an embedding-store curation job reads
+    // after every ingest batch (did dedup bite, did it skew the cells,
+    // did cohesion improve). One DAG — the assignment is computed once
+    // and feeds both the dedup verdicts and the cohesion stats.
+    "pipe_embed_curation" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val sd = graft.similarity.Ann.semDedup(emb, 8, 0.3)
+      val sims = graft.similarity.Ann.centroidAssign(emb, 8)
+      val cells = sd.join(sims.select(col("vec_id"), col("sim")), "vec_id")
+        .groupBy(col("centroid_id"))
+        .agg(count(lit(1)).as("n_total"),
+          sum(col("kept").cast("long")).as("n_kept"),
+          sum(when(col("kept"), col("sim")).otherwise(lit(0.0))
+            .cast("decimal(18,6)")).as("ks"))
+      cells
+        .withColumn("total_kept", sum(col("n_kept")).over(Window.partitionBy()))
+        .select(col("centroid_id"), col("n_total"), col("n_kept"),
+          expr("(n_kept * 1000) div n_total").as("kept_milli"),
+          expr("(n_kept * 1000) div total_kept").as("share_milli"),
+          expr("round(CAST(ks AS DOUBLE) / nullif(CAST(n_kept AS DOUBLE), 0.0D), 6)")
+            .as("mean_sim_kept"))
+        .orderBy("centroid_id")
     })
   )
 
@@ -6696,7 +6723,39 @@ ${sqlRecallTailFor(" WHERE q.vec_id < 50")}""".stripMargin
                 "SELECT lang AS g, CAST(source AS VARCHAR) AS v FROM kept", "lang")}
            |) h)
            |SELECT s.lang, s.n_docs, s.total_chars, hll.hll_est AS est_sources
-           |FROM stats s JOIN hll USING (lang) ORDER BY lang""".stripMargin)
+           |FROM stats s JOIN hll USING (lang) ORDER BY lang""".stripMargin,
+      // e8's assignment + drop verdicts replayed (sim carried through),
+      // then the per-cell curation rollup; sums cast pre-division
+      "pipe_embed_curation" ->
+        s"""$cosineCte,
+           |c AS (SELECT vec_id AS centroid_id, v AS cv, nrm AS cn FROM n WHERE vec_id < 8),
+           |p AS (SELECT n.vec_id, n.v, n.nrm, c.centroid_id,
+           |  list_reduce(list_apply(range(1, 65), i -> n.v[i] * c.cv[i]), (a,b) -> a+b) / (n.nrm * c.cn) AS sim
+           |  FROM n CROSS JOIN c),
+           |a AS (SELECT vec_id, v, nrm, centroid_id, round(sim, 6) AS sim FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) AS rn FROM p)
+           |  WHERE rn = 1),
+           |sen AS (SELECT vec_id, v, nrm, centroid_id FROM (
+           |  SELECT a.*, row_number() OVER (PARTITION BY centroid_id ORDER BY vec_id) AS srn FROM a)
+           |  WHERE srn <= 4096),
+           |drops AS (SELECT DISTINCT y.vec_id FROM sen x JOIN a y
+           |  ON x.centroid_id = y.centroid_id AND x.vec_id < y.vec_id
+           |  WHERE round(list_reduce(list_apply(range(1, 65), i -> x.v[i] * y.v[i]), (a,b) -> a+b)
+           |    / (x.nrm * y.nrm), 6) >= 0.3),
+           |k AS (SELECT a.centroid_id, a.sim,
+           |    (a.vec_id NOT IN (SELECT vec_id FROM drops))::INT AS kept FROM a),
+           |cells AS (SELECT centroid_id, count(*) AS n_total,
+           |    CAST(sum(kept) AS BIGINT) AS n_kept,
+           |    sum(CASE WHEN kept = 1 THEN CAST(sim AS DECIMAL(18,6))
+           |        ELSE CAST(0 AS DECIMAL(18,6)) END) AS ks
+           |  FROM k GROUP BY 1),
+           |tot AS (SELECT CAST(sum(n_kept) AS BIGINT) AS total_kept FROM cells)
+           |SELECT centroid_id, n_total, n_kept,
+           |  CAST((n_kept * 1000) // n_total AS BIGINT) AS kept_milli,
+           |  CAST((n_kept * 1000) // total_kept AS BIGINT) AS share_milli,
+           |  round(CAST(ks AS DOUBLE) / nullif(CAST(n_kept AS DOUBLE), 0.0), 6)
+           |    AS mean_sim_kept
+           |FROM cells, tot ORDER BY centroid_id""".stripMargin)
   }
 
   // ---- C/SA/T6: corpus shaping (training-data pipeline, beyond ref) -------
