@@ -147,6 +147,28 @@ class ChunkingSpec extends SparkSpec {
       "c3 must not serialize through a SinglePartition exchange")
   }
 
+  test("T24: BPE merge pairs count on the weighted vocab, not the token stream") {
+    // "ab ab ab cd" per doc over 2 docs: vocab = {ab: 6, cd: 2} — the
+    // pair 'ab' must count 6 (word frequency), not 2 (vocab rows), and
+    // a 3-char word contributes BOTH its adjacent pairs
+    import org.apache.spark.sql.functions._
+    val docs = Seq((1L, "ab ab ab cd xyz"), (2L, "ab ab ab cd"))
+      .toDF("doc_id", "text")
+    val vocab = docs
+      .select(explode(graft.text.TextAnalysis.words(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("wf"))
+    val got = vocab.filter(length(col("w")) >= 2)
+      .select(col("wf"), explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+        .as("pair"))
+      .groupBy(col("pair")).agg(sum(col("wf")).as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(got("ab") === 6L, s"weighted count must be 6: $got")
+    assert(got("cd") === 2L, s"got $got")
+    assert(got("xy") === 1L && got("yz") === 1L,
+      s"3-char word must contribute both adjacent pairs: $got")
+  }
+
   test("C4: density audit sums to the packing's token mass; plan stays sharded") {
     val packs = Chunking.packSequencesSharded(docs, capacity = 512, shards = 16)
     val audit = packs.groupBy(col("shard"))

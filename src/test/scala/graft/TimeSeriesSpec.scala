@@ -149,6 +149,28 @@ class TimeSeriesSpec extends SparkSpec {
     assert(k3.length === 1 && k3.head._2 === d(0), "single point survives once")
   }
 
+  test("TS13: Fano factor — Poisson-like reads ~1000 milli, constant reads 0") {
+    // constant daily volume (n=4 every day): variance 0 → fano 0.
+    // alternating 2/6 (mean 4, population variance 4): fano = 1000.
+    // the registered query's exact rational: ((D·Σn² − (Σn)²)·1000)
+    // div (D·Σn) — for D=4, n=(2,6,2,6): Σn=16, Σn²=80 →
+    // (320−256)·1000 div 64 = 1000 exactly.
+    import org.apache.spark.sql.functions._
+    val daily = Seq(
+      ("flat", 1, 4L), ("flat", 2, 4L), ("flat", 3, 4L), ("flat", 4, 4L),
+      ("burst", 1, 2L), ("burst", 2, 6L), ("burst", 3, 2L), ("burst", 4, 6L))
+      .toDF("event_type", "day", "n")
+    val got = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"), sum(col("n")).as("sum_n"),
+        sum(col("n") * col("n")).as("sum_n2"))
+      .select(col("event_type"),
+        expr("((n_days * sum_n2 - sum_n * sum_n) * 1000) div (n_days * sum_n)")
+          .as("fano_milli"))
+      .as[(String, Long)].collect().toMap
+    assert(got("flat") === 0L, s"constant series must read fano 0: $got")
+    assert(got("burst") === 1000L, s"var=mean must read exactly 1000: $got")
+  }
+
   test("CUSUM statistic is invariant to input row order") {
     val rows = Seq(
       (1L, Date.valueOf("2024-01-04"), 20L), (1L, Date.valueOf("2024-01-01"), 10L),
