@@ -6495,7 +6495,9 @@ ${sqlRecallTailFor(" WHERE q.vec_id < 50")}""".stripMargin
         |  CAST(doc_id % 3000 + 16 AS BIGINT) AS height
         |FROM documents ORDER BY asset_id""".stripMargin,
     // the srtAssets fabrication inverted: only m=0 parses (m=1 is the
-    // invalid-minutes cue the parser must reject); never parses bytes
+    // invalid-minutes cue the parser must reject; an end-before-start
+    // cue would likewise reject — fabricated ems > sms by construction,
+    // so the ordering gate changes nothing here); never parses bytes
     "mm12_srt_cues" ->
       """SELECT doc_id AS asset_id,
         |  CASE WHEN doc_id % 3 = 0

@@ -555,15 +555,18 @@ object Media {
     val s = content.cast("string")
     def g(k: Int) = regexp_extract(s, re, k)
     val matched = g(0) =!= ""
-    val gate = when(matched,
-      g(2).cast("long") < 60 && g(3).cast("long") < 60 &&
-        g(6).cast("long") < 60 && g(7).cast("long") < 60)
-      .otherwise(lit(false))
     def ms(h: Int, mi: Int, sec: Int, mil: Int) =
       g(h).cast("long") * 3600000L + g(mi).cast("long") * 60000L +
         g(sec).cast("long") * 1000L + g(mil).cast("long")
     val sms = ms(1, 2, 3, 4)
     val ems = ms(5, 6, 7, 8)
+    // field ranges AND cue ordering: end < start is as malformed as a
+    // 77-minutes field — it rejects to NULLs, never a negative dur_ms
+    val gate = when(matched,
+      g(2).cast("long") < 60 && g(3).cast("long") < 60 &&
+        g(6).cast("long") < 60 && g(7).cast("long") < 60 &&
+        ems >= sms)
+      .otherwise(lit(false))
     Seq(
       when(gate, sms).as("start_ms"),
       when(gate, ems).as("end_ms"),

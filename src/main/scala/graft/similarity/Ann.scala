@@ -1997,9 +1997,15 @@ object Ann {
     * — so the unrolled SQL replay is bit-equal and the result is
     * partitioning-independent. Components are ppm of the largest
     * (max|v| = 10⁶ exactly). Magnitude bound (unit-scale floats):
-    * |num| ≤ 2n²·10¹², |w| ≤ d·|num|·10⁶, and w·10⁶ stays < 10³⁷ —
-    * inside both DECIMAL(38,0) and int128 at any n up to ~10⁸ rows
-    * per the scaladoc'd bound; beyond that, rescale the quantization.
+    * |num| ≤ 2n²·10¹², |w| ≤ d·|num|·10⁶, so w·10⁶ ≤ 2d·n²·10²⁴ —
+    * at d = 64 that crosses DECIMAL(38,0)'s 10³⁸ ceiling near
+    * n ≈ 8·10⁵ rows. Beyond that, rescale the quantization per round.
+    * The asymmetry past the bound is the trap: DuckDB's HUGEINT
+    * oracle raises on overflow, but Spark's non-ANSI decimal multiply
+    * yields NULL — so instead of silently zeroing the component (a
+    * wrong-but-plausible eigenvector), every arithmetic step below
+    * raise_errors on an overflow NULL; only the legitimate all-zero-
+    * matrix NULL (m = 0) coalesces to 0.
     */
   def powerIteration(embeddings: DataFrame, dims: Int = 64,
       rounds: Int = 3): DataFrame = {
@@ -2014,16 +2020,33 @@ object Ann {
     val v0 = spark.range(1, dims + 1)
       .select(col("id").cast("int").as("i"),
         lit(1000000L).cast("decimal(38,0)").as("v"))
+    val overflowMsg = lit("powerIteration: decimal(38,0) overflow in " +
+      "w*1000000 — past the n ~ 8e5 unit-scale safe bound; rescale the " +
+      "quantization (the DuckDB HUGEINT oracle raises here too)")
     val vFinal = (1 to rounds).foldLeft(v0) { (vk, _) =>
       val w = sym.join(broadcast(vk.select(col("i").as("j"), col("v"))), "j")
         .groupBy(col("i"))
-        .agg(sum(col("num") * col("v")).as("w"))
+        // every num/v is non-null by construction, so a NULL product
+        // (which sum() would silently skip) or a NULL sum can only
+        // mean non-ANSI decimal overflow: fail loudly, matching the
+        // HUGEINT oracle
+        .agg(sum(col("num") * col("v")).as("w"),
+          count(when((col("num") * col("v")).isNull, 1)).as("n_overflow"))
+        .select(col("i"),
+          when(col("n_overflow") > 0 || col("w").isNull,
+            raise_error(overflowMsg).cast("decimal(38,0)"))
+            .otherwise(col("w")).as("w"))
       val m = w.agg(max(abs(col("w"))).as("m"))
-      // nullif guards the all-zero matrix; coalesce keeps v defined
+      // nullif guards the all-zero matrix (w = 0 everywhere → m = 0 →
+      // div NULL → coalesce 0); an overflow NULL in w*10⁶ raises
       w.crossJoin(broadcast(m))
         .select(col("i"),
-          coalesce(expr("(w * 1000000) div nullif(m, 0)"), lit(0L))
-            .cast("decimal(38,0)").as("v"))
+          when(col("w").isNotNull &&
+              (col("w") * lit(1000000L).cast("decimal(38,0)")).isNull,
+            raise_error(overflowMsg).cast("decimal(38,0)"))
+          .otherwise(
+            coalesce(expr("(w * 1000000) div nullif(m, 0)"), lit(0L))
+              .cast("decimal(38,0)")).as("v"))
     }
     vFinal.select(col("i"), col("v").cast("long").as("component_ppm"))
       .orderBy("i")

@@ -282,7 +282,8 @@ class MediaSpec extends SparkSpec {
       (5L, srt("00:00:01,000", "00:77:00,000")),  // bad end MM
       (6L, "2\n00:00:01,000 --> 00:00:02,000\nx".getBytes("UTF-8")), // index 2
       (7L, "1\n00:00:01,000 --> ".getBytes("UTF-8")),                // truncated
-      (8L, "just text".getBytes("UTF-8")))
+      (8L, "just text".getBytes("UTF-8")),
+      (9L, srt("00:00:05,000", "00:00:01,000")))  // end < start: reject
       .toDF("asset_id", "content")
     val got = rows.select(col("asset_id") +: Media.srtMeta(col("content")): _*)
       .as[(Long, Option[Long], Option[Long], Option[Long])]
@@ -293,6 +294,8 @@ class MediaSpec extends SparkSpec {
       s"got ${got(2L)}")
     for (i <- 3L to 8L)
       assert(got(i)._2.isEmpty, s"row $i must reject to NULLs: ${got(i)}")
+    assert(got(9L)._2.isEmpty,
+      s"end-before-start cue must reject, never a negative dur_ms: ${got(9L)}")
   }
 
   test("MM11: id3Meta hand-built headers — strict syncsafe, version gates") {

@@ -41,8 +41,14 @@ for name, sql in sorted(oracle.items()):
         print(f"FAIL {name}: exec error: {str(e)[:200]}")
         fails += 1
         continue
+    # Hostile types are reported on EVERY fail path (not only after
+    # values match) so a query with both a value diff and a hostile
+    # oracle type surfaces both problems in one round-trip.
+    hostile_note = (f"\n  also: oracle column(s) {hostile} have driver-hash-"
+                    f"hostile types (CAST them in the oracle SQL)"
+                    if hostile else "")
     if sorted(gcols) != sorted(ecols):
-        print(f"FAIL {name}: columns spark={sorted(gcols)} oracle={sorted(ecols)}")
+        print(f"FAIL {name}: columns spark={sorted(gcols)} oracle={sorted(ecols)}{hostile_note}")
         fails += 1
         continue
     gi = [gcols.index(c) for c in sorted(gcols)]
@@ -50,7 +56,7 @@ for name, sql in sorted(oracle.items()):
     grows = [tuple(r[i] for i in gi) for r in got]
     erows = [tuple(r[i] for i in ei) for r in exp]
     if len(grows) != len(erows):
-        print(f"FAIL {name}: rows spark={len(grows)} oracle={len(erows)}")
+        print(f"FAIL {name}: rows spark={len(grows)} oracle={len(erows)}{hostile_note}")
         fails += 1
         continue
     bad = None
@@ -65,7 +71,7 @@ for name, sql in sorted(oracle.items()):
         if bad:
             break
     if bad:
-        print(f"FAIL {name}: first diff at row {bad[0]}:\n  spark : {bad[1]}\n  oracle: {bad[2]}")
+        print(f"FAIL {name}: first diff at row {bad[0]}:\n  spark : {bad[1]}\n  oracle: {bad[2]}{hostile_note}")
         fails += 1
     elif hostile:
         print(f"FAIL {name}: values match but oracle column(s) {hostile} have "
