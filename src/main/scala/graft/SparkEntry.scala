@@ -6384,6 +6384,35 @@ ${sqlRecallTailFor(" WHERE q.vec_id < 50")}""".stripMargin
           graft.multimodal.Media.srtMeta(col("content")): _*)
         .orderBy("asset_id")
     }),
+    // MM13 (beyond reference): REAL image decode through the pluggable
+    // codec boundary — deterministic 24-bit BMPs fabricated in-plan
+    // (bmpBytes), decoded by javax.imageio via Media.decode(...,
+    // ImageIOCodec); dims come from the decoded pixel buffer (the meta
+    // envelope deliberately lies with zeros), the corrupted-magic class
+    // must land on the (-1,-1,0) dead-letter sentinel, and the oracle
+    // states dims + exact BMP byte size arithmetically from the
+    // construction parameters. This drives the codec swap-in path the
+    // interface was built for under the driver's hash gate.
+    "mm13_imageio_decode" -> ((s, d) => {
+      val a = graft.multimodal.Media.bmpAssets(t(s, d, "documents"))
+        .select(col("asset_id"), col("content"),
+          struct(lit(0).as("width"), lit(0).as("height"),
+            lit(0).as("n_frames")).as("meta"))
+      graft.multimodal.Media.decode(s, a, graft.multimodal.Media.ImageIOCodec)
+        .select(col("asset_id"), col("width"), col("height"),
+          col("n_frames"), col("n_bytes"))
+        .orderBy("asset_id")
+    }),
+    // MM13b: the pixel-statistics proof that mm13 is a PIXEL decode,
+    // not a header read — px_sum replays Σ(R+G+B) and px_wsum the
+    // position-and-channel-weighted sum over every decoded pixel; the
+    // oracle recomputes both from the closed-form channel arithmetic
+    // over a range() cross join. A flipped row order or a BGR/RGB swap
+    // fails px_wsum even where px_sum is invariant.
+    "mm13_pixel_checksum" -> ((s, d) =>
+      graft.multimodal.Media.imagePixelStats(s,
+          graft.multimodal.Media.bmpAssets(t(s, d, "documents")))
+        .orderBy("asset_id")),
     // MM11 (beyond reference): ID3v2 tag-header parse with a STRICT
     // syncsafe size decode — the skip-length read before seeking to
     // the first MPEG audio frame. The fabricated corpus includes a
@@ -6507,6 +6536,46 @@ ${sqlRecallTailFor(" WHERE q.vec_id < 50")}""".stripMargin
         |    END AS end_ms,
         |  CASE WHEN doc_id % 3 = 0 THEN doc_id % 5000 + 500 END AS dur_ms
         |FROM documents ORDER BY asset_id""".stripMargin,
+    // the bmpAssets fabrication inverted: m=0 decodes to its
+    // construction dims and 1 frame; m=1 (corrupted magic) and m=2
+    // (raw text) land on the (-1,-1,0) dead-letter sentinel; n_bytes
+    // is the spec BMP size 54 + h·rowSize with 4-byte row padding.
+    // The oracle never decodes bytes.
+    "mm13_imageio_decode" ->
+      """WITH g AS (SELECT doc_id, doc_id % 3 AS m,
+        |    doc_id % 48 + 4 AS w, doc_id % 32 + 4 AS h,
+        |    octet_length(encode(text)) AS tb FROM documents),
+        |b AS (SELECT *, 54 + h * (((w * 3 + 3) // 4) * 4) AS bmp_bytes FROM g)
+        |SELECT doc_id AS asset_id,
+        |  CAST(CASE WHEN m = 0 THEN w ELSE -1 END AS INT) AS width,
+        |  CAST(CASE WHEN m = 0 THEN h ELSE -1 END AS INT) AS height,
+        |  CAST(CASE WHEN m = 0 THEN 1 ELSE 0 END AS INT) AS n_frames,
+        |  CAST(CASE WHEN m = 2 THEN tb ELSE bmp_bytes END AS INT) AS n_bytes
+        |FROM b ORDER BY asset_id""".stripMargin,
+    // the closed-form pixel channels replayed over a bounded range()
+    // cross join (w ≤ 51, h ≤ 35): px_sum = Σ(R+G+B), px_wsum =
+    // Σ(y·w+x+1)·(3R+5G+7B) in image coordinates — the oracle decodes
+    // nothing; sums CAST to BIGINT (HUGEINT is driver-hash-hostile)
+    "mm13_pixel_checksum" ->
+      """WITH g AS (SELECT doc_id, doc_id % 3 AS m,
+        |    doc_id % 48 + 4 AS w, doc_id % 32 + 4 AS h FROM documents),
+        |px AS (SELECT g.doc_id,
+        |    CAST(sum((x*5 + y*17 + g.doc_id*3) % 256
+        |           + (x*11 + y*3 + g.doc_id*5) % 256
+        |           + (x*7 + y*13 + g.doc_id) % 256) AS BIGINT) AS s,
+        |    CAST(sum((y * g.w + x + 1) *
+        |             (3*((x*5 + y*17 + g.doc_id*3) % 256)
+        |            + 5*((x*11 + y*3 + g.doc_id*5) % 256)
+        |            + 7*((x*7 + y*13 + g.doc_id) % 256))) AS BIGINT) AS ws
+        |  FROM g, range(0, 51) rx(x), range(0, 35) ry(y)
+        |  WHERE g.m = 0 AND rx.x < g.w AND ry.y < g.h
+        |  GROUP BY g.doc_id)
+        |SELECT g.doc_id AS asset_id,
+        |  CAST(CASE WHEN g.m = 0 THEN g.w ELSE -1 END AS INT) AS width,
+        |  CAST(CASE WHEN g.m = 0 THEN g.h ELSE -1 END AS INT) AS height,
+        |  px.s AS px_sum, px.ws AS px_wsum
+        |FROM g LEFT JOIN px ON px.doc_id = g.doc_id
+        |ORDER BY asset_id""".stripMargin,
     // the id3Assets fabrication inverted: only the m=0 class parses
     // (m=1 is the corrupted-syncsafe twin the parser must reject);
     // the oracle never parses bytes

@@ -145,6 +145,129 @@ object Media {
   def decodeStub(spark: SparkSession, assets: DataFrame): DataFrame =
     decode(spark, assets, StubCodec)
 
+  // ---- MM13: real pixel decode through javax.imageio -----------------------
+
+  /** Deterministic 24-bit BI_RGB BMP bytes for asset `id` at `w`×`h`:
+    * the spec-exact 54-byte header (BITMAPFILEHEADER +
+    * BITMAPINFOHEADER) followed by the bottom-up, 4-byte-row-padded
+    * pixel array. Pixel channels are arithmetic in IMAGE coordinates
+    * (x right, y DOWN from the top-left — the encoder flips to the
+    * BMP's bottom-up row order), so an independent decoder's output
+    * has a closed-form ground truth the oracle states without touching
+    * bytes:
+    *   R = (5x + 17y + 3·id) mod 256
+    *   G = (11x + 3y + 5·id) mod 256
+    *   B = (7x + 13y + id) mod 256
+    * Hand-written on purpose: `ImageIO.write` would make mm13 a
+    * JDK-internal round trip; this encoder vs the JDK's BMP reader is
+    * a cross-implementation check (a misplaced header field or a
+    * flipped row order breaks the oracle, not just a unit test). */
+  def bmpBytes(id: Long, w: Int, h: Int): Array[Byte] = {
+    val rowSize = ((w * 3 + 3) / 4) * 4
+    val size = 54 + h * rowSize
+    val b = java.nio.ByteBuffer.allocate(size)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte).put('M'.toByte).putInt(size)
+      .putShort(0).putShort(0).putInt(54)
+    b.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      .putInt(0).putInt(h * rowSize).putInt(2835).putInt(2835)
+      .putInt(0).putInt(0)
+    var r = 0
+    while (r < h) {
+      val y = h - 1 - r // positive biHeight = bottom-up row order
+      var x = 0
+      while (x < w) {
+        b.put(((x * 7L + y * 13L + id) % 256L).toByte)      // B
+        b.put(((x * 11L + y * 3L + id * 5L) % 256L).toByte) // G
+        b.put(((x * 5L + y * 17L + id * 3L) % 256L).toByte) // R
+        x += 1
+      }
+      var p = w * 3
+      while (p < rowSize) { b.put(0.toByte); p += 1 }
+      r += 1
+    }
+    b.array()
+  }
+
+  /** MM13 fabrication: one third of the corpus gets a valid
+    * deterministic BMP ([[bmpBytes]], w = id%48+4, h = id%32+4); one
+    * third the SAME bytes with the magic's first byte corrupted — no
+    * registered ImageIO reader claims it, so decode must route it to
+    * the (-1,-1,0) dead-letter sentinel, never throw; one third raw
+    * text (not an image at all). Ground truth is arithmetic in the
+    * ids (the mm7–mm12 recipe). Fabrication runs distributed in the
+    * same typed map a binary-files ingest would. */
+  def bmpAssets(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val content: Array[Byte] = (id % 3) match {
+          case 2 => text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          case m =>
+            val bytes = bmpBytes(id, (id % 48 + 4).toInt, (id % 32 + 4).toInt)
+            if (m == 1) bytes(0) = 'X'.toByte
+            bytes
+        }
+        (id, content)
+      }.toDF("asset_id", "content")
+  }
+
+  /** One image's pixel statistics (the feature-extraction step after
+    * decode). For undecodable bytes: (-1, -1, NULL, NULL). */
+  case class PixelStats(asset_id: Long, width: Int, height: Int,
+      px_sum: Option[Long], px_wsum: Option[Long])
+
+  /** MM13: REAL pixel statistics through `javax.imageio` — not a
+    * header read: every pixel of the decoded buffer contributes, so
+    * the oracle match proves the full encode→decode loop agrees with
+    * the BMP spec.
+    *   px_sum  = Σ (R+G+B)                    — decode proof
+    *   px_wsum = Σ (y·w + x + 1)·(3R+5G+7B)   — position weight
+    *              catches a flipped row order (plain sums are
+    *              orientation-invariant), channel weights catch a
+    *              BGR/RGB swap (R+G+B is channel-order-invariant)
+    * Bounds: w ≤ 51, h ≤ 35 → ≤ 1785 px; per-pixel weighted term
+    * ≤ 1785·5355 ≈ 9.6e6, total ≤ 1.7e10 — Long-safe by 8 orders.
+    * `mapPartitions` so ImageIO cache config runs once per partition;
+    * blob bytes stay columnar, nothing collects. Undecodable bytes
+    * yield the dead-letter row, never an exception (fuzz-pinned). */
+  def imagePixelStats(spark: SparkSession, assets: DataFrame): DataFrame = {
+    import spark.implicits._
+    assets.select(col("asset_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (id, bytes) =>
+          val img =
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            catch { case _: Exception => null }
+          if (img == null) PixelStats(id, -1, -1, None, None)
+          else {
+            val w = img.getWidth
+            val h = img.getHeight
+            var s = 0L
+            var ws = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val rgb = img.getRGB(x, y)
+                val r = (rgb >> 16) & 0xFF
+                val g = (rgb >> 8) & 0xFF
+                val bb = rgb & 0xFF
+                s += r + g + bb
+                ws += (y.toLong * w + x + 1) * (3L * r + 5L * g + 7L * bb)
+                x += 1
+              }
+              y += 1
+            }
+            PixelStats(id, w, h, Some(s), Some(ws))
+          }
+        }
+      }.toDF()
+  }
+
   /** Frame sampling: every `step`-th frame of a frame array — the
     * video-pipeline "1 fps sample" pattern, as a pure array op. */
   def sampleFrames(frames: org.apache.spark.sql.Column, step: Int): org.apache.spark.sql.Column =

@@ -434,4 +434,25 @@ object GraftProperties extends Properties("graft") {
       out.collect().length == 1 // one row back, no exception
     }
   }
+
+  property("ImageIO pixel decode is total on arbitrary bytes") = {
+    // the mm13 path runs a REAL JDK decoder inside mapPartitions: on
+    // ANY byte string — a bare "BM" magic, a full spec-exact header
+    // with a garbage pixel tail, a header truncated mid-INFOHEADER —
+    // it must emit exactly one row (the dead-letter sentinel where
+    // undecodable), never throw out of the operator
+    val valid = graft.multimodal.Media.bmpBytes(9L, 4, 3)
+    val seeds = Seq(
+      "BM".getBytes("ISO-8859-1"),
+      valid.take(54),  // full header → random tail becomes pixel data
+      valid.take(20),  // truncated mid-INFOHEADER
+      Array.empty[Byte])
+    forAll(for {
+      prefix <- Gen.oneOf(seeds)
+      tail <- Gen.listOf(Gen.chooseNum(-128, 127).map(_.toByte))
+    } yield prefix ++ tail.toArray) { bytes =>
+      val df = Seq((1L, bytes)).toDF("asset_id", "content")
+      graft.multimodal.Media.imagePixelStats(spark, df).collect().length == 1
+    }
+  }
 }

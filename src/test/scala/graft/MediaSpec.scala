@@ -298,6 +298,56 @@ class MediaSpec extends SparkSpec {
       s"end-before-start cue must reject, never a negative dur_ms: ${got(9L)}")
   }
 
+  test("MM13: bmpBytes → ImageIO round trip — per-pixel channels, orientation, padding") {
+    // the registered queries pin aggregate checksums; this pins the
+    // INDIVIDUAL pixels: ImageIO.getRGB at image coordinates must
+    // equal the closed-form channel arithmetic — a BGR/RGB swap or a
+    // bottom-up flip in the encoder fails here pixel-by-pixel. id=6
+    // gives w=10 (rowSize 32, 2 pad bytes/row), covering the padded
+    // path; id=0 gives w=4 (no padding).
+    for (id <- Seq(0L, 6L)) {
+      val w = (id % 48 + 4).toInt
+      val h = (id % 32 + 4).toInt
+      val bytes = Media.bmpBytes(id, w, h)
+      assert(bytes.length === 54 + h * ((w * 3 + 3) / 4 * 4))
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      assert(img !== null, s"JDK BMP reader must accept bmpBytes(id=$id)")
+      assert(img.getWidth === w)
+      assert(img.getHeight === h)
+      for (y <- 0 until h; x <- 0 until w) {
+        val rgb = img.getRGB(x, y)
+        assert(((rgb >> 16) & 0xFF) === ((x * 5L + y * 17L + id * 3L) % 256L).toInt,
+          s"R at ($x,$y) id=$id")
+        assert(((rgb >> 8) & 0xFF) === ((x * 11L + y * 3L + id * 5L) % 256L).toInt,
+          s"G at ($x,$y) id=$id")
+        assert((rgb & 0xFF) === ((x * 7L + y * 13L + id) % 256L).toInt,
+          s"B at ($x,$y) id=$id")
+      }
+    }
+  }
+
+  test("MM13: imagePixelStats dead-letters undecodable bytes, never throws") {
+    val valid = Media.bmpBytes(3L, 7, 5)
+    val corrupt = valid.clone(); corrupt(0) = 'X'.toByte
+    val truncated = valid.take(60) // header intact, pixel array cut
+    val rows = Seq((1L, valid), (2L, corrupt), (3L, "not an image".getBytes("UTF-8")),
+        (4L, truncated), (5L, Array.empty[Byte]))
+      .toDF("asset_id", "content")
+    val got = Media.imagePixelStats(spark, rows)
+      .as[(Long, Int, Int, Option[Long], Option[Long])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got(1L)._2 === 7)
+    assert(got(1L)._3 === 5)
+    assert(got(1L)._4.nonEmpty && got(1L)._5.nonEmpty)
+    for (i <- Seq(2L, 3L, 5L))
+      assert(got(i) === ((i, -1, -1, None, None)),
+        s"undecodable bytes must dead-letter: ${got(i)}")
+    // the JDK BMP reader may either reject a truncated pixel array or
+    // decode the header dims with zeroed tail pixels — both are total;
+    // what it must NEVER do is throw out of the operator
+    assert(got.contains(4L))
+  }
+
   test("MM11: id3Meta hand-built headers — strict syncsafe, version gates") {
     // the registered query pins the fabricated classes; this pins
     // layouts the fabrication never writes: max syncsafe size, a high
