@@ -6413,6 +6413,18 @@ ${sqlRecallTailFor(" WHERE q.vec_id < 50")}""".stripMargin
       graft.multimodal.Media.imagePixelStats(s,
           graft.multimodal.Media.bmpAssets(t(s, d, "documents")))
         .orderBy("asset_id")),
+    // MM14 (beyond reference): REAL audio sample decode — deterministic
+    // 16-bit mono PCM WAVs fabricated in-plan (pcmBytes, closed-form
+    // samples), container/format parsed by the JDK's own
+    // javax.sound.sampled, samples walked natively; peak / mean-|s| /
+    // clipping-per-mille in exact integer arithmetic. The truncated-
+    // payload class (header declares the full dataSize, half the
+    // samples present) must dead-letter rather than average a partial
+    // stream; the oracle replays the sample walk over range().
+    "mm14_audio_samples" -> ((s, d) =>
+      graft.multimodal.Media.audioSampleStats(s,
+          graft.multimodal.Media.pcmAssets(t(s, d, "documents")))
+        .orderBy("asset_id")),
     // MM11 (beyond reference): ID3v2 tag-header parse with a STRICT
     // syncsafe size decode — the skip-length read before seeking to
     // the first MPEG audio frame. The fabricated corpus includes a
@@ -6575,6 +6587,27 @@ ${sqlRecallTailFor(" WHERE q.vec_id < 50")}""".stripMargin
         |  CAST(CASE WHEN g.m = 0 THEN g.h ELSE -1 END AS INT) AS height,
         |  px.s AS px_sum, px.ws AS px_wsum
         |FROM g LEFT JOIN px ON px.doc_id = g.doc_id
+        |ORDER BY asset_id""".stripMargin,
+    // the pcmAssets sample walk replayed arithmetically over range():
+    // s_k = ((11·id + 37·k) mod 65536) − 32768; m=1 (truncated payload)
+    // and m=2 (raw text) dead-letter to (-1, NULL, NULL, NULL). The
+    // oracle never decodes bytes; sums CAST to BIGINT.
+    "mm14_audio_samples" ->
+      """WITH g AS (SELECT doc_id, doc_id % 3 AS m,
+        |    doc_id % 1000 + 25 AS n FROM documents),
+        |s AS (SELECT g.doc_id,
+        |    abs(((g.doc_id*11 + k*37) % 65536) - 32768) AS a
+        |  FROM g, range(0, 1025) r(k) WHERE g.m = 0 AND r.k < g.n),
+        |st AS (SELECT doc_id, count(*) AS n, max(a) AS peak,
+        |    (1000 * sum(a)) // count(*) AS mean_abs,
+        |    (1000 * sum(CASE WHEN a >= 30000 THEN 1 ELSE 0 END)) // count(*) AS clip
+        |  FROM s GROUP BY doc_id)
+        |SELECT g.doc_id AS asset_id,
+        |  CAST(CASE WHEN g.m = 0 THEN st.n ELSE -1 END AS BIGINT) AS n_samples,
+        |  CAST(st.peak AS BIGINT) AS peak,
+        |  CAST(st.mean_abs AS BIGINT) AS mean_abs_milli,
+        |  CAST(st.clip AS BIGINT) AS clip_milli
+        |FROM g LEFT JOIN st ON st.doc_id = g.doc_id
         |ORDER BY asset_id""".stripMargin,
     // the id3Assets fabrication inverted: only the m=0 class parses
     // (m=1 is the corrupted-syncsafe twin the parser must reject);

@@ -268,6 +268,124 @@ object Media {
       }.toDF()
   }
 
+  // ---- MM14: real audio sample decode through javax.sound.sampled ---------
+
+  /** Deterministic canonical 44-byte 16-bit mono PCM WAV for asset
+    * `id` with `n` samples at rate `sr`. Sample k (k ∈ [0, n)) is
+    * closed-form — s_k = ((11·id + 37·k) mod 65536) − 32768 — so the
+    * decoded stream has an arithmetic ground truth the oracle replays
+    * in SQL without touching bytes. */
+  def pcmBytes(id: Long, n: Int, sr: Int): Array[Byte] = {
+    val dataSize = n * 2
+    val b = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("ISO-8859-1")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("ISO-8859-1"))
+      .put("fmt ".getBytes("ISO-8859-1")).putInt(16)
+      .putShort(1).putShort(1).putInt(sr).putInt(sr * 2).putShort(2).putShort(16)
+      .put("data".getBytes("ISO-8859-1")).putInt(dataSize)
+    var k = 0
+    while (k < n) {
+      b.putShort((((id * 11L + k * 37L) % 65536L) - 32768L).toShort)
+      k += 1
+    }
+    b.array()
+  }
+
+  /** MM14 fabrication: one third of the corpus gets a valid
+    * deterministic PCM WAV ([[pcmBytes]], n = id%1000+25 samples, the
+    * mm9 sample rates); one third the SAME file TRUNCATED halfway into
+    * the sample array — the header still declares the full dataSize,
+    * the shape a interrupted S3 transfer lands as, which the decoder
+    * must dead-letter rather than average over garbage; one third raw
+    * text. Ground truth is arithmetic in the ids. */
+  def pcmAssets(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val content: Array[Byte] = (id % 3) match {
+          case 2 => text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          case m =>
+            val n = (id % 1000 + 25).toInt
+            val sr = (id % 4) match {
+              case 0 => 8000; case 1 => 16000; case 2 => 22050; case _ => 44100
+            }
+            val bytes = pcmBytes(id, n, sr)
+            if (m == 1) bytes.take(44 + n) else bytes // half the samples
+        }
+        (id, content)
+      }.toDF("asset_id", "content")
+  }
+
+  /** One audio asset's exact-integer sample statistics. Dead-letter
+    * (unparseable container, unsupported format, truncated payload):
+    * n_samples = -1, stats NULL. */
+  case class AudioStats(asset_id: Long, n_samples: Long, peak: Option[Long],
+      mean_abs_milli: Option[Long], clip_milli: Option[Long])
+
+  /** MM14: REAL audio sample decode — the container/format parse goes
+    * through the JDK's own `javax.sound.sampled.AudioSystem` (a second
+    * independent implementation against [[pcmBytes]], the mm13
+    * posture), then a native 16-bit little-endian walk over the frame
+    * bytes computes, in EXACT integer arithmetic:
+    *   n_samples      — decoded sample count
+    *   peak           — max |s|
+    *   mean_abs_milli — (1000·Σ|s|) div n  (truncating div, both engines)
+    *   clip_milli     — per-mille of samples with |s| ≥ 30000 (the
+    *                    near-full-scale threshold a loudness-QA /
+    *                    re-recording filter keys on)
+    * STRICT gates: only PCM_SIGNED 16-bit little-endian is walked
+    * (anything else dead-letters — averaging µ-law bytes as PCM would
+    * be silently wrong), and a payload shorter than the declared frame
+    * count dead-letters rather than computing stats over a partial
+    * stream. `mapPartitions`; undecodable bytes never throw. */
+  def audioSampleStats(spark: SparkSession, assets: DataFrame): DataFrame = {
+    import spark.implicits._
+    assets.select(col("asset_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val dead = AudioStats(id, -1L, None, None, None)
+          try {
+            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+            try {
+              val fmt = ais.getFormat
+              val pcm16le = fmt.getEncoding ==
+                javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+                fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian
+              if (!pcm16le) dead
+              else {
+                val declared = ais.getFrameLength * fmt.getChannels
+                val data = ais.readAllBytes()
+                val avail = data.length / 2
+                if (avail < declared || declared <= 0L) dead
+                else {
+                  val n = declared.toInt
+                  var sumAbs = 0L
+                  var peak = 0L
+                  var clip = 0L
+                  var k = 0
+                  while (k < n) {
+                    // LE 16-bit: low byte unsigned, high byte carries sign
+                    val s = (data(2 * k) & 0xFF) | (data(2 * k + 1).toInt << 8)
+                    val a = math.abs(s.toLong)
+                    sumAbs += a
+                    if (a > peak) peak = a
+                    if (a >= 30000L) clip += 1L
+                    k += 1
+                  }
+                  AudioStats(id, n.toLong, Some(peak),
+                    Some(1000L * sumAbs / n), Some(1000L * clip / n))
+                }
+              }
+            } finally ais.close()
+          } catch { case _: Exception => dead }
+        }
+      }.toDF()
+  }
+
   /** Frame sampling: every `step`-th frame of a frame array — the
     * video-pipeline "1 fps sample" pattern, as a pure array op. */
   def sampleFrames(frames: org.apache.spark.sql.Column, step: Int): org.apache.spark.sql.Column =

@@ -455,4 +455,23 @@ object GraftProperties extends Properties("graft") {
       graft.multimodal.Media.imagePixelStats(spark, df).collect().length == 1
     }
   }
+
+  property("audio sample decode is total on arbitrary bytes") = {
+    // mm14's JDK container parse + native 16-bit walk: any byte string
+    // — bare RIFF magic, a full WAV header with a garbage sample tail,
+    // a header truncated mid-fmt — yields exactly one row, never throws
+    val valid = graft.multimodal.Media.pcmBytes(9L, 8, 8000)
+    val seeds = Seq(
+      "RIFF".getBytes("ISO-8859-1"),
+      valid.take(44), // full header → random tail becomes sample data
+      valid.take(18), // truncated mid-fmt chunk
+      Array.empty[Byte])
+    forAll(for {
+      prefix <- Gen.oneOf(seeds)
+      tail <- Gen.listOf(Gen.chooseNum(-128, 127).map(_.toByte))
+    } yield prefix ++ tail.toArray) { bytes =>
+      val df = Seq((1L, bytes)).toDF("asset_id", "content")
+      graft.multimodal.Media.audioSampleStats(spark, df).collect().length == 1
+    }
+  }
 }

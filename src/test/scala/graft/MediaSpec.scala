@@ -348,6 +348,48 @@ class MediaSpec extends SparkSpec {
     assert(got.contains(4L))
   }
 
+  test("MM14: audioSampleStats — hand-replayed stats, strict format + truncation gates") {
+    // id=0, n=25: replay the closed-form samples in the test and
+    // compare against the full pcmBytes → AudioSystem → native-walk
+    // loop (the JDK's WAV reader is the independent implementation)
+    val id = 0L
+    val n = 25
+    val samples = (0 until n).map(k => ((id * 11 + k * 37) % 65536) - 32768)
+    val expPeak = samples.map(math.abs).max
+    val expMean = 1000L * samples.map(s => math.abs(s)).sum / n
+    val expClip = 1000L * samples.count(s => math.abs(s) >= 30000) / n
+    val valid = Media.pcmBytes(id, n, 8000)
+    // an 8-bit PCM WAV: the JDK parses it fine, but the 16-bit walk
+    // must REJECT it (averaging 8-bit bytes as 16-bit LE would be
+    // silently wrong), not mis-decode
+    val eightBit = {
+      val b = java.nio.ByteBuffer.allocate(44 + 4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes("ISO-8859-1")).putInt(36 + 4)
+        .put("WAVE".getBytes("ISO-8859-1"))
+        .put("fmt ".getBytes("ISO-8859-1")).putInt(16)
+        .putShort(1).putShort(1).putInt(8000).putInt(8000).putShort(1).putShort(8)
+        .put("data".getBytes("ISO-8859-1")).putInt(4)
+        .put(Array[Byte](1, 2, 3, 4))
+      b.array()
+    }
+    val rows = Seq(
+      (1L, valid),
+      (2L, valid.take(44 + n)),                  // truncated payload
+      (3L, "definitely not audio".getBytes("UTF-8")),
+      (4L, eightBit),
+      (5L, Array.empty[Byte]))
+      .toDF("asset_id", "content")
+    val got = Media.audioSampleStats(spark, rows)
+      .as[(Long, Long, Option[Long], Option[Long], Option[Long])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got(1L) === ((1L, n.toLong, Some(expPeak.toLong), Some(expMean),
+      Some(expClip))), s"got ${got(1L)}")
+    for (i <- 2L to 5L)
+      assert(got(i) === ((i, -1L, None, None, None)),
+        s"row $i must dead-letter: ${got(i)}")
+  }
+
   test("MM11: id3Meta hand-built headers — strict syncsafe, version gates") {
     // the registered query pins the fabricated classes; this pins
     // layouts the fabrication never writes: max syncsafe size, a high
