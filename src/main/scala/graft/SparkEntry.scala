@@ -5984,6 +5984,16 @@ ${sqlRecallTailFor(" WHERE q.vec_id < 50")}""".stripMargin
     // vocab table — the token stream is never re-scanned). Top-20
     // merge candidates; the pair space is bounded by charset², so the
     // ranking window runs over a by-construction-tiny table.
+    // T25 (beyond reference): the FULL BPE training loop — 20 greedy
+    // merge rounds over the frequency-weighted vocabulary (t24 is its
+    // first iteration), deterministic tie-breaks (count desc, pair
+    // asc), integer-only. One corpus scan builds the vocab; every
+    // round is vocab-bound (the property that makes BPE training
+    // feasible at 100 TB). The oracle replays the identical recurrence
+    // with a structurally different greedy formulation
+    // (gaps-and-islands windows in unrolled CTEs).
+    "t25_bpe_merge_loop" -> ((s, d) =>
+      graft.text.Bpe.bpeTrain(t(s, d, "documents"), rounds = 20)),
     "t24_bpe_merge_pairs" -> ((s, d) => {
       val vocab = t(s, d, "documents")
         .select(explode(graft.text.TextAnalysis.words(col("text"))).as("w"))
@@ -6101,6 +6111,10 @@ ${sqlRecallTailFor(" WHERE q.vec_id < 50")}""".stripMargin
           |  FROM scored JOIN documents USING (doc_id) GROUP BY 1)
           |SELECT bin, n_docs, n_pos, (n_pos * 1000) // n_docs AS pos_rate_milli
           |FROM agg ORDER BY bin""".stripMargin,
+      // the full 20-round greedy merge recurrence unrolled into CTEs
+      // (the g9/e42 recipe); greedy replayed relationally via
+      // gaps-and-islands — see Bpe.bpeTrainSql
+      "t25_bpe_merge_loop" -> graft.text.Bpe.bpeTrainSql(rounds = 20),
       // vocab rollup, then in-word adjacent char pairs weighted by
       // word frequency; sums cast to BIGINT, row_number to INT
       "t24_bpe_merge_pairs" ->
@@ -6413,10 +6427,11 @@ ${sqlRecallTailFor(" WHERE q.vec_id < 50")}""".stripMargin
       graft.multimodal.Media.imagePixelStats(s,
           graft.multimodal.Media.bmpAssets(t(s, d, "documents")))
         .orderBy("asset_id")),
-    // MM14 (beyond reference): REAL audio sample decode — deterministic
+    // MM14 (beyond reference): audio sample decode — deterministic
     // 16-bit mono PCM WAVs fabricated in-plan (pcmBytes, closed-form
-    // samples), container/format parsed by the JDK's own
-    // javax.sound.sampled, samples walked natively; peak / mean-|s| /
+    // samples), strict native RIFF chunk walk + 16-bit LE sample walk
+    // (javax.sound.sampled A/B'd and rejected: ~5 ms/blob provider
+    // lookup under the executor classloader); peak / mean-|s| /
     // clipping-per-mille in exact integer arithmetic. The truncated-
     // payload class (header declares the full dataSize, half the
     // samples present) must dead-letter rather than average a partial

@@ -474,4 +474,19 @@ object GraftProperties extends Properties("graft") {
       graft.multimodal.Media.audioSampleStats(spark, df).collect().length == 1
     }
   }
+
+  property("BPE mergeFold (Column) == mergeGreedy (kernel) on random symbol runs") = {
+    // a tiny alphabet maximizes overlap chains — the case where greedy
+    // left-to-right semantics actually bite
+    val genSyms = Gen.listOfN(12, Gen.oneOf("a", "b", "ab", "aa"))
+    val genPair = Gen.oneOf(("a", "a"), ("a", "b"), ("b", "a"), ("ab", "b"),
+      ("aa", "a"), ("a", "ab"))
+    forAll(genSyms, genPair) { (syms, pair) =>
+      val (a, b) = pair
+      val viaFold = Seq(Tuple1(syms)).toDF("syms")
+        .select(graft.text.Bpe.mergeFold(col("syms"), a, b).as("m"))
+        .as[Seq[String]].head()
+      viaFold == graft.text.Bpe.mergeGreedy(syms.toArray, a, b).toSeq
+    }
+  }
 }

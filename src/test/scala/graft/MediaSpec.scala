@@ -359,9 +359,9 @@ class MediaSpec extends SparkSpec {
     val expMean = 1000L * samples.map(s => math.abs(s)).sum / n
     val expClip = 1000L * samples.count(s => math.abs(s) >= 30000) / n
     val valid = Media.pcmBytes(id, n, 8000)
-    // an 8-bit PCM WAV: the JDK parses it fine, but the 16-bit walk
-    // must REJECT it (averaging 8-bit bytes as 16-bit LE would be
-    // silently wrong), not mis-decode
+    // an 8-bit PCM WAV: a well-formed container the strict 16-bit walk
+    // must REJECT on the bits gate (averaging 8-bit bytes as 16-bit LE
+    // would be silently wrong), not mis-decode
     val eightBit = {
       val b = java.nio.ByteBuffer.allocate(44 + 4)
         .order(java.nio.ByteOrder.LITTLE_ENDIAN)
