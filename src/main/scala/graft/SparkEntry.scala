@@ -8390,6 +8390,16 @@ ${sqlRecallTailFor(" WHERE q.vec_id < 50")}""".stripMargin
             (col("da") + col("dc") - col("cn")), 6).as("jaccard"))
         .orderBy(col("jaccard").desc, col("a"), col("c"))
     }),
+    // G10 (beyond reference): bounded-round synchronous label
+    // propagation — community detection over the co-purchase graph
+    // (the community id a mixing pipeline like sa3/sa4 keys on). Votes
+    // are exact integer counts; ties break to the smallest label (the
+    // g1/d7 determinism recipe), rounds fixed so the unrolled SQL
+    // oracle hash-matches the iteration — see graph.LabelProp.
+    "g10_label_prop" -> ((s, d) =>
+      graft.graph.LabelProp.propagate(
+          copurchase(s, d).select(col("u"), col("v")), rounds = 4)
+        .orderBy("node_id")),
     // G9 (beyond reference): bounded-round weighted shortest paths —
     // min-plus Bellman–Ford from a seed part set over the co-purchase
     // graph, edge cost 1 + 6 div support (frequent pairings are cheap:
@@ -8551,6 +8561,8 @@ ${sqlRecallTailFor(" WHERE q.vec_id < 50")}""".stripMargin
         |  (SELECT count(*) FROM pairs ab
         |     JOIN pairs bc ON ab.v = bc.u
         |     JOIN pairs ac ON ac.u = ab.u AND ac.v = bc.v) AS n_triangles""".stripMargin,
+    // 4 unrolled synchronous vote rounds (matches LabelProp.propagate)
+    "g10_label_prop" -> graft.graph.LabelProp.copurchaseSql(rounds = 4),
     "g7_kcore" -> {
       // 4 unrolled peel rounds (matches KCore.kcore; MATERIALIZED for
       // the same lineage reason as d7/g5)

@@ -1,0 +1,96 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** G10: bounded-round synchronous label propagation — community
+  * detection over an undirected graph (the clustering step a mixing
+  * pipeline keys on: sa3/sa4 temperature/domain mixing needs a
+  * community/domain id per item, and co-purchase communities are that
+  * id for the part catalog).
+  *
+  * Variant pinned exactly (LPA has asynchronous/random-order forms
+  * that are NOT reproducible; this one is): labels start as node ids;
+  * each round, EVERY node simultaneously adopts the label most
+  * frequent among its neighbors, ties broken by SMALLEST label (the
+  * g1/d7 determinism recipe: integer state + total ordering). Fixed
+  * `rounds`, not convergence-tested, so the identically-unrolled SQL
+  * oracle replays the exact result; a converged labeling makes later
+  * rounds no-ops in both engines.
+  *
+  * Scale shape: per round ONE co-keyed shuffle join (adjacency ⋈
+  * labels on the neighbor id), one count aggregation, one per-node
+  * window over ≤deg(v) candidate labels. The adjacency never changes
+  * (checkpointed once); label state is |V| rows. No round touches the
+  * base tables.
+  */
+object LabelProp {
+
+  /** @param edges  undirected edge list; first two columns are the
+    *               (castable-to-long) node ids. Deduplicated and
+    *               canonicalized internally; self-loops dropped.
+    * @param rounds fixed synchronous vote count.
+    * @return (node_id, community, community_size) — every node that
+    *         has at least one edge. */
+  def propagate(edges: DataFrame, rounds: Int = 4): DataFrame = {
+    val c = edges.columns
+    val e = edges
+      .select(col(c(0)).cast("long").as("u"), col(c(1)).cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("u"),
+        greatest(col("u"), col("v")).as("v"))
+      .distinct()
+    val adj = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      .select(col("u").as("node"), col("v").as("nbr"))
+      .localCheckpoint(eager = true)
+    var labels = adj.select(col("node")).distinct()
+      .select(col("node"), col("node").as("lbl"))
+      .localCheckpoint(eager = true)
+    val byVote = Window.partitionBy(col("node"))
+      .orderBy(col("cnt").desc, col("lbl"))
+    for (_ <- 1 to rounds) {
+      labels = adj
+        .join(labels.select(col("node").as("nbr"), col("lbl")), "nbr")
+        .groupBy(col("node"), col("lbl")).agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(byVote))
+        .filter(col("rn") === 1)
+        .select(col("node"), col("lbl"))
+        .localCheckpoint(eager = true)
+    }
+    val sizes = labels.groupBy(col("lbl"))
+      .agg(count(lit(1)).as("community_size"))
+    labels.join(broadcast(sizes), "lbl")
+      .select(col("node").as("node_id"), col("lbl").as("community"),
+        col("community_size"))
+  }
+
+  /** Oracle SQL for [[propagate]] over the co-purchase graph: the
+    * identical synchronous recurrence unrolled (the g7/g9 recipe;
+    * label tables MATERIALIZED — each feeds the next round and the
+    * final size join). */
+  def copurchaseSql(rounds: Int = 4): String = {
+    val roundCtes = (1 to rounds).map { k =>
+      s"""l$k AS MATERIALIZED (SELECT node, lbl FROM (
+         |  SELECT node, lbl,
+         |    row_number() OVER (PARTITION BY node ORDER BY cnt DESC, lbl) AS rn
+         |  FROM (SELECT a.node, l.lbl, count(*) AS cnt
+         |    FROM adj a JOIN l${k - 1} l ON l.node = a.nbr
+         |    GROUP BY a.node, l.lbl)) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT a.l_partkey AS u, b.l_partkey AS v
+       |  FROM lineitem a JOIN lineitem b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |  GROUP BY 1, 2 HAVING count(*) >= 2),
+       |adj AS MATERIALIZED (
+       |  SELECT u AS node, v AS nbr FROM e
+       |  UNION ALL SELECT v AS node, u AS nbr FROM e),
+       |l0 AS MATERIALIZED (SELECT DISTINCT node, node AS lbl FROM adj),
+       |$roundCtes,
+       |sz AS (SELECT lbl, count(*) AS community_size FROM l$rounds GROUP BY lbl)
+       |SELECT l.node AS node_id, l.lbl AS community, sz.community_size
+       |FROM l$rounds l JOIN sz ON sz.lbl = l.lbl
+       |ORDER BY node_id""".stripMargin
+  }
+}
