@@ -6764,11 +6764,17 @@ ${sqlRecallTailFor(" WHERE q.vec_id < 50")}""".stripMargin
     // after every ingest batch (did dedup bite, did it skew the cells,
     // did cohesion improve). One DAG — the assignment is computed once
     // and feeds both the dedup verdicts and the cohesion stats.
+    // r16: cells = ⌈√n⌉ (the e8_semdedup_sqrtk production posture —
+    // fixed 8 cells made the within-cell pair term quadratic; the r16
+    // 10× artifact read the fixed-cell form at 40×, the √n form holds
+    // cell work ~n total).
     "pipe_embed_curation" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
-      val sd = graft.similarity.Ann.semDedup(emb, 8, 0.3)
-      val sims = graft.similarity.Ann.centroidAssign(emb, 8)
-      val cells = sd.join(sims.select(col("vec_id"), col("sim")), "vec_id")
+      val k = math.ceil(math.sqrt(emb.count().toDouble)).toInt
+      // keepSim: ONE assignment feeds both the dedup verdicts and the
+      // cohesion stats (the docstring's "computed once", now physical)
+      val sd = graft.similarity.Ann.semDedup(emb, k, 0.3, keepSim = true)
+      val cells = sd
         .groupBy(col("centroid_id"))
         .agg(count(lit(1)).as("n_total"),
           sum(col("kept").cast("long")).as("n_kept"),
@@ -6847,7 +6853,9 @@ ${sqlRecallTailFor(" WHERE q.vec_id < 50")}""".stripMargin
       // then the per-cell curation rollup; sums cast pre-division
       "pipe_embed_curation" ->
         s"""$cosineCte,
-           |c AS (SELECT vec_id AS centroid_id, v AS cv, nrm AS cn FROM n WHERE vec_id < 8),
+           |kk AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS k FROM embeddings),
+           |c AS (SELECT vec_id AS centroid_id, v AS cv, nrm AS cn FROM n
+           |  WHERE vec_id < (SELECT k FROM kk)),
            |p AS (SELECT n.vec_id, n.v, n.nrm, c.centroid_id,
            |  list_reduce(list_apply(range(1, 65), i -> n.v[i] * c.cv[i]), (a,b) -> a+b) / (n.nrm * c.cn) AS sim
            |  FROM n CROSS JOIN c),

@@ -1499,7 +1499,8 @@ object Ann {
     * the self-join and the final anti-join — without the barrier the
     * O(n·k) assignment would run three times. */
   def semDedup(embeddings: DataFrame, k: Int = 8,
-               threshold: Double = 0.8, maxCellCompare: Int = 4096): DataFrame = {
+               threshold: Double = 0.8, maxCellCompare: Int = 4096,
+               keepSim: Boolean = false): DataFrame = {
     val e = prepared(embeddings)
     val cents = e.filter(col("vec_id") < k)
       .select(col("vec_id").as("centroid_id"), col("v").as("cv"), col("nrm").as("cn"))
@@ -1509,7 +1510,7 @@ object Ann {
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("centroid_id"))))
       .filter(col("rn") === 1)
-      .select(col("vec_id"), col("v"), col("nrm"), col("centroid_id"))
+      .select(col("vec_id"), col("v"), col("nrm"), col("centroid_id"), col("sim"))
       .localCheckpoint(true)
     // giant-cell cap: only the cap most-senior members per cell sit on
     // the drop-authority side — |cell| × cap pairs, never |cell|²
@@ -1524,8 +1525,18 @@ object Ann {
       .filter(round(dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")), 6)
         >= threshold)
       .select(col("b.vec_id").as("vec_id")).distinct()
-    assigned.join(drops.withColumn("dropped", lit(true)), Seq("vec_id"), "left")
-      .select(col("vec_id"), col("centroid_id"),
+    val out = assigned
+      .join(drops.withColumn("dropped", lit(true)), Seq("vec_id"), "left")
+    // keepSim: expose the assignment similarity (rounded like
+    // centroidAssign) so a consumer needing both dedup verdicts and
+    // cohesion (pipe_embed_curation) reads ONE assignment instead of
+    // recomputing it
+    if (keepSim)
+      out.select(col("vec_id"), col("centroid_id"),
+        coalesce(col("dropped"), lit(false)).unary_!.as("kept"),
+        round(col("sim"), 6).as("sim"))
+    else
+      out.select(col("vec_id"), col("centroid_id"),
         coalesce(col("dropped"), lit(false)).unary_!.as("kept"))
   }
 

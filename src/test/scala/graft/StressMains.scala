@@ -297,6 +297,48 @@ object MakeReplicaBoundedDocs {
   }
 }
 
+/** Decorrelated 10× replica of the EMBEDDINGS table — the realistic
+  * stress axis for the e-family and pipe_embed_curation.
+  * MakeReplica10's exact-copy replicas give every vector 10 IDENTICAL
+  * twins, so SemDedup/LSH/near-dup queries measure duplicate
+  * explosion (within-cell pair work grows ~replication², the r16 10×
+  * artifact reads e8 at 29×) rather than corpus scaling. Each replica
+  * here rotates the vector by a deterministic per-(replica, dim)
+  * micro-offset — copies land in different similarity neighborhoods
+  * while the marginal value distribution stays essentially unchanged
+  * (the mm/BoundedDocs recipe applied to vectors).
+  *
+  * Usage: Test/runMain graft.MakeReplicaPerturbedEmb /tmp/graft10x_emb
+  */
+object MakeReplicaPerturbedEmb {
+  def main(args: Array[String]): Unit = {
+    val out = if (args.nonEmpty) args(0) else "/tmp/graft10x_emb"
+    val src = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val emb = Tables.table(spark, src, "embeddings")
+    (0 until 10).map { i =>
+      // per-(replica, dim, id) offset in [-0.08, 0.08): big enough to
+      // decorrelate twins (cosine ~0.97 vs 1.0), small enough to keep
+      // the vectors in-distribution
+      val perturbed = expr(
+        s"""transform(embedding, (x, j) ->
+           |  CAST(x + (CAST((vec_id * 31 + j * 7 + $i * 13) % 16 AS FLOAT)
+           |            - 8.0) / 100.0 AS FLOAT))""".stripMargin)
+      emb.withColumn("vec_id", col("vec_id") + lit(i * 1000000L))
+        .withColumn("embedding", perturbed)
+    }.reduce(_ union _)
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    println(s"[replica] wrote decorrelated 10x embeddings to $out")
+    spark.stop()
+  }
+}
+
 /** A/B: per-key top-k — TopKPerKey heap operator vs the row_number
   * window plan, orders (10 rows/key) and lineitem (denser keys), at
   * sf0.1 and the 10× replica (test scope; findings in PLANS.md). */
