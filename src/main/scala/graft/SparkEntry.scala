@@ -6940,6 +6940,34 @@ ${sqlRecallTailFor(" WHERE q.vec_id < 50")}""".stripMargin
           col("doc_id"), col("lang"))
         .select(col("doc_id"), col("lang"), col("bucket"))
         .orderBy("doc_id")),
+    // SA16 (beyond reference): COMMUNITY-stratified mixing — g10's
+    // label-propagation communities become the mixing strata (the
+    // exact composition the r15 verdict framed g10 for: a domain/
+    // community id per item, then sa4's temperature rebalance so no
+    // single product community dominates the training stream). One
+    // LPA run over the |parts|-sized graph, one broadcast dim join
+    // onto the fact stream, one integer temperature predicate; output
+    // is the per-community mix audit (raw volume, kept volume, kept
+    // rate) a curation job reads after every rebalance.
+    "sa16_community_mix" -> ((s, d) => {
+      val comm = graft.graph.LabelProp.propagate(
+          copurchase(s, d).select(col("u"), col("v")), rounds = 4)
+        .select(col("node_id").as("l_partkey"), col("community"))
+      val items = t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+        .join(broadcast(comm), "l_partkey")
+        .withColumn("item_id",
+          col("l_orderkey") * 10 + col("l_linenumber"))
+      val kept = graft.sampling.Sampling.temperatureMix(items,
+          col("item_id"), col("community"), salt = "cmix")
+        .groupBy(col("community")).agg(count(lit(1)).as("kept_cnt"))
+      items.groupBy(col("community")).agg(count(lit(1)).as("n_items"))
+        .join(kept, Seq("community"), "left")
+        .select(col("community"), col("n_items"),
+          coalesce(col("kept_cnt"), lit(0L)).as("n_kept"))
+        .withColumn("kept_milli", expr("(n_kept * 1000) div n_items"))
+        .orderBy("community")
+    }),
     // SA5: per-language quality-median filter — broadcast threshold
     // table, map-side keep decision.
     "sa5_quality_filter" -> ((s, d) =>
@@ -7379,6 +7407,27 @@ ${sqlRecallTailFor(" WHERE q.vec_id < 50")}""".stripMargin
          |  SELECT *, row_number() OVER (PARTITION BY lang
          |    ORDER BY es_key DESC, doc_id) AS rk FROM k)
          |WHERE rk <= 20 ORDER BY lang, rk""".stripMargin,
+    // g10's unrolled LPA rounds (shared CTE builder), then sa4's
+    // integer temperature predicate over community strata; counts cast
+    // to BIGINT, md5-bucket replay identical to sa4's
+    "sa16_community_mix" ->
+      s"""WITH ${graft.graph.LabelProp.copurchaseCtes(rounds = 4)},
+        |comm AS (SELECT node AS pk, lbl AS community FROM l4),
+        |it AS (SELECT l.l_orderkey * 10 + l.l_linenumber AS item_id, c.community
+        |  FROM lineitem l JOIN comm c ON c.pk = l.l_partkey),
+        |cnt AS (SELECT community, count(*) AS cnt FROM it GROUP BY 1),
+        |r AS (SELECT community, cnt, min(cnt) OVER () AS mn FROM cnt),
+        |k AS (SELECT i.community, count(*) AS kept_cnt
+        |  FROM it i JOIN r ON r.community = i.community
+        |  WHERE (('0x' || substr(md5('cmix:' || i.item_id), 1, 7))::BIGINT % 10000)
+        |      * (('0x' || substr(md5('cmix:' || i.item_id), 1, 7))::BIGINT % 10000)
+        |      * r.cnt < CAST(10000 AS BIGINT) * 10000 * r.mn
+        |  GROUP BY 1)
+        |SELECT r.community, CAST(r.cnt AS BIGINT) AS n_items,
+        |  CAST(coalesce(k.kept_cnt, 0) AS BIGINT) AS n_kept,
+        |  CAST((coalesce(k.kept_cnt, 0) * 1000) // r.cnt AS BIGINT) AS kept_milli
+        |FROM r LEFT JOIN k ON k.community = r.community
+        |ORDER BY r.community""".stripMargin,
     "sa4_temperature_mix" ->
       """WITH c AS (SELECT lang AS k, count(*) AS cnt FROM documents GROUP BY lang),
         |r AS (SELECT k, cnt, min(cnt) OVER () AS mn FROM c)

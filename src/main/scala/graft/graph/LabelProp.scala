@@ -65,11 +65,11 @@ object LabelProp {
         col("community_size"))
   }
 
-  /** Oracle SQL for [[propagate]] over the co-purchase graph: the
-    * identical synchronous recurrence unrolled (the g7/g9 recipe;
-    * label tables MATERIALIZED — each feeds the next round and the
-    * final size join). */
-  def copurchaseSql(rounds: Int = 4): String = {
+  /** The shared WITH-body of the co-purchase LPA oracles: edge build,
+    * adjacency, l0, and `rounds` unrolled vote rounds ending at
+    * l`rounds` (node, lbl). Reused by g10 and the sa16 community-mix
+    * oracle. */
+  def copurchaseCtes(rounds: Int = 4): String = {
     val roundCtes = (1 to rounds).map { k =>
       s"""l$k AS MATERIALIZED (SELECT node, lbl FROM (
          |  SELECT node, lbl,
@@ -78,7 +78,7 @@ object LabelProp {
          |    FROM adj a JOIN l${k - 1} l ON l.node = a.nbr
          |    GROUP BY a.node, l.lbl)) WHERE rn = 1)""".stripMargin
     }.mkString(",\n")
-    s"""WITH e AS MATERIALIZED (
+    s"""e AS MATERIALIZED (
        |  SELECT a.l_partkey AS u, b.l_partkey AS v
        |  FROM lineitem a JOIN lineitem b
        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
@@ -87,10 +87,17 @@ object LabelProp {
        |  SELECT u AS node, v AS nbr FROM e
        |  UNION ALL SELECT v AS node, u AS nbr FROM e),
        |l0 AS MATERIALIZED (SELECT DISTINCT node, node AS lbl FROM adj),
-       |$roundCtes,
+       |$roundCtes""".stripMargin
+  }
+
+  /** Oracle SQL for [[propagate]] over the co-purchase graph: the
+    * identical synchronous recurrence unrolled (the g7/g9 recipe;
+    * label tables MATERIALIZED — each feeds the next round and the
+    * final size join). */
+  def copurchaseSql(rounds: Int = 4): String =
+    s"""WITH ${copurchaseCtes(rounds)},
        |sz AS (SELECT lbl, count(*) AS community_size FROM l$rounds GROUP BY lbl)
        |SELECT l.node AS node_id, l.lbl AS community, sz.community_size
        |FROM l$rounds l JOIN sz ON sz.lbl = l.lbl
        |ORDER BY node_id""".stripMargin
-  }
 }
