@@ -5994,6 +5994,16 @@ ${sqlRecallTailFor(" WHERE q.vec_id < 50")}""".stripMargin
     // (gaps-and-islands windows in unrolled CTEs).
     "t25_bpe_merge_loop" -> ((s, d) =>
       graft.text.Bpe.bpeTrain(t(s, d, "documents"), rounds = 20)),
+    // T26 (beyond reference): the trained tokenizer APPLIED — per-doc
+    // word/BPE-token counts and exact chars-per-token ratio under
+    // t25's learned merge table (what c2/c3 packing and t23 fertility
+    // consume). Distinct words tokenize once (|vocab|-bounded map with
+    // the merge list broadcast); the corpus pays one explode + one
+    // word-key join + one per-doc agg. The oracle re-derives the
+    // merges AND re-tokenizes every word relationally (the t25
+    // machinery, applied instead of recounted).
+    "t26_bpe_tokenize" -> ((s, d) =>
+      graft.text.Bpe.bpeTokenCounts(t(s, d, "documents"), rounds = 20)),
     "t24_bpe_merge_pairs" -> ((s, d) => {
       val vocab = t(s, d, "documents")
         .select(explode(graft.text.TextAnalysis.words(col("text"))).as("w"))
@@ -6115,6 +6125,9 @@ ${sqlRecallTailFor(" WHERE q.vec_id < 50")}""".stripMargin
       // (the g9/e42 recipe); greedy replayed relationally via
       // gaps-and-islands — see Bpe.bpeTrainSql
       "t25_bpe_merge_loop" -> graft.text.Bpe.bpeTrainSql(rounds = 20),
+      // train CTEs + the apply track (merge by b_k, not recount) +
+      // per-doc rollup — see Bpe.tokenizeSql
+      "t26_bpe_tokenize" -> graft.text.Bpe.tokenizeSql(rounds = 20),
       // vocab rollup, then in-word adjacent char pairs weighted by
       // word frequency; sums cast to BIGINT, row_number to INT
       "t24_bpe_merge_pairs" ->

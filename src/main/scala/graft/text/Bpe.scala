@@ -88,11 +88,11 @@ object Bpe {
     a.length < b.length
   }
 
-  /** Train `rounds` BPE merges over the space-split vocabulary of
-    * `docs.text`. Returns the merge table:
-    * (merge_rank INT, a, b STRING, n BIGINT). */
-  def bpeTrain(docs: DataFrame, rounds: Int = 20,
-      vocabCap: Int = 65536): DataFrame = {
+  /** Train `rounds` BPE merges; returns the merge list
+    * (rank, a, b, weighted count) — the kernel behind [[bpeTrain]],
+    * exposed so [[bpeTokenCounts]] can apply the same merges. */
+  def trainMerges(docs: DataFrame, rounds: Int = 20,
+      vocabCap: Int = 65536): Seq[(Int, String, String, Long)] = {
     val spark = docs.sparkSession
     import spark.implicits._
     // THE distributed stage: one corpus scan → frequency-weighted
@@ -147,8 +147,57 @@ object Bpe {
       }
     }
     merges.result()
+  }
+
+  /** Train `rounds` BPE merges over the space-split vocabulary of
+    * `docs.text`. Returns the merge table:
+    * (merge_rank INT, a, b STRING, n BIGINT). */
+  def bpeTrain(docs: DataFrame, rounds: Int = 20,
+      vocabCap: Int = 65536): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    trainMerges(docs, rounds, vocabCap)
       .toDF("merge_rank", "a", "b", "n")
       .orderBy("merge_rank")
+  }
+
+  /** T26: APPLY the trained tokenizer — the step a training pipeline
+    * runs over every document once the merge table exists (and the
+    * input c2/c3 packing and t23 fertility actually consume). Trains
+    * [[trainMerges]] on the corpus, then tokenizes each DISTINCT word
+    * once (merges applied in rank order — a word's tokenization is
+    * corpus-position-independent, so the |vocab|-row token-length
+    * table is the whole tokenizer state) and joins it back onto the
+    * word stream. Per doc: word count, BPE token count, exact
+    * chars-per-token milli ratio (the compression the tokenizer buys).
+    *
+    * Scale: tokenizing distinct words is |vocab|-bounded map work with
+    * the 20-pair merge list broadcast; the corpus pays one explode +
+    * one join on the word key + one per-doc aggregation. */
+  def bpeTokenCounts(docs: DataFrame, rounds: Int = 20,
+      vocabCap: Int = 65536): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val merges = trainMerges(docs, rounds, vocabCap)
+      .map { case (_, a, b, _) => (a, b) }
+    val mergesB = spark.sparkContext.broadcast(merges)
+    val occurrences = docs.select(col("doc_id"), col("n_chars"),
+        explode(TextAnalysis.words(col("text"))).as("w"))
+      .filter(length(col("w")) >= 1)
+    val tokLen = occurrences.select(col("w")).distinct()
+      .as[String].map { w =>
+        var syms = w.codePoints().toArray
+          .map(cp => new String(Character.toChars(cp)))
+        mergesB.value.foreach { case (a, b) => syms = mergeGreedy(syms, a, b) }
+        (w, syms.length.toLong)
+      }.toDF("w", "n_tok")
+    occurrences.join(tokLen, "w")
+      .groupBy(col("doc_id"))
+      .agg(max(col("n_chars")).as("nc"),
+        count(lit(1)).as("n_words"), sum(col("n_tok")).as("n_tokens"))
+      .select(col("doc_id"), col("n_words"), col("n_tokens"),
+        expr("(nc * 1000) div nullif(n_tokens, 0)").as("chars_per_tok_milli"))
+      .orderBy("doc_id")
   }
 
   /** Oracle SQL for [[bpeTrain]]: the identical recurrence unrolled
@@ -163,6 +212,19 @@ object Bpe {
     * so the hash match is evidence of the algorithm, not shared
     * code. */
   def bpeTrainSql(rounds: Int = 20, vocabCap: Int = 65536): String = {
+    val unionAll = (1 to rounds)
+      .map(k => s"SELECT $k AS merge_rank, a, b, n FROM b$k")
+      .mkString("\nUNION ALL ")
+    s"""WITH ${trainCtes(rounds, vocabCap)}
+       |SELECT CAST(merge_rank AS INT) AS merge_rank, a, b, n FROM (
+       |$unionAll)
+       |ORDER BY merge_rank""".stripMargin
+  }
+
+  /** The shared WITH-body of the BPE oracles: capped vocab, r1, and
+    * `rounds` unrolled train rounds — b1..b`rounds` carry the merge
+    * table, r`rounds`+1 the final training-vocab symbolization. */
+  def trainCtes(rounds: Int = 20, vocabCap: Int = 65536): String = {
     val roundCtes = (1 to rounds).map { k =>
       s"""c$k AS (SELECT a, b, CAST(sum(wf) AS BIGINT) AS n FROM (
          |    SELECT sym AS a, lead(sym) OVER (PARTITION BY w ORDER BY pos) AS b, wf
@@ -184,10 +246,7 @@ object Bpe {
          |  FROM (SELECT *, lag(mg) OVER (PARTITION BY w ORDER BY pos) AS pm FROM s$k)
          |  WHERE pm IS DISTINCT FROM TRUE)""".stripMargin
     }.mkString(",\n")
-    val unionAll = (1 to rounds)
-      .map(k => s"SELECT $k AS merge_rank, a, b, n FROM b$k")
-      .mkString("\nUNION ALL ")
-    s"""WITH vocab AS MATERIALIZED (SELECT w, wf FROM (
+    s"""vocab AS MATERIALIZED (SELECT w, wf FROM (
        |    SELECT w, count(*) AS wf FROM (
        |      SELECT unnest(string_split(text, ' ')) AS w FROM documents)
        |    GROUP BY w)
@@ -195,9 +254,51 @@ object Bpe {
        |r1 AS MATERIALIZED (SELECT w, wf, CAST(u.i AS INT) AS pos,
        |    substring(w, CAST(u.i AS INT), 1) AS sym
        |  FROM vocab, unnest(range(1, len(w) + 1)) AS u(i)),
-       |$roundCtes
-       |SELECT CAST(merge_rank AS INT) AS merge_rank, a, b, n FROM (
-       |$unionAll)
-       |ORDER BY merge_rank""".stripMargin
+       |$roundCtes""".stripMargin
+  }
+
+  /** Oracle SQL for [[bpeTokenCounts]]: the train CTEs (b1..b`rounds`
+    * carry the learned merges), then an APPLY track that replays the
+    * rewrite machinery — same gaps-and-islands greedy, but each round
+    * k merges by the TRAINED pair b$k instead of recounting — over
+    * every distinct word, and a final per-document aggregation over
+    * the word-occurrence stream. */
+  def tokenizeSql(rounds: Int = 20, vocabCap: Int = 65536): String = {
+    val applyCtes = (1 to rounds).map { k =>
+      s"""xa$k AS (SELECT m.w, m.pos, m.sym, m.nxt,
+         |    (m.sym = b.a AND m.nxt = b.b) AS cand
+         |  FROM (SELECT w, pos, sym,
+         |      lead(sym) OVER (PARTITION BY w ORDER BY pos) AS nxt FROM ra$k) m, b$k b),
+         |ia$k AS (SELECT *, CASE WHEN cand THEN
+         |    pos - row_number() OVER (PARTITION BY w, cand ORDER BY pos) END AS isl
+         |  FROM xa$k),
+         |sa$k AS (SELECT *, cand AND
+         |    (row_number() OVER (PARTITION BY w, isl ORDER BY pos) % 2 = 1) AS mg
+         |  FROM ia$k),
+         |ra${k + 1} AS MATERIALIZED (SELECT w,
+         |    CAST(row_number() OVER (PARTITION BY w ORDER BY pos) AS INT) AS pos,
+         |    CASE WHEN mg THEN sym || nxt ELSE sym END AS sym
+         |  FROM (SELECT *, lag(mg) OVER (PARTITION BY w ORDER BY pos) AS pm FROM sa$k)
+         |  WHERE pm IS DISTINCT FROM TRUE)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${trainCtes(rounds, vocabCap)},
+       |aw AS MATERIALIZED (SELECT DISTINCT w FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE len(w) >= 1),
+       |ra1 AS MATERIALIZED (SELECT w, CAST(u.i AS INT) AS pos,
+       |    substring(w, CAST(u.i AS INT), 1) AS sym
+       |  FROM aw, unnest(range(1, len(w) + 1)) AS u(i)),
+       |$applyCtes,
+       |tok AS (SELECT w, CAST(count(*) AS BIGINT) AS n_tok
+       |  FROM ra${rounds + 1} GROUP BY w),
+       |occ AS (SELECT doc_id, n_chars, w FROM (
+       |    SELECT doc_id, n_chars, unnest(string_split(text, ' ')) AS w
+       |    FROM documents) WHERE len(w) >= 1)
+       |SELECT occ.doc_id, count(*) AS n_words,
+       |  CAST(sum(tok.n_tok) AS BIGINT) AS n_tokens,
+       |  (max(occ.n_chars) * 1000) // nullif(CAST(sum(tok.n_tok) AS BIGINT), 0)
+       |    AS chars_per_tok_milli
+       |FROM occ JOIN tok ON tok.w = occ.w
+       |GROUP BY occ.doc_id ORDER BY occ.doc_id""".stripMargin
   }
 }

@@ -68,6 +68,22 @@ class BpeSpec extends SparkSpec {
     assert(got === Seq((1, "a", "b", 2L)))
   }
 
+  test("T26: bpeTokenCounts — hand-computed tokenization under the trained merges") {
+    // merges learned on this corpus (pinned above): (a,b), (c,d),
+    // (ab,ab) — so abab→1 token, ab→1, cd→1; 6 words → 6 tokens;
+    // chars_per_tok_milli = 21·1000 div 6 = 3500
+    val docs = Seq((1L, "abab abab ab cd cd cd", 21L))
+      .toDF("doc_id", "text", "n_chars")
+    val got = Bpe.bpeTokenCounts(docs, rounds = 4)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 6L, 6L, 3500L)))
+    // with only ONE merge round (a,b): abab→[ab,ab]=2, ab→1, cd→[c,d]=2
+    // → 2·2 + 1 + 3·2 = 11 tokens
+    val one = Bpe.bpeTokenCounts(docs, rounds = 1)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(one === Seq((1L, 6L, 11L, 21000L / 11L)))
+  }
+
   test("T25: vocabCap binds deterministically by (wf desc, w)") {
     // cap 2 keeps the two most frequent words {cc:3, bb:2}; "aa" (1)
     // is cut, so round 1 counts (c,c)=3 not including any (a,a)
