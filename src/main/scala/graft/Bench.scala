@@ -397,7 +397,11 @@ object Bench {
     // rechecked: every query the post-suite outlier pass re-ran, with
     // first-pass and recheck seconds — the reported min for these names
     // may come from the extra run (r15 ADVICE: the marker must live in
-    // the artifact, not only on stderr)
+    // the artifact, not only on stderr). It goes on the DETAIL line
+    // only: the tail-canonical total line must stay short (the
+    // driver's ~2KB tail capture has clipped long lines before), and
+    // 20 recheck entries are ~1.3KB; the total line carries just the
+    // count.
     val recheckedJson = recheckLog.map { case (n, a, b) =>
       s"""{"q":"$n","first":${num("%.2f", a)},"recheck":${
         num("%.2f", if (b == Double.MaxValue) -1.0 else b)}}"""
@@ -405,7 +409,8 @@ object Bench {
     val calib = s""""calib":{"start":${num("%.2f", calibStart)},"end":${num("%.2f", calibEnd)},""" +
       s""""schedMin":${num("%.3f", probeMin)},"schedMax":${num("%.3f", probeMax)},""" +
       s""""schedStalled":$schedStalled,"passes":$passes,"p1Stalled":$p1Stalled,""" +
-      s""""rescued":$rescued,"rechecked":$recheckedJson}"""
+      s""""rescued":$rescued,"nRechecked":${recheckLog.size}}"""
+    val calibDetail = calib.dropRight(1) + s""","rechecked":$recheckedJson}"""
     if (math.max(calibStart, calibEnd) > 1.3)
       System.err.println(f"[bench] WARNING: contention sentinel inflated " +
         f"(start=$calibStart%.2fs end=$calibEnd%.2fs, quiet-box 0.84s) — " +
@@ -414,7 +419,7 @@ object Bench {
       System.err.println(f"[bench] WARNING: the certifying pass itself had " +
         f"$schedStalled stalled probe(s) (min=$probeMin%.3fs max=$probeMax%.3fs, " +
         f"threshold ${thresh()}%.2fs) — totals are upper bounds")
-    val detailLine = s"""{"metric":"detail","value":${num("%.3f", total)},"unit":"sec","queries":$qs,"failed":$failedArr,$calib,"sf":"$sfDir"}"""
+    val detailLine = s"""{"metric":"detail","value":${num("%.3f", total)},"unit":"sec","queries":$qs,"failed":$failedArr,$calibDetail,"sf":"$sfDir"}"""
     val totalLine = s"""{"metric":"total","value":${num("%.3f", total)},"unit":"sec","n_queries":${results.size},"failed":$failedArr,$calib,"sf":"$sfDir"}"""
     println(detailLine)
     println(totalLine)

@@ -60,7 +60,10 @@ object LabelProp {
     }
     val sizes = labels.groupBy(col("lbl"))
       .agg(count(lit(1)).as("community_size"))
-    labels.join(broadcast(sizes), "lbl")
+    // no broadcast HINT: |communities| is usually ≪ |V| but worst-case
+    // |V| (a labeling that never converges) — let AQE pick broadcast
+    // from the measured size instead of forcing a |V|-row broadcast
+    labels.join(sizes, "lbl")
       .select(col("node").as("node_id"), col("lbl").as("community"),
         col("community_size"))
   }

@@ -96,6 +96,38 @@ object Media {
     * remains the determinism-sensitive oracle path (mm-family queries
     * hash byte-level features only); this is the swap-in the interface
     * was built for, exercised by MediaSpec on in-test-encoded PNGs. */
+  /** The ONE ImageIO entry point both [[ImageIOCodec]] and
+    * [[imagePixelStats]] decode through (the codec boundary's "single
+    * swap-in" promise, kept for the pixel path too): header-first dim
+    * read, then a DECODE-BOMB GUARD — a 54-byte BMP can declare
+    * 65535×65535 and make the reader allocate ~17 GB before touching
+    * pixel data, which surfaces as OutOfMemoryError no `catch
+    * Exception` sees. Dims beyond `maxPixels` (default 2²⁶ ≈ 67 MP —
+    * generous for real media, 3 orders below the bomb) reject to the
+    * dead-letter null BEFORE any pixel allocation. NonFatal parse
+    * failures also return null; decode never throws. */
+  private[multimodal] def readImageBounded(bytes: Array[Byte],
+      maxPixels: Long = 1L << 26): java.awt.image.BufferedImage = {
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) null
+        else {
+          val r = readers.next()
+          try {
+            r.setInput(iis)
+            val w = r.getWidth(0).toLong
+            val h = r.getHeight(0).toLong
+            if (w <= 0 || h <= 0 || w * h > maxPixels) null
+            else r.read(0)
+          } finally r.dispose()
+        }
+      } finally if (iis != null) iis.close()
+    } catch { case scala.util.control.NonFatal(_) => null }
+  }
+
   object ImageIOCodec extends MediaCodec {
     def open(): MediaCodec.Session = new MediaCodec.Session {
       // default ImageIO.read(InputStream) wraps the stream in a
@@ -107,9 +139,7 @@ object Media {
       def decode(id: Long, bytes: Array[Byte], w0: Int, h0: Int, f0: Int): Decoded = {
         md.reset()
         val digest = md.digest(bytes).map("%02x".format(_)).mkString
-        val img =
-          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-          catch { case _: Exception => null } // corrupt stream = undecodable
+        val img = readImageBounded(bytes)
         if (img == null) Decoded(id, -1, -1, 0, bytes.length, digest)
         else Decoded(id, img.getWidth, img.getHeight, 1, bytes.length, digest)
       }
@@ -252,9 +282,7 @@ object Media {
       .mapPartitions { it =>
         javax.imageio.ImageIO.setUseCache(false)
         it.map { case (id, bytes) =>
-          val img =
-            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-            catch { case _: Exception => null }
+          val img = readImageBounded(bytes)
           if (img == null) PixelStats(id, -1, -1, None, None)
           else {
             val w = img.getWidth

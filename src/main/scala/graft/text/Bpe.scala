@@ -172,8 +172,12 @@ object Bpe {
     * chars-per-token milli ratio (the compression the tokenizer buys).
     *
     * Scale: tokenizing distinct words is |vocab|-bounded map work with
-    * the 20-pair merge list broadcast; the corpus pays one explode +
-    * one join on the word key + one per-doc aggregation. */
+    * the 20-pair merge list broadcast; the corpus pays ONE exploded
+    * scan (checkpointed — it feeds both the distinct-word set and the
+    * per-doc rollup, standing in for the materialized token table a
+    * production pipeline persists as its output anyway) + one join on
+    * the word key + one per-doc aggregation, after the training
+    * rollup. */
   def bpeTokenCounts(docs: DataFrame, rounds: Int = 20,
       vocabCap: Int = 65536): DataFrame = {
     val spark = docs.sparkSession
@@ -184,6 +188,7 @@ object Bpe {
     val occurrences = docs.select(col("doc_id"), col("n_chars"),
         explode(TextAnalysis.words(col("text"))).as("w"))
       .filter(length(col("w")) >= 1)
+      .localCheckpoint(true)
     val tokLen = occurrences.select(col("w")).distinct()
       .as[String].map { w =>
         var syms = w.codePoints().toArray
@@ -264,11 +269,18 @@ object Bpe {
     * every distinct word, and a final per-document aggregation over
     * the word-occurrence stream. */
   def tokenizeSql(rounds: Int = 20, vocabCap: Int = 65536): String = {
+    // LEFT JOIN ON TRUE, not a comma cross join: when training
+    // exhausts before `rounds` (b$k empty — BpeSpec's tiny corpus does
+    // this at round 4), a cross join would EMPTY the apply track and
+    // every word would vanish from the tokenization; the left join
+    // keeps the rows with cand=false, i.e. the identity rewrite —
+    // exactly Spark's "stop merging"
     val applyCtes = (1 to rounds).map { k =>
       s"""xa$k AS (SELECT m.w, m.pos, m.sym, m.nxt,
-         |    (m.sym = b.a AND m.nxt = b.b) AS cand
+         |    coalesce(m.sym = b.a AND m.nxt = b.b, FALSE) AS cand
          |  FROM (SELECT w, pos, sym,
-         |      lead(sym) OVER (PARTITION BY w ORDER BY pos) AS nxt FROM ra$k) m, b$k b),
+         |      lead(sym) OVER (PARTITION BY w ORDER BY pos) AS nxt FROM ra$k) m
+         |    LEFT JOIN b$k b ON TRUE),
          |ia$k AS (SELECT *, CASE WHEN cand THEN
          |    pos - row_number() OVER (PARTITION BY w, cand ORDER BY pos) END AS isl
          |  FROM xa$k),

@@ -348,6 +348,32 @@ class MediaSpec extends SparkSpec {
     assert(got.contains(4L))
   }
 
+  test("MM13: decode bomb — a header declaring 60000x60000 dead-letters before allocation") {
+    // a classic decompression bomb: 54 valid header bytes declaring
+    // ~3.6 gigapixels (~14 GB ARGB). Reading it through plain
+    // ImageIO.read raises OutOfMemoryError, which no `catch Exception`
+    // sees; readImageBounded's header-first dim gate must reject it to
+    // the dead-letter row without allocating a pixel buffer.
+    val bomb = Media.bmpBytes(0L, 4, 4).take(54)
+    val b = java.nio.ByteBuffer.wrap(bomb).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.putInt(18, 60000) // biWidth
+    b.putInt(22, 60000) // biHeight
+    val got = Media.imagePixelStats(spark,
+        Seq((1L, bomb)).toDF("asset_id", "content"))
+      .as[(Long, Int, Int, Option[Long], Option[Long])].collect()
+    assert(got.toSeq === Seq((1L, -1, -1, None, None)))
+    // and through the codec boundary too (same shared reader)
+    val dec = Media.decode(spark,
+        Seq((1L, bomb)).toDF("asset_id", "content")
+          .select(col("asset_id"), col("content"),
+            struct(lit(0).as("width"), lit(0).as("height"),
+              lit(0).as("n_frames")).as("meta")),
+        Media.ImageIOCodec)
+      .select("asset_id", "width", "height", "n_frames").as[(Long, Int, Int, Int)]
+      .collect()
+    assert(dec.toSeq === Seq((1L, -1, -1, 0)))
+  }
+
   test("MM14: audioSampleStats — hand-replayed stats, strict format + truncation gates") {
     // id=0, n=25: replay the closed-form samples in the test and
     // compare against the full pcmBytes → AudioSystem → native-walk
