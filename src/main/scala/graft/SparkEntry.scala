@@ -8470,6 +8470,15 @@ ${sqlRecallTailFor(" WHERE q.vec_id < 50")}""".stripMargin
       graft.graph.LabelProp.propagate(
           copurchase(s, d).select(col("u"), col("v")), rounds = 4)
         .orderBy("node_id")),
+    // G11 (beyond reference): Newman modularity audit of g10's
+    // labeling — per-community e_c/m − (d_c/2m)² from exact integer
+    // counts, one rounded integer-ratio-to-double per community (the
+    // g8 recipe). Q near 0 tells sa16 its strata are noise; ≳0.3 is
+    // real modular structure — the audit that certifies the
+    // communities before a mixing pipeline keys on them.
+    "g11_modularity" -> ((s, d) =>
+      graft.graph.LabelProp.modularity(
+        copurchase(s, d).select(col("u"), col("v")), rounds = 4)),
     // G9 (beyond reference): bounded-round weighted shortest paths —
     // min-plus Bellman–Ford from a seed part set over the co-purchase
     // graph, edge cost 1 + 6 div support (frequent pairings are cheap:
@@ -8633,6 +8642,9 @@ ${sqlRecallTailFor(" WHERE q.vec_id < 50")}""".stripMargin
         |     JOIN pairs ac ON ac.u = ab.u AND ac.v = bc.v) AS n_triangles""".stripMargin,
     // 4 unrolled synchronous vote rounds (matches LabelProp.propagate)
     "g10_label_prop" -> graft.graph.LabelProp.copurchaseSql(rounds = 4),
+    // g10's CTEs + exact-count modularity terms, one rounded
+    // integer-ratio-to-double per community
+    "g11_modularity" -> graft.graph.LabelProp.modularitySql(rounds = 4),
     "g7_kcore" -> {
       // 4 unrolled peel rounds (matches KCore.kcore; MATERIALIZED for
       // the same lineage reason as d7/g5)

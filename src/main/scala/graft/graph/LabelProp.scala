@@ -68,6 +68,82 @@ object LabelProp {
         col("community_size"))
   }
 
+  /** G11: Newman modularity audit of a [[propagate]] labeling — the
+    * partition-quality number that tells a mixing pipeline whether
+    * g10's communities are real structure or noise (Q near 0 ⇒ the
+    * strata are meaningless and sa16's rebalance is sampling noise;
+    * Q ≳ 0.3 ⇒ genuine modular structure). Per community c:
+    * q_contrib = e_c/m − (d_c/2m)², Q = Σ q_contrib.
+    *
+    * Determinism: e_c, d_c, m are exact integer counts; the only
+    * division is ONE integer-ratio-to-double per community,
+    * (4m·e_c − d_c²) / (4m²), rounded at 6 dp — both engines convert
+    * the same exact integers, so the rounding is bit-identical (the
+    * g8/e1 recipe). Integer bound: 4m² must fit int64 ⇒ m ≲ 1.5·10⁹
+    * edges; past that, audit a uniform edge sample. m is ONE
+    * driver-side scalar (the bounded-collect class).
+    *
+    * @return (community, n_nodes, intra_edges, deg_sum, q_contrib)
+    *         per community, ordered. */
+  def modularity(edges: DataFrame, rounds: Int = 4): DataFrame = {
+    val c = edges.columns
+    val e = edges
+      .select(col(c(0)).cast("long").as("u"), col(c(1)).cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("u"),
+        greatest(col("u"), col("v")).as("v"))
+      .distinct()
+      .localCheckpoint(eager = true)
+    val m = e.count()
+    val lbl = propagate(e, rounds)
+      .select(col("node_id"), col("community"))
+      .localCheckpoint(eager = true)
+    val nNodes = lbl.groupBy(col("community"))
+      .agg(count(lit(1)).as("n_nodes"))
+    val intra = e
+      .join(lbl.select(col("node_id").as("u"), col("community").as("cu")), "u")
+      .join(lbl.select(col("node_id").as("v"), col("community").as("cv")), "v")
+      .filter(col("cu") === col("cv"))
+      .groupBy(col("cu").as("community"))
+      .agg(count(lit(1)).as("intra_edges"))
+    val deg = e.select(explode(array(col("u"), col("v"))).as("node_id"))
+      .groupBy(col("node_id")).agg(count(lit(1)).as("d"))
+      .join(lbl, "node_id")
+      .groupBy(col("community")).agg(sum(col("d")).as("deg_sum"))
+    nNodes
+      .join(intra, Seq("community"), "left")
+      .join(deg, Seq("community"))
+      .select(col("community"), col("n_nodes"),
+        coalesce(col("intra_edges"), lit(0L)).as("intra_edges"),
+        col("deg_sum"))
+      .withColumn("q_contrib", round(
+        (lit(4L * m) * col("intra_edges") - col("deg_sum") * col("deg_sum"))
+          .cast("double") / lit(4.0 * m * m), 6))
+      .orderBy("community")
+  }
+
+  /** Oracle SQL for [[modularity]] over the co-purchase graph. */
+  def modularitySql(rounds: Int = 4): String =
+    s"""WITH ${copurchaseCtes(rounds)},
+       |mm AS (SELECT count(*) AS m FROM e),
+       |nn AS (SELECT lbl AS community, count(*) AS n_nodes FROM l$rounds GROUP BY 1),
+       |ie AS (SELECT lu.lbl AS community, count(*) AS intra_edges
+       |  FROM e JOIN l$rounds lu ON lu.node = e.u
+       |    JOIN l$rounds lv ON lv.node = e.v
+       |  WHERE lu.lbl = lv.lbl GROUP BY 1),
+       |dg AS (SELECT l.lbl AS community, CAST(sum(d.d) AS BIGINT) AS deg_sum
+       |  FROM (SELECT node, count(*) AS d FROM adj GROUP BY node) d
+       |  JOIN l$rounds l ON l.node = d.node GROUP BY 1)
+       |SELECT nn.community, nn.n_nodes,
+       |  CAST(coalesce(ie.intra_edges, 0) AS BIGINT) AS intra_edges,
+       |  dg.deg_sum,
+       |  round(CAST(4 * mm.m * coalesce(ie.intra_edges, 0)
+       |      - dg.deg_sum * dg.deg_sum AS DOUBLE)
+       |    / (4.0 * mm.m * mm.m), 6) AS q_contrib
+       |FROM nn JOIN dg ON dg.community = nn.community
+       |  LEFT JOIN ie ON ie.community = nn.community, mm
+       |ORDER BY nn.community""".stripMargin
+
   /** The shared WITH-body of the co-purchase LPA oracles: edge build,
     * adjacency, l0, and `rounds` unrolled vote rounds ending at
     * l`rounds` (node, lbl). Reused by g10 and the sa16 community-mix

@@ -42,6 +42,18 @@ class LabelPropSpec extends SparkSpec {
     assert(r2 === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 3L, 6L -> 3L))
   }
 
+  test("G11: modularity of the bridged graph — hand-computed exact terms") {
+    // m=7; both triangles: intra=3, deg_sum = 2+2+3 = 7
+    // q_contrib = (4·7·3 − 49)/(4·49) = 35/196 = 0.178571 each;
+    // Q = 0.357143 — genuinely modular, as the bridge structure should be
+    val got = LabelProp.modularity(bridged.toDF("u", "v"), rounds = 4)
+      .as[(Long, Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(got === Seq(
+      (1L, 3L, 3L, 7L, 0.178571),
+      (3L, 3L, 3L, 7L, 0.178571)))
+    assert(math.abs(got.map(_._5).sum - 0.357142) < 1e-5)
+  }
+
   test("G10: self-loops and duplicate edges are ignored; ties break to min label") {
     val got = LabelProp.propagate(
         Seq((7L, 7L), (1L, 2L), (2L, 1L), (1L, 2L)).toDF("u", "v"), rounds = 2)
