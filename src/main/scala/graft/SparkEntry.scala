@@ -7206,6 +7206,36 @@ ${sqlRecallTailFor(" WHERE q.vec_id < 50")}""".stripMargin
     "t7_unigram_nll" -> ((s, d) =>
       graft.text.Chunking.unigramLogProb(t(s, d, "documents"))
         .orderBy("doc_id")),
+    // T27 (beyond reference): CCNet-style perplexity bucketing — each
+    // language's documents split into head/middle/tail tertiles by
+    // t7's unigram NLL rank (Wenzek et al.'s canonical quality
+    // partition: train on head+middle, drop or downweight tail). The
+    // split is RANK-based, not threshold-interpolated: 3·rank ≤ n →
+    // head, ≤ 2n → middle — pure integer comparisons over a total
+    // order (avg_nll, doc_id), so no engine-specific percentile
+    // interpolation can flip a boundary doc (percentile vs
+    // quantile_cont measurably disagreed at sf0.1's n — ~7e-6 on the
+    // es tertile — flipping 2 docs; rank arithmetic cannot). Output is
+    // the per-(lang, bucket) volume report a curation job reads to set
+    // its mixing weights.
+    "t27_ppl_buckets" -> ((s, d) => {
+      val scored = graft.text.Chunking.unigramLogProb(t(s, d, "documents"))
+        .join(t(s, d, "documents").select(col("doc_id"), col("lang")), "doc_id")
+      val byNll = Window.partitionBy(col("lang"))
+        .orderBy(col("avg_nll"), col("doc_id"))
+      scored
+        .withColumn("rn", row_number().over(byNll))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("lang"))))
+        .withColumn("bucket",
+          when(col("rn") * 3 <= col("n"), "head")
+            .when(col("rn") * 3 <= col("n") * 2, "middle")
+            .otherwise("tail"))
+        .groupBy(col("lang"), col("bucket"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+          round(min(col("avg_nll")), 6).as("min_nll"),
+          round(max(col("avg_nll")), 6).as("max_nll"))
+        .orderBy("lang", "bucket")
+    }),
     // T12: bigram-LM conditional NLL — word-order-sensitive fluency.
     "t12_bigram_nll" -> ((s, d) =>
       graft.text.Chunking.bigramLogProb(t(s, d, "documents"))
@@ -7521,6 +7551,31 @@ ${sqlRecallTailFor(" WHERE q.vec_id < 50")}""".stripMargin
         |  round(CAST(sum(nll) AS DOUBLE) / count(*), 6) AS avg_nll
         |FROM tok JOIN model USING (term)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // t7's CTEs + rank-based per-lang tertiles (3·rn ≤ n / ≤ 2n —
+    // integer comparisons over the (avg_nll, doc_id) total order; no
+    // percentile interpolation) + the bucket rollup
+    "t27_ppl_buckets" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |counts AS (SELECT term, count(*) AS c FROM tok GROUP BY 1),
+        |total AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM counts),
+        |model AS (SELECT term, CAST(-ln(c * 1.0 / total) AS DECIMAL(20,12)) AS nll
+        |  FROM counts CROSS JOIN total),
+        |nd AS (SELECT doc_id, count(*) AS n_tok,
+        |    round(CAST(sum(nll) AS DOUBLE) / count(*), 6) AS avg_nll
+        |  FROM tok JOIN model USING (term) GROUP BY doc_id),
+        |sc AS (SELECT nd.doc_id, nd.n_tok, nd.avg_nll, d.lang,
+        |    row_number() OVER (PARTITION BY d.lang ORDER BY nd.avg_nll, nd.doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY d.lang) AS n
+        |  FROM nd JOIN documents d USING (doc_id)),
+        |b AS (SELECT lang,
+        |    CASE WHEN rn * 3 <= n THEN 'head'
+        |         WHEN rn * 3 <= n * 2 THEN 'middle' ELSE 'tail' END AS bucket,
+        |    n_tok, avg_nll
+        |  FROM sc)
+        |SELECT lang, bucket, count(*) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        |  round(min(avg_nll), 6) AS min_nll, round(max(avg_nll), 6) AS max_nll
+        |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "t12_bigram_nll" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
         |bg AS (SELECT doc_id, unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS b
