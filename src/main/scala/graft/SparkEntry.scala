@@ -7218,24 +7218,12 @@ ${sqlRecallTailFor(" WHERE q.vec_id < 50")}""".stripMargin
     // es tertile — flipping 2 docs; rank arithmetic cannot). Output is
     // the per-(lang, bucket) volume report a curation job reads to set
     // its mixing weights.
-    "t27_ppl_buckets" -> ((s, d) => {
-      val scored = graft.text.Chunking.unigramLogProb(t(s, d, "documents"))
-        .join(t(s, d, "documents").select(col("doc_id"), col("lang")), "doc_id")
-      val byNll = Window.partitionBy(col("lang"))
-        .orderBy(col("avg_nll"), col("doc_id"))
-      scored
-        .withColumn("rn", row_number().over(byNll))
-        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("lang"))))
-        .withColumn("bucket",
-          when(col("rn") * 3 <= col("n"), "head")
-            .when(col("rn") * 3 <= col("n") * 2, "middle")
-            .otherwise("tail"))
-        .groupBy(col("lang"), col("bucket"))
-        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
-          round(min(col("avg_nll")), 6).as("min_nll"),
-          round(max(col("avg_nll")), 6).as("max_nll"))
-        .orderBy("lang", "bucket")
-    }),
+    "t27_ppl_buckets" -> ((s, d) =>
+      // lang rides THROUGH the t7 scorer (carry), so the base table is
+      // scanned once — no doc_id re-join
+      graft.text.Chunking.pplBuckets(
+        graft.text.Chunking.unigramLogProb(t(s, d, "documents"),
+          carry = Seq("lang")))),
     // T12: bigram-LM conditional NLL — word-order-sensitive fluency.
     "t12_bigram_nll" -> ((s, d) =>
       graft.text.Chunking.bigramLogProb(t(s, d, "documents"))

@@ -33,14 +33,21 @@ object LabelProp {
     * @param rounds fixed synchronous vote count.
     * @return (node_id, community, community_size) — every node that
     *         has at least one edge. */
-  def propagate(edges: DataFrame, rounds: Int = 4): DataFrame = {
+  /** Canonical undirected edge list: long ids, self-loops dropped,
+    * u < v, deduplicated — the shared front of [[propagate]] and
+    * [[modularity]]. */
+  private def canonical(edges: DataFrame): DataFrame = {
     val c = edges.columns
-    val e = edges
+    edges
       .select(col(c(0)).cast("long").as("u"), col(c(1)).cast("long").as("v"))
       .filter(col("u") =!= col("v"))
       .select(least(col("u"), col("v")).as("u"),
         greatest(col("u"), col("v")).as("v"))
       .distinct()
+  }
+
+  /** The vote loop over an ALREADY-canonical edge list → (node, lbl). */
+  private def propagateLabels(e: DataFrame, rounds: Int): DataFrame = {
     val adj = e.union(e.select(col("v").as("u"), col("u").as("v")))
       .select(col("u").as("node"), col("v").as("nbr"))
       .localCheckpoint(eager = true)
@@ -58,6 +65,11 @@ object LabelProp {
         .select(col("node"), col("lbl"))
         .localCheckpoint(eager = true)
     }
+    labels
+  }
+
+  def propagate(edges: DataFrame, rounds: Int = 4): DataFrame = {
+    val labels = propagateLabels(canonical(edges), rounds)
     val sizes = labels.groupBy(col("lbl"))
       .agg(count(lit(1)).as("community_size"))
     // no broadcast HINT: |communities| is usually ≪ |V| but worst-case
@@ -86,18 +98,13 @@ object LabelProp {
     * @return (community, n_nodes, intra_edges, deg_sum, q_contrib)
     *         per community, ordered. */
   def modularity(edges: DataFrame, rounds: Int = 4): DataFrame = {
-    val c = edges.columns
-    val e = edges
-      .select(col(c(0)).cast("long").as("u"), col(c(1)).cast("long").as("v"))
-      .filter(col("u") =!= col("v"))
-      .select(least(col("u"), col("v")).as("u"),
-        greatest(col("u"), col("v")).as("v"))
-      .distinct()
-      .localCheckpoint(eager = true)
+    // shared canonical front, then the label-only core — not
+    // propagate(), whose community_size aggregation+join this caller
+    // would throw away (and whose canonicalization would re-run)
+    val e = canonical(edges).localCheckpoint(eager = true)
     val m = e.count()
-    val lbl = propagate(e, rounds)
-      .select(col("node_id"), col("community"))
-      .localCheckpoint(eager = true)
+    val lbl = propagateLabels(e, rounds)
+      .select(col("node").as("node_id"), col("lbl").as("community"))
     val nNodes = lbl.groupBy(col("community"))
       .agg(count(lit(1)).as("n_nodes"))
     val intra = e

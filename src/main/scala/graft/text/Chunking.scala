@@ -84,7 +84,14 @@ object Chunking {
     * vocabulary. A real deployment swaps the self-trained unigrams for
     * a held-out LM's token probabilities — the pipeline shape is
     * identical. */
-  def unigramLogProb(docs: DataFrame): DataFrame = {
+  def unigramLogProb(docs: DataFrame): DataFrame =
+    unigramLogProb(docs, carry = Nil)
+
+  /** As [[unigramLogProb]], additionally carrying per-document columns
+    * (functionally dependent on doc_id, e.g. `lang`) through the
+    * aggregation so a consumer needing them (t27) reads the base table
+    * ONCE instead of re-scanning for a doc_id join. */
+  def unigramLogProb(docs: DataFrame, carry: Seq[String]): DataFrame = {
     // ONE corpus-sized operation: per-(doc, term) multiplicities, with
     // map-side partial combine collapsing repeats before the exchange.
     // Everything downstream — vocab counts, model, scoring — runs at
@@ -93,8 +100,11 @@ object Chunking {
     // previously was, twice, via checkpoint + model join). The
     // checkpoint barrier stays because the table feeds both the model
     // build and the scoring join (PlanAudit's re-scan flag).
-    val docTok = docs.select(col("doc_id"), explode(words(col("text"))).as("term"))
-      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("m"))
+    val carryCols = carry.map(col)
+    val docTok = docs.select(col("doc_id") +: carryCols :+
+        explode(words(col("text"))).as("term"): _*)
+      .groupBy((col("doc_id") +: carryCols) :+ col("term"): _*)
+      .agg(count(lit(1)).as("m"))
       .localCheckpoint(true)
     val counts = docTok.groupBy(col("term")).agg(sum(col("m")).as("c"))
     val total = counts.agg(sum(col("c")).as("total"))
@@ -109,9 +119,35 @@ object Chunking {
     // broadcast the |vocab|-sized model so the doc-term table is never
     // exchanged on the term key (same rationale as bigramLogProb)
     docTok.join(broadcast(model), "term")
-      .groupBy(col("doc_id"))
+      .groupBy(col("doc_id") +: carryCols: _*)
       .agg(sum(col("m")).as("n_tok"),
         round(sum(col("m") * col("nll")).cast("double") / sum(col("m")), 6).as("avg_nll"))
+  }
+
+  /** T27: CCNet-style head/middle/tail tertiles per language over
+    * scored documents (doc_id, n_tok, avg_nll, lang). RANK-based —
+    * 3·rank ≤ n → head, 3·rank ≤ 2n → middle, else tail, over the
+    * (avg_nll, doc_id) total order — pure integer comparisons, so no
+    * engine's percentile interpolation can flip a boundary document
+    * (ChunkingSpec pins the n=6 and n=7 boundary splits). Returns the
+    * per-(lang, bucket) volume report. */
+  def pplBuckets(scored: DataFrame): DataFrame = {
+    val byNll = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("avg_nll"), col("doc_id"))
+    val byLang = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"))
+    scored
+      .withColumn("rn", row_number().over(byNll))
+      .withColumn("n", count(lit(1)).over(byLang))
+      .withColumn("bucket",
+        when(col("rn") * 3 <= col("n"), "head")
+          .when(col("rn") * 3 <= col("n") * 2, "middle")
+          .otherwise("tail"))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+        round(min(col("avg_nll")), 6).as("min_nll"),
+        round(max(col("avg_nll")), 6).as("max_nll"))
+      .orderBy("lang", "bucket")
   }
 
   /** T12: bigram-LM document score — mean conditional NLL

@@ -198,4 +198,34 @@ class ChunkingSpec extends SparkSpec {
       .linesIterator.count(_.contains("SinglePartition")) == 0,
       "c4 audit must stay sharded end-to-end")
   }
+
+  test("T27: rank-tertile boundary arithmetic — n=7 splits 2/2/3, n=6 splits 2/2/2") {
+    import org.apache.spark.sql.functions._
+    // avg_nll ascending with doc_id: ranks are the doc ids themselves
+    def scored(lang: String, n: Int) = (1 to n).map(i =>
+      (i.toLong, 10L, i * 0.1, lang))
+    val df = (scored("a7", 7) ++ scored("b6", 6))
+      .toDF("doc_id", "n_tok", "avg_nll", "lang")
+    val got = graft.text.Chunking.pplBuckets(df)
+      .select("lang", "bucket", "n_docs")
+      .as[(String, String, Long)].collect().toSet
+    // n=7: 3·rn ≤ 7 → rn ≤ 2 head; 3·rn ≤ 14 → rn ≤ 4 middle; 5..7 tail
+    // n=6: exact thirds
+    assert(got === Set(
+      ("a7", "head", 2L), ("a7", "middle", 2L), ("a7", "tail", 3L),
+      ("b6", "head", 2L), ("b6", "middle", 2L), ("b6", "tail", 2L)))
+  }
+
+  test("T27: carry columns ride through unigramLogProb unchanged") {
+    import org.apache.spark.sql.functions._
+    val docs = Seq((1L, "a b a", "en"), (2L, "b b", "es"))
+      .toDF("doc_id", "text", "lang")
+    val plain = graft.text.Chunking.unigramLogProb(docs)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    val carried = graft.text.Chunking.unigramLogProb(docs, carry = Seq("lang"))
+      .select("doc_id", "lang", "n_tok", "avg_nll")
+      .as[(Long, String, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(carried(1L) === ((1L, "en", plain(1L)._2, plain(1L)._3)))
+    assert(carried(2L) === ((2L, "es", plain(2L)._2, plain(2L)._3)))
+  }
 }
