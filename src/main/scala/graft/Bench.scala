@@ -359,10 +359,21 @@ object Bench {
     // locale — a comma-decimal locale would emit unparseable JSON.
     def num(fmt: String, v: Double): String =
       String.format(java.util.Locale.ROOT, fmt, Double.box(v))
+    // Query names are interpolated into hand-built JSON (qs, failedArr,
+    // recheckedJson). All current names are identifier-shaped, but a
+    // future name carrying a quote/backslash would emit an unparseable
+    // line — escape the JSON string specials and control chars here so
+    // the artifact stays well-formed no matter what gets registered.
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
     // Compact formatting keeps the whole line well under the driver's
     // output-tail capture window (round 1's 9-decimal line got truncated
     // and failed to parse).
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + num("%.2f", v) }
+    val qs = results.map { case (k, v) => jstr(k) + ":" + num("%.2f", v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // Exactly ONE line carries metric "total" (a consumer matching on
@@ -378,7 +389,7 @@ object Bench {
     // of BENCH_r*.json show the driver's JSON parse failing on exactly
     // that prefix (`parsed: null` even when rc=0 and the line itself
     // was well-formed).
-    val failedArr = failed.keys.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val failedArr = failed.keys.map(jstr).mkString("[", ",", "]")
     failed.foreach { case (k, v) => System.err.println(s"[bench] FAILED $k: $v") }
     // sentinel run 2: same fixed work after the suite. calib >> its
     // quiet-box value (0.84 s measured on this CPU) at EITHER end means
@@ -403,7 +414,7 @@ object Bench {
     // 20 recheck entries are ~1.3KB; the total line carries just the
     // count.
     val recheckedJson = recheckLog.map { case (n, a, b) =>
-      s"""{"q":"$n","first":${num("%.2f", a)},"recheck":${
+      s"""{"q":${jstr(n)},"first":${num("%.2f", a)},"recheck":${
         num("%.2f", if (b == Double.MaxValue) -1.0 else b)}}"""
     }.mkString("[", ",", "]")
     val calib = s""""calib":{"start":${num("%.2f", calibStart)},"end":${num("%.2f", calibEnd)},""" +

@@ -3705,6 +3705,17 @@ object SparkEntry {
     "d16_prefix_filter_pairs" -> ((s, d) =>
       graft.dedup.Dedup.prefixFilterPairs(t(s, d, "documents"), 0.7)
         .orderBy("d1", "d2")),
+    // D16 production twin (the x2/e8 house pattern): same PPJoin
+    // candidate generation with the bounded-family guard engaged —
+    // prefix keys shared by >100 documents are excluded, bounding any
+    // key's candidate family to 100² pairs. On near-clone corpora the
+    // uncapped control's candidate set grows quadratically (13.9×
+    // time at 10× data, r16 bench); this twin is the registered
+    // at-scale shape. The oracle mirrors the cap relationally
+    // (WHERE fam <= 100), so the answer is deterministic, not "weaker".
+    "d16_prefix_filter_pairs_capped" -> ((s, d) =>
+      graft.dedup.Dedup.prefixFilterPairs(t(s, d, "documents"), 0.7,
+        maxFamily = 100).orderBy("d1", "d2")),
     // D4: SimHash 32-bit signatures.
     "d4_simhash_signatures" -> ((s, d) =>
       graft.dedup.Dedup.simhashSignatures(t(s, d, "documents")).orderBy("doc_id")),
@@ -3895,6 +3906,33 @@ object SparkEntry {
           |  WHERE rnk <= (3 * sz) // 10 + 1),
           |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
           |  FROM pref a JOIN pref b ON a.w = b.w AND a.doc_id < b.doc_id),
+          |inter AS (SELECT c.d1, c.d2, count(*) AS n_common
+          |  FROM cand c JOIN tok x ON x.doc_id = c.d1
+          |    JOIN tok y ON y.doc_id = c.d2 AND y.w = x.w
+          |  GROUP BY 1, 2)
+          |SELECT d1, d2, n_common,
+          |  round(CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common), 4) AS jaccard
+          |FROM inter JOIN sz sa ON sa.doc_id = d1 JOIN sz sb ON sb.doc_id = d2
+          |WHERE 10 * n_common >= 7 * (sa.sz + sb.sz - n_common)
+          |ORDER BY d1, d2""".stripMargin,
+      // Capped twin: identical pipeline, but prefix keys whose family
+      // exceeds 100 docs are dropped BEFORE candidate generation —
+      // the relational mirror of Dedup.prefixFilterPairs(maxFamily=100).
+      "d16_prefix_filter_pairs_capped" ->
+        s"""$shingleCte,
+          |tok AS (SELECT doc_id, unnest(g) AS w FROM sh WHERE len(g) > 0),
+          |df AS (SELECT w, count(*) AS df FROM tok GROUP BY 1),
+          |sz AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY 1),
+          |rk AS (SELECT tok.doc_id, tok.w,
+          |    row_number() OVER (PARTITION BY tok.doc_id ORDER BY df.df, tok.w) AS rnk
+          |  FROM tok JOIN df USING (w)),
+          |pref AS (SELECT rk.doc_id, rk.w FROM rk JOIN sz USING (doc_id)
+          |  WHERE rnk <= (3 * sz) // 10 + 1),
+          |fam AS (SELECT w, count(*) AS fam FROM pref GROUP BY 1),
+          |prefc AS (SELECT pref.doc_id, pref.w
+          |  FROM pref JOIN fam USING (w) WHERE fam <= 100),
+          |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+          |  FROM prefc a JOIN prefc b ON a.w = b.w AND a.doc_id < b.doc_id),
           |inter AS (SELECT c.d1, c.d2, count(*) AS n_common
           |  FROM cand c JOIN tok x ON x.doc_id = c.d1
           |    JOIN tok y ON y.doc_id = c.d2 AND y.w = x.w

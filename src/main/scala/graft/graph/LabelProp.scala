@@ -123,9 +123,13 @@ object LabelProp {
       .select(col("community"), col("n_nodes"),
         coalesce(col("intra_edges"), lit(0L)).as("intra_edges"),
         col("deg_sum"))
+      // `+ 0.0` normalizes IEEE negative zero: round() of a tiny
+      // negative contribution yields -0.0, whose bit pattern differs
+      // from DuckDB's +0.0 under bit-tagged hashing even though the
+      // values compare equal. -0.0 + 0.0 = +0.0 on both engines.
       .withColumn("q_contrib", round(
         (lit(4L * m) * col("intra_edges") - col("deg_sum") * col("deg_sum"))
-          .cast("double") / lit(4.0 * m * m), 6))
+          .cast("double") / lit(4.0 * m * m), 6) + lit(0.0))
       .orderBy("community")
   }
 
@@ -146,7 +150,7 @@ object LabelProp {
        |  dg.deg_sum,
        |  round(CAST(4 * mm.m * coalesce(ie.intra_edges, 0)
        |      - dg.deg_sum * dg.deg_sum AS DOUBLE)
-       |    / (4.0 * mm.m * mm.m), 6) AS q_contrib
+       |    / (4.0 * mm.m * mm.m), 6) + 0.0 AS q_contrib
        |FROM nn JOIN dg ON dg.community = nn.community
        |  LEFT JOIN ie ON ie.community = nn.community, mm
        |ORDER BY nn.community""".stripMargin

@@ -104,8 +104,11 @@ object Media {
     * pixel data, which surfaces as OutOfMemoryError no `catch
     * Exception` sees. Dims beyond `maxPixels` (default 2²⁶ ≈ 67 MP —
     * generous for real media, 3 orders below the bomb) reject to the
-    * dead-letter null BEFORE any pixel allocation. NonFatal parse
-    * failures also return null; decode never throws. */
+    * dead-letter null BEFORE any pixel allocation, and a second,
+    * depth-aware bound rejects images whose declared bits-per-pixel
+    * would blow the byte ceiling (maxPixels×4 B) even under the pixel
+    * cap — e.g. a 67 MP 16-bit RGBA PNG. NonFatal parse failures also
+    * return null; decode never throws. */
   private[multimodal] def readImageBounded(bytes: Array[Byte],
       maxPixels: Long = 1L << 26): java.awt.image.BufferedImage = {
     try {
@@ -121,7 +124,26 @@ object Media {
             val w = r.getWidth(0).toLong
             val h = r.getHeight(0).toLong
             if (w <= 0 || h <= 0 || w * h > maxPixels) null
-            else r.read(0)
+            else {
+              // depth-aware half of the guard (r16 ADVICE): the pixel
+              // cap alone assumes ≤32bpp — a declared 16-bit RGBA
+              // (64bpp) image under the pixel cap would still make
+              // ImageIO allocate 2× the intended ceiling. Read the
+              // reader's declared bits-per-pixel from its first
+              // ImageTypeSpecifier and bound the BYTE count at
+              // maxPixels×4 (the 32bpp assumption, made explicit).
+              // Readers that can't say (no type specifier) pass — they
+              // are bounded by the pixel cap like before.
+              val bpp: Long =
+                try {
+                  val types = r.getImageTypes(0)
+                  if (types != null && types.hasNext)
+                    math.max(1, types.next().getColorModel.getPixelSize).toLong
+                  else 32L
+                } catch { case scala.util.control.NonFatal(_) => 32L }
+              if (w * h * ((bpp + 7L) / 8L) > maxPixels * 4L) null
+              else r.read(0)
+            }
           } finally r.dispose()
         }
       } finally if (iis != null) iis.close()

@@ -43,19 +43,23 @@ object Ann {
     * PQ — e21/e25/e27/e28/e34). 200k 64-dim doubles ≈ 100 MB of
     * broadcast — comfortably inside one executor, far outside any
     * corpus a baseline should ever scan pairwise. Above the bound the
-    * kernel REFUSES (fail fast on the driver, before the collect) so
+    * kernel DEGRADES to the bucketed LSH path (with a loud warning) so
     * no production path can silently ride an unbounded
-    * corpus-to-driver collect at scale. */
+    * corpus-to-driver collect at scale — the guard is a fallback
+    * ramp, not a wall. */
   val MaxControlCorpus: Long = 200000L
 
-  /** Count-then-collect admission for the control kernels: the count
-    * is a cheap distributed aggregate; the collect only happens once
-    * the corpus is proven bounded. */
-  private def requireControlCorpus(n: Long, max: Long, caller: String): Unit =
-    require(n <= max,
+  /** Overflow notice for the control kernels when they degrade to the
+    * bucketed path: the count that gates it is a cheap distributed
+    * aggregate; the collect only happens once the corpus is proven
+    * bounded. */
+  private def warnControlOverflow(n: Long, max: Long, caller: String,
+      escape: String): Unit =
+    org.slf4j.LoggerFactory.getLogger("graft.similarity.Ann").warn(
       s"$caller is a driver-collected O(n²) control baseline, admitted up " +
-      s"to $max vectors (got $n). Use the bucketed serving paths " +
-      "(lshTopK/ivfTopK/ivfPqTopK) or an evaluation sample at this scale.")
+      s"to $max vectors (got $n) — DEGRADING to the bucketed $escape path. " +
+      "The answer is the LSH approximation, not the exact scan; pin an " +
+      "evaluation sample if you need the exact control at this scale.")
 
   /** Strict left-fold dot product — native codegen'd expression (26s →
     * ~2s on the sf0.1 ANN query vs the interpreted aggregate/zip_with
@@ -106,7 +110,15 @@ object Ann {
     import spark.implicits._
     val vecs = prepared(embeddings)
       .select(col("vec_id"), col("v"), col("nrm")).as[(Long, Array[Double], Double)]
-    requireControlCorpus(vecs.count(), maxControlCorpus, "cosineTopKBlocked")
+    val nVecs = vecs.count()
+    if (nVecs > maxControlCorpus) {
+      // graceful escape (r16 verdict #3): above the control bound,
+      // return the bucketed LSH answer instead of throwing — same
+      // schema, same fold/tiebreak/rounding; recall is the LSH
+      // approximation (asserted vs this kernel in AnnSpec).
+      warnControlOverflow(nVecs, maxControlCorpus, "cosineTopKBlocked", "lshTopK")
+      return lshTopK(embeddings, k)
+    }
     val bc = spark.sparkContext.broadcast(vecs.collect())
     val out = vecs.mapPartitions { it =>
       val cands = bc.value
@@ -725,7 +737,17 @@ object Ann {
     import spark.implicits._
     val vecs = prepared(embeddings)
       .select(col("vec_id"), col("v"), col("nrm")).as[(Long, Array[Double], Double)]
-    requireControlCorpus(vecs.count(), maxControlCorpus, "cosineNearDupPairs")
+    val nVecs = vecs.count()
+    if (nVecs > maxControlCorpus) {
+      // graceful escape (r16 verdict #3): above the control bound,
+      // return the bucketed LSH pair set instead of throwing — same
+      // schema and per-pair numerics (strict fold, HALF_UP-6 round
+      // before the threshold compare); recall is the OR-amplified
+      // LSH approximation (asserted vs this kernel in AnnSpec).
+      warnControlOverflow(nVecs, maxControlCorpus, "cosineNearDupPairs",
+        "lshNearDupPairs")
+      return lshNearDupPairs(embeddings, threshold)
+    }
     val bc = spark.sparkContext.broadcast(vecs.collect())
     vecs.mapPartitions { it =>
       val cands = bc.value
@@ -748,6 +770,65 @@ object Ann {
         out
       }
     }.toDF("d1", "d2", "sim")
+  }
+
+  /** Bucketed near-duplicate pairs — the at-scale escape of
+    * [[cosineNearDupPairs]] and the pair-shaped sibling of [[lshTopK]]:
+    * vectors explode to their (table, bucket) sign-LSH cells, ONE
+    * shuffle co-locates each cell, and an in-register all-pairs scan
+    * runs per cell (|cell| ≈ bucketTarget by the adaptive plane count,
+    * so per-cell work is bounded — Σ|cell|² ≈ n·bucketTarget, linear).
+    * A pair is a candidate if ANY table buckets it together
+    * (OR-amplification); duplicate emissions from different tables
+    * carry bit-identical sims (same strict fold on the same arrays) and
+    * collapse via `distinct`. Per-pair numerics match the blocked
+    * kernel exactly — smaller-id vector on the fold's left, HALF_UP-6
+    * round BEFORE the threshold compare — so on any corpus the result
+    * is a subset of the exact answer, equal whenever every qualifying
+    * pair shares a cell (AnnSpec pins equality on the harness corpus).
+    * Approximate by construction ⇒ no SQL oracle; recall vs the exact
+    * kernel is asserted in AnnSpec. */
+  def lshNearDupPairs(embeddings: DataFrame, threshold: Double,
+      nTables: Int = 8, bucketTarget: Int = 64,
+      nPlanesOverride: Int = -1): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val dim = 64
+    val nPlanes =
+      if (nPlanesOverride > 0) nPlanesOverride
+      else adaptivePlanes(embeddings.count(), bucketTarget)
+    val cells = prepared(embeddings)
+      .select(col("vec_id"), col("v"), col("nrm"),
+        posexplode(graft.functions.VectorExpressions
+          .signLshBuckets(col("v"), nTables, nPlanes, dim)).as(Seq("tbl", "bucket")))
+      .select(col("tbl"), col("bucket"), col("vec_id"), col("v"), col("nrm"))
+      .as[BucketedVec]
+    cells.groupByKey(m => (m.tbl, m.bucket)).flatMapGroups {
+      (_: (Int, Int), it: Iterator[BucketedVec]) =>
+        // sort by vec_id so the fold direction (smaller id on the
+        // left) matches cosineNearDupPairs' qid < cid orientation
+        val ms = it.toArray.sortBy(_.vec_id)
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+        var i = 0
+        while (i < ms.length) {
+          val a = ms(i)
+          var j = i + 1
+          while (j < ms.length) {
+            val b = ms(j)
+            var acc = 0.0
+            var t = 0
+            val n = math.min(a.v.length, b.v.length)
+            while (t < n) { acc += a.v(t) * b.v(t); t += 1 }
+            val sim = new java.math.BigDecimal(
+                java.lang.Double.toString(acc / (a.nrm * b.nrm)))
+              .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+            if (sim >= threshold) out += ((a.vec_id, b.vec_id, sim))
+            j += 1
+          }
+          i += 1
+        }
+        out
+    }.toDF("d1", "d2", "sim").distinct()
   }
 
   /** Product-quantization encoding: split each vector into `m`

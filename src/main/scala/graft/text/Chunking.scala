@@ -139,9 +139,12 @@ object Chunking {
     scored
       .withColumn("rn", row_number().over(byNll))
       .withColumn("n", count(lit(1)).over(byLang))
+      // rn is IntegerType (row_number): multiply in 64-bit so the
+      // tertile compare can't wrap past ~715M docs/language — the
+      // oracle computes the same comparison in int64.
       .withColumn("bucket",
-        when(col("rn") * 3 <= col("n"), "head")
-          .when(col("rn") * 3 <= col("n") * 2, "middle")
+        when(col("rn") * lit(3L) <= col("n"), "head")
+          .when(col("rn") * lit(3L) <= col("n") * lit(2L), "middle")
           .otherwise("tail"))
       .groupBy(col("lang"), col("bucket"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),

@@ -53,22 +53,50 @@ class AnnSpec extends SparkSpec {
     assert(kernel.exceptAll(joinForm).isEmpty && joinForm.exceptAll(kernel).isEmpty)
   }
 
-  test("control kernels refuse a corpus above the admission bound BEFORE collecting") {
-    // the guard fires on the distributed count — the driver-side
-    // collect (the thing that dies at scale) must never run
+  test("control kernels degrade to the bucketed path above the admission bound") {
+    // the guard fires on the distributed count, BEFORE the driver-side
+    // collect (the thing that dies at scale) — and instead of throwing
+    // it now returns the bucketed LSH answer (r16 verdict #3). Above
+    // the bound the result must be EXACTLY what the bucketed path
+    // computes (both are deterministic: LCG planes, no RNG).
+    val degradedTopK = Ann.cosineTopKBlocked(emb, 5, maxControlCorpus = 10)
+      .orderBy("query_id", "rank")
+    val bucketedTopK = Ann.lshTopK(emb, 5).orderBy("query_id", "rank")
+    assert(degradedTopK.exceptAll(bucketedTopK).isEmpty &&
+      bucketedTopK.exceptAll(degradedTopK).isEmpty)
+    val degradedPairs = Ann.cosineNearDupPairs(emb, 0.35, maxControlCorpus = 10)
+    val bucketedPairs = Ann.lshNearDupPairs(emb, 0.35)
+    assert(degradedPairs.exceptAll(bucketedPairs).isEmpty &&
+      bucketedPairs.exceptAll(degradedPairs).isEmpty)
+    // at the bound exactly, the exact kernel still runs (no degrade)
     val big = spark.range(0, 20).select(col("id").as("vec_id"),
       array(lit(1.0f), lit(2.0f)).as("embedding"))
-    val e1 = intercept[IllegalArgumentException] {
-      Ann.cosineTopKBlocked(big, 3, maxControlCorpus = 10)
-    }
-    assert(e1.getMessage.contains("control baseline"))
-    val e2 = intercept[IllegalArgumentException] {
-      Ann.cosineNearDupPairs(big, 0.5, maxControlCorpus = 10)
-    }
-    assert(e2.getMessage.contains("control baseline"))
-    // at the bound exactly, both kernels still run
     assert(Ann.cosineTopKBlocked(big.limit(10), 3, maxControlCorpus = 10)
       .count() > 0)
+  }
+
+  test("degraded near-dup pairs match the exact kernel on a clustered small corpus") {
+    // equivalence at small n: tight clusters (near-dup pairs are
+    // angularly close) land in the same LSH cell in at least one of
+    // the 8 OR-amplified tables, so the bucketed escape returns the
+    // exact kernel's answer — the subset-by-construction becomes
+    // equality. Also pins the per-pair numerics (same fold direction,
+    // same HALF_UP-6 round-then-compare).
+    val rnd = new scala.util.Random(11)
+    val centers = Array.fill(8, 64)(rnd.nextGaussian().toFloat)
+    val vecs = (0 until 120).map { i =>
+      val c = centers(i % 8)
+      (i.toLong, c.map(x => x + 0.02f * rnd.nextGaussian().toFloat))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val exact = Ann.cosineNearDupPairs(df, 0.9).as[(Long, Long, Double)]
+      .collect().toSet
+    val degraded = Ann.cosineNearDupPairs(df, 0.9, maxControlCorpus = 10)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(degraded.subsetOf(exact),
+      "bucketed pairs must be a subset of the exact answer (same numerics)")
+    assert(degraded === exact,
+      s"clustered corpus should recall every pair: ${degraded.size}/${exact.size}")
   }
 
   test("E4: IVF top-k achieves strong recall on the noise corpus") {

@@ -65,6 +65,13 @@ for name, sql in sorted(oracle.items()):
             ok = (a == b)
             if not ok and isinstance(a, float) and isinstance(b, float):
                 ok = (math.isnan(a) and math.isnan(b)) or a == b
+            # The driver hashes float BITS, not values: -0.0 vs +0.0
+            # compares equal in Python but hash-mismatches (the g11/r16
+            # failure class — round() of a tiny negative). Flag any
+            # signed-zero disagreement as a hard FAIL.
+            if ok and isinstance(a, float) and isinstance(b, float) \
+                    and a == 0.0 and math.copysign(1.0, a) != math.copysign(1.0, b):
+                ok = False
             if not ok:
                 bad = (i, g, e)
                 break
