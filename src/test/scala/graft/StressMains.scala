@@ -940,3 +940,139 @@ object MakeReplica100 {
     spark.stop()
   }
 }
+
+/** r16 verdict #5: the streaming path at VOLUME. The ST batch twins are
+  * oracle-green and the specs drive the machinery end-to-end, but at
+  * spec scale (tens of rows) a per-batch full-snapshot scan would be
+  * invisible. This main drives ≥10⁶ events through a REAL
+  * foreachBatch/AvailableNow query into [[StreamIngest.publishDeltas]]
+  * (the bucketed CDC snapshot), then proves the bucket layout prunes:
+  *
+  *   sbt "Test/runMain graft.StressStreaming [nEvents] [nBatches] [nKeys]"
+  *
+  * Phase 1 (throughput): nEvents synthetic events (distributed
+  * `spark.range` — nothing driver-side) written as nBatches parquet
+  * files, streamed with maxFilesPerTrigger=1 so foreachBatch sees one
+  * file per micro-batch; each batch folds into the 64-bucket snapshot
+  * and publishes deltas. Reports rows/s overall.
+  *
+  * Phase 2 (pruning proof): with the ~nKeys-row snapshot standing, a
+  * ONE-ROW batch runs through the same path; the assertion is on the
+  * FILESYSTEM — exactly one bucket directory's contents rewritten
+  * (mtime advanced), everything else untouched. A full-snapshot
+  * rewrite (the failure this exists to catch) rewrites all 64. The
+  * one-row batch's wall time is also printed next to a full batch's —
+  * at a 16× snapshot/batch ratio they'd converge if the read scanned
+  * the whole store.
+  *
+  * Phase 3: [[StreamIngest.admitToCorpus]] throughput — synthetic docs
+  * (20% exact cross-batch duplicates) admitted batch-by-batch against
+  * the standing minhash INDEX; per-batch cost must track batch size,
+  * not corpus size (printed per batch so a drift is visible). */
+object StressStreaming {
+  import graft.streaming.StreamIngest
+  def main(args: Array[String]): Unit = {
+    val nEvents = if (args.length > 0) args(0).toLong else 1200000L
+    val nBatches = if (args.length > 1) args(1).toInt else 12
+    val nKeys = if (args.length > 2) args(2).toLong else 200000L
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files.createTempDirectory("graft_stress_stream")
+    val src = base.resolve("src").toString
+    val snap = base.resolve("snapshot").toString
+    val delta = base.resolve("deltas").toString
+    val perBatch = nEvents / nBatches
+    (0 until nBatches).foreach { b =>
+      spark.range(b * perBatch, (b + 1) * perBatch)
+        .select(col("id").as("event_id"),
+          to_timestamp(lit("2024-01-01 00:00:00")).plus(
+            expr("make_interval(0,0,0,0,0,0, id % 86400)")).as("ts"),
+          pmod(xxhash64(col("id")), lit(nKeys)).as("user_id"),
+          concat(lit("type_"), pmod(col("id"), lit(5))).as("event_type"),
+          (col("id") % 1000).cast("double").as("value"))
+        .coalesce(4)
+        .write.mode("overwrite").parquet(s"$src/b$b")
+    }
+    val schema = spark.read.parquet(s"$src/b0").schema
+    val t0 = System.nanoTime()
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 4) // 4 files = one generated batch
+      .parquet(s"$src/*")
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        StreamIngest.publishDeltas(b, snap, delta,
+          "user_id", "ts", "event_id", Seq("event_type", "value"),
+          batchId = id, nBuckets = 64)
+      }
+      .option("checkpointLocation", base.resolve("chk").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val secs = (System.nanoTime() - t0) / 1e9
+    val stateRows = spark.read.parquet(snap).count()
+    val deltaRows = spark.read.parquet(delta).count()
+    println(f"[stress-stream] publishDeltas: $nEvents events / $nBatches batches " +
+      f"in $secs%.1fs = ${nEvents / secs}%.0f rows/s (state=$stateRows deltas=$deltaRows)")
+
+    // phase 2: one-row batch against the standing snapshot — filesystem
+    // proof that only ITS bucket is rewritten
+    def bucketMtimes(): Map[String, Long] =
+      new java.io.File(snap).listFiles().filter(_.getName.startsWith("bucket="))
+        .map(d => d.getName -> d.listFiles().map(_.lastModified()).max).toMap
+    val before = bucketMtimes()
+    import spark.implicits._
+    val oneRow = Seq((999999999L,
+      java.sql.Timestamp.valueOf("2024-06-01 00:00:00"), 42L, "type_9", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val t1 = System.nanoTime()
+    StreamIngest.publishDeltas(oneRow, snap, delta, "user_id", "ts",
+      "event_id", Seq("event_type", "value"), batchId = 9999L, nBuckets = 64)
+    val oneSecs = (System.nanoTime() - t1) / 1e9
+    val after = bucketMtimes()
+    val rewritten = after.count { case (k, v) => before.get(k).exists(_ < v) } +
+      after.count { case (k, _) => !before.contains(k) }
+    println(f"[stress-stream] 1-row batch vs $stateRows-row snapshot: " +
+      f"$oneSecs%.2fs, bucket dirs rewritten = $rewritten (MUST be 1; 64 = full scan)")
+    assert(rewritten == 1, s"expected exactly 1 rewritten bucket, got $rewritten")
+
+    // phase 3: admitToCorpus throughput — per-batch seconds must track
+    // batch size, not the growing corpus
+    val sinkD = base.resolve("corpus").toString
+    val idxD = base.resolve("corpus_idx").toString
+    val admitBatches = 8
+    val docsPer = 25000L
+    (0 until admitBatches).foreach { b =>
+      // 20% of each batch duplicates the PREVIOUS batch's content
+      // (id offset back) — the admission must reject those via the index
+      val docs = spark.range(b * docsPer, (b + 1) * docsPer)
+        .select(col("id").as("doc_id"),
+          concat_ws(" ", (0 until 30).map(i =>
+            concat(lit(s"w$i"), pmod(col("id") * (i + 7), lit(1000003)))): _*)
+            .as("text"))
+        .withColumn("text", when(col("doc_id") % 5 === 0,
+            // exact clone of a NON-clone doc from the previous batch
+            // (target id % 5 == 1, so its stored text is the base
+            // formula — a clone-of-clone chain would never match)
+            concat_ws(" ", (0 until 30).map(i =>
+              concat(lit(s"w$i"),
+                pmod((col("doc_id") - docsPer + 1) * (i + 7), lit(1000003)))): _*))
+          .otherwise(col("text")))
+      val tb = System.nanoTime()
+      StreamIngest.admitToCorpus(docs, sinkD, idxD, 0.7)
+      val bs = (System.nanoTime() - tb) / 1e9
+      println(f"[stress-stream] admitToCorpus batch $b: $docsPer docs in $bs%.1fs " +
+        f"= ${docsPer / bs}%.0f docs/s (corpus now ${(b + 1) * docsPer} submitted)")
+    }
+    val corpusN = spark.read.parquet(sinkD).count()
+    println(s"[stress-stream] admitted corpus rows = $corpusN " +
+      s"(submitted ${admitBatches * docsPer}; cross-batch clones rejected)")
+    spark.stop()
+  }
+}
