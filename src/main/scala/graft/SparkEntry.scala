@@ -3159,7 +3159,39 @@ object SparkEntry {
           Normalize.tagsToCsv(slice(split(col("text"), " "), 1, 5)).as("first5_csv"),
           size(split(col("text"), " ")).as("n_words"))
         .orderBy("doc_id")),
-    // F5+F8+F9+F11+F12: cast / concat / upper / numeric format / coalesce.
+    // F9 dedicated entry (rode f5_scalar_suite before — r16 verdict
+    // nit): case normalization as its own oracle-checked row.
+    "f9_case_normalize" -> ((s, d) =>
+      t(s, d, "events")
+        .select(col("event_id"),
+          upper(col("event_type")).as("upper_type"),
+          lower(col("event_type")).as("lower_type"))
+        .orderBy("event_id")),
+    // F11 dedicated entry: display formatting — grouped currency
+    // ("$1,234,567.89") and percent strings, the dashboard's number
+    // rendering (reference README's Monto Colocado / ratio cells).
+    // The amount is derived as EXACT integer cents (value×1000 scales
+    // the harness column into grouping territory; value is
+    // cent-granular so round() is exact), then both engines render the
+    // integer part with thousand separators and append the two-digit
+    // fraction — no float formatting anywhere, so there is no
+    // rounding-mode seam to drift on (DuckDB's printf refuses '%,f'
+    // for floats outright).
+    // (pct likewise: value/10 lands EXACTLY on half-cent ties — 12.75
+    // → 1.275 — where Spark's decimal-string HALF_UP and DuckDB's
+    // binary rounding disagree, so the HALF_UP is done in integers:
+    // (v·100 + 5) div 10.)
+    "f11_display_format" -> ((s, d) =>
+      t(s, d, "events")
+        .withColumn("cents", round(col("value") * 100000).cast("long"))
+        .withColumn("ph", expr("((cents div 1000) + 5) div 10"))
+        .select(col("event_id"),
+          concat(lit("$"), format_number(expr("cents div 100"), 0),
+            lit("."), lpad(col("cents") % 100, 2, "0")).as("currency"),
+          format_string("%d.%02d%%", expr("ph div 100"), col("ph") % 100).as("pct"))
+        .orderBy("event_id")),
+    // F5+F8+F12 (+F9/F11 cross-checks): cast / concat / upper /
+    // numeric format / coalesce in one pass.
     "f5_scalar_suite" -> ((s, d) =>
       t(s, d, "events")
         .select(col("event_id"),
@@ -3264,6 +3296,19 @@ object SparkEntry {
       """SELECT doc_id, array_to_string(string_split(text, ' ')[1:5], ',') AS first5_csv,
         |  CAST(len(string_split(text, ' ')) AS INT) AS n_words
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "f9_case_normalize" ->
+      """SELECT event_id, upper(event_type) AS upper_type,
+        |  lower(event_type) AS lower_type
+        |FROM events ORDER BY event_id""".stripMargin,
+    "f11_display_format" ->
+      """WITH c AS (SELECT event_id,
+        |    CAST(round(value * 100000) AS BIGINT) AS cents FROM events),
+        |p AS (SELECT event_id, cents, ((cents // 1000) + 5) // 10 AS ph FROM c)
+        |SELECT event_id,
+        |  '$' || printf('%,d', cents // 100) || '.' || printf('%02d', cents % 100)
+        |    AS currency,
+        |  printf('%d.%02d%%', ph // 100, ph % 100) AS pct
+        |FROM p ORDER BY event_id""".stripMargin,
     "f5_scalar_suite" ->
       """SELECT event_id, upper(event_type) AS upper_type,
         |  (value > 100.0)::INT AS is_big,
@@ -3702,9 +3747,19 @@ object SparkEntry {
     // bar as d3, so this is the EXACT answer LSH approximates (see
     // Dedup.prefixFilterPairs; DedupSpec pins completeness vs brute
     // force).
-    "d16_prefix_filter_pairs" -> ((s, d) =>
-      graft.dedup.Dedup.prefixFilterPairs(t(s, d, "documents"), 0.7)
-        .orderBy("d1", "d2")),
+    "d16_prefix_filter_pairs" -> ((s, d) => {
+      // compute-dense like d13: the ~n·shingles tok table crosses five
+      // exchanges (df attach, rank window, prefix self-join, verify
+      // joins), so the bench session's dispatch-tuned 8-partition /
+      // 64 MB-coalesce shape serializes the heavy stages (measured
+      // 84 s vs 27 s at the 10× replica). Same newSession scoping as
+      // d13 — width for this operator only, no leak.
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
+      s2.conf.set("spark.sql.shuffle.partitions", "32")
+      graft.dedup.Dedup.prefixFilterPairs(t(s2, d, "documents"), 0.7)
+        .orderBy("d1", "d2")
+    }),
     // D16 production twin (the x2/e8 house pattern): same PPJoin
     // candidate generation with the bounded-family guard engaged —
     // prefix keys shared by >100 documents are excluded, bounding any
@@ -3713,9 +3768,13 @@ object SparkEntry {
     // time at 10× data, r16 bench); this twin is the registered
     // at-scale shape. The oracle mirrors the cap relationally
     // (WHERE fam <= 100), so the answer is deterministic, not "weaker".
-    "d16_prefix_filter_pairs_capped" -> ((s, d) =>
-      graft.dedup.Dedup.prefixFilterPairs(t(s, d, "documents"), 0.7,
-        maxFamily = 100).orderBy("d1", "d2")),
+    "d16_prefix_filter_pairs_capped" -> ((s, d) => {
+      val s2 = s.newSession() // same width scoping as the uncapped control
+      s2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
+      s2.conf.set("spark.sql.shuffle.partitions", "32")
+      graft.dedup.Dedup.prefixFilterPairs(t(s2, d, "documents"), 0.7,
+        maxFamily = 100).orderBy("d1", "d2")
+    }),
     // D4: SimHash 32-bit signatures.
     "d4_simhash_signatures" -> ((s, d) =>
       graft.dedup.Dedup.simhashSignatures(t(s, d, "documents")).orderBy("doc_id")),
