@@ -3047,6 +3047,26 @@ object SparkEntry {
             .select(col("l_orderkey"), col("l_returnflag")), "n")
         .orderBy("l_orderkey", "l_returnflag")
     }),
+    // U8-BUCKETED (beyond reference): u5_bucketed's fold applied to
+    // INTERSECT ALL. Both intersect sides derive from ONE scan of the
+    // same fact table (right = left where l_quantity > 25), so the
+    // least-of-multiplicities answer folds into a single grouped pass:
+    // per (orderkey, flag) group, n = least(count(*), count where
+    // qty>25). Bucketing by l_orderkey satisfies the aggregation's
+    // required clustering, so the compute path runs with ZERO hash
+    // exchange (BucketingSpec plan-asserts; only the presentation
+    // ORDER BY repartitions). The general two-table intersect keeps
+    // u8's side-tag single-shuffle shape; this is the layout-aware
+    // cost when the fact was bucket-loaded — the 100 TB posture.
+    "u8_intersect_all_bucketed" -> ((s, d) => {
+      graft.sources.Bucketed.table(s, d, "lineitem", "l_orderkey")
+        .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"))
+        .groupBy(col("l_orderkey"), col("l_returnflag"))
+        .agg(least(count(lit(1)),
+          sum(when(col("l_quantity") > 25, 1L).otherwise(0L))).as("n"))
+        .filter(col("n") > 0)
+        .orderBy("l_orderkey", "l_returnflag")
+    }),
     // U6 (beyond reference): CDC snapshot diff — per-user latest state
     // at two points in time, classified insert/update/delete. The old
     // snapshot sees everything before Jan 15; the new one is an
@@ -3087,6 +3107,16 @@ object SparkEntry {
         |SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey % 3 = 0
         |ORDER BY o_orderkey""".stripMargin,
     "u8_intersect_all" ->
+      """WITH l AS (SELECT l_orderkey, l_returnflag, count(*) AS lc
+        |  FROM lineitem GROUP BY 1, 2),
+        |r AS (SELECT l_orderkey, l_returnflag, count(*) AS rc
+        |  FROM lineitem WHERE l_quantity > 25 GROUP BY 1, 2)
+        |SELECT l.l_orderkey, l.l_returnflag, CAST(least(lc, rc) AS BIGINT) AS n
+        |FROM l JOIN r USING (l_orderkey, l_returnflag)
+        |ORDER BY 1, 2""".stripMargin,
+    // the bucketed variant answers the IDENTICAL question on the
+    // bucketed layout — same oracle text as u8_intersect_all
+    "u8_intersect_all_bucketed" ->
       """WITH l AS (SELECT l_orderkey, l_returnflag, count(*) AS lc
         |  FROM lineitem GROUP BY 1, 2),
         |r AS (SELECT l_orderkey, l_returnflag, count(*) AS rc
@@ -4423,6 +4453,17 @@ object SparkEntry {
     // E3: embedding-cosine near-duplicate pairs.
     "e3_cosine_near_dup" -> ((s, d) =>
       graft.similarity.Ann.cosineNearDupPairs(t(s, d, "embeddings"), 0.35).orderBy("d1", "d2")),
+    // E44: e3's bucketed production escape — the SAME near-dup pair
+    // question answered from sign-LSH cells (this is exactly what
+    // cosineNearDupPairs degrades to above MaxControlCorpus), pinned
+    // nPlanes=8 so the LCG plane matrices inline into the SQL replay
+    // (the e10 recipe): the oracle regenerates the buckets, the
+    // candidate pairs, and the exact verified cosines relationally,
+    // so the approximate path is HASH-gated end-to-end, not just
+    // recall-asserted in AnnSpec.
+    "e44_lsh_near_dup" -> ((s, d) =>
+      graft.similarity.Ann.lshNearDupPairs(t(s, d, "embeddings"), 0.35,
+        nPlanesOverride = 8).orderBy("d1", "d2")),
     // E24: incremental SEMANTIC admission — d12's batch-vs-corpus
     // steady state in embedding space: reject a batch vector whose
     // cosine to any corpus vector (or more-senior batch vector —
@@ -5854,6 +5895,33 @@ ${sqlRecallTailFor(" WHERE q.vec_id < 50")}""".stripMargin
          |      / (a.nrm * b.nrm), 6) AS sim
          |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
          |WHERE sim >= 0.35 ORDER BY d1, d2""".stripMargin,
+    // e44: e10's inlined-plane bucket replay feeds candidate
+    // generation, then the e3 exact-cosine verify runs on candidates
+    // only — the full bucketed pipeline stated relationally.
+    "e44_lsh_near_dup" -> {
+      val selects = (0 until 8).map { tbl =>
+        val ps = graft.similarity.Ann.planes(8, 64, tbl)
+        val bucket = (0 until 8).map { j =>
+          val dot = ps(j).zipWithIndex.map { case (s, i) =>
+            (if (s > 0) "+" else "-") + s"v[${i + 1}]" }.mkString
+          s"(CASE WHEN (0$dot) > 0 THEN ${1 << j} ELSE 0 END)"
+        }.mkString(" + ")
+        s"SELECT vec_id, $tbl AS tbl, $bucket AS bucket FROM e"
+      }.mkString("\nUNION ALL\n")
+      s"""$cosineCte,
+         |bk AS (
+         |$selects
+         |),
+         |cand AS (SELECT DISTINCT x.vec_id AS d1, y.vec_id AS d2
+         |  FROM bk x JOIN bk y
+         |    ON x.tbl = y.tbl AND x.bucket = y.bucket AND x.vec_id < y.vec_id)
+         |SELECT d1, d2, sim FROM (
+         |  SELECT d1, d2,
+         |    round(list_reduce(list_apply(range(1, 65), i -> a.v[i] * b.v[i]), (x,y) -> x+y)
+         |      / (a.nrm * b.nrm), 6) AS sim
+         |  FROM cand JOIN n a ON a.vec_id = d1 JOIN n b ON b.vec_id = d2)
+         |WHERE sim >= 0.35 ORDER BY d1, d2""".stripMargin
+    },
     "e7_pq_encode" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |sub AS (SELECT vec_id, j AS sub, v[j*8+1 : j*8+8] AS sv

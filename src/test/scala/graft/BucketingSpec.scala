@@ -68,6 +68,11 @@ class BucketingSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!u5.contains("Exchange hashpartitioning"),
       s"bucketed multiset aggregation must run with zero hash exchange:\n$u5")
+    // u8_intersect_all_bucketed: same claim for the INTERSECT ALL fold.
+    val u8 = SparkEntry.queries("u8_intersect_all_bucketed")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!u8.contains("Exchange hashpartitioning"),
+      s"bucketed intersect-all fold must run with zero hash exchange:\n$u8")
     // and both variants agree with their layout-agnostic twins
     val x2Rows = SparkEntry.queries("x2_fact_fact_bucketed")(spark, sfDir).collect()
     val x2Base = SparkEntry.queries("x2_fact_fact_join")(spark, sfDir).collect()
@@ -75,6 +80,9 @@ class BucketingSpec extends SparkSpec {
     val u5Rows = SparkEntry.queries("u5_except_all_bucketed")(spark, sfDir).collect()
     val u5Base = SparkEntry.queries("u5_except_all")(spark, sfDir).collect()
     assert(u5Rows.toSeq == u5Base.toSeq, "bucketed u5 must equal unbucketed u5")
+    val u8Rows = SparkEntry.queries("u8_intersect_all_bucketed")(spark, sfDir).collect()
+    val u8Base = SparkEntry.queries("u8_intersect_all")(spark, sfDir).collect()
+    assert(u8Rows.toSeq == u8Base.toSeq, "bucketed u8 must equal unbucketed u8")
   }
 
   test("salted aggregation is exactly the direct aggregation") {
