@@ -885,6 +885,33 @@ object SparkEntry {
         .select(col("event_id"), col("event_type"), col("payload.k").as("k"),
           col("payload.user.email").as("user_email"), col("value"))
         .orderBy("event_id")),
+    // P3 (dedicated entry; previously rode p1): null-safe nested
+    // access across EVERY depth of the parse — the reference's
+    // payload['data']['user']['email'] chain (webhook_app.py:57) must
+    // yield NULL, never error, whichever level is absent. The live
+    // events table carries only flat `{"k": N}` payloads (the all-null
+    // email stratum), so the four presence strata are fabricated
+    // deterministically from event_id (the f13 recipe): full path /
+    // user-without-email / empty object / NULL body. Spark's
+    // GetStructField chain after a permissive from_json propagates
+    // NULL from whichever level first goes missing; the oracle states
+    // each stratum's expected outcome relationally. Distinct from p4,
+    // which tests the FALLBACK once the access has gone null.
+    "p3_null_safe_nested" -> ((s, d) => {
+      val body = when(pmod(col("event_id"), lit(4)) === 0,
+          concat(lit("{\"user\": {\"email\": \"u"),
+            col("event_id").cast("string"), lit("@example.com\"}}")))
+        .when(pmod(col("event_id"), lit(4)) === 1, lit("{\"user\": {}}"))
+        .when(pmod(col("event_id"), lit(4)) === 2, lit("{}"))
+        .otherwise(lit(null).cast("string"))
+      t(s, d, "events").select(col("event_id"), body.as("props"))
+        .transform(Events.withParsedPayload)
+        .select(col("event_id"),
+          col("payload").isNotNull.cast("int").as("has_payload"),
+          col("payload.user").isNotNull.cast("int").as("has_user"),
+          col("payload.user.email").as("email"))
+        .orderBy("event_id")
+    }),
     // P3+P4: null-safe nested access with fallback resolution.
     "p4_fallback_coalesce" -> ((s, d) =>
       Events.withParsedPayload(t(s, d, "events"))
@@ -950,6 +977,15 @@ object SparkEntry {
     "p4_fallback_coalesce" ->
       """SELECT event_id,
         |  coalesce(json_extract_string(props, '$.user.email'), 'user-' || user_id) AS contact
+        |FROM events ORDER BY event_id""".stripMargin,
+    // p3: the fabricated four-stratum presence taxonomy, stated
+    // relationally — parse outcome per stratum, no JSON needed.
+    "p3_null_safe_nested" ->
+      """SELECT event_id,
+        |  CAST(CASE WHEN event_id % 4 <= 2 THEN 1 ELSE 0 END AS INT) AS has_payload,
+        |  CAST(CASE WHEN event_id % 4 <= 1 THEN 1 ELSE 0 END AS INT) AS has_user,
+        |  CASE WHEN event_id % 4 = 0
+        |    THEN 'u' || event_id || '@example.com' END AS email
         |FROM events ORDER BY event_id""".stripMargin,
     "p5_slicer_filter" ->
       """SELECT o_orderkey, c_name, o_totalprice

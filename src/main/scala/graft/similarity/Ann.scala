@@ -786,8 +786,10 @@ object Ann {
     * round BEFORE the threshold compare — so on any corpus the result
     * is a subset of the exact answer, equal whenever every qualifying
     * pair shares a cell (AnnSpec pins equality on the harness corpus).
-    * Approximate by construction ⇒ no SQL oracle; recall vs the exact
-    * kernel is asserted in AnnSpec. */
+    * Approximate by construction, but the pinned nPlanes=8 face IS
+    * hash-oracled end-to-end as `e44_lsh_near_dup` (the oracle replays
+    * buckets → candidates → verified cosines relationally); the
+    * adaptive production config stays recall-asserted in AnnSpec. */
   def lshNearDupPairs(embeddings: DataFrame, threshold: Double,
       nTables: Int = 8, bucketTarget: Int = 64,
       nPlanesOverride: Int = -1): DataFrame = {
