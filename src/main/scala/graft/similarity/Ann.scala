@@ -1806,6 +1806,20 @@ object Ann {
       nearestCells(p.v, p.nrm, cs, cns, nProbe)
         .map(c => CellProbe(c, p.vec_id, p.v, p.nrm))
     }
+    semAdmitVerdicts(allBatch, members, probes, tau)
+  }
+
+  /** Shared verdict tail of [[incrementalSemAdmit]] and
+    * [[incrementalSemAdmitIndexed]] — the per-cell cohabitant verify
+    * (corpus members match any batch vector, batch members only their
+    * juniors) folded to one audit row per batch vector. Kept in one
+    * place so the two admission faces can never diverge on the
+    * first-wins rule, the fold order, or the match-pick tiebreak. */
+  private def semAdmitVerdicts(allBatch: DataFrame,
+      members: org.apache.spark.sql.Dataset[(Int, Long, Array[Double], Double, Boolean)],
+      probes: org.apache.spark.sql.Dataset[CellProbe], tau: Double): DataFrame = {
+    val spark = allBatch.sparkSession
+    import spark.implicits._
     val hits = probes.groupByKey(_.cell).cogroup(members.groupByKey(_._1)) {
       (_: Int, qs: Iterator[CellProbe],
           ms: Iterator[(Int, Long, Array[Double], Double, Boolean)]) =>
@@ -1834,6 +1848,79 @@ object Ann {
         col("matched_id"),
         coalesce(col("n_matches"), lit(0L)).as("n_matches"))
       .orderBy("vec_id")
+  }
+
+  /** [[incrementalSemAdmit]] with the corpus side PRE-ASSIGNED — the
+    * serving face [[graft.streaming.StreamIngest.semAdmitToCorpus]]
+    * runs per micro-batch. The batch admission recomputes nothing
+    * about the corpus: `centroidVs`/`centroidNs` are the persisted
+    * IVF seeds (built once at index creation, the amortization the
+    * [[incrementalSemAdmit]] scaladoc names), and `corpusCells` is
+    * the standing `(cell, vec_id, v, nrm)` index — in the streaming
+    * layout already PRUNED to the batch's probed cell buckets before
+    * it reaches this call, so per-batch cost tracks batch size, not
+    * corpus size. Verdict semantics are exactly
+    * [[incrementalSemAdmit]]'s (shared [[semAdmitVerdicts]] kernel):
+    * identical centroids + identical corpus rows ⇒ identical output
+    * (StreamIngestSpec pins this equivalence on the live stream). */
+  def incrementalSemAdmitIndexed(batch: DataFrame,
+      centroidVs: Array[Array[Double]], centroidNs: Array[Double],
+      corpusCells: DataFrame, tau: Double, nProbe: Int = 4): DataFrame = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val bv = prepared(batch).select(col("vec_id"), col("v"), col("nrm")).as[PreparedVec]
+    val allBatch = bv.select(col("vec_id"))
+    val bcCent = spark.sparkContext.broadcast((centroidVs, centroidNs))
+    val corpusMembers = corpusCells
+      .select(col("cell").cast("int").as("cell"), col("vec_id"), col("v"), col("nrm"))
+      .as[(Int, Long, Array[Double], Double)]
+      .map { case (c, id, v, n) => (c, id, v, n, false) }
+    val batchMembers = bv.map { p =>
+      val (cs, cns) = bcCent.value
+      (nearestCell(p.v, p.nrm, cs, cns), p.vec_id, p.v, p.nrm, true)
+    }
+    val probes = bv.flatMap { p =>
+      val (cs, cns) = bcCent.value
+      nearestCells(p.v, p.nrm, cs, cns, nProbe)
+        .map(c => CellProbe(c, p.vec_id, p.v, p.nrm))
+    }
+    semAdmitVerdicts(allBatch, corpusMembers.union(batchMembers), probes, tau)
+  }
+
+  /** Distinct probed cell ids for `batch` under the given centroids —
+    * the pruning key set [[graft.streaming.StreamIngest.semAdmitToCorpus]]
+    * turns into a partition filter on the standing index read. The
+    * collect is bounded by the centroid count (≤ maxCells), never by
+    * the batch or corpus. */
+  def probedCells(batch: DataFrame,
+      centroidVs: Array[Array[Double]], centroidNs: Array[Double],
+      nProbe: Int = 4): Array[Int] = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast((centroidVs, centroidNs))
+    prepared(batch).select(col("vec_id"), col("v"), col("nrm")).as[PreparedVec]
+      .flatMap { p =>
+        val (cs, cns) = bc.value
+        nearestCells(p.v, p.nrm, cs, cns, nProbe)
+      }.distinct().collect().sorted
+  }
+
+  /** `(cell, vec_id, v, nrm)` IVF assignment rows for `embeddings`
+    * under the given persisted centroids — the index-maintenance map
+    * pass [[graft.streaming.StreamIngest.semAdmitToCorpus]] appends
+    * for every admitted batch. One narrow map over the batch; no
+    * shuffle. */
+  def cellAssignments(embeddings: DataFrame,
+      centroidVs: Array[Array[Double]], centroidNs: Array[Double]): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast((centroidVs, centroidNs))
+    prepared(embeddings).select(col("vec_id"), col("v"), col("nrm")).as[PreparedVec]
+      .map { p =>
+        val (cs, cns) = bc.value
+        (nearestCell(p.v, p.nrm, cs, cns), p.vec_id, p.v, p.nrm)
+      }
+      .toDF("cell", "vec_id", "v", "nrm")
   }
 
   /** E41: embedding-space covariance audit — the top-k off-diagonal

@@ -759,6 +759,102 @@ object StreamIngest {
     graft.dedup.Dedup.dedupKeys(admitted).write.mode("append").parquet(indexPath)
   }
 
+  /** ST25: SEMANTIC admission at ingest — [[admitToCorpus]]'s sibling
+    * in embedding space: each micro-batch of `(vec_id, embedding)`
+    * rows is admitted only if no already-curated corpus vector (or
+    * more-senior batch vector) has cosine ≥ `tau`, with candidates
+    * IVF-pruned exactly as the oracle-gated batch twin
+    * (`e24_incremental_semdedup` /
+    * [[graft.similarity.Ann.incrementalSemAdmit]]).
+    *
+    * Index layout — the 100 TB posture:
+    *  - `indexPath/centroids`: the √n₁ prefix-seed centroids, built
+    *    ONCE from the first admitted batch and persisted (the
+    *    amortized index build the batch twin's scaladoc names).
+    *    Corpus drift eventually wants a rebuild — the usual IVF
+    *    re-index, out of band, same as any serving index;
+    *  - `indexPath/cells`: `(cell, vec_id, v, nrm)` assignment rows
+    *    laid out in `cell_bucket = pmod(cell, nBuckets)` partitions.
+    *    A batch reads ONLY the buckets its probes hash into
+    *    (`PartitionFilters` prune, StreamIngestSpec asserts) — so
+    *    per-batch cost tracks the batch, not the corpus, the same
+    *    index-only posture as the MinHash face.
+    *
+    * Cold start (no index yet) follows the batch twin's pinned
+    * semantics: the first batch seeds the corpus verbatim (AnnSpec's
+    * "empty corpus admits all"); first-wins intra-batch dedup is
+    * active from batch 2 on, where batch-1 twins reject as corpus
+    * matches. Replay safety: a retried batch's rows already in the
+    * standing index are dropped by an id-level anti-join BEFORE
+    * admission (their own assigned cell is always their top probe, so
+    * the bucket-pruned index read is guaranteed to see them) — a
+    * foreachBatch retry after a partial commit appends nothing twice.
+    * Invoke from `foreachBatch`. */
+  def semAdmitToCorpus(batch: DataFrame, sinkPath: String, indexPath: String,
+      tau: Double = 0.85, nProbe: Int = 4, nBuckets: Int = 64,
+      maxCells: Int = 4096): Unit = {
+    val spark = batch.sparkSession
+    import org.apache.spark.sql.functions.{col, pmod, lit}
+    val centroidsPath = s"$indexPath/centroids"
+    val cellsPath = s"$indexPath/cells"
+    readSinkIfExists(spark, centroidsPath) match {
+      case None =>
+        // cold start: pinned admit-all, then build + persist the index
+        val verdicts = graft.similarity.Ann
+          .incrementalSemAdmit(batch.limit(0), batch, tau, nProbe, maxCells)
+        val admitted = batch.join(
+            verdicts.filter(col("admitted") === 1).select(col("vec_id").as("aid")),
+            col("vec_id") === col("aid"))
+          .drop("aid").localCheckpoint(true)
+        admitted.write.mode("append").parquet(sinkPath)
+        val prep = graft.similarity.Ann.prepared(admitted)
+          .select(col("vec_id"), col("v"), col("nrm"))
+        val n = prep.count()
+        val nCells = math.max(1,
+          math.min(maxCells, math.round(math.sqrt(n.toDouble)).toInt))
+        // prefix seeds in vec_id order — the batch twin's seed rule
+        import spark.implicits._
+        val seeds = prep.orderBy(col("vec_id")).limit(nCells)
+          .as[(Long, Array[Double], Double)].collect()
+        seeds.zipWithIndex
+          .map { case ((_, v, nrm), i) => (i, v, nrm) }.toSeq
+          .toDF("cell", "v", "nrm")
+          .coalesce(1).write.mode("overwrite").parquet(centroidsPath)
+        graft.similarity.Ann
+          .cellAssignments(admitted, seeds.map(_._2), seeds.map(_._3))
+          .withColumn("cell_bucket", pmod(col("cell"), lit(nBuckets)))
+          .write.partitionBy("cell_bucket").mode("append").parquet(cellsPath)
+      case Some(centDf) =>
+        import spark.implicits._
+        val cents = centDf.select(col("cell"), col("v"), col("nrm"))
+          .as[(Int, Array[Double], Double)].collect().sortBy(_._1)
+        val (cvs, cns) = (cents.map(_._2), cents.map(_._3))
+        val buckets = graft.similarity.Ann.probedCells(batch, cvs, cns, nProbe)
+          .map(_ % nBuckets).distinct.toSeq
+        // the standing index read prunes to the probed buckets — the
+        // partition filter is the whole point of the layout
+        val corpusCells = spark.read.parquet(cellsPath)
+          .filter(col("cell_bucket").isin(buckets: _*))
+          .select(col("cell"), col("vec_id"), col("v"), col("nrm"))
+          .localCheckpoint(true) // feeds the replay guard AND the verify
+        // replay guard: rows already indexed (a retried partial commit)
+        // must not re-admit — their assigned cell is their top probe,
+        // so the pruned read above is guaranteed to contain them
+        val fresh = batch.join(corpusCells.select(col("vec_id")),
+          Seq("vec_id"), "left_anti")
+        val verdicts = graft.similarity.Ann
+          .incrementalSemAdmitIndexed(fresh, cvs, cns, corpusCells, tau, nProbe)
+        val admitted = fresh.join(
+            verdicts.filter(col("admitted") === 1).select(col("vec_id").as("aid")),
+            col("vec_id") === col("aid"))
+          .drop("aid").localCheckpoint(true) // one computation, two sinks
+        admitted.write.mode("append").parquet(sinkPath)
+        graft.similarity.Ann.cellAssignments(admitted, cvs, cns)
+          .withColumn("cell_bucket", pmod(col("cell"), lit(nBuckets)))
+          .write.partitionBy("cell_bucket").mode("append").parquet(cellsPath)
+    }
+  }
+
   /** ST12: streaming CDC publication — the streaming twin of
     * [[graft.ingest.Events.snapshotDiff]] (batch twin `u6_snapshot_diff`).
     * Each micro-batch folds into a persisted latest-state snapshot and

@@ -607,6 +607,76 @@ class StreamIngestSpec extends SparkSpec {
     assert(idxIds.toSeq === got.toSeq)
   }
 
+  test("ST25: streaming semantic admission — cold start, e24-twin equivalence, " +
+      "pruned index read, replay idempotence") {
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_semadmit")
+    val sink = base.resolve("corpus").toString
+    val idx = base.resolve("index").toString
+    val emb = Tables.table(spark, sfDir, "embeddings").select("vec_id", "embedding")
+    def slice(m: Long) = emb.filter(col("vec_id") % 3 === m)
+      .as[(Long, Array[Float])].collect().toSeq
+    val (b1, b2, b3) = (slice(0), slice(1), slice(2))
+    val tau = 0.4
+    val in = MemoryStream[(Long, Array[Float])]
+    val q = in.toDF().toDF("vec_id", "embedding").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        StreamIngest.semAdmitToCorpus(b, sink, idx, tau)
+      }
+      .option("checkpointLocation", base.resolve("chk").toString)
+      .start()
+    in.addData(b1); q.processAllAvailable()
+    // cold start: the pinned admit-all path seeds the corpus verbatim
+    val after1 = spark.read.parquet(sink).select("vec_id").as[Long].collect().toSet
+    assert(after1 === b1.map(_._1).toSet, "cold start admits the whole first batch")
+    in.addData(b2); q.processAllAvailable()
+    // warm batch ≡ the oracle-gated batch twin: same prefix-seed
+    // centroids (√|b1| over the SAME corpus), and bucket pruning is a
+    // superset of the probed cells, so verdicts must be identical
+    val expected2 = graft.similarity.Ann.incrementalSemAdmit(
+        emb.filter(col("vec_id") % 3 === 0), emb.filter(col("vec_id") % 3 === 1), tau)
+      .filter(col("admitted") === 1).select("vec_id").as[Long].collect().toSet
+    val after2 = spark.read.parquet(sink).select("vec_id").as[Long].collect().toSet
+    assert((after2 -- after1) === expected2,
+      "streaming admission must equal the e24 batch twin on the same corpus")
+    assert(expected2.size < b2.size, s"non-trivial split at $sfDir")
+    in.addData(b3); q.processAllAvailable()
+    q.stop()
+    val after3 = spark.read.parquet(sink).select("vec_id").as[Long].collect().toSet
+    // soundness: every rejected batch-3 vector has a TRUE cosine >= tau
+    // senior (corpus or a smaller-id batch-3 vector)
+    val vecs = emb.as[(Long, Array[Float])].collect()
+      .map { case (id, v) => id -> v.map(_.toDouble) }.toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    b3.map(_._1).filterNot(after3).foreach { rid =>
+      val seniors = after2 ++ b3.map(_._1).filter(_ < rid)
+      assert(seniors.exists(s => cos(vecs(rid), vecs(s)) >= tau),
+        s"rejected $rid must have a justifying >=tau senior")
+    }
+    // the cells index tracks the sink row-for-row
+    val idxIds = spark.read.parquet(s"$idx/cells")
+      .select("vec_id").as[Long].collect().toSet
+    assert(idxIds === after3, "index rows track the admitted corpus")
+    // replay idempotence: re-running a fully committed batch appends nothing
+    StreamIngest.semAdmitToCorpus(
+      b3.toDF("vec_id", "embedding"), sink, idx, tau)
+    val replayed = spark.read.parquet(sink).count()
+    assert(replayed === after3.size.toLong,
+      "a foreachBatch retry of a committed batch must append nothing")
+    // the standing-index read is partition-pruned by the probed buckets
+    val prunedPlan = spark.read.parquet(s"$idx/cells")
+      .filter(col("cell_bucket").isin(0, 1))
+      .queryExecution.executedPlan.toString
+    assert(prunedPlan.contains("PartitionFilters") &&
+      prunedPlan.contains("cell_bucket"),
+      s"bucket filter must prune index partitions:\n$prunedPlan")
+  }
+
   test("ST14: stream-stream correlate matches across micro-batches, bounds by tolerance") {
     implicit val sqlCtx = spark.sqlContext
     val clicks = MemoryStream[(Long, Long, Timestamp)]
