@@ -968,7 +968,13 @@ object MakeReplica100 {
   * Phase 3: [[StreamIngest.admitToCorpus]] throughput — synthetic docs
   * (20% exact cross-batch duplicates) admitted batch-by-batch against
   * the standing minhash INDEX; per-batch cost must track batch size,
-  * not corpus size (printed per batch so a drift is visible). */
+  * not corpus size (printed per batch so a drift is visible).
+  *
+  * Phase 4: [[StreamIngest.semAdmitToCorpus]] (ST25) at the same
+  * volume — the embedding face: 20% exact cross-batch vector clones
+  * must all reject via the standing IVF index (asserted), per-batch
+  * cost printed, and a 1-vector batch shows the probed-bucket bound
+  * on the pruned index read. */
 object StressStreaming {
   import graft.streaming.StreamIngest
   def main(args: Array[String]): Unit = {
@@ -1073,6 +1079,61 @@ object StressStreaming {
     val corpusN = spark.read.parquet(sinkD).count()
     println(s"[stress-stream] admitted corpus rows = $corpusN " +
       s"(submitted ${admitBatches * docsPer}; cross-batch clones rejected)")
+
+    // phase 4: semAdmitToCorpus (ST25) — the embedding face at the
+    // same volume: 8 × 25k synthetic vectors, 20% of each batch an
+    // exact clone of the PREVIOUS batch (must reject via the standing
+    // index); per-batch seconds must track batch size, not corpus
+    // size. Then a 1-vector batch against the standing index: its
+    // probed-bucket count (printed) is what the pruned read touches.
+    val sinkE = base.resolve("emb_corpus").toString
+    val idxE = base.resolve("emb_index").toString
+    val vecBatches = 8
+    val vecsPer = 25000L
+    // pseudo-random 64-dim vector from (id, j) via a REAL hash — an
+    // LCG progression here leaves adjacent ids near-parallel (measured:
+    // 136k of 200k vectors accidentally rejected as near-dups)
+    def vecExpr(idSql: String) =
+      s"""transform(sequence(0, 63), j -> CAST(
+         |  (xxhash64($idSql, j) % 1000003) / 1000003.0 AS FLOAT))""".stripMargin
+    (0 until vecBatches).foreach { b =>
+      val vecs = spark.range(b * vecsPer, (b + 1) * vecsPer)
+        .select(col("id"),
+          when(col("id") % 5 === 0 && col("id") >= vecsPer,
+              expr(vecExpr(s"(id - $vecsPer + 1)")))
+            .otherwise(expr(vecExpr("id"))).as("embedding"))
+        .select(col("id").as("vec_id"), col("embedding"))
+      val tb = System.nanoTime()
+      StreamIngest.semAdmitToCorpus(vecs, sinkE, idxE, 0.85)
+      val bs = (System.nanoTime() - tb) / 1e9
+      println(f"[stress-stream] semAdmitToCorpus batch $b: $vecsPer vecs in $bs%.1fs " +
+        f"= ${vecsPer / bs}%.0f vecs/s (corpus now ${(b + 1) * vecsPer} submitted)")
+    }
+    val embN = spark.read.parquet(sinkE).count()
+    val expectedRejects = (vecBatches - 1) * vecsPer / 5
+    val expectedAdmit = vecBatches * vecsPer - expectedRejects
+    println(s"[stress-stream] admitted embedding corpus rows = $embN " +
+      s"(submitted ${vecBatches * vecsPer}; expected clone rejects = $expectedRejects)")
+    // every clone MUST reject (<= bound); a handful of accidental
+    // near-dups among 200k random 64-d vectors is tolerated (>= bound)
+    assert(embN <= expectedAdmit && embN >= expectedAdmit - 50,
+      s"cross-batch exact clones must reject (expected ~$expectedAdmit, got $embN)")
+    // 1-vector batch: probed buckets bound the index read
+    import org.apache.spark.sql.functions.{col => c2}
+    val cents = spark.read.parquet(s"$idxE/centroids")
+      .select(c2("cell"), c2("v"), c2("nrm"))
+      .as[(Int, Array[Double], Double)].collect().sortBy(_._1)
+    val one = spark.range(9999999L, 10000000L)
+      .select(c2("id").as("vec_id"), expr(vecExpr("id")).as("embedding"))
+    val probed = graft.similarity.Ann.probedCells(one,
+      cents.map(_._2), cents.map(_._3)).map(_ % 64).distinct
+    val t2 = System.nanoTime()
+    StreamIngest.semAdmitToCorpus(one, sinkE, idxE, 0.85)
+    val oneVecSecs = (System.nanoTime() - t2) / 1e9
+    println(f"[stress-stream] 1-vector batch vs $embN-vector index: " +
+      f"$oneVecSecs%.2fs, probed buckets = ${probed.length} of 64 " +
+      "(the pruned read touches only these)")
+    assert(probed.length <= 4, "one vector probes at most nProbe buckets")
     spark.stop()
   }
 }
