@@ -34,6 +34,22 @@ object SparkEntry {
   private def t(s: SparkSession, d: String, n: String): DataFrame =
     if (n == "events") Tables.events(s, d) else Tables.table(s, d, n)
 
+  /** A compute-dense operator's scoped session: `newSession` (same
+    * SparkContext, isolated SQLConf) with a SMALL AQE advisory target
+    * and full shuffle width, so Σdf²/pair-expansion stages spread
+    * across reducers instead of coalescing into one — while the
+    * suite-wide dispatch-tuned defaults (64 MB, fewer partitions)
+    * stay untouched for every dispatch-bound query. Per-query A/Bs:
+    * d13 (round 7), mb1 (round 8), d16 (r17). One definition so the
+    * five users can never drift. */
+  private def computeDenseSession(s: SparkSession,
+      advisory: String = "4m"): SparkSession = {
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", advisory)
+    s2.conf.set("spark.sql.shuffle.partitions", "32")
+    s2
+  }
+
   /** ts6/st20's geometric EWMA weights — see [[graft.functions.Ewma]]
     * (one definition for the batch plan, the streaming fold, and the
     * oracle SQL, so no twin can drift). */
@@ -3820,9 +3836,7 @@ object SparkEntry {
       // 64 MB-coalesce shape serializes the heavy stages (measured
       // 84 s vs 27 s at the 10× replica). Same newSession scoping as
       // d13 — width for this operator only, no leak.
-      val s2 = s.newSession()
-      s2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
-      s2.conf.set("spark.sql.shuffle.partitions", "32")
+      val s2 = computeDenseSession(s)
       graft.dedup.Dedup.prefixFilterPairs(t(s2, d, "documents"), 0.7)
         .orderBy("d1", "d2")
     }),
@@ -3835,9 +3849,7 @@ object SparkEntry {
     // at-scale shape. The oracle mirrors the cap relationally
     // (WHERE fam <= 100), so the answer is deterministic, not "weaker".
     "d16_prefix_filter_pairs_capped" -> ((s, d) => {
-      val s2 = s.newSession() // same width scoping as the uncapped control
-      s2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
-      s2.conf.set("spark.sql.shuffle.partitions", "32")
+      val s2 = computeDenseSession(s) // same width scoping as the uncapped control
       graft.dedup.Dedup.prefixFilterPairs(t(s2, d, "documents"), 0.7,
         maxFamily = 100).orderBy("d1", "d2")
     }),
@@ -3969,9 +3981,7 @@ object SparkEntry {
       // partitions — per-query A/B in PLANS.md round 7). `newSession`
       // scopes the conf to this operator without leaking: same
       // SparkContext, isolated SQLConf.
-      val s2 = s.newSession()
-      s2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
-      s2.conf.set("spark.sql.shuffle.partitions", "32")
+      val s2 = computeDenseSession(s)
       graft.dedup.Dedup.containmentPairs(t(s2, d, "documents"), 0.5)
         .orderBy("d1", "d2")
     }),
@@ -3980,9 +3990,7 @@ object SparkEntry {
     // contributes ~nothing). Same Σdf² shape as d13, same
     // compute-dense session conf.
     "d14_sparse_cosine" -> ((s, d) => {
-      val s2 = s.newSession()
-      s2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
-      s2.conf.set("spark.sql.shuffle.partitions", "32")
+      val s2 = computeDenseSession(s)
       graft.dedup.Dedup.sparseCosinePairs(t(s2, d, "documents"), 0.6)
         .orderBy("d1", "d2")
     })
@@ -8770,9 +8778,7 @@ ${sqlRecallTailFor(" WHERE q.vec_id < 50")}""".stripMargin
       // 2.7 s → 1.15 s with a 2 MB advisory + width 32). Same scoped-conf
       // pattern as d13 — newSession isolates the SQLConf, the suite-wide
       // dispatch-bound default stays 64 MB.
-      val s2 = s.newSession()
-      s2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2m")
-      s2.conf.set("spark.sql.shuffle.partitions", "32")
+      val s2 = computeDenseSession(s, advisory = "2m")
       copurchaseSelfJoin(s2, d)
     }
 

@@ -720,7 +720,9 @@ object Dedup {
     * oversized family, the documented d13/maxDf containment tradeoff.
     * The cap is implemented as a WINDOW over the prefix rows' own
     * w-partitioning (the d13 shape): no extra aggregation pass, no
-    * drop-list action, and the self-join's two sides stay the
+    * drop-list action — the truncation is therefore not logged inline;
+    * run [[prefixFamilyAudit]] next to a capped invocation for the
+    * dropped-key report — and the self-join's two sides stay the
     * IDENTICAL subplan so Catalyst reuses one exchange — measured
     * 38.5 s (agg + eager checkpoint + anti-join form) → ~24 s (this
     * form) at the 10× replica, where the capped twin now costs the
@@ -730,26 +732,23 @@ object Dedup {
     * (`WHERE fam <= maxFamily`). Default = uncapped (the registered
     * d16 oracle is the complete answer).
     */
-  def prefixFilterPairs(docs: DataFrame, threshold: Double = 0.7,
-      maxFamily: Int = Int.MaxValue): DataFrame = {
-    require((threshold * 10).isValidInt && threshold > 0 && threshold < 1,
-      "threshold must be k/10 for exact integer arithmetic")
-    val t10 = math.round(threshold * 10).toInt
-    // distinct 3-gram SHINGLES, materialized once: df, prefix ranking,
-    // and the verify join all read this frame. Shingles, not unigrams:
-    // the element space must be long-tailed for prefix filtering to
-    // prune (a dense unigram vocabulary makes every "rare" token
-    // common — measured 193 s vs 3 s on the harness corpus), and the
-    // shingle-Jaccard threshold makes d16's answer set the EXACT pairs
-    // d3's MinHash-LSH approximates, at the same 0.7 bar.
+  /** The shared prefix machinery of [[prefixFilterPairs]] and
+    * [[prefixFamilyAudit]]: distinct 3-gram SHINGLES materialized once
+    * (df, prefix ranking, and the verify join all read this frame —
+    * shingles, not unigrams: the element space must be long-tailed for
+    * prefix filtering to prune; a dense unigram vocabulary makes every
+    * "rare" token common, measured 193 s vs 3 s), document sizes, and
+    * the prefix set: each doc's first ⌊(10−t10)·sz/10⌋+1 tokens in
+    * (df, token) order — the row_number window frame is one document's
+    * tokens, bounded. */
+  private def prefixFrames(docs: DataFrame, t10: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
     val tok = shingleSets(docs)
       .filter(size(col("g")) > 0)
       .select(col("doc_id"), explode(col("g")).as("w"))
       .localCheckpoint(true)
     val df = tok.groupBy(col("w")).agg(count(lit(1)).as("df"))
     val sz = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    // prefix = first ⌊(10−t10)·sz/10⌋+1 tokens in (df, token) order;
-    // the window frame is one document's tokens — bounded
     val ranked = tok.join(df, "w")
       .withColumn("rnk", row_number().over(
         org.apache.spark.sql.expressions.Window
@@ -757,6 +756,36 @@ object Dedup {
     val prefAll = ranked.join(sz, "doc_id")
       .filter(col("rnk") <= expr(s"(${10 - t10} * sz) div 10") + 1)
       .select(col("doc_id"), col("w"))
+    (tok, sz, prefAll)
+  }
+
+  /** The truncation report for [[prefixFilterPairs]]'s `maxFamily`
+    * knob — ONE row: how many prefix keys the cap would drop, the
+    * largest family, and the candidate pairs excluded (Σ fam·(fam−1)/2
+    * over dropped keys). The capped hot path deliberately computes no
+    * inline report (an extra action per run); library callers run this
+    * AUDIT next to a capped invocation so the truncation is observable,
+    * and the registered capped query's oracle mirrors the cap
+    * relationally so the bench face is never silent either. */
+  def prefixFamilyAudit(docs: DataFrame, threshold: Double,
+      maxFamily: Int): DataFrame = {
+    require((threshold * 10).isValidInt && threshold > 0 && threshold < 1,
+      "threshold must be k/10 for exact integer arithmetic")
+    val (_, _, prefAll) = prefixFrames(docs, math.round(threshold * 10).toInt)
+    prefAll.groupBy(col("w")).agg(count(lit(1)).as("fam"))
+      .filter(col("fam") > maxFamily)
+      .agg(count(lit(1)).as("n_overcap_keys"),
+        coalesce(max(col("fam")), lit(0L)).as("max_family"),
+        coalesce(sum(expr("fam * (fam - 1) div 2")), lit(0L))
+          .as("candidate_pairs_excluded"))
+  }
+
+  def prefixFilterPairs(docs: DataFrame, threshold: Double = 0.7,
+      maxFamily: Int = Int.MaxValue): DataFrame = {
+    require((threshold * 10).isValidInt && threshold > 0 && threshold < 1,
+      "threshold must be k/10 for exact integer arithmetic")
+    val t10 = math.round(threshold * 10).toInt
+    val (tok, sz, prefAll) = prefixFrames(docs, t10)
     val pref =
       if (maxFamily == Int.MaxValue) prefAll
       else prefAll

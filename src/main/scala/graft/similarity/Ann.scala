@@ -58,8 +58,10 @@ object Ann {
     org.slf4j.LoggerFactory.getLogger("graft.similarity.Ann").warn(
       s"$caller is a driver-collected O(n²) control baseline, admitted up " +
       s"to $max vectors (got $n) — DEGRADING to the bucketed $escape path. " +
-      "The answer is the LSH approximation, not the exact scan; pin an " +
-      "evaluation sample if you need the exact control at this scale.")
+      "The answer is the LSH approximation, not the exact scan (any " +
+      "EXACT-oracle comparison of this call will mismatch above the " +
+      "bound); pin an evaluation sample if you need the exact control " +
+      "at this scale.")
 
   /** Strict left-fold dot product — native codegen'd expression (26s →
     * ~2s on the sf0.1 ANN query vs the interpreted aggregate/zip_with
@@ -1783,14 +1785,13 @@ object Ann {
     val cv = prepared(corpus).select(col("vec_id"), col("v"), col("nrm")).as[PreparedVec]
     val bv = prepared(batch).select(col("vec_id"), col("v"), col("nrm")).as[PreparedVec]
     val allBatch = bv.select(col("vec_id"))
-    val n = cv.count()
-    if (n == 0)
+    // prefix seeds, no refinement — the oracle-able configuration;
+    // shared with the streaming face so the seed rule cannot drift
+    val seeds = prefixSeedCentroids(corpus, maxCells)
+    if (seeds.isEmpty)
       return allBatch.select(col("vec_id"), lit(1).as("admitted"),
         lit(null).cast("long").as("matched_id"), lit(0L).as("n_matches"))
         .orderBy("vec_id")
-    val nCells = math.max(1, math.min(maxCells, math.round(math.sqrt(n.toDouble)).toInt))
-    // prefix seeds, no refinement — the oracle-able configuration
-    val seeds = cv.orderBy(col("vec_id")).limit(nCells).collect()
     val bcCent = spark.sparkContext.broadcast((seeds.map(_.v), seeds.map(_.nrm)))
     // members carry their origin flag IN the row (a broadcast id-set
     // would collect the whole batch to the driver — not 100 TB-safe)
@@ -1807,6 +1808,28 @@ object Ann {
         .map(c => CellProbe(c, p.vec_id, p.v, p.nrm))
     }
     semAdmitVerdicts(allBatch, members, probes, tau)
+  }
+
+  /** The e24 prefix-seed rule as ONE shared implementation: √n cells
+    * (capped at `maxCells`), seeds = the lowest-vec_id prepared
+    * vectors in id order. [[incrementalSemAdmit]] derives its
+    * centroids here per call;
+    * [[graft.streaming.StreamIngest.semAdmitToCorpus]] persists this
+    * exact output at index creation — one implementation, so the
+    * streaming face can never drift from the batch twin's seeding
+    * (the semAdmitVerdicts extraction, applied to the seed rule). */
+  def prefixSeedCentroids(vectors: DataFrame, maxCells: Int = 4096): Array[PreparedVec] = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val prep = prepared(vectors)
+      .select(col("vec_id"), col("v"), col("nrm")).as[PreparedVec]
+    val n = prep.count()
+    if (n == 0) Array.empty
+    else {
+      val nCells = math.max(1,
+        math.min(maxCells, math.round(math.sqrt(n.toDouble)).toInt))
+      prep.orderBy(col("vec_id")).limit(nCells).collect()
+    }
   }
 
   /** Shared verdict tail of [[incrementalSemAdmit]] and

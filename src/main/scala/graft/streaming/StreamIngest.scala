@@ -784,63 +784,95 @@ object StreamIngest {
     * semantics: the first batch seeds the corpus verbatim (AnnSpec's
     * "empty corpus admits all"); first-wins intra-batch dedup is
     * active from batch 2 on, where batch-1 twins reject as corpus
-    * matches. Replay safety: a retried batch's rows already in the
-    * standing index are dropped by an id-level anti-join BEFORE
-    * admission (their own assigned cell is always their top probe, so
-    * the bucket-pruned index read is guaranteed to see them) — a
-    * foreachBatch retry after a partial commit appends nothing twice.
-    * Invoke from `foreachBatch`. */
+    * matches. An EMPTY first batch (no-data trigger, recovery epoch)
+    * writes nothing — a zero-centroid index would disable admission
+    * forever, so cold start waits for data.
+    *
+    * Replay safety, both failure windows: (a) the sink and the cells
+    * index are `batch_id`-partitioned DYNAMIC overwrites, so a
+    * foreachBatch retry — at ANY point of the previous attempt —
+    * replaces its own partitions instead of appending a second copy
+    * (pass Spark's epoch id as `batchId`); (b) rows already present
+    * in the standing index (the same vectors redelivered under a
+    * different batch id) are dropped by an id-level anti-join before
+    * admission — their assigned cell is always their top probe, so
+    * the bucket-pruned index read is guaranteed to contain them.
+    * Consumers of `sinkPath` see the extra `batch_id` partition
+    * column. Invoke from `foreachBatch`. */
   def semAdmitToCorpus(batch: DataFrame, sinkPath: String, indexPath: String,
-      tau: Double = 0.85, nProbe: Int = 4, nBuckets: Int = 64,
+      batchId: Long, tau: Double = 0.85, nProbe: Int = 4, nBuckets: Int = 64,
       maxCells: Int = 4096): Unit = {
     val spark = batch.sparkSession
     import org.apache.spark.sql.functions.{col, pmod, lit}
+    import spark.implicits._
     val centroidsPath = s"$indexPath/centroids"
     val cellsPath = s"$indexPath/cells"
+    // micro-batch-sized; computed ONCE, feeds the guard, the probes,
+    // the verify, and both writes (a streaming source would otherwise
+    // be re-read per use)
+    val b = batch.localCheckpoint(true)
+    // an empty batch (no-data trigger, recovery epoch) must not seed
+    // an empty index — zero centroids would disable admission forever
+    if (b.isEmpty) return
+    // both data writes are batch_id-partitioned DYNAMIC overwrites
+    // (the publishDeltas recipe): a foreachBatch retry REPLACES its
+    // own partitions instead of appending a second copy, whatever
+    // point the previous attempt died at
+    def writeAdmitted(admitted: DataFrame,
+        cvs: Array[Array[Double]], cns: Array[Double]): Unit = {
+      admitted.withColumn("batch_id", lit(batchId))
+        .write.partitionBy("batch_id")
+        .mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        .parquet(sinkPath)
+      graft.similarity.Ann.cellAssignments(admitted, cvs, cns)
+        .withColumn("cell_bucket", pmod(col("cell"), lit(nBuckets)))
+        .withColumn("batch_id", lit(batchId))
+        .write.partitionBy("batch_id", "cell_bucket")
+        .mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        .parquet(cellsPath)
+    }
     readSinkIfExists(spark, centroidsPath) match {
       case None =>
         // cold start: pinned admit-all, then build + persist the index
         val verdicts = graft.similarity.Ann
-          .incrementalSemAdmit(batch.limit(0), batch, tau, nProbe, maxCells)
-        val admitted = batch.join(
+          .incrementalSemAdmit(b.limit(0), b, tau, nProbe, maxCells)
+        val admitted = b.join(
             verdicts.filter(col("admitted") === 1).select(col("vec_id").as("aid")),
             col("vec_id") === col("aid"))
           .drop("aid").localCheckpoint(true)
-        admitted.write.mode("append").parquet(sinkPath)
-        val prep = graft.similarity.Ann.prepared(admitted)
-          .select(col("vec_id"), col("v"), col("nrm"))
-        val n = prep.count()
-        val nCells = math.max(1,
-          math.min(maxCells, math.round(math.sqrt(n.toDouble)).toInt))
-        // prefix seeds in vec_id order — the batch twin's seed rule
-        import spark.implicits._
-        val seeds = prep.orderBy(col("vec_id")).limit(nCells)
-          .as[(Long, Array[Double], Double)].collect()
+        // the SHARED seed rule (Ann.prefixSeedCentroids) — the batch
+        // twin and this persisted copy cannot drift. Centroids commit
+        // FIRST (idempotent overwrite): once they exist, recovery goes
+        // through the warm path, which tolerates a missing cells dir.
+        val seeds = graft.similarity.Ann.prefixSeedCentroids(admitted, maxCells)
         seeds.zipWithIndex
-          .map { case ((_, v, nrm), i) => (i, v, nrm) }.toSeq
+          .map { case (p, i) => (i, p.v, p.nrm) }.toSeq
           .toDF("cell", "v", "nrm")
           .coalesce(1).write.mode("overwrite").parquet(centroidsPath)
-        graft.similarity.Ann
-          .cellAssignments(admitted, seeds.map(_._2), seeds.map(_._3))
-          .withColumn("cell_bucket", pmod(col("cell"), lit(nBuckets)))
-          .write.partitionBy("cell_bucket").mode("append").parquet(cellsPath)
+        writeAdmitted(admitted, seeds.map(_.v), seeds.map(_.nrm))
       case Some(centDf) =>
-        import spark.implicits._
         val cents = centDf.select(col("cell"), col("v"), col("nrm"))
           .as[(Int, Array[Double], Double)].collect().sortBy(_._1)
         val (cvs, cns) = (cents.map(_._2), cents.map(_._3))
-        val buckets = graft.similarity.Ann.probedCells(batch, cvs, cns, nProbe)
+        val buckets = graft.similarity.Ann.probedCells(b, cvs, cns, nProbe)
           .map(_ % nBuckets).distinct.toSeq
         // the standing index read prunes to the probed buckets — the
-        // partition filter is the whole point of the layout
-        val corpusCells = spark.read.parquet(cellsPath)
-          .filter(col("cell_bucket").isin(buckets: _*))
-          .select(col("cell"), col("vec_id"), col("v"), col("nrm"))
-          .localCheckpoint(true) // feeds the replay guard AND the verify
-        // replay guard: rows already indexed (a retried partial commit)
-        // must not re-admit — their assigned cell is their top probe,
-        // so the pruned read above is guaranteed to contain them
-        val fresh = batch.join(corpusCells.select(col("vec_id")),
+        // partition filter is the whole point of the layout. A missing
+        // cells dir (cold-start crash between the centroid and data
+        // writes) reads as an empty corpus: the batch replays with
+        // intra-batch dedup and the data writes complete the recovery.
+        val corpusCells = (readSinkIfExists(spark, cellsPath) match {
+          case Some(cells) => cells
+            .filter(col("cell_bucket").isin(buckets: _*))
+            .select(col("cell"), col("vec_id"), col("v"), col("nrm"))
+          case None => spark.emptyDataset[(Int, Long, Array[Double], Double)]
+            .toDF("cell", "vec_id", "v", "nrm")
+        }).localCheckpoint(true) // feeds the replay guard AND the verify
+        // replay guard (belt to the dynamic overwrite's braces): rows
+        // already indexed — e.g. the same vectors redelivered under a
+        // DIFFERENT batch id — must not re-admit; their assigned cell
+        // is their top probe, so the pruned read above contains them
+        val fresh = b.join(corpusCells.select(col("vec_id")),
           Seq("vec_id"), "left_anti")
         val verdicts = graft.similarity.Ann
           .incrementalSemAdmitIndexed(fresh, cvs, cns, corpusCells, tau, nProbe)
@@ -848,10 +880,7 @@ object StreamIngest {
             verdicts.filter(col("admitted") === 1).select(col("vec_id").as("aid")),
             col("vec_id") === col("aid"))
           .drop("aid").localCheckpoint(true) // one computation, two sinks
-        admitted.write.mode("append").parquet(sinkPath)
-        graft.similarity.Ann.cellAssignments(admitted, cvs, cns)
-          .withColumn("cell_bucket", pmod(col("cell"), lit(nBuckets)))
-          .write.partitionBy("cell_bucket").mode("append").parquet(cellsPath)
+        writeAdmitted(admitted, cvs, cns)
     }
   }
 

@@ -319,6 +319,17 @@ class DedupSpec extends SparkSpec {
     val generous = Dedup.prefixFilterPairs(docs, 0.7, maxFamily = 1000)
       .select("d1", "d2").as[(Long, Long)].collect().toSet
     assert(generous == uncapped)
+    // the audit makes the truncation observable: the copy family's
+    // prefix keys exceed cap 5 (each shared by 30 docs → 435 excluded
+    // candidate pairs per key); the generous cap drops nothing
+    val audit = Dedup.prefixFamilyAudit(docs, 0.7, maxFamily = 5)
+      .as[(Long, Long, Long)].head()
+    assert(audit._1 > 0, "over-cap keys must be reported")
+    assert(audit._2 == 30L, "largest family is the 30-copy cluster")
+    assert(audit._3 >= 435L, "excluded candidate pairs counted per key")
+    val auditNone = Dedup.prefixFamilyAudit(docs, 0.7, maxFamily = 1000)
+      .as[(Long, Long, Long)].head()
+    assert(auditNone == ((0L, 0L, 0L)), "generous cap excludes nothing")
   }
 
   test("D17: repeated-span coverage unions overlapping windows; intra-doc repeats count") {

@@ -619,10 +619,16 @@ class StreamIngestSpec extends SparkSpec {
       .as[(Long, Array[Float])].collect().toSeq
     val (b1, b2, b3) = (slice(0), slice(1), slice(2))
     val tau = 0.4
+    // an empty batch before any data must write NOTHING — a
+    // zero-centroid index would disable admission forever
+    StreamIngest.semAdmitToCorpus(
+      emb.limit(0).toDF("vec_id", "embedding"), sink, idx, batchId = -1L, tau = tau)
+    assert(!new java.io.File(s"$idx/centroids").exists(),
+      "an empty batch must not seed the index")
     val in = MemoryStream[(Long, Array[Float])]
     val q = in.toDF().toDF("vec_id", "embedding").writeStream
-      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
-        StreamIngest.semAdmitToCorpus(b, sink, idx, tau)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        StreamIngest.semAdmitToCorpus(b, sink, idx, batchId = id, tau = tau)
       }
       .option("checkpointLocation", base.resolve("chk").toString)
       .start()
@@ -662,9 +668,10 @@ class StreamIngestSpec extends SparkSpec {
     val idxIds = spark.read.parquet(s"$idx/cells")
       .select("vec_id").as[Long].collect().toSet
     assert(idxIds === after3, "index rows track the admitted corpus")
-    // replay idempotence: re-running a fully committed batch appends nothing
+    // replay idempotence: re-running a fully committed batch under its
+    // ORIGINAL epoch id overwrites its own partitions, appending nothing
     StreamIngest.semAdmitToCorpus(
-      b3.toDF("vec_id", "embedding"), sink, idx, tau)
+      b3.toDF("vec_id", "embedding"), sink, idx, batchId = 2L, tau = tau)
     val replayed = spark.read.parquet(sink).count()
     assert(replayed === after3.size.toLong,
       "a foreachBatch retry of a committed batch must append nothing")

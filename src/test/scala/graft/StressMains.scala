@@ -1104,7 +1104,7 @@ object StressStreaming {
             .otherwise(expr(vecExpr("id"))).as("embedding"))
         .select(col("id").as("vec_id"), col("embedding"))
       val tb = System.nanoTime()
-      StreamIngest.semAdmitToCorpus(vecs, sinkE, idxE, 0.85)
+      StreamIngest.semAdmitToCorpus(vecs, sinkE, idxE, batchId = b.toLong, tau = 0.85)
       val bs = (System.nanoTime() - tb) / 1e9
       println(f"[stress-stream] semAdmitToCorpus batch $b: $vecsPer vecs in $bs%.1fs " +
         f"= ${vecsPer / bs}%.0f vecs/s (corpus now ${(b + 1) * vecsPer} submitted)")
@@ -1128,7 +1128,7 @@ object StressStreaming {
     val probed = graft.similarity.Ann.probedCells(one,
       cents.map(_._2), cents.map(_._3)).map(_ % 64).distinct
     val t2 = System.nanoTime()
-    StreamIngest.semAdmitToCorpus(one, sinkE, idxE, 0.85)
+    StreamIngest.semAdmitToCorpus(one, sinkE, idxE, batchId = 999L, tau = 0.85)
     val oneVecSecs = (System.nanoTime() - t2) / 1e9
     println(f"[stress-stream] 1-vector batch vs $embN-vector index: " +
       f"$oneVecSecs%.2fs, probed buckets = ${probed.length} of 64 " +
