@@ -6071,7 +6071,7 @@ ${sqlRecallTailFor(" WHERE q.vec_id < 50")}""".stripMargin
          |x AS (SELECT a.centroid_id, CAST(i AS INT) AS dim, CAST(a.v[i] AS DECIMAL(25,12)) AS qx
          |  FROM a, (SELECT unnest(range(1, 65)) AS i))
          |SELECT centroid_id, dim, count(*) AS n,
-         |  round(CAST(sum(qx) AS DOUBLE) / count(*), 6) AS mean_x
+         |  round(CAST(sum(qx) AS DOUBLE) / count(*), 6) + 0.0 AS mean_x
          |FROM x GROUP BY 1, 2 ORDER BY centroid_id, dim""".stripMargin,
     "e20_pq_codebook_update" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -6090,7 +6090,7 @@ ${sqlRecallTailFor(" WHERE q.vec_id < 50")}""".stripMargin
         |    CAST(sv[i] AS DECIMAL(25,12)) AS qx
         |  FROM best, (SELECT unnest(range(1, 9)) AS i))
         |SELECT sub, centroid_id, dim, count(*) AS n,
-        |  round(CAST(sum(qx) AS DOUBLE) / count(*), 6) AS mean_x
+        |  round(CAST(sum(qx) AS DOUBLE) / count(*), 6) + 0.0 AS mean_x
         |FROM x GROUP BY 1, 2, 3 ORDER BY sub, centroid_id, dim""".stripMargin
   )
 

@@ -1732,7 +1732,9 @@ object Ann {
       .agg(count(lit(1)).as("n"),
         sum(col("x").cast("decimal(25,12)")).as("sx"))
       .select(col("centroid_id"), col("dim"), col("n"),
-        round(col("sx").cast("double") / col("n"), 6).as("mean_x"))
+        // `+ 0.0`: signed-zero normalization (the g11/e20 class) — a
+        // tiny-negative dimension mean rounds to -0.0 in DuckDB.
+        (round(col("sx").cast("double") / col("n"), 6) + lit(0.0)).as("mean_x"))
   }
 
   /** E20: PQ codebook refinement — one Lloyd step PER SUBSPACE, the
@@ -1754,7 +1756,12 @@ object Ann {
       .agg(count(lit(1)).as("n"),
         sum(col("x").cast("decimal(25,12)")).as("sx"))
       .select(col("sub").cast("long").as("sub"), col("centroid_id"), col("dim"),
-        col("n"), round(col("sx").cast("double") / col("n"), 6).as("mean_x"))
+        col("n"),
+        // `+ 0.0` normalizes IEEE negative zero (the g11 class): a
+        // tiny-negative subspace mean rounds to -0.0 in DuckDB but
+        // +0.0 here — equal values, different bits under the driver's
+        // bit-tagged hash (observed at sf0.001 in r17's inherit sweep).
+        (round(col("sx").cast("double") / col("n"), 6) + lit(0.0)).as("mean_x"))
   }
 
   /** E24: INCREMENTAL SEMANTIC ADMISSION — d12's steady-state batch
