@@ -121,18 +121,28 @@ object Clusters {
         .select(col("x").as("u"), col("m").as("v")).distinct()
     }
 
-    // star certificate: no root is also a leaf, and each leaf has one root.
-    def isStars(e: DataFrame): Boolean = {
-      val chained = e.select(col("v").as("n")).distinct()
-        .join(e.select(col("u").as("n")).distinct(), "n")
+    // star certificate: no root is also a leaf, and each leaf has one
+    // root. ONE aggregation action per round (the old form ran up to
+    // three driver actions per round — isEmpty, the chained-node join,
+    // the multi-root scan — each a full job dispatch on a tiny table;
+    // the fixed per-action cost dominated the certificate at harness
+    // SF). Tagged union → per-node rollup: a violating node is either
+    // (a) both a source and a target — a chain — or (b) a source with
+    // more than one distinct target — a multi-root leaf. An empty edge
+    // set yields no violations, which also subsumes the old isEmpty
+    // pre-check (stars over zero edges — loop exits identically).
+    def isStars(e: DataFrame): Boolean =
+      e.select(col("u").as("node"), lit(1).as("src"), col("v"))
+        .union(e.select(col("v").as("node"), lit(0).as("src"),
+          lit(null).cast("long").as("v")))
+        .groupBy(col("node"))
+        .agg(max(col("src")).as("is_src"), min(col("src")).as("min_src"),
+          countDistinct(col("v")).as("k"))
+        .filter((col("is_src") === 1 && col("min_src") === 0) || col("k") > 1)
         .limit(1).isEmpty
-      lazy val single = e.groupBy("u").agg(countDistinct(col("v")).as("k"))
-        .filter(col("k") > 1).limit(1).isEmpty
-      chained && single
-    }
 
     var rounds = 0
-    while (!e.isEmpty && !isStars(e)) {
+    while (!isStars(e)) {
       if (rounds >= maxRounds)
         throw new IllegalStateException(
           s"connectedComponents: no convergence after $maxRounds rounds " +

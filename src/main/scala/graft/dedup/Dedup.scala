@@ -107,14 +107,27 @@ object Dedup {
       .select(col("doc_id"), size(col("g")).as("n_a"), explode(col("g")).as("sh"))
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("sh"))))
       .filter(col("df") <= maxDf)
+    // Each unordered co-occurring pair is generated ONCE (d1 < d2,
+    // both sizes carried) and the two directed containment rows are
+    // exploded AFTER the reduction: |A∩B| is symmetric, so the d1<d2
+    // half-join carries exactly half the Σdf² pair rows into the
+    // aggregate that the old doc≠doc form shuffled (guide §2.3 —
+    // the pair rollup IS this operator's big exchange; measured
+    // 3.13 s → 2.50 s at sf0.1, r17). Output rows are identical:
+    // (a,b,|∩|/|A|) and (b,a,|∩|/|B|) both come from the {a,b} group.
     ex.as("x")
       .join(ex.as("y"),
-        col("x.sh") === col("y.sh") && col("x.doc_id") =!= col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
-        col("x.n_a").as("n_a"))
+        col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        col("x.n_a").as("na"), col("y.n_a").as("nb"))
       .agg(count(lit(1)).as("inter"))
-      .select(col("d1"), col("d2"),
-        round(col("inter").cast("double") / col("n_a"), 4).as("containment"))
+      .select(explode(array(
+        struct(col("a").as("d1"), col("b").as("d2"), col("na").as("n_a"),
+          col("inter")),
+        struct(col("b").as("d1"), col("a").as("d2"), col("nb").as("n_a"),
+          col("inter")))).as("p"))
+      .select(col("p.d1").as("d1"), col("p.d2").as("d2"),
+        round(col("p.inter").cast("double") / col("p.n_a"), 4).as("containment"))
       .filter(col("containment") >= threshold)
   }
 
@@ -733,30 +746,32 @@ object Dedup {
     * d16 oracle is the complete answer).
     */
   /** The shared prefix machinery of [[prefixFilterPairs]] and
-    * [[prefixFamilyAudit]]: distinct 3-gram SHINGLES materialized once
-    * (df, prefix ranking, and the verify join all read this frame —
-    * shingles, not unigrams: the element space must be long-tailed for
-    * prefix filtering to prune; a dense unigram vocabulary makes every
-    * "rare" token common, measured 193 s vs 3 s), document sizes, and
-    * the prefix set: each doc's first ⌊(10−t10)·sz/10⌋+1 tokens in
-    * (df, token) order — the row_number window frame is one document's
-    * tokens, bounded. */
+    * [[prefixFamilyAudit]]: each doc's SORTED distinct 3-gram shingle
+    * array materialized once (the prefix pipeline explodes it; the
+    * verify walks two of them whole — shingles, not unigrams: the
+    * element space must be long-tailed for prefix filtering to prune;
+    * a dense unigram vocabulary makes every "rare" token common,
+    * measured 193 s vs 3 s), and the prefix set: each doc's first
+    * ⌊(10−t10)·sz/10⌋+1 tokens in (df, token) order — the row_number
+    * window frame is one document's tokens, bounded. `sz` rides the
+    * exploded rows from the pre-explode projection (the d13 n_a
+    * pattern), so no per-doc count aggregate + join back. */
   private def prefixFrames(docs: DataFrame, t10: Int)
-      : (DataFrame, DataFrame, DataFrame) = {
-    val tok = shingleSets(docs)
+      : (DataFrame, DataFrame) = {
+    val sets = shingleSets(docs)
       .filter(size(col("g")) > 0)
-      .select(col("doc_id"), explode(col("g")).as("w"))
+      .select(col("doc_id"), array_sort(col("g")).as("g"))
       .localCheckpoint(true)
+    val tok = sets.select(col("doc_id"), size(col("g")).as("sz"),
+      explode(col("g")).as("w"))
     val df = tok.groupBy(col("w")).agg(count(lit(1)).as("df"))
-    val sz = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val ranked = tok.join(df, "w")
+    val prefAll = tok.join(df, "w")
       .withColumn("rnk", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy(col("doc_id")).orderBy(col("df"), col("w"))))
-    val prefAll = ranked.join(sz, "doc_id")
       .filter(col("rnk") <= expr(s"(${10 - t10} * sz) div 10") + 1)
       .select(col("doc_id"), col("w"))
-    (tok, sz, prefAll)
+    (sets, prefAll)
   }
 
   /** The truncation report for [[prefixFilterPairs]]'s `maxFamily`
@@ -771,7 +786,7 @@ object Dedup {
       maxFamily: Int): DataFrame = {
     require((threshold * 10).isValidInt && threshold > 0 && threshold < 1,
       "threshold must be k/10 for exact integer arithmetic")
-    val (_, _, prefAll) = prefixFrames(docs, math.round(threshold * 10).toInt)
+    val (_, prefAll) = prefixFrames(docs, math.round(threshold * 10).toInt)
     prefAll.groupBy(col("w")).agg(count(lit(1)).as("fam"))
       .filter(col("fam") > maxFamily)
       .agg(count(lit(1)).as("n_overcap_keys"),
@@ -785,7 +800,7 @@ object Dedup {
     require((threshold * 10).isValidInt && threshold > 0 && threshold < 1,
       "threshold must be k/10 for exact integer arithmetic")
     val t10 = math.round(threshold * 10).toInt
-    val (tok, sz, prefAll) = prefixFrames(docs, t10)
+    val (sets, prefAll) = prefixFrames(docs, t10)
     val pref =
       if (maxFamily == Int.MaxValue) prefAll
       else prefAll
@@ -802,13 +817,28 @@ object Dedup {
         col("a.w") === col("b.w") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
-    val inter = cand
-      .join(tok.select(col("doc_id").as("d1"), col("w")), "d1")
-      .join(tok.select(col("doc_id").as("d2"), col("w")), Seq("d2", "w"))
-      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("n_common"))
-    inter
-      .join(sz.select(col("doc_id").as("d1"), col("sz").as("s1")), "d1")
-      .join(sz.select(col("doc_id").as("d2"), col("sz").as("s2")), "d2")
+    // Verify on the whole sorted sets (r17): two |docs|-row joins
+    // attach each candidate pair's arrays (broadcast at harness SF;
+    // doc-keyed hash joins at scale) and the native merge-walk kernel
+    // counts |A∩B| in-row — replacing the exploded-index verify
+    // (cand ⨝ tok on d1, ⨝ tok on (d2, w), pair rollup + per-doc size
+    // aggregate + two joins back), which shuffled Σ_cand |A| index
+    // rows across two exchanges and dominated the operator (stage
+    // dissection: verify 2.84 s of 5.5 s total at sf0.1, 202k
+    // candidates). NOT array_intersect, whose per-call hash-set build
+    // measured ~30 µs/pair — the A/B and the kernel contract are in
+    // PairExpressions.SortedIntersectCount. n_common is identical
+    // (the sorted arrays ARE the distinct shingle sets the index
+    // exploded); sizes come from size(g); the keep decision + display
+    // rounding are byte-for-byte the same integer/double arithmetic.
+    cand
+      .join(sets.select(col("doc_id").as("d1"), col("g").as("g1")), "d1")
+      .join(sets.select(col("doc_id").as("d2"), col("g").as("g2")), "d2")
+      .select(col("d1"), col("d2"),
+        graft.functions.PairExpressions
+          .sortedIntersectCount(col("g1"), col("g2")).as("n_common"),
+        size(col("g1")).cast("long").as("s1"),
+        size(col("g2")).cast("long").as("s2"))
       .filter(lit(10) * col("n_common") >=
         lit(t10) * (col("s1") + col("s2") - col("n_common")))
       .select(col("d1"), col("d2"), col("n_common"),

@@ -158,6 +158,71 @@ object WeightedPairsKernel extends Serializable {
   }
 }
 
+/** |A ∩ B| of two SORTED, DISTINCT string arrays by a single merge
+  * walk — the pair-verify kernel of the set-similarity joins (d16):
+  * `size(array_intersect(a, b))` builds a hash set per CALL (one
+  * allocation + |A|+|B| string hashes per candidate pair — measured
+  * ~30 µs/pair, 2× the whole exploded-index verify), while the merge
+  * walk is |A|+|B| binary UTF8String comparisons with zero allocation.
+  * Inputs must be ascending in UTF8String binary order (array_sort's
+  * StringType order) with distinct elements — exactly what
+  * `array_sort(wordShingles(...))` produces; under those preconditions
+  * the count equals |A∩B| exactly. Codegen is one static-call
+  * delegation, so the walk lives inside the surrounding
+  * WholeStageCodegen span (SURVEY.md §2.9 preference order). */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def prettyName: String = "graft_sorted_intersect_count"
+
+  /** Element nullability is a caller contract, not an analysis gate
+    * (test literals carry containsNull = true even when no slot is
+    * null): an actual null slot has no binary order and fails loudly
+    * in the kernel (NPE) rather than miscounting. The d16 shingle
+    * arrays declare containsNull = false by construction. */
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires two array<string> inputs, " +
+            s"got (${l.catalogString}, ${r.catalogString})")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SortedIntersectKernel.count(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kernel = ctx.addReferenceObj("sortedIntersectKernel", SortedIntersectKernel,
+      SortedIntersectKernel.getClass.getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $kernel.count($a, $b);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object SortedIntersectKernel extends Serializable {
+  def count(a: ArrayData, b: ArrayData): Long = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var c = 0L
+    while (i < na && j < nb) {
+      val cmp = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+      if (cmp == 0) { c += 1; i += 1; j += 1 }
+      else if (cmp < 0) i += 1
+      else j += 1
+    }
+    c
+  }
+}
+
 object PairExpressions {
   /** Column-level basket-pair expansion backed by [[SortedPairs]];
     * input must be array<long> (callers cast). */
@@ -168,4 +233,10 @@ object PairExpressions {
     * inputs are parallel array<long> ids and array<double> weights. */
   def weightedPairs(ids: Column, weights: Column): Column =
     Bridge.column(WeightedPairs(Bridge.expression(ids), Bridge.expression(weights)))
+
+  /** Column-level sorted-set intersection count backed by
+    * [[SortedIntersectCount]]; both inputs must be array<string>,
+    * ascending, distinct, non-null elements. */
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    Bridge.column(SortedIntersectCount(Bridge.expression(a), Bridge.expression(b)))
 }

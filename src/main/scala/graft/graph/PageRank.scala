@@ -65,10 +65,16 @@ object PageRank {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // |V| is ONE driver-side long (bounded by construction) — it sets
     // the integer teleport constant both engines compute identically.
-    val n = edges.select(countDistinct(col("u")).as("n")).head().getLong(0)
+    // The distinct-node frame is persisted and reused as round 0's rank
+    // table: counting it IS the action that materializes it, so the
+    // old separate countDistinct pass over the edge table (a second
+    // full aggregation job before any rank round) disappears.
+    val nodes = edges.select(col("u")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = nodes.count()
     val r0 = Scale / n
     val base = 15L * r0 / 100L
-    val init = edges.select(col("u")).distinct().withColumn("r", lit(r0))
+    val init = nodes.withColumn("r", lit(r0))
     (1 to iterations)
       .foldLeft(init) { (rk, _) =>
         edges.join(rk, "u")
@@ -102,10 +108,13 @@ object PageRank {
     val edges = sym
       .join(sym.groupBy("u").agg(sum(col("w")).as("str")), "u")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // recomputable — see fixedPoint
-    val n = edges.select(countDistinct(col("u")).as("n")).head().getLong(0)
+    // node frame persisted and reused as round 0 — see fixedPoint
+    val nodes = edges.select(col("u")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = nodes.count()
     val r0 = Scale / n
     val base = 15L * r0 / 100L
-    val init = edges.select(col("u")).distinct().withColumn("r", lit(r0))
+    val init = nodes.withColumn("r", lit(r0))
     (1 to iterations)
       .foldLeft(init) { (rk, _) =>
         edges.join(rk, "u")

@@ -1305,11 +1305,36 @@ object Ann {
   private def scalarQuantTopK(embeddings: DataFrame, k: Int, levels: Double,
       queryPred: Option[Column]): DataFrame = {
     val v = col("embedding").cast("array<double>")
-    val codes = embeddings.select(col("vec_id"),
-      transform(v, x => round(x *
-        (lit(levels) / array_max(transform(v, y => abs(y)))))).as("embedding"))
-    cosineTopKAgainst(queryPred.map(codes.filter(_)).getOrElse(codes), codes, k,
-      broadcastQueries = queryPred.isDefined)
+    // scale hoisted to its own projection: inside the transform lambda
+    // the array_max(|x|) subexpression is re-evaluated per ELEMENT
+    // (64 max-scans + 64 array allocations per vector); hoisting makes
+    // it once per row. Same parenthesization (x * (levels / max)), so
+    // the doubles — and the codes — are bit-identical. The code table
+    // is then CHECKPOINTED: higher-order array lambdas (transform /
+    // array_max) run interpreted, not codegen'd, so every downstream
+    // re-read of the lazy frame would re-pay ~2·d interpreted lambda
+    // calls per vector — the kernel/join reads the code tier two-to-
+    // three times, and the table is d·8 bytes/vector (tiny at the
+    // control bound, the point of a quantized tier).
+    val codes = embeddings
+      .withColumn("qscale", lit(levels) / array_max(transform(v, y => abs(y))))
+      .select(col("vec_id"),
+        transform(v, x => round(x * col("qscale"))).as("embedding"))
+    queryPred match {
+      // evaluation workload: bounded query side broadcasts, corpus
+      // streams — exactly two lazy reads of the code projection, so a
+      // materialization job would cost more than it saves (measured).
+      case Some(p) => cosineTopKAgainst(codes.filter(p), codes, k,
+        broadcastQueries = true)
+      // full self-retrieval: the blocked kernel (bit-identical contract
+      // with the join formulation — same fold, tiebreak, HALF_UP-6)
+      // scores the n² code pairs in-register instead of through join-row
+      // machinery (guide §1.2 "per-task work"); above MaxControlCorpus
+      // it degrades to the bucketed LSH path like every control kernel.
+      // The kernel reads its input three times (count, collect,
+      // mapPartitions), so the code table is checkpointed here.
+      case None => cosineTopKBlocked(codes.localCheckpoint(true), k)
+    }
   }
 
   /** E30: binary-code retrieval — each 64-dim embedding sign-binarized
@@ -2155,11 +2180,17 @@ object Ann {
       .crossJoin(broadcast(warr))
       .select(col("vec_id"),
         expr("zip_with(xq, warr, (x, w) -> CAST(x AS DOUBLE) / w)").as("embedding"))
-      // the whitened frame feeds cosineTopK's self-join twice; without
-      // a checkpoint the embeddings scan + moment pass would replay per
+      // the whitened frame feeds both kernel sides; without a
+      // checkpoint the embeddings scan + moment pass would replay per
       // side (PlanAudit's re-scan flag)
       .localCheckpoint(true)
-    cosineTopK(whitened, k)
+    // blocked kernel, not the join formulation: bit-identical output
+    // (same left-fold dot, same (sim desc, id) order, same HALF_UP-6
+    // rounding — the documented cosineTopK ≡ cosineTopKBlocked
+    // contract), but the n² pair scoring runs in-register instead of
+    // paying ~1µs of join-row machinery per pair (guide §1.2 "per-task
+    // work"). Measured 4.0 s → see OPTIMIZATION_r17.md.
+    cosineTopKBlocked(whitened, k)
   }
 
   /** Oracle SQL for [[whitenedTopK]] — moment CTEs, then the e1

@@ -59,6 +59,34 @@ class PairExpressionsSpec extends SparkSpec {
     assert(expand.count() === 3) // (1,2) (1,3) (2,3); singleton shingle emits none
   }
 
+  test("SortedIntersectCount equals size(array_intersect) on sorted shingle sets") {
+    // the d16 verify kernel's contract: on sorted, distinct,
+    // non-null-element string arrays the merge walk counts exactly
+    // |A ∩ B|. Exercise it on real shingle sets (both the codegen'd
+    // projection path and a deliberately varied overlap structure).
+    val sets = graft.dedup.Dedup.shingleSets(Tables.documents(spark, sfDir))
+      .filter(size(col("g")) > 0)
+      .select(col("doc_id"), array_sort(col("g")).as("g"))
+      .limit(200)
+    val pairs = sets.as("a").join(sets.as("b"), col("a.doc_id") < col("b.doc_id"))
+    val diff = pairs.select(
+        PairExpressions.sortedIntersectCount(col("a.g"), col("b.g")).as("walk"),
+        size(array_intersect(col("a.g"), col("b.g"))).cast("long").as("hashset"))
+      .filter(col("walk") =!= col("hashset")).count()
+    assert(diff === 0, "merge-walk intersection must equal array_intersect")
+  }
+
+  test("SortedIntersectCount handles empty and disjoint/identical arrays") {
+    val df = Seq(
+      (Seq.empty[String], Seq("a b c")),
+      (Seq("a", "b"), Seq("c", "d")),
+      (Seq("a", "b", "c"), Seq("a", "b", "c"))
+    ).toDF("x", "y")
+    val got = df.select(PairExpressions.sortedIntersectCount(col("x"), col("y")))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got === Seq(0L, 0L, 3L))
+  }
+
   test("native L2Squared is bit-identical to the interpreted left fold") {
     val emb = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
