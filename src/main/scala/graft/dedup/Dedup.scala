@@ -808,7 +808,10 @@ object Dedup {
         // rows' own w-partitioning; the filtered frame feeds both
         // self-join sides as the identical subplan (one exchange,
         // reused). See scaladoc for the measured delta vs the
-        // agg + eager-checkpoint + anti-join form this replaced.
+        // agg + eager-checkpoint + anti-join form this replaced; an
+        // r17 re-A/B of a checkpoint+broadcast-anti-join cap variant
+        // read 6.83 vs 7.16 s isolated at sf0.1 — noise-band, so the
+        // 10×-validated window form stays.
         .withColumn("fam", count(lit(1)).over(
           org.apache.spark.sql.expressions.Window.partitionBy(col("w"))))
         .filter(col("fam") <= maxFamily)
