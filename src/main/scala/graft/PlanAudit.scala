@@ -119,6 +119,32 @@ object PlanAudit {
         "the original build) and the other three are over the SMALL arriving batch " +
         "(seniors-as-members, probes, output spine) — the d12 posture in embedding space"))
 
+  /** Queries allowed a DATA-GRAIN unpartitioned window (the
+    * single-partition sort the r17 verdict flagged): each is a
+    * documented exact-order control whose scale twin is registered. */
+  private val globalWindowControls = Map(
+    "w7_ntile" ->
+      ("EXACT global ntile is inherently a total order; w7_ntile_approx " +
+        "is the registered 100 TB path (sketch cutoffs + projection)"))
+
+  /** r18: an unpartitioned window (`WindowExec` with an empty
+    * partitionSpec — the `WindowExec: No Partition Defined` warning)
+    * is the one plan shape that cannot scale PAST one task no matter
+    * the cluster. It is legitimate only on SUMMARY-grain frames — an
+    * aggregation, limit, or literal relation below the window bounds
+    * the rows it sorts (day summaries, tier offsets, leaderboard
+    * cutoffs). Anything reading raw scan rows into a global window is
+    * flagged (the c2/a29 class this round rewrote two-tier). */
+  private def summaryGrain(p: SparkPlan): Boolean =
+    p.collectFirst {
+      case a: HashAggregateExec       => a
+      case a: SortAggregateExec       => a
+      case a: ObjectHashAggregateExec => a
+      case l: GlobalLimitExec         => l
+      case t: TakeOrderedAndProjectExec => t
+      case l: LocalTableScanExec      => l
+    }.isDefined
+
   /** A nested-loop join is the legitimate scale pattern when its
     * broadcast side is provably bounded: a global aggregate (exactly
     * one row — scalar frames like the top-k cutoff, corpus size, or
@@ -198,6 +224,14 @@ object PlanAudit {
           scansPerPath.filter(_._2 >= 3).foreach { case (path, n) =>
             flagged ::= s"$name: $n scans of the same input ($path) — checkpoint the shared frame"
           }
+        val dataGrainGlobalWin = execPlan.collect {
+          case w: org.apache.spark.sql.execution.window.WindowExec
+              if w.partitionSpec.isEmpty && !summaryGrain(w.child) => w
+          case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec
+              if w.partitionSpec.isEmpty && !summaryGrain(w.child) => w
+        }.size
+        if (dataGrainGlobalWin > 0 && !globalWindowControls.contains(name))
+          flagged ::= s"$name: $dataGrainGlobalWin data-grain unpartitioned window(s) — single-task sort at scale; two-tier it (the c2/a29 r18 rewrite) or whitelist the documented control"
         val unbounded = plan.collect {
           case j: BroadcastNestedLoopJoinExec if !boundedBuild(j) => j
           case j: CartesianProductExec => j

@@ -1663,19 +1663,52 @@ object SparkEntry {
     ,
     // A29 (beyond reference): Pareto revenue concentration — how many
     // customers cover 50/80/90% of revenue (the "whale curve" every
-    // account team asks for). One fact aggregation, one |customers|-row
-    // cumulative window, and an ALL-INTEGER threshold predicate
-    // (100·cum < thr·total in DECIMAL — no ratio ever floats), so the
-    // three counts are engine-exact.
+    // account team asks for). One fact aggregation, a TIERED cumulative
+    // window, and an ALL-INTEGER threshold predicate (100·cum <
+    // thr·total in DECIMAL — no ratio ever floats), so the three counts
+    // are engine-exact.
+    //
+    // r18: the cumulative was a GLOBAL |customers|-row window (the
+    // r17-verdict data-grain `WindowExec: No Partition Defined` flag) —
+    // now two-tier: the tier is the revenue QUARTER-OCTAVE,
+    // -floor(4·log2(rev_cents)) — a pure projection (no cutoff pass, no
+    // checkpoint barrier: the perCust exchange is byte-identical under
+    // all three consumers, so ReusedExchange serves them from one
+    // shuffle), monotone non-increasing in the (rev desc, custkey)
+    // order because log2 is monotone and ties share a tier, and ≤ 256
+    // distinct values by the bit-width of the cents long — so the
+    // tier-offset summary's unpartitioned window is bounded by
+    // construction (summary-grain), while the |customers|-grain running
+    // sum partitions by tier. The decomposition is exact for ANY
+    // monotone tiering — DECIMAL sums over a disjoint monotone
+    // partition of the order compose associatively — so the tier
+    // placement only balances partitions, never changes a count; the
+    // unchanged oracle hash proves it.
     "a29_pareto_concentration" -> ((s, d) => {
       val perCust = t(s, d, "orders")
         .groupBy(col("o_custkey"))
         .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
-      val wCum = Window.orderBy(col("rev").desc, col("o_custkey"))
+      val tiered = perCust.withColumn("tier",
+        -floor(lit(4.0) *
+          log2(greatest((col("rev") * 100).cast("long"), lit(1L)))).cast("int"))
+      val offs = tiered.groupBy(col("tier")).agg(sum(col("rev")).as("tot"))
+        .withColumn("prior", sum(col("tot")).over(
+          Window.orderBy(col("tier"))
+            .rowsBetween(Window.unboundedPreceding, -1)))
+        // the grand total rides the SAME ≤256-row summary window — no
+        // second pass over perCust, no second broadcast
+        .withColumn("total", sum(col("tot")).over(
+          Window.orderBy(col("tier"))
+            .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        .select(col("tier"),
+          coalesce(col("prior"), lit(0).cast("decimal(28,2)")).as("prior"),
+          col("total"))
+      val wIntra = Window.partitionBy(col("tier"))
+        .orderBy(col("rev").desc, col("o_custkey"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val c = perCust
-        .withColumn("cum", sum(col("rev")).over(wCum))
-        .withColumn("total", sum(col("rev")).over(Window.partitionBy()))
+      val c = tiered
+        .join(broadcast(offs), "tier")
+        .withColumn("cum", col("prior") + sum(col("rev")).over(wIntra))
       c.select(explode(array(lit(50), lit(80), lit(90))).as("threshold"),
           col("cum"), col("total"))
         .groupBy(col("threshold"))
@@ -2489,6 +2522,17 @@ object SparkEntry {
         .withColumn("sid", sum(col("new_s")).over(wRun))
         .groupBy(col("user_id"), col("sid"))
         .agg(min(col("us")).as("a"), max(col("us")).as("b"))
+        // r18: materialized once — Timeline's boundary stream feeds two
+        // consumers (intra-day running sum + day-prefix summary), and
+        // the pre-r18 plan carried the two-window sessionize subtree
+        // FOUR times (4 parquet scans; AQE exchange reuse de-duplicated
+        // the map sides but each consumer re-ran the window chains).
+        // With the explode boundary build (Timeline r18) + this
+        // |sessions|-row checkpoint the event log is sessionized once.
+        // sf0.1 A/B is noise-band (1.33 vs 1.42 s — the query is
+        // dispatch-bound here); the win is the 4×→1× window-pass count
+        // at corpus scale (plans/r18/ts9_* diff).
+        .localCheckpoint(true)
       graft.operators.Timeline
         .maxConcurrencyPerDay(sessions, col("a"), col("b"))
         .orderBy("day")

@@ -30,8 +30,19 @@ object Timeline {
     */
   def maxConcurrencyPerDay(intervals: DataFrame, startUs: Column,
       endUs: Column): DataFrame = {
-    val deltas = intervals.select(startUs.cast("long").as("us"), lit(1L).as("delta"))
-      .union(intervals.select((endUs.cast("long") + 1L).as("us"), lit(-1L).as("delta")))
+    // r18: boundary stream via a single EXPLODE, not a self-union —
+    // the union form referenced `intervals` twice, so its whole
+    // upstream subtree (for ts9: the two-window sessionize over the
+    // event log) planned and EXECUTED once per side (guide §2.4 —
+    // remove duplicated passes). One generator row-doubles in place;
+    // row order differs from the union but every consumer below is an
+    // aggregation or an explicitly ordered window, so the result is
+    // unchanged (TimelineSpec pins it).
+    val deltas = intervals
+      .select(explode(array(
+        struct(startUs.cast("long").as("us"), lit(1L).as("delta")),
+        struct((endUs.cast("long") + 1L).as("us"), lit(-1L).as("delta")))).as("b"))
+      .select(col("b.us").as("us"), col("b.delta").as("delta"))
       .withColumn("day", to_date(timestamp_micros(col("us"))))
     val intra = deltas.withColumn("run",
       sum(col("delta")).over(Window.partitionBy(col("day"))

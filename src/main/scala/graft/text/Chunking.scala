@@ -37,18 +37,45 @@ object Chunking {
     * to fixed-capacity token bins by cumulative token count — the
     * streaming form of sequence packing used to fill LM context windows
     * without padding waste. pack_id = floor(tokens_before / capacity).
-    * One global running sum; at scale, run per-shard (partition the
-    * cumulative window by a shard key) for the same packing density. */
-  def packSequences(docs: DataFrame, capacity: Int = 512): DataFrame = {
-    val w = Window.orderBy(col("doc_id"))
+    *
+    * r18: the global running sum no longer single-partitions the corpus.
+    * It is decomposed into per-TIER windows (tier = doc_id div tierSpan
+    * — integral division is monotone in doc_id, so tiers are contiguous
+    * id ranges and within-tier cum + a tier-prefix offset reconstruct
+    * the global cumulative EXACTLY: long sums over a disjoint monotone
+    * partition of the order) plus one |id-range|/tierSpan-row summary
+    * window — the Timeline/dq15 stitch, applied to the c2 data-grain
+    * frame the r17 verdict flagged (`WindowExec: No Partition Defined`
+    * over ALL docs). The summary window is the only unpartitioned one
+    * left and it is summary-grain (PlanAudit's aggregate-below-window
+    * rule). Tokenize once: tier totals derive from the intra window's
+    * own last row (the running sum is monotone — n_tok ≥ 0), so both
+    * consumers share the ONE tier-keyed exchange (ReusedExchange) and
+    * the text column is never read twice. Result bit-identical (same
+    * exact long arithmetic; the c2 oracle is unchanged and
+    * ChunkingSpec pins the boundary splits); at scale the heavy window
+    * is |tierSpan| rows per task instead of |corpus| rows on one task.
+    * c3 remains the hash-sharded variant for id-skewed corpora. */
+  def packSequences(docs: DataFrame, capacity: Int = 512,
+      tierSpan: Long = 4096L): DataFrame = {
+    val wIntra = Window.partitionBy(col("tier")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docs
+    val intra = docs
       .select(col("doc_id"),
         org.apache.spark.sql.functions.size(words(col("text"))).cast("long").as("n_tok"))
-      .withColumn("cum_tok", sum(col("n_tok")).over(w))
+      .withColumn("tier", expr(s"doc_id div $tierSpan"))
+      .withColumn("cum_t", sum(col("n_tok")).over(wIntra))
+    val offs = intra.groupBy(col("tier")).agg(max(col("cum_t")).as("tot"))
+      .withColumn("prior", coalesce(
+        sum(col("tot")).over(Window.orderBy(col("tier"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("tier"), col("prior"))
+    intra.join(broadcast(offs), "tier")
+      .withColumn("cum_tok", col("prior") + col("cum_t"))
       // integral div, not a double divide: exact at any cumulative
       // token count (a double quotient drifts past 2^53)
       .withColumn("pack_id", expr(s"(cum_tok - n_tok) div $capacity"))
+      .select(col("doc_id"), col("n_tok"), col("cum_tok"), col("pack_id"))
   }
 
   /** C3: SHARDED sequence packing — the scale form [[packSequences]]'s
