@@ -7224,10 +7224,21 @@ ${sqlRecallTailFor(" WHERE q.vec_id < 50")}""".stripMargin
         .join(broadcast(comm), "l_partkey")
         .withColumn("item_id",
           col("l_orderkey") * 10 + col("l_linenumber"))
-      val kept = graft.sampling.Sampling.temperatureMix(items,
-          col("item_id"), col("community"), salt = "cmix")
+      // r18: the report's per-community totals ARE the counts the
+      // temperature mix aggregates internally — share the frame
+      // (temperatureMixWithCounts) so the corpus is read twice (count
+      // pass + keep-decision pass), not three times. No materialized
+      // intermediate: a checkpoint of the fact-sized items frame was
+      // A/B'd at 1.64 vs 1.68 s (noise) and is the wrong shape at
+      // 100 TB anyway.
+      val counts = items.groupBy(col("community")).agg(count(lit(1)).as("n_items"))
+      val kept = graft.sampling.Sampling.temperatureMixWithCounts(items,
+          col("item_id"), col("community"),
+          counts.select(col("community").as("stratum_key"),
+            col("n_items").as("stratum_cnt")),
+          salt = "cmix")
         .groupBy(col("community")).agg(count(lit(1)).as("kept_cnt"))
-      items.groupBy(col("community")).agg(count(lit(1)).as("n_items"))
+      counts
         .join(kept, Seq("community"), "left")
         .select(col("community"), col("n_items"),
           coalesce(col("kept_cnt"), lit(0L)).as("n_kept"))

@@ -73,6 +73,11 @@ object Bfs {
       .select(explode(array(struct(col("u"), col("v")),
         struct(col("v").as("u"), col("u").as("v")))).as("e"))
       .select(col("e.u").as("u"), col("e.v").as("v"))
+      // r18: pre-keyed on the per-round expand key (the PageRank edges
+      // rationale — while frontiers broadcast the layout is moot; past
+      // `broadcastRows` each round's shuffle join would re-exchange and
+      // re-sort the EDGES per round without it)
+      .repartition(col("u")).sortWithinPartitions("u")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val init = seeds
       .select(col(seeds.columns.head).cast("long").as("node")).distinct()

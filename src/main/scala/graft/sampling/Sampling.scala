@@ -140,6 +140,23 @@ object Sampling {
     * safe; callers with larger strata should lower `resolution`. */
   def temperatureMix(df: DataFrame, id: Column, stratum: Column,
                      tauNum: Int = 1, tauDen: Int = 2, salt: String = "tmix",
+                     resolution: Int = 10000): DataFrame =
+    temperatureMixWithCounts(df, id, stratum,
+      df.groupBy(stratum.as("stratum_key")).agg(count(lit(1)).as("stratum_cnt")),
+      tauNum, tauDen, salt, resolution)
+
+  /** [[temperatureMix]] with the per-stratum counts supplied by the
+    * caller (schema: stratum_key, stratum_cnt — exactly the aggregate
+    * the default overload computes). r18: callers that ALSO need the
+    * per-stratum totals for reporting (sa16) were paying a third full
+    * pass over the corpus to re-aggregate what the mix already counted;
+    * sharing the counts frame makes the operator exactly two corpus
+    * passes (count + keep-decision) at any scale, with no materialized
+    * intermediate. Same integer keep-predicate arithmetic — the default
+    * overload delegates here, so the SamplingSpec pins cover both. */
+  def temperatureMixWithCounts(df: DataFrame, id: Column, stratum: Column,
+                     counts: DataFrame,
+                     tauNum: Int = 1, tauDen: Int = 2, salt: String = "tmix",
                      resolution: Int = 10000): DataFrame = {
     require(tauDen >= 1 && tauNum >= 0 && tauNum <= tauDen,
       s"tau must be a rational in [0,1], got $tauNum/$tauDen")
@@ -150,8 +167,6 @@ object Sampling {
       (1 until k).foldLeft(c) { (acc, _) => acc * c }
     if (qp == 0) df.withColumn("bucket", bucket(id, salt, resolution))
     else {
-      val counts = df.groupBy(stratum.as("stratum_key"))
-        .agg(count(lit(1)).as("stratum_cnt"))
       val rates = counts.withColumn("min_cnt",
         min(col("stratum_cnt")).over(org.apache.spark.sql.expressions.Window
           .partitionBy()))
