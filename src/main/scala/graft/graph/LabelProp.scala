@@ -50,6 +50,11 @@ object LabelProp {
   private def propagateLabels(e: DataFrame, rounds: Int): DataFrame = {
     val adj = e.union(e.select(col("v").as("u"), col("u").as("v")))
       .select(col("u").as("node"), col("v").as("nbr"))
+      // r18: pre-keyed on the per-round join key (the PageRank edges
+      // rationale — while the label table broadcasts the layout is
+      // moot; past that scale every vote round's SMJ would re-exchange
+      // and re-sort the ADJACENCY without it)
+      .repartition(col("nbr")).sortWithinPartitions("nbr")
       .localCheckpoint(eager = true)
     var labels = adj.select(col("node")).distinct()
       .select(col("node"), col("node").as("lbl"))
